@@ -1,0 +1,124 @@
+"""Time-bucket resample aggregation — the reference's "internal aggregation"
+pushed into ClickHouse via ``{func}Resample(from,until,step)(Value,Time)``
+(/root/reference/render/data/query.go:34-42, doc/aggregation.md:108-137)
+and its local rollup twin doMetricPrecision
+(/root/reference/helper/rollup/rules.go:370-407).
+
+Spark-first: ``groupBy(path, floor(time/step)*step)`` — Catalyst plans a
+partial (map-side) + final hash aggregate; with AQE the shuffle is sized at
+runtime. This IS the aggregate pushdown: the reduction happens next to the
+scan, exactly like -Resample inside ClickHouse shards.
+
+Aggregation functions are the reference's closed map avg/sum/min/max/any/
+anyLast (helper/rollup/aggr.go:7-14). ``any`` = first point of the
+time-sorted bucket, ``anyLast`` = last; implemented order-insensitively via
+min_by/max_by(value, (time, version)) so the result does not depend on
+partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: rollup function name -> aggregation Column builder (value_col, order_col)
+AGG_FUNCTIONS = {
+    "avg": lambda v, o: F.avg(v),
+    "sum": lambda v, o: F.sum(v),
+    "min": lambda v, o: F.min(v),
+    "max": lambda v, o: F.max(v),
+    "any": lambda v, o: F.min_by(v, o),
+    "anyLast": lambda v, o: F.max_by(v, o),
+}
+
+#: consolidateBy(...) -> rollup function (render/data/targets.go:150-172)
+CONSOLIDATE_TO_AGG = {
+    "last": "anyLast",
+    "first": "any",
+    "average": "avg",
+    "avg": "avg",
+    "sum": "sum",
+    "min": "min",
+    "max": "max",
+}
+
+#: internal -> whisper-style names reported in v3 responses (data.go:53-67)
+AGG_DISPLAY_NAME = {"any": "first", "anyLast": "last"}
+
+
+def time_bucket(time_col: Column, step: int) -> Column:
+    """floor(time/step)*step — integer epoch-seconds bucket."""
+    return (time_col - time_col % F.lit(step)).alias("time")
+
+
+def resample(
+    df: DataFrame,
+    from_ts: int,
+    until_ts: int,
+    step: int,
+    function: str = "avg",
+    path_col: str = "path",
+    time_col: str = "time",
+    value_col: str = "value",
+    version_col: str | None = "version",
+) -> DataFrame:
+    """Aggregate points into fixed-width time buckets per path.
+
+    Returns (path, time, value) with `time` floored to the bucket start.
+    Time range filter [from_ts, until_ts] is inclusive, matching
+    ``Time >= from AND Time <= until`` (pkg/where/where.go:224-226).
+    """
+    if function not in AGG_FUNCTIONS:
+        raise ValueError(f"unknown aggregation function: {function}")
+    order = (
+        F.struct(F.col(time_col), F.col(version_col))
+        if version_col and version_col in df.columns
+        else F.col(time_col)
+    )
+    agg = AGG_FUNCTIONS[function](F.col(value_col), order)
+    return (
+        df.filter(F.col(time_col).between(from_ts, until_ts))
+        .groupBy(F.col(path_col), time_bucket(F.col(time_col), step))
+        .agg(agg.alias(value_col))
+    )
+
+
+def resample_grouped(
+    df: DataFrame,
+    from_ts: int,
+    until_ts: int,
+    step: int,
+    path_functions: DataFrame,
+    path_col: str = "path",
+    time_col: str = "time",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-path aggregation function (rollup rules give each metric its own
+    function). ``path_functions`` is a small (path, agg_function) DataFrame —
+    broadcast-joined, then each function group aggregates in one pass using
+    conditional aggregates (no per-group job fan-out, single shuffle).
+    """
+    joined = df.join(F.broadcast(path_functions), path_col)
+    order = F.struct(F.col(time_col), *([F.col("version")] if "version" in df.columns else []))
+    v = F.col(value_col)
+    fn = F.col("agg_function")
+    bucketed = joined.filter(F.col(time_col).between(from_ts, until_ts)).groupBy(
+        F.col(path_col), time_bucket(F.col(time_col), step), fn.alias("agg_function")
+    )
+    agged = bucketed.agg(
+        F.avg(v).alias("_avg"),
+        F.sum(v).alias("_sum"),
+        F.min(v).alias("_min"),
+        F.max(v).alias("_max"),
+        F.min_by(v, order).alias("_any"),
+        F.max_by(v, order).alias("_anyLast"),
+    )
+    value = (
+        F.when(fn == "avg", F.col("_avg"))
+        .when(fn == "sum", F.col("_sum"))
+        .when(fn == "min", F.col("_min"))
+        .when(fn == "max", F.col("_max"))
+        .when(fn == "any", F.col("_any"))
+        .when(fn == "anyLast", F.col("_anyLast"))
+    )
+    return agged.select(path_col, "time", value.alias(value_col), "agg_function")

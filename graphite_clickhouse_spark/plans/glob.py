@@ -1,0 +1,208 @@
+"""Graphite glob target -> Spark Column predicate compiler.
+
+Semantics mirror the reference's glob handling (see SURVEY.md §2.2):
+- glob->regex translation: /root/reference/pkg/where/where.go:61-72
+- brace expansion (Grafana multi-value): pkg/where/where.go:19-59
+- single-element {x}/[x] cleanup: pkg/where/match.go:11-97
+- unmatched-bracket validation: pkg/where/match.go:99-134
+- wildcard-distance guard: pkg/where/where.go:86-97
+- predicate construction (prefix + anchored regex): pkg/where/match.go:136-190
+
+All driver-side pure Python; the output is a `pyspark.sql.Column` that
+Catalyst pushes into the Parquet scan (startswith -> StringStartsWith
+pushed filter; the regex runs post-scan).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+WILDCARD_CHARS = "[]{}*?"
+
+
+class GlobError(ValueError):
+    """Malformed glob query (reference answers HTTP 400)."""
+
+
+def has_wildcard(target: str) -> bool:
+    return any(c in target for c in WILDCARD_CHARS)
+
+
+def index_wildcard(target: str) -> int:
+    idxs = [target.find(c) for c in WILDCARD_CHARS if c in target]
+    return min(idxs) if idxs else -1
+
+
+def index_last_wildcard(target: str) -> int:
+    return max((target.rfind(c) for c in WILDCARD_CHARS), default=-1)
+
+
+def max_wildcard_distance(query: str) -> int:
+    """Node distance of the closest wildcard to either end of the query.
+
+    Used by the `wildcard-min-distance` guard (reference rejects queries
+    whose wildcards are too far from both ends: finder/index.go:180-197).
+    Returns -1 when the query has no wildcard.
+    """
+    if not has_wildcard(query):
+        return -1
+    first = query[: index_wildcard(query)].count(".")
+    last = query[index_last_wildcard(query) :].count(".")
+    return max(first, last)
+
+
+def glob_to_regexp(g: str) -> str:
+    """Translate a graphite glob into a regex (unanchored, caller anchors).
+
+    `.`->`[.]`, `$`->`[$]`, `{a,b}`->`(a|b)`, `?`->`[^.]`, `*`->`([^.]*?)`.
+    Character classes `[...]` pass through as regex classes.
+    """
+    out = []
+    for ch in g:
+        if ch == ".":
+            out.append("[.]")
+        elif ch == "$":
+            out.append("[$]")
+        elif ch == "{":
+            out.append("(")
+        elif ch == "}":
+            out.append(")")
+        elif ch == ",":
+            out.append("|")
+        elif ch == "?":
+            out.append("[^.]")
+        elif ch == "*":
+            out.append("([^.]*?)")
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def expand_braces(value: str) -> list[str]:
+    """Expand `S{a,b}E` -> [SaE, SbE] recursively (one level of braces at a
+    time, no nesting allowed — matches the reference's GlobExpandSimple)."""
+    result: list[str] = []
+
+    def rec(rest: str, prefix: str) -> None:
+        if not rest:
+            result.append(prefix)
+            return
+        m = re.search(r"[{}]", rest)
+        if m is None:
+            result.append(prefix + rest)
+            return
+        start = m.start()
+        if rest[start] == "}":
+            raise GlobError(f"malformed glob: {rest}")
+        end = rest.find("}", start)
+        if end == -1 or end - start <= 1:
+            raise GlobError(f"malformed glob: {rest}")
+        inner = rest[start + 1 : end]
+        if "{" in inner:
+            raise GlobError(f"malformed glob: {rest}")
+        head = prefix + rest[:start]
+        tail = rest[end + 1 :]
+        for alt in inner.split(","):
+            rec(tail, head + alt)
+
+    rec(value, "")
+    return result
+
+
+def clear_glob(query: str) -> str:
+    """Strip single-element `{x}` / `[x]` groups (Grafana artifacts).
+
+    Groups that span a `.` or are unterminated are left untouched (they are
+    reported by `validate_glob` instead).
+    """
+
+    def _node(node: str) -> str:
+        node = re.sub(r"\{([^},.]*)\}", r"\1", node)  # {x} with no comma
+        node = re.sub(r"\[(.)\]", r"\1", node)  # [x] single char
+        return node
+
+    return ".".join(_node(n) for n in query.split("."))
+
+
+def has_unmatched_brackets(query: str) -> bool:
+    pairs = {"}": "{", "]": "["}
+    for node in query.split("."):
+        stack: list[str] = []
+        for c in node:
+            if c in "{[":
+                stack.append(c)
+            elif c in "}]":
+                if not stack or stack[-1] != pairs[c]:
+                    return True
+                stack.pop()
+        if stack:
+            return True
+    return False
+
+
+def validate_glob(query: str, wildcard_min_distance: int = 0) -> str:
+    """Cleanup + guard checks; returns the cleaned query or raises GlobError."""
+    query = clear_glob(query)
+    if has_unmatched_brackets(query):
+        raise GlobError(f"query has unmatched brackets: {query}")
+    if wildcard_min_distance > 0:
+        d = max_wildcard_distance(query)
+        if 0 <= d < wildcard_min_distance:
+            raise GlobError(
+                f"query has wildcards way too early at the start and at the end: {query}"
+            )
+    return query
+
+
+def non_wildcard_prefix(g: str) -> str:
+    """Literal prefix of a glob up to its first wildcard char (used as a
+    pushdown-friendly startswith pre-filter, reference match.go:146-153)."""
+    i = index_wildcard(g)
+    return g if i == -1 else g[:i]
+
+
+def glob_predicate(col: Column, query: str) -> Column | None:
+    """Compile one glob into a Column predicate over a path column.
+
+    Mirrors where.TreeGlob / where.Glob:
+    - bare `*`            -> None (match everything; no filter at all)
+    - no wildcard         -> equality
+    - `prefix*` only-tail -> startswith(prefix)
+    - otherwise           -> startswith(literal prefix) AND rlike('^regex$')
+    """
+    if query == "*":
+        return None
+    if not has_wildcard(query):
+        return col == query
+    prefix = non_wildcard_prefix(query)
+    rest = query[len(prefix) :]
+    if rest == "*":
+        return col.startswith(prefix)
+    pred = col.rlike("^" + glob_to_regexp(query) + "$")
+    if prefix:
+        pred = col.startswith(prefix) & pred
+    return pred
+
+
+def glob_predicate_multi(col: Column, queries: list[str]) -> Column | None:
+    """OR of several globs (split-query union SO2); exact matches collapse
+    into one isin()."""
+    exacts = [q for q in queries if not has_wildcard(q)]
+    globs = [q for q in queries if has_wildcard(q)]
+    preds: list[Column] = []
+    if exacts:
+        preds.append(col.isin(exacts) if len(exacts) > 1 else (col == exacts[0]))
+    for g in globs:
+        p = glob_predicate(col, g)
+        if p is None:
+            return None  # one bare * matches everything
+        preds.append(p)
+    if not preds:
+        return None
+    out = preds[0]
+    for p in preds[1:]:
+        out = out | p
+    return out

@@ -1,0 +1,123 @@
+"""seriesByTag expression -> Spark Column predicate compiler.
+
+Reference semantics (/root/reference/finder/tagged.go):
+- parse `seriesByTag('k=v', 'k2=~re', ...)` into TaggedTerms
+  {key, op ∈ {=, !=, =~, !=~}, value} (tagged.go:28-47,389-438)
+- `name` / `__name__` is tag `__name__` (tagged.go:318-325)
+- `=` with empty value means "tag absent or empty"
+- wildcard values in `=` terms are expanded like globs (tagged.go:84-128)
+- terms are cost-sorted so the cheapest drives the scan (tagged.go:51-76)
+  -> in Spark conjunct ordering is Catalyst's job; we keep the semantic
+  guardrail (min non-negative terms) only.
+
+The engine stores tags as MAP<STRING,STRING> (SURVEY.md §1.2): predicates
+compile to map lookups — JVM-side, codegen-friendly, no UDFs.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .glob import glob_to_regexp, has_wildcard
+
+TERM_RE = re.compile(r"^\s*([^=!~\s]+)\s*(!=~|=~|!=|=)\s*(.*)$")
+SERIES_BY_TAG_RE = re.compile(r"^seriesByTag\s*\((.*)\)\s*$", re.DOTALL)
+
+
+class TaggedParseError(ValueError):
+    pass
+
+
+@dataclass
+class TaggedTerm:
+    key: str
+    op: str  # '=', '!=', '=~', '!=~'
+    value: str
+
+    @property
+    def is_positive(self) -> bool:
+        return self.op in ("=", "=~") and self.value != ""
+
+
+def parse_series_by_tag(target: str) -> list[TaggedTerm]:
+    """`seriesByTag('tag1=value1', 'name=~cpu.*')` -> [TaggedTerm...]."""
+    m = SERIES_BY_TAG_RE.match(target.strip())
+    if not m:
+        raise TaggedParseError(f"not a seriesByTag call: {target}")
+    inner = m.group(1).strip()
+    args: list[str] = []
+    i = 0
+    while i < len(inner):
+        ch = inner[i]
+        if ch in "'\"":
+            j = inner.find(ch, i + 1)
+            if j == -1:
+                raise TaggedParseError(f"unterminated string in: {target}")
+            args.append(inner[i + 1 : j])
+            i = j + 1
+        elif ch in ", \t\n":
+            i += 1
+        else:
+            raise TaggedParseError(f"unexpected char {ch!r} in: {target}")
+    return parse_tagged_conditions(args)
+
+
+def parse_tagged_conditions(exprs: list[str]) -> list[TaggedTerm]:
+    terms = []
+    for e in exprs:
+        if not e:
+            continue
+        m = TERM_RE.match(e)
+        if not m:
+            raise TaggedParseError(f"cannot parse tagged term: {e}")
+        key, op, value = m.group(1), m.group(2), m.group(3)
+        if key in ("name", "__name__"):
+            key = "__name__"
+        terms.append(TaggedTerm(key, op, value))
+    # __name__ first, then positives before negatives (cost order,
+    # tagged.go:51-76) — semantic no-op in Spark but keeps plans readable.
+    terms.sort(key=lambda t: (t.key != "__name__", not t.is_positive))
+    return terms
+
+
+def term_predicate(term: TaggedTerm, tags_col: Column) -> Column:
+    """One TaggedTerm -> boolean Column over a MAP<STRING,STRING> column."""
+    v = tags_col.getItem(term.key)
+    if term.op == "=":
+        if term.value == "":
+            return v.isNull() | (v == "")
+        if has_wildcard(term.value):
+            return v.isNotNull() & v.rlike("^" + glob_to_regexp(term.value) + "$")
+        return v == term.value
+    if term.op == "!=":
+        if term.value == "":
+            return v.isNotNull() & (v != "")
+        if has_wildcard(term.value):
+            return v.isNull() | ~v.rlike("^" + glob_to_regexp(term.value) + "$")
+        return v.isNull() | (v != term.value)
+    if term.op == "=~":
+        return v.isNotNull() & v.rlike(term.value)
+    if term.op == "!=~":
+        return v.isNull() | ~v.rlike(term.value)
+    raise TaggedParseError(f"unknown op: {term.op}")
+
+
+def tagged_predicate(
+    terms: list[TaggedTerm], tags_col: Column, min_positive_terms: int = 1
+) -> Column:
+    """AND of all terms. Guardrail: at least `min_positive_terms` positive
+    (non-negated, non-empty) terms required — the reference's
+    tags-min-in-query rejection (tagged.go:357-363)."""
+    positives = sum(1 for t in terms if t.is_positive)
+    if positives < min_positive_terms:
+        raise TaggedParseError(
+            f"at least {min_positive_terms} positive term(s) required, got {positives}"
+        )
+    pred = term_predicate(terms[0], tags_col)
+    for t in terms[1:]:
+        pred = pred & term_predicate(t, tags_col)
+    return pred

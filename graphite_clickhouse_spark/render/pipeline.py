@@ -1,0 +1,135 @@
+"""/render pipeline — the reference's main query path re-expressed as one
+declarative DataFrame plan per request (SURVEY.md §3.1).
+
+Stages (reference file:line in parens):
+1. FIND    glob/seriesByTag -> resolved path set     (finder/finder.go:25-113)
+2. LOOKUP  rollup rules -> per-metric (precision, function), grouped
+           (helper/rollup/rules.go:285-363, render/data/query.go:301-380)
+3. STEP    LCM across metrics + maxDataPoints inflation (query.go:381-415)
+4. FETCH   points ⋉ resolved paths, time-range filter (query.go:417-449)
+5. AGG     per-(function) time-bucket resample        (query.go:34-42)
+6. DEDUP   version max per (path, time)               (helper/point/func.go:28-51)
+7. GRID    gap-fill to dense arrays                   (helper/point/func.go:53-118)
+
+Scale notes: the find runs on the small path_index table; the points scan
+gets (a) a pushed-down time/date range filter, (b) a broadcast semi-join on
+the resolved path set (the reference's external-data temp table trick,
+J1), (c) map-side partial aggregation from groupBy. No Python touches the
+points table.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.timemath import align_from_until, common_step
+from ..operators.dedup import dedup_versions
+from ..operators.gapfill import gap_fill_arrays
+from ..operators.resample import AGG_FUNCTIONS, CONSOLIDATE_TO_AGG, resample
+from ..operators.rollup import Rules
+from ..plans.glob import glob_predicate, validate_glob
+from ..plans.tagged import parse_series_by_tag, tagged_predicate
+
+
+@dataclass
+class RenderRequest:
+    target: str
+    from_ts: int
+    until_ts: int
+    max_data_points: int = 1048576  # reference default max-data-points
+    consolidate_by: str | None = None  # consolidateBy override (A10)
+
+
+@dataclass
+class Engine:
+    """Binds the storage tables; one per SparkSession/dataset."""
+
+    spark: SparkSession
+    points: DataFrame
+    path_index: DataFrame | None = None
+    tagged_points: DataFrame | None = None  # points with a tags map column
+    rules: Rules = field(default_factory=Rules.default)
+    max_metrics_per_target: int = 15000  # reference default (L3)
+    wildcard_min_distance: int = 0
+
+    # ---- FIND ----------------------------------------------------------
+
+    def find_paths(self, target: str) -> DataFrame:
+        """Resolve a target to the set of real metric paths (leaf nodes)."""
+        if target.lstrip().startswith("seriesByTag"):
+            if self.tagged_points is None:
+                raise ValueError("no tagged points table configured")
+            terms = parse_series_by_tag(target)
+            pred = tagged_predicate(terms, F.col("tags"))
+            return self.tagged_points.filter(pred).select("path").distinct()
+        query = validate_glob(target, self.wildcard_min_distance)
+        if self.path_index is not None:
+            src = self.path_index.filter(F.col("is_leaf"))
+        else:
+            src = self.points.select("path").distinct()
+        pred = glob_predicate(F.col("path"), query)
+        return (src if pred is None else src.filter(pred)).select("path").distinct()
+
+    # ---- RENDER --------------------------------------------------------
+
+    def render(self, req: RenderRequest) -> DataFrame:
+        """-> (path, function, start, stop, step, values array<double>)."""
+        paths_df = self.find_paths(req.target)
+        paths = [r.path for r in paths_df.collect()]  # resolved list is small
+        if len(paths) > self.max_metrics_per_target:
+            raise ValueError(
+                f"metrics per target limit exceeded: {len(paths)} > "
+                f"{self.max_metrics_per_target}"
+            )
+        if not paths:
+            return self._empty_series_df()
+
+        import time as _time
+
+        age = max(0, int(_time.time()) - req.from_ts)
+        override = None
+        if req.consolidate_by:
+            fn = CONSOLIDATE_TO_AGG.get(req.consolidate_by)
+            if fn is None:
+                raise ValueError(f"unknown consolidateBy: {req.consolidate_by}")
+            override = {p: fn for p in paths}
+        groups = self.rules.lookup_many(paths, age, override)
+
+        steps = [precision for (precision, _fn) in groups]
+        step = common_step(steps, req.from_ts, req.until_ts, req.max_data_points)
+        from_al, until_al = align_from_until(req.from_ts, req.until_ts, step)
+
+        source = (
+            self.tagged_points
+            if req.target.lstrip().startswith("seriesByTag") and self.tagged_points is not None
+            else self.points
+        )
+
+        out: DataFrame | None = None
+        for (_precision, function), group_paths in groups.items():
+            if function not in AGG_FUNCTIONS:
+                function = "avg"
+            pts = source.filter(F.col("path").isin(group_paths))
+            deduped = dedup_versions(
+                pts.filter(F.col("time").between(from_al, until_al))
+            )
+            agged = resample(deduped, from_al, until_al, step, function)
+            series = gap_fill_arrays(
+                agged,
+                from_al,
+                until_al,
+                step,
+                paths=self.spark.createDataFrame([(p,) for p in group_paths], "path string"),
+            ).withColumn("function", F.lit(function))
+            out = series if out is None else out.unionByName(series)
+        return out.orderBy("path")
+
+    def _empty_series_df(self) -> DataFrame:
+        return self.spark.createDataFrame(
+            [],
+            "path string, start long, stop long, step long, "
+            "values array<double>, function string",
+        )

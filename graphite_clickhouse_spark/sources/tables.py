@@ -1,0 +1,116 @@
+"""Table loaders and index derivations.
+
+Storage model (SURVEY.md §1.2, FIXTURES.md §1):
+- points(date, path, time, value, version)   — partitioned by date
+- path_index(level, path, is_leaf, version)  — derived from points paths
+- tags_index(date, path, name, tags map, version)
+
+The driver's testdata has no native graphite tables, so `points_from_events`
+derives a deterministic points table from the synthetic `events` table —
+the same derivation is expressed in DuckDB SQL by `POINTS_FROM_EVENTS_SQL`
+so every graphite-semantics operator is oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # testdata events.parquet stores TIMESTAMP(NANOS) which Spark cannot map
+    # to TimestampType; read it as long nanoseconds instead (works when set
+    # dynamically on an existing session).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+#: events.ts is long NANOSECONDS (see load_table); integer div keeps epoch
+#: seconds exact (double division would lose precision at 1e18).
+EVENTS_TS_SECONDS = "ts div 1000000000"
+
+
+def points_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events -> points(path, time, value, version).
+
+    path = 'ev.<event_type>.u<user_id%10>'; time = epoch seconds; version =
+    event_id (unique -> deterministic version dedup).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        F.concat(
+            F.lit("ev."), F.col("event_type"), F.lit(".u"), (F.col("user_id") % 10).cast("string")
+        ).alias("path"),
+        F.expr(EVENTS_TS_SECONDS).alias("time"),
+        F.col("value"),
+        F.col("event_id").alias("version"),
+    )
+
+
+#: DuckDB CTE body equivalent to points_from_events (oracle side).
+POINTS_FROM_EVENTS_SQL = """
+    SELECT 'ev.' || event_type || '.u' || CAST(user_id % 10 AS VARCHAR) AS path,
+           CAST(floor(epoch(ts)) AS BIGINT) AS time,
+           value,
+           event_id AS version
+    FROM events
+"""
+
+
+def tagged_points_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events -> tagged points with a MAP<STRING,STRING> tags column.
+
+    Tagged path form `name?k1=v1&k2=v2` with sorted tag keys
+    (reference finder/tagged.go:551-596); __name__ holds the metric name.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    user = F.concat(F.lit("u"), (F.col("user_id") % 10).cast("string"))
+    return ev.select(
+        F.concat(F.lit("ev?type="), F.col("event_type"), F.lit("&user="), user).alias("path"),
+        F.create_map(
+            F.lit("__name__"), F.lit("ev"),
+            F.lit("type"), F.col("event_type"),
+            F.lit("user"), user,
+        ).alias("tags"),
+        F.expr(EVENTS_TS_SECONDS).alias("time"),
+        F.col("value"),
+        F.col("event_id").alias("version"),
+    )
+
+
+def build_path_index(points_paths: DataFrame) -> DataFrame:
+    """Distinct paths -> find-index rows for each metric AND every parent
+    prefix (mirrors the reference's index-table encoding,
+    doc/index-table.md:20-38: parents carry a trailing '.', level = node
+    depth, leaf = the full metric name).
+
+    Input: DataFrame with a `path` column (plain dotted names).
+    Output: (path, level, is_leaf) distinct.
+
+    Spark-first: posexplode over a transform(sequence(...)) — pure JVM
+    expression work, no Python; the distinct() is the only shuffle and it
+    runs on the (small) name universe, not the points table.
+    """
+    parts = F.split(F.col("path"), "[.]")
+    n = F.size(parts)
+    prefixes = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.when(
+            i < n, F.concat(F.array_join(F.slice(parts, F.lit(1), i), "."), F.lit("."))
+        ).otherwise(F.col("path")),
+    )
+    return (
+        points_paths.select("path")
+        .distinct()
+        .select(F.posexplode(prefixes).alias("pos", "node"), F.col("path").alias("full"))
+        .select(
+            F.col("node").alias("path"),
+            (F.col("pos") + 1).alias("level"),
+            (~F.col("node").endswith(".")).alias("is_leaf"),
+        )
+        .distinct()
+    )

@@ -1,0 +1,79 @@
+"""Glob compiler unit tests — cases mirror the reference's table-driven
+tests in pkg/where/where_test.go and match_test.go (semantics, not code)."""
+
+import re
+
+import pytest
+
+from graphite_clickhouse_spark.plans.glob import (
+    GlobError,
+    clear_glob,
+    expand_braces,
+    glob_to_regexp,
+    has_unmatched_brackets,
+    has_wildcard,
+    max_wildcard_distance,
+    non_wildcard_prefix,
+    validate_glob,
+)
+
+
+def test_has_wildcard():
+    assert not has_wildcard("a.b.c")
+    for q in ["a.*.c", "a.b?", "a.{b,c}", "a.[bc]"]:
+        assert has_wildcard(q)
+
+
+@pytest.mark.parametrize(
+    "glob,matches,not_matches",
+    [
+        ("a.*.c", ["a.x.c", "a..c"], ["a.x.y.c", "b.x.c"]),
+        ("a.b?", ["a.bx"], ["a.b", "a.bxy", "a.b."]),
+        ("a.{b,c}.d", ["a.b.d", "a.c.d"], ["a.bc.d", "a.e.d"]),
+        ("a.[bc]x", ["a.bx", "a.cx"], ["a.dx"]),
+        ("svc.cpu*", ["svc.cpu", "svc.cpu0", "svc.cpu_total"], ["svc2.cpu", "svc.cpu.total"]),
+        ("a$b.c", ["a$b.c"], ["aXb.c"]),
+    ],
+)
+def test_glob_to_regexp(glob, matches, not_matches):
+    rx = re.compile("^" + glob_to_regexp(glob) + "$")
+    for m in matches:
+        assert rx.match(m), (glob, m)
+    for m in not_matches:
+        assert not rx.match(m), (glob, m)
+
+
+def test_expand_braces():
+    assert expand_braces("S{a,b}E") == ["SaE", "SbE"]
+    assert expand_braces("{a,b}.x.{c,d}") == ["a.x.c", "a.x.d", "b.x.c", "b.x.d"]
+    assert expand_braces("plain") == ["plain"]
+    with pytest.raises(GlobError):
+        expand_braces("a{b{c,d}}")
+
+
+def test_clear_glob():
+    assert clear_glob("a.{b}.c") == "a.b.c"
+    assert clear_glob("a.[b].c") == "a.b.c"
+    assert clear_glob("a.{b,c}.d") == "a.{b,c}.d"  # real globs untouched
+    assert clear_glob("a.[bc].d") == "a.[bc].d"
+
+
+def test_unmatched_brackets():
+    assert has_unmatched_brackets("a.{b.c")
+    assert has_unmatched_brackets("a.b]")
+    assert not has_unmatched_brackets("a.{b,c}.[de]")
+
+
+def test_wildcard_distance_guard():
+    # wildcard 2 nodes from both ends -> distance 2
+    assert max_wildcard_distance("a.b.*.d.e") == 2
+    assert max_wildcard_distance("*.b.c") == 2
+    assert max_wildcard_distance("a.b.c") == -1
+    with pytest.raises(GlobError):
+        validate_glob("a.*.b", wildcard_min_distance=2)
+    validate_glob("a.*.b.c.d", wildcard_min_distance=2)  # ok: distance 4 from end
+
+
+def test_non_wildcard_prefix():
+    assert non_wildcard_prefix("svc.host.*") == "svc.host."
+    assert non_wildcard_prefix("plain.name") == "plain.name"

@@ -1,0 +1,91 @@
+"""Rollup rules — semantics cases modeled on helper/rollup/rules_test.go:
+function and retention resolve independently, first match wins each."""
+
+from graphite_clickhouse_spark.operators.rollup import (
+    Pattern,
+    Retention,
+    Rules,
+)
+
+XML = """
+<graphite_rollup>
+  <pattern>
+    <regexp>\\.sum$</regexp>
+    <function>sum</function>
+  </pattern>
+  <pattern>
+    <regexp>^hourly\\.</regexp>
+    <retention><age>0</age><precision>3600</precision></retention>
+  </pattern>
+  <pattern>
+    <regexp>\\.min$</regexp>
+    <function>min</function>
+    <retention>
+      <age>0</age><precision>10</precision>
+      </retention>
+    <retention><age>86400</age><precision>300</precision></retention>
+  </pattern>
+  <default>
+    <function>avg</function>
+    <retention><age>0</age><precision>60</precision></retention>
+  </default>
+</graphite_rollup>
+"""
+
+
+def test_xml_parse_and_lookup():
+    rules = Rules.from_xml(XML)
+    # .sum matches function-only pattern; retention falls to default
+    assert rules.lookup("a.b.sum", 0) == (60, "sum")
+    # .min matches both function and retention
+    assert rules.lookup("a.b.min", 0) == (10, "min")
+    assert rules.lookup("a.b.min", 90000) == (300, "min")
+    # hourly. gets retention from pattern 2, function from default
+    assert rules.lookup("hourly.x", 0) == (3600, "avg")
+    # function from one pattern, retention from another
+    assert rules.lookup("hourly.x.sum", 0) == (3600, "sum")
+    # nothing matches -> defaults
+    assert rules.lookup("other.metric", 0) == (60, "avg")
+
+
+def test_retention_age_selection():
+    p = Pattern(
+        regexp="",
+        function="avg",
+        retention=[Retention(0, 10), Retention(3600, 60), Retention(86400, 300)],
+    )
+    rules = Rules([p])
+    assert rules.lookup("m", 0) == (10, "avg")
+    assert rules.lookup("m", 3599) == (10, "avg")
+    assert rules.lookup("m", 3600) == (60, "avg")
+    assert rules.lookup("m", 86400) == (300, "avg")
+    assert rules.lookup("m", 10**9) == (300, "avg")
+
+
+def test_age_below_first_retention_falls_through():
+    # pattern whose first retention age > request age contributes nothing
+    p1 = Pattern(regexp="^m", retention=[Retention(3600, 600)])
+    p2 = Pattern(regexp="", function="avg", retention=[Retention(0, 30)])
+    rules = Rules([p1, p2])
+    assert rules.lookup("m", 60) == (30, "avg")  # p1 skipped (60 < 3600)
+    assert rules.lookup("m", 7200) == (600, "avg")
+
+
+def test_tagged_plain_separation():
+    p_tagged = Pattern(regexp="^cpu", function="max", rule_type="tagged")
+    p_plain = Pattern(regexp="^cpu", function="min", rule_type="plain")
+    default = Pattern(regexp="", function="avg", retention=[Retention(0, 60)])
+    rules = Rules([p_tagged, p_plain, default])
+    assert rules.lookup("cpu.load", 0)[1] == "min"
+    assert rules.lookup("cpu?host=a", 0)[1] == "max"
+
+
+def test_lookup_many_groups():
+    rules = Rules.from_xml(XML)
+    groups = rules.lookup_many(["a.min", "b.min", "c.sum", "d"], age=0)
+    assert groups[(10, "min")] == ["a.min", "b.min"]
+    assert groups[(60, "sum")] == ["c.sum"]
+    assert groups[(60, "avg")] == ["d"]
+    # consolidateBy override rewrites the function
+    groups = rules.lookup_many(["a.min"], 0, {"a.min": "anyLast"})
+    assert groups == {(10, "anyLast"): ["a.min"]}

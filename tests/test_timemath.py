@@ -1,0 +1,49 @@
+"""Step math — bit-compatibility cases from pkg/dry/math.go and
+render/data/query.go:381-420 semantics."""
+
+from graphite_clickhouse_spark.functions.timemath import (
+    align_from_until,
+    ceil_to_multiplier,
+    common_step,
+    fill_nulls_bounds,
+    floor_to_multiplier,
+    lcm,
+    max_step,
+)
+
+
+def test_ceil_floor():
+    assert ceil_to_multiplier(10, 60) == 60
+    assert ceil_to_multiplier(60, 60) == 60
+    assert ceil_to_multiplier(61, 60) == 120
+    assert floor_to_multiplier(61, 60) == 60
+    assert floor_to_multiplier(60, 60) == 60
+    # reference returns 0 for non-positive inputs
+    assert ceil_to_multiplier(0, 60) == 0
+    assert floor_to_multiplier(-5, 60) == 0
+
+
+def test_lcm():
+    assert lcm(10, 60) == 60
+    assert lcm(30, 45) == 90
+    assert lcm(7, 13) == 91
+
+
+def test_common_step_lcm_and_mdp():
+    # steps 10 & 60 -> lcm 60; window 1h, mdp huge -> 60
+    assert common_step([10, 60], 0, 3600, 1_000_000) == 60
+    # mdp forces inflation: 1h window, 10 points max -> 360, ceil to mult of 60
+    assert common_step([10, 60], 0, 3600, 10) == 360
+    # non-divisible inflation rounds up to the next multiple
+    assert common_step([60], 0, 3600, 7) == 540  # ceil(3600/7)=515 -> 540
+    assert max_step([10, 60, 30]) == 60
+
+
+def test_align_and_grid():
+    from_al, until_al = align_from_until(95, 247, 60)
+    assert (from_al, until_al) == (120, 240 + 59)
+    start, stop, count = fill_nulls_bounds(120, 299, 60)
+    assert (start, stop, count) == (120, 300, 3)
+    # from not on boundary rounds up
+    start, stop, count = fill_nulls_bounds(121, 299, 60)
+    assert (start, stop, count) == (180, 300, 2)
