@@ -1,10 +1,17 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each `queries()` entry exercises operators from SURVEY.md §2 (operator IDs
+cited in the lambdas' docstrings) and has a matching `oracle_sql()` DuckDB
+statement computing the identical result on the same parquet tables.
+
+Graphite-semantics queries derive a deterministic points table from the
+synthetic `events` table (path='ev.<event_type>.u<user_id%10>', time=epoch
+seconds, version=event_id) so they are SQL-oracle-checkable; see
+graphite_clickhouse_spark/sources/tables.py.
+
+Aggregate doubles are rounded (6dp ratios/avgs, 2dp big sums) on BOTH
+sides so Spark/DuckDB float summation-order differences cannot flip the
+value hash.
 """
 
 from __future__ import annotations
@@ -12,27 +19,619 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+# ---------------------------------------------------------------------------
+# shared constants
+# ---------------------------------------------------------------------------
+
+# events span 2024-01-01 .. 2024-01-30 UTC
+FROM_TS = 1704067200
+UNTIL_TS = 1706659199  # inclusive
+
+#: DuckDB CTE equivalent of sources.tables.points_from_events
+POINTS_CTE = """
+WITH points AS (
+    SELECT 'ev.' || event_type || '.u' || CAST(user_id % 10 AS VARCHAR) AS path,
+           CAST(floor(epoch(ts)) AS BIGINT) AS time,
+           value,
+           event_id AS version
+    FROM events
+)
+"""
+
+STOPWORDS_EN = "['the','and','of','to','a']"
+
+
+def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphite_clickhouse_spark.sources.tables import points_from_events
+
+    return points_from_events(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# graphite-semantics queries (SURVEY §2.2/§2.4/§2.5)
+# ---------------------------------------------------------------------------
+
+
+def q_render_resample_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A3/P8: pushed-down time-bucket avg resample, 600 s step."""
+    from graphite_clickhouse_spark.operators.resample import resample
+
+    out = resample(_points(spark, sf_dir), FROM_TS, UNTIL_TS, 600, "avg")
+    return out.select("path", "time", F.round("value", 6).alias("val"))
+
+
+SQL_RENDER_RESAMPLE_AVG = POINTS_CTE + f"""
+SELECT path,
+       time - (time % 600) AS time,
+       round(avg(value), 6) AS val
+FROM points
+WHERE time BETWEEN {FROM_TS} AND {UNTIL_TS}
+GROUP BY 1, 2
+"""
+
+
+def q_render_resample_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A3: one pass computing the whole closed aggregation map
+    (avg/sum/min/max/any/anyLast) per 3600 s bucket."""
+    pts = _points(spark, sf_dir).filter(F.col("time").between(FROM_TS, UNTIL_TS))
+    bucket = (F.col("time") - F.col("time") % 3600).alias("time")
+    order = F.struct("time", "version")
+    return pts.groupBy("path", bucket).agg(
+        F.round(F.sum("value"), 6).alias("sum_val"),
+        F.min("value").alias("min_val"),
+        F.max("value").alias("max_val"),
+        F.min_by("value", order).alias("first_val"),
+        F.max_by("value", order).alias("last_val"),
+        F.count("*").alias("n_points"),
+    )
+
+
+SQL_RENDER_RESAMPLE_MULTI = POINTS_CTE + f"""
+, b AS (
+    SELECT path, time - (time % 3600) AS bucket, time, version, value
+    FROM points WHERE time BETWEEN {FROM_TS} AND {UNTIL_TS}
+), ranked AS (
+    SELECT *,
+           row_number() OVER (PARTITION BY path, bucket ORDER BY time, version) AS rn_first,
+           row_number() OVER (PARTITION BY path, bucket ORDER BY time DESC, version DESC) AS rn_last
+    FROM b
+)
+SELECT path,
+       bucket AS time,
+       round(sum(value), 6) AS sum_val,
+       min(value) AS min_val,
+       max(value) AS max_val,
+       max(CASE WHEN rn_first = 1 THEN value END) AS first_val,
+       max(CASE WHEN rn_last = 1 THEN value END) AS last_val,
+       count(*) AS n_points
+FROM ranked
+GROUP BY 1, 2
+"""
+
+
+def q_version_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6/J4: ReplacingMergeTree semantics — coarse 600 s time collisions,
+    keep the max-version row per (path, time)."""
+    from graphite_clickhouse_spark.operators.dedup import dedup_versions
+
+    pts = _points(spark, sf_dir).select(
+        "path", (F.col("time") - F.col("time") % 600).alias("time"), "value", "version"
+    )
+    return dedup_versions(pts).select("path", "time", "value", "version")
+
+
+SQL_VERSION_DEDUP = POINTS_CTE + """
+SELECT path,
+       time - (time % 600) AS time,
+       arg_max(value, version) AS value,
+       max(version) AS version
+FROM points
+GROUP BY 1, 2
+"""
+
+
+def q_gapfill_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: dense daily grid with NULL gaps for the ev.error.* series."""
+    from graphite_clickhouse_spark.operators.gapfill import gap_fill
+    from graphite_clickhouse_spark.operators.resample import resample
+
+    pts = _points(spark, sf_dir).filter(F.col("path").startswith("ev.error."))
+    agged = resample(pts, FROM_TS, UNTIL_TS, 86400, "avg")
+    filled = gap_fill(agged, FROM_TS, UNTIL_TS, 86400, use_nan=False)
+    return filled.select("path", "time", F.round("value", 6).alias("val"))
+
+
+SQL_GAPFILL_GRID = POINTS_CTE + f"""
+, agg AS (
+    SELECT path, time - (time % 86400) AS time, round(avg(value), 6) AS val
+    FROM points
+    WHERE time BETWEEN {FROM_TS} AND {UNTIL_TS} AND path LIKE 'ev.error.%'
+    GROUP BY 1, 2
+), grid AS (
+    SELECT p.path, g.t AS time
+    FROM (SELECT DISTINCT path FROM points WHERE path LIKE 'ev.error.%') p,
+         (SELECT unnest(generate_series({FROM_TS}, {FROM_TS} + 29 * 86400, 86400)) AS t) g
+)
+SELECT grid.path, grid.time, agg.val
+FROM grid LEFT JOIN agg ON grid.path = agg.path AND grid.time = agg.time
+"""
+
+
+def q_find_glob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2/P3/P6/A7: glob find over the derived path index (leaf nodes)."""
+    from graphite_clickhouse_spark.plans.glob import glob_predicate
+    from graphite_clickhouse_spark.sources.tables import build_path_index
+
+    idx = build_path_index(_points(spark, sf_dir).select("path"))
+    pred = glob_predicate(F.col("path"), "ev.*.u[0-3]")
+    return idx.filter(F.col("is_leaf")).filter(pred).select("path").distinct()
+
+
+SQL_FIND_GLOB = POINTS_CTE + """
+SELECT DISTINCT path FROM points
+WHERE regexp_matches(path, '^ev[.]([^.]*?)[.]u[0-3]$')
+"""
+
+
+def q_index_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12-adjacent: full find-index derivation — every metric plus parent
+    prefixes with trailing dots, level = depth, leaf flag."""
+    from graphite_clickhouse_spark.sources.tables import build_path_index
+
+    return build_path_index(_points(spark, sf_dir).select("path"))
+
+
+SQL_INDEX_TREE = POINTS_CTE + """
+, names AS (SELECT DISTINCT path FROM points),
+  parts AS (SELECT path, string_split(path, '.') AS toks FROM names)
+SELECT DISTINCT
+       CASE WHEN i < len(toks)
+            THEN array_to_string(toks[1:i], '.') || '.'
+            ELSE path END AS path,
+       CAST(i AS INTEGER) AS level,
+       i = len(toks) AS is_leaf
+FROM parts, unnest(generate_series(1, len(toks))) AS u(i)
+"""
+
+
+def q_tagged_find(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9/P10: seriesByTag with = and =~ terms over the tags map column."""
+    from graphite_clickhouse_spark.plans.tagged import (
+        parse_series_by_tag,
+        tagged_predicate,
+    )
+    from graphite_clickhouse_spark.sources.tables import tagged_points_from_events
+
+    tp = tagged_points_from_events(spark, sf_dir)
+    terms = parse_series_by_tag(
+        "seriesByTag('name=ev', 'type=~^(click|error)$', 'user=u1')"
+    )
+    return tp.filter(tagged_predicate(terms, F.col("tags"))).select("path").distinct()
+
+
+SQL_TAGGED_FIND = """
+SELECT DISTINCT 'ev?type=' || event_type || '&user=u' || CAST(user_id % 10 AS VARCHAR) AS path
+FROM events
+WHERE regexp_matches(event_type, '^(click|error)$')
+  AND user_id % 10 = 1
+"""
+
+
+def q_autocomplete_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8/L1: tag-value autocomplete — distinct values of tag 'type' under
+    a prefix filter, ordered, limited."""
+    from graphite_clickhouse_spark.sources.tables import tagged_points_from_events
+
+    tp = tagged_points_from_events(spark, sf_dir)
+    vals = (
+        tp.select(F.col("tags").getItem("type").alias("value"))
+        .filter(F.col("value").startswith("s") | F.col("value").startswith("c"))
+        .distinct()
+        .orderBy("value")
+        .limit(10)
+    )
+    return vals
+
+
+SQL_AUTOCOMPLETE_VALUES = """
+SELECT DISTINCT event_type AS value
+FROM events
+WHERE event_type LIKE 's%' OR event_type LIKE 'c%'
+ORDER BY value
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# generic OLAP (scans/joins/windows on the TPC-H-ish tables)
+# ---------------------------------------------------------------------------
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P14/A-family: TPC-H Q1 pricing summary (scan + 8 aggregates)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_semi_join_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: the external-data semi-join shape — fact table restricted to a
+    resolved key set (urgent orders), then aggregated."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    return (
+        li.join(F.broadcast(urgent), li.l_orderkey == urgent.o_orderkey, "left_semi")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+SQL_SEMI_JOIN_URGENT = """
+SELECT l_returnflag,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+GROUP BY l_returnflag
+"""
+
+
+def q_topk_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L-family/W: top-3 orders by totalprice per market segment (window
+    ranking with deterministic tie-break)."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    joined = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        "c_mktsegment", "o_orderkey", "o_totalprice"
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return joined.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 3)
+
+
+SQL_TOPK_ORDERS_PER_SEGMENT = """
+SELECT * FROM (
+    SELECT c_mktsegment, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY c_mktsegment
+                              ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+    FROM orders JOIN customer ON o_custkey = c_custkey
+) WHERE rnk <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline operators
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-group documents, keeper = min doc_id."""
+    from graphite_clickhouse_spark.pipeline.dedup import exact_dedup
+    from graphite_clickhouse_spark.sources.tables import load_table
+
+    return exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS text_hash,
+       min(doc_id) AS keeper_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: char/token counts, alpha/punct/stopword ratios."""
+    from graphite_clickhouse_spark.pipeline.text import quality_features
+    from graphite_clickhouse_spark.sources.tables import load_table
+
+    out = quality_features(load_table(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        "n_chars",
+        "n_tokens",
+        F.round("alpha_ratio", 6).alias("alpha_ratio"),
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        F.round("mean_token_len", 6).alias("mean_token_len"),
+    )
+
+
+SQL_TEXT_QUALITY = f"""
+WITH t AS (
+    SELECT doc_id, text,
+           CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks,
+           CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
+                ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS ltoks
+    FROM documents
+)
+SELECT doc_id,
+       length(text) AS n_chars,
+       len(toks) AS n_tokens,
+       round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+             / greatest(length(text), 1), 6) AS alpha_ratio,
+       round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+             / greatest(length(text), 1), 6) AS punct_ratio,
+       round(len(list_filter(ltoks, t -> list_contains({STOPWORDS_EN}, t)))
+             / greatest(len(toks), 1), 6) AS stopword_ratio,
+       round(length(text) / greatest(len(toks), 1), 6) AS mean_token_len
+FROM t
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language id via per-language stopword hits."""
+    from graphite_clickhouse_spark.pipeline.text import lang_id
+    from graphite_clickhouse_spark.sources.tables import load_table
+
+    return lang_id(load_table(spark, sf_dir, "documents"))
+
+
+SQL_LANG_ID = """
+WITH t AS (
+    SELECT doc_id,
+           CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
+                ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS ltoks
+    FROM documents
+), hits AS (
+    SELECT doc_id,
+           len(list_filter(ltoks, t -> list_contains(['the','and','of','to','a'], t))) AS h_en,
+           len(list_filter(ltoks, t -> list_contains(['der','die','und','das','ist'], t))) AS h_de,
+           len(list_filter(ltoks, t -> list_contains(['le','la','et','les','des'], t))) AS h_fr,
+           len(list_filter(ltoks, t -> list_contains(['el','la','los','que','de'], t))) AS h_es
+    FROM t
+)
+SELECT doc_id,
+       CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+            WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
+            WHEN h_es = greatest(h_en, h_de, h_fr, h_es) THEN 'es'
+            WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
+            ELSE 'de' END AS lang_pred,
+       greatest(h_en, h_de, h_fr, h_es) AS lang_hits
+FROM hits
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: raw + normalized md5."""
+    from graphite_clickhouse_spark.pipeline.text import fingerprint
+    from graphite_clickhouse_spark.sources.tables import load_table
+
+    return fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+SQL_FINGERPRINT = """
+SELECT doc_id,
+       md5(text) AS fp_raw,
+       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp_norm
+FROM documents
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup pairs (threshold 0.1, word 2-grams)."""
+    from graphite_clickhouse_spark.pipeline.dedup import ngram_jaccard_pairs
+    from graphite_clickhouse_spark.sources.tables import load_table
+
+    pairs = ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), n=2, threshold=0.1
+    )
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+SQL_NGRAM_JACCARD = """
+WITH sh AS (
+    SELECT doc_id AS id, unnest(list_distinct(
+        list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
+                       i -> array_to_string(toks[i:i+1], ' ')))) AS shingle
+    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+          FROM documents WHERE trim(text) <> '')
+), sizes AS (
+    SELECT id, count(*) AS n_sh FROM sh GROUP BY id
+), inter AS (
+    SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+    GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(i / (sa.n_sh + sb.n_sh - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE i / (sa.n_sh + sb.n_sh - i) >= 0.1
+"""
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for the first 5 query vectors."""
+    from graphite_clickhouse_spark.pipeline.similarity import cosine_topk
+    from graphite_clickhouse_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = cosine_topk(emb, queries, k=10)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+SQL_ANN_COSINE_TOPK = """
+WITH q AS (
+    SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5
+), scored AS (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           list_dot_product(q.qv, e.embedding::DOUBLE[])
+             / (sqrt(list_dot_product(q.qv, q.qv))
+                * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) AS c
+    FROM embeddings e, q
+    WHERE e.vec_id <> q.query_id
+), ranked AS (
+    SELECT query_id, neighbor_id, c,
+           row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, round(c, 6) AS cosine, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= 10
+"""
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: documents as binary payloads -> mapInPandas
+    Arrow-batch feature extraction (decode kernel is a deterministic stub;
+    byte-level outputs are oracle-checkable)."""
+    from graphite_clickhouse_spark.pipeline.multimodal import extract_features
+    from graphite_clickhouse_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("image").alias("modality"),
+        F.lit("application/x-image").alias("mime"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.create_map().cast("map<string,string>").alias("meta"),
+    )
+    out = extract_features(assets)
+    return out.select("asset_id", "n_bytes", "sha_prefix", "width", "height")
+
+
+SQL_MULTIMODAL_FEATURES = """
+SELECT doc_id AS asset_id,
+       CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+       substr(sha256(text), 1, 16) AS sha_prefix,
+       CAST(16 + octet_length(encode(text)) % 64 AS INTEGER) AS width,
+       CAST(16 + (octet_length(encode(text)) // 64) % 64 AS INTEGER) AS height
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# non-SQL-expressible ops (rows-only checks: xxhash64 has no DuckDB twin)
+# ---------------------------------------------------------------------------
+
+
+def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup: signature -> banded buckets -> verified
+    Jaccard. xxhash64-based, no SQL oracle (rows-only check)."""
+    from graphite_clickhouse_spark.pipeline.dedup import minhash_dedup
+    from graphite_clickhouse_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_dedup(docs, n=2, num_hashes=32, bands=16, threshold=0.1)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints + Hamming-bucket near-pairs (rows-only)."""
+    from graphite_clickhouse_spark.pipeline.dedup import simhash, simhash_near_pairs
+    from graphite_clickhouse_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_pairs(simhash(docs), max_hamming=16)
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full /render pipeline (find -> rollup -> resample -> dedup
+    -> gap-fill to dense series arrays) on sf0.001."""
+    from graphite_clickhouse_spark.operators.rollup import Pattern, Retention, Rules
+    from graphite_clickhouse_spark.render.pipeline import Engine, RenderRequest
+    from graphite_clickhouse_spark.sources.tables import (
+        build_path_index,
+        points_from_events,
+        tagged_points_from_events,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    points = points_from_events(spark, sf_dir)
+    engine = Engine(
+        spark=spark,
+        points=points,
+        path_index=build_path_index(points.select("path")),
+        tagged_points=tagged_points_from_events(spark, sf_dir),
+        rules=Rules(
+            [
+                Pattern(regexp=r"\.sum$", function="sum"),
+                Pattern(regexp="", function="avg", retention=[Retention(0, 600)]),
+            ]
+        ),
+    )
+    req = RenderRequest("ev.*.u*", FROM_TS, UNTIL_TS, max_data_points=288)
+    return engine.render(req)
+
+
+QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "render_resample_avg": (q_render_resample_avg, SQL_RENDER_RESAMPLE_AVG),
+    "render_resample_multi": (q_render_resample_multi, SQL_RENDER_RESAMPLE_MULTI),
+    "version_dedup": (q_version_dedup, SQL_VERSION_DEDUP),
+    "gapfill_grid": (q_gapfill_grid, SQL_GAPFILL_GRID),
+    "find_glob": (q_find_glob, SQL_FIND_GLOB),
+    "index_tree": (q_index_tree, SQL_INDEX_TREE),
+    "tagged_find": (q_tagged_find, SQL_TAGGED_FIND),
+    "autocomplete_values": (q_autocomplete_values, SQL_AUTOCOMPLETE_VALUES),
+    "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
+    "semi_join_urgent": (q_semi_join_urgent, SQL_SEMI_JOIN_URGENT),
+    "topk_orders_per_segment": (q_topk_orders_per_segment, SQL_TOPK_ORDERS_PER_SEGMENT),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
+    "lang_id": (q_lang_id, SQL_LANG_ID),
+    "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
+    "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
+    "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
+    "minhash_dedup": (q_minhash_dedup, None),
+    "simhash_pairs": (q_simhash_pairs, None),
+}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _sql) in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: sql for name, (_fn, sql) in QUERIES.items() if sql is not None}

@@ -1,0 +1,168 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: exact baseline. Query set is broadcast as
+  literal arrays (or a small DataFrame); the corpus scan stays columnar
+  and the dot product runs in codegen via zip_with/aggregate — no Python.
+- LSH-bucketed ANN (random hyperplanes): sign-bit sketch -> bucket join;
+  the scale path (candidates ~ corpus/2^bits per bucket).
+- IVF-style ANN: k centroid assignment with a broadcast centroid table,
+  probe nearest cells only.
+
+At 100 TB the brute-force path is one full scan per query batch —
+acceptable for offline joins when the query side is small; the LSH/IVF
+paths trade recall for a bucket-pruned scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product in double precision (codegen, exact
+    order => reproducible across runs and engines)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    -> (query_id, neighbor_id, cosine, rank). Self-matches excluded.
+    The query side is broadcast; ranking uses a window per query id with a
+    deterministic (cosine desc, neighbor_id) order.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def hyperplane_sketch(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit sketch: bit i = (vec . planes[i]) >= 0. Returns a long."""
+    bits = [
+        F.when(dot(vec, F.array(*[F.lit(x) for x in p])) >= 0, F.shiftleft(F.lit(1).cast("long"), i))
+        .otherwise(F.lit(0).cast("long"))
+        for i, p in enumerate(planes)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def deterministic_planes(num_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (LCG; no numpy RNG state so
+    results are stable across versions)."""
+    state = seed & 0x7FFFFFFF
+    planes = []
+    for _ in range(num_planes):
+        row = []
+        for _ in range(dim):
+            state = (1103515245 * state + 12345) & 0x7FFFFFFF
+            row.append(state / 0x40000000 - 1.0)  # ~U(-1, 1)
+        planes.append(row)
+    return planes
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    num_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: exact ranking restricted to same-sketch-bucket
+    candidates. Recall rises with fewer planes (bigger buckets)."""
+    planes = deterministic_planes(num_planes, dim, seed)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        hyperplane_sketch(F.col(vec_col), planes).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        hyperplane_sketch(F.col(vec_col), planes).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "centroid_id",
+    centroid_vec: str = "centroid",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (broadcast centroid
+    table; one scan). The assignment becomes the IVF partition key —
+    write the corpus partitioned by it and ANN probes read only the
+    nearest cells."""
+    c = centroids.select(
+        F.col(centroid_id).alias("cid"), F.col(centroid_vec).alias("cvec")
+    )
+    scored = corpus.crossJoin(F.broadcast(c)).select(
+        id_col,
+        vec_col,
+        "cid",
+        cosine(F.col(vec_col), F.col("cvec")).alias("sim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("sim").desc(), F.col("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, vec_col, F.col("cid").alias(centroid_id))
+    )

@@ -1,0 +1,175 @@
+"""Training-data pipeline operators over the real documents/embeddings
+testdata."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphite_clickhouse_spark.pipeline.dedup import (
+    exact_dedup,
+    minhash_dedup,
+    minhash_lsh_candidates,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_pairs,
+    word_ngrams,
+)
+from graphite_clickhouse_spark.pipeline.multimodal import (
+    extract_features,
+    frame_sample_plan,
+    synthetic_assets,
+)
+from graphite_clickhouse_spark.pipeline.similarity import (
+    cosine_topk,
+    ivf_assign,
+    lsh_ann_topk,
+)
+from graphite_clickhouse_spark.pipeline.text import (
+    fingerprint,
+    lang_id,
+    quality_features,
+)
+from graphite_clickhouse_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def test_word_ngrams(spark):
+    df = spark.createDataFrame([("a b c d",), ("a b",), ("",)], "text string")
+    got = df.select(word_ngrams(F.col("text"), 3).alias("g")).collect()
+    assert got[0].g == ["a b c", "b c d"]
+    assert got[1].g == []
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, "other")], "doc_id long, text string"
+    )
+    got = {r.keeper_id: r.n_copies for r in exact_dedup(df).collect()}
+    assert got == {1: 2, 3: 1}
+
+
+def test_ngram_jaccard_near_dups(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely different text with no overlap here"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = ngram_jaccard_pairs(df, n=3, threshold=0.3).collect()
+    assert len(pairs) == 1
+    assert (pairs[0].id_a, pairs[0].id_b) == (1, 2)
+    assert 0.4 < pairs[0].jaccard < 0.8
+
+
+def test_minhash_pipeline(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base.replace("today", "tomorrow")),
+            (3, "unrelated words describing a graphite time series backend engine"),
+        ],
+        "doc_id long, text string",
+    )
+    sigs = minhash_signature(df, n=2, num_hashes=32)
+    assert sigs.count() == 3
+    assert len(sigs.first().sig) == 32
+    cands = minhash_lsh_candidates(sigs, bands=16, rows_per_band=2)
+    pairs = {(r.id_a, r.id_b) for r in cands.collect()}
+    assert (1, 2) in pairs
+    verified = minhash_dedup(df, n=2, num_hashes=32, bands=16, threshold=0.5)
+    got = [(r.id_a, r.id_b) for r in verified.collect()]
+    assert got == [(1, 2)]
+
+
+def test_simhash(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dogs"),
+            (3, "graphite clickhouse spark engine parquet shuffle"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = simhash(df)
+    vals = {r.id: r.simhash for r in fps.collect()}
+    assert len(vals) == 3 and all(isinstance(v, int) for v in vals.values())
+    near = simhash_near_pairs(fps, max_hamming=16).collect()
+    ids = {(r.id_a, r.id_b) for r in near}
+    assert (1, 2) in ids
+
+
+def test_quality_and_lang_and_fp_on_real_docs(docs):
+    q = quality_features(docs).collect()
+    assert all(r.n_tokens > 0 for r in q[:20])
+    row = q[0]
+    assert 0 <= row.punct_ratio <= 1 and 0 <= row.stopword_ratio <= 1
+    lang = lang_id(docs).collect()
+    assert {r.lang_pred for r in lang} <= {"en", "de", "fr", "es", "und"}
+    fp = fingerprint(docs).collect()
+    assert all(len(r.fp_raw) == 32 for r in fp[:10])
+
+
+def test_cosine_topk_on_real_embeddings(emb):
+    queries = emb.filter(F.col("vec_id") < 3)
+    out = cosine_topk(emb, queries, k=5).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {0, 1, 2}
+    for rows in by_q.values():
+        assert len(rows) == 5
+        sims = [r.cosine for r in sorted(rows, key=lambda r: r.rank)]
+        assert sims == sorted(sims, reverse=True)
+        assert all(-1.001 <= s <= 1.001 for s in sims)
+
+
+def test_lsh_ann_finds_planted_duplicates(emb, spark):
+    # identical vectors always share the sketch bucket -> a planted
+    # duplicate (vec_id + 10000) MUST be found as the rank-1 neighbor
+    queries = emb.filter(F.col("vec_id") < 5)
+    planted = queries.select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = emb.unionByName(planted)
+    approx = lsh_ann_topk(corpus, queries, k=3, num_planes=4, dim=64)
+    top1 = {r.query_id: r.neighbor_id for r in approx.collect() if r.rank == 1}
+    assert top1 == {q: q + 10000 for q in range(5)}
+    # approx results are a subset of the exact scoring universe
+    exact = cosine_topk(corpus, queries, k=len(approx.collect()) + 100)
+    e = {(r.query_id, r.neighbor_id, round(r.cosine, 9)) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id, round(r.cosine, 9)) for r in approx.collect()}
+    assert a <= e
+
+
+def test_ivf_assign(emb, spark):
+    cents = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid")
+    )
+    assigned = ivf_assign(emb.limit(100), cents)
+    rows = assigned.collect()
+    assert len(rows) == 100
+    assert {r.centroid_id for r in rows} <= {0, 1, 2, 3}
+
+
+def test_multimodal_features(spark):
+    assets = synthetic_assets(spark, 32)
+    feats = extract_features(assets).collect()
+    assert len(feats) == 32
+    img = [r for r in feats if r.modality == "image"]
+    assert img and all(len(r.feature) == 8 and r.width > 0 for r in img)
+    assert all(len(r.sha_prefix) == 16 for r in feats)
+    plan = frame_sample_plan(assets, every_n=30)
+    got = plan.groupBy("asset_id").count().collect()
+    assert got and all(r["count"] == 4 for r in got)  # 120 frames / 30
