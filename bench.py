@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is timed end-to-end (plan + execute + collect to driver) after
+a one-time session warmup, mirroring how the reference measures its render
+pipeline (request-to-response wall time, doc/aggregation.md:141-155).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: headline set: the render spine, the heavy aggregations, each pipeline family
+BENCH_QUERIES = [
+    "render_resample_avg",
+    "render_resample_multi",
+    "version_dedup",
+    "gapfill_grid",
+    "find_glob",
+    "index_tree",
+    "tagged_find",
+    "tpch_q1",
+    "semi_join_urgent",
+    "topk_orders_per_segment",
+    "dedup_exact",
+    "text_quality",
+    "lang_id",
+    "ngram_jaccard",
+    "ann_cosine_topk",
+    "minhash_dedup",
+    "simhash_pairs",
+    "multimodal_features",
+]
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from graphite_clickhouse_spark.session import get_spark
+
+    spark = get_spark("bench")
+    qs = entrymod.queries()
+
+    # warmup: spin up executors + JIT on a trivial job (not counted)
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    failures: dict[str, str] = {}
+    for name in BENCH_QUERIES:
+        fn = qs[name]
+        t0 = time.monotonic()
+        try:
+            df = fn(spark, SF_DIR)
+            n = len(df.collect())
+            timings[name] = round(time.monotonic() - t0, 3)
+            print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+        except Exception as exc:  # keep benching even if one query breaks
+            failures[name] = f"{type(exc).__name__}: {exc}"[:200]
+            print(f"# {name}: FAILED {failures[name]}", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    result = {
+        "metric": "headline-query wall time, sum over suite",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if failures:
+        result["failures"] = failures
+    spark.stop()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
