@@ -1,0 +1,168 @@
+"""Structured-Streaming ingest — the carbon-clickhouse role (SURVEY.md §2.9).
+
+The reference delegates ingest to carbon-clickhouse and reads recent
+unflushed points over the carbonlink pickle protocol
+(render/data/carbonlink.go:52-93). In a Spark-native engine both collapse
+into one Structured Streaming job:
+
+    carbon plaintext lines ("metric.path value timestamp\\n")
+      -> parse (pure column expressions, no Python per row)
+      -> foreachBatch: version-max dedup within batch, append to the
+         date-partitioned points table, upsert new paths into path_index
+         and tag rows into tags_index
+
+and "read your recent writes" (carbonlink, S6) becomes: queries simply
+read the same table the stream appends to — dedup-on-read
+(operators/dedup.py) resolves any duplicate (path, time) by max version,
+exactly the ReplacingMergeTree semantics (helper/point/point.go:5-10).
+
+Scale notes: parsing is whole-stage-codegen'd JVM work; the only shuffles
+are the per-batch dedup (small: one micro-batch) and the distinct() for
+new index paths (runs on the name universe, not the points). At 100 TB the
+same job runs unchanged against Kafka (`readStream.format("kafka")`) —
+swap the source, keep the plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import dedup_versions_all_columns
+from ..sources.tables import build_path_index
+
+POINT_SCHEMA = "path string, value double, time long, date date, version long"
+
+
+def _normalize_tagged(col_name: str) -> F.Column:
+    """`name?b=2&a=1` -> `name?a=1&b=2` — tags sorted as in the reference's
+    ingest path (finder/tagged.go:551-596 decodes assuming sorted tags).
+    Pure JVM expressions: split / array_sort / array_join."""
+    return F.expr(
+        f"""
+        CASE WHEN instr({col_name}, '?') = 0 THEN {col_name}
+        ELSE concat(
+            substring_index({col_name}, '?', 1), '?',
+            array_join(array_sort(split(substring({col_name},
+                length(substring_index({col_name}, '?', 1)) + 2), '&')), '&'))
+        END
+        """
+    )
+
+
+def tags_map_from_path(col_name: str) -> F.Column:
+    """Tagged path -> MAP<STRING,STRING> including __name__
+    (reference stores Tags Array(String) of 'k=v'; a map is the Spark-native
+    shape, SURVEY.md §1.2)."""
+    name = f"substring_index({col_name}, '?', 1)"
+    query = f"substring({col_name}, length({name}) + 2)"
+    return F.expr(
+        f"""
+        CASE WHEN instr({col_name}, '?') = 0
+             THEN map('__name__', {col_name})
+        ELSE map_concat(map('__name__', {name}),
+                        str_to_map({query}, '&', '='))
+        END
+        """
+    )
+
+
+def parse_carbon_lines(
+    lines: DataFrame, line_col: str = "value", version: int | None = None
+) -> DataFrame:
+    """Carbon plaintext protocol -> points rows.
+
+    Line = `<path> <value> <epoch-seconds>`; malformed lines are dropped
+    (carbon servers tolerate garbage). Works identically on batch and
+    streaming DataFrames — it is only column expressions.
+
+    `version` pins the write-version for deterministic tests; production
+    leaves it None -> ingest wall-clock seconds, reproducing the
+    carbon-clickhouse write-Timestamp (helper/point/point.go:9).
+    """
+    parts = F.split(F.trim(F.col(line_col)), r"\s+")
+    ver = F.lit(version).cast("long") if version is not None else F.unix_timestamp()
+    return (
+        lines.select(parts.alias("p"))
+        .filter(F.size("p") == 3)
+        .select(
+            _normalize_tagged("p[0]").alias("path"),
+            F.col("p")[1].try_cast("double").alias("value"),
+            F.col("p")[2].try_cast("double").try_cast("long").alias("time"),
+        )
+        .filter(F.col("value").isNotNull() & F.col("time").isNotNull())
+        .withColumn("date", F.to_date(F.timestamp_seconds(F.col("time"))))
+        .withColumn("version", ver)
+    )
+
+
+def build_tags_index(points: DataFrame) -> DataFrame:
+    """Distinct tagged paths -> (path, tags map, date) rows — the
+    graphite_tagged table equivalent (SURVEY.md §1.2)."""
+    return (
+        points.filter(F.col("path").contains("?"))
+        .select("path", "date")
+        .distinct()
+        .withColumn("tags", tags_map_from_path("path"))
+    )
+
+
+class IngestJob:
+    """Owns the output layout: points/ (date-partitioned parquet),
+    path_index/, tags_index/."""
+
+    def __init__(self, base_dir: str, version: int | None = None):
+        self.points_dir = f"{base_dir}/points"
+        self.index_dir = f"{base_dir}/path_index"
+        self.tags_dir = f"{base_dir}/tags_index"
+        self.version = version
+
+    # -- batch body (also the foreachBatch callback) ----------------------
+
+    def write_batch(self, parsed: DataFrame, batch_id: int | None = None) -> None:
+        parsed = dedup_versions_all_columns(parsed)
+        parsed.write.mode("append").partitionBy("date").parquet(self.points_dir)
+        plain = parsed.filter(~F.col("path").contains("?"))
+        build_path_index(plain).write.mode("append").parquet(self.index_dir)
+        tagged = build_tags_index(parsed)
+        tagged.write.mode("append").parquet(self.tags_dir)
+
+    # -- streaming --------------------------------------------------------
+
+    def start_text_stream(
+        self, spark: SparkSession, input_dir: str, checkpoint_dir: str, available_now: bool = True
+    ):
+        """Tail a directory of carbon plaintext files. Swap
+        `.format("text")` for `"kafka"` + the same parse for production."""
+        lines = spark.readStream.format("text").load(input_dir)
+        parsed = parse_carbon_lines(lines, version=self.version)
+        writer = (
+            parsed.writeStream.outputMode("append")
+            .option("checkpointLocation", checkpoint_dir)
+            .foreachBatch(lambda df, bid: self.write_batch(df, bid))
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    # -- read side --------------------------------------------------------
+
+    def read_points(self, spark: SparkSession) -> DataFrame:
+        return spark.read.schema(POINT_SCHEMA).parquet(self.points_dir)
+
+    def read_path_index(self, spark: SparkSession) -> DataFrame:
+        # appended batches may repeat prefix rows; index is tiny vs points
+        return spark.read.parquet(self.index_dir).distinct()
+
+    def read_tags_index(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.tags_dir).dropDuplicates(["path", "date"])
+
+
+def streaming_dedup_within_watermark(parsed: DataFrame, delay: str = "1 hour") -> DataFrame:
+    """Pure-streaming alternative to dedup-in-foreachBatch: drop duplicate
+    (path, time) arrivals within the watermark window. Note: unlike
+    version-max dedup this keeps the FIRST arrival — use only for
+    at-least-once sources where duplicates are identical payloads."""
+    return parsed.withColumn(
+        "event_time", F.timestamp_seconds(F.col("time"))
+    ).withWatermark("event_time", delay).dropDuplicatesWithinWatermark(["path", "time"])

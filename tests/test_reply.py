@@ -1,0 +1,166 @@
+"""Wire-format encoder tests — decode with an independent minimal protobuf
+reader and stdlib pickle/json, mirroring the reference's golden tests
+(render/reply/v2_pb_test.go, v3_pb_test.go, formatter_test.go)."""
+
+import json
+import math
+import pickle
+import struct
+
+import pytest
+
+from graphite_clickhouse_spark.render.reply import (
+    Series,
+    encode_pickle,
+    encode_render_json,
+    encode_v2_pb,
+    encode_v3_pb,
+    find_json,
+    find_pickle,
+    find_v2_pb,
+    find_v3_pb,
+    index_json,
+)
+
+NAN = float("nan")
+
+
+def decode_pb(buf: bytes) -> dict:
+    """Minimal protobuf wire decoder: field -> list of raw values."""
+    out: dict = {}
+    i = 0
+
+    def uvarint(i):
+        shift = v = 0
+        while True:
+            b = buf[i]
+            v |= (b & 0x7F) << shift
+            i += 1
+            if not b & 0x80:
+                return v, i
+            shift += 7
+
+    while i < len(buf):
+        key, i = uvarint(i)
+        field_no, wire = key >> 3, key & 7
+        if wire == 0:
+            v, i = uvarint(i)
+        elif wire == 2:
+            ln, i = uvarint(i)
+            v = buf[i : i + ln]
+            i += ln
+        elif wire == 5:
+            v = struct.unpack("<f", buf[i : i + 4])[0]
+            i += 4
+        else:
+            raise AssertionError(f"wire type {wire}")
+        out.setdefault(field_no, []).append(v)
+    return out
+
+
+SERIES = [
+    Series(
+        name="a.b.c",
+        path_expression="a.*.c",
+        function="avg",
+        start=120,
+        stop=300,
+        step=60,
+        values=[1.5, NAN, 3.0],
+        request_start=100,
+        request_stop=280,
+    ),
+    Series("x.y", "x.y", "max", 0, 60, 60, [2.0], 0, 59),
+]
+
+
+class TestV3:
+    def test_roundtrip(self):
+        msgs = decode_pb(encode_v3_pb(SERIES))[1]
+        assert len(msgs) == 2
+        m = decode_pb(msgs[0])
+        assert m[1][0] == b"a.b.c"
+        assert m[2][0] == b"a.*.c"
+        assert m[3][0] == b"avg"
+        assert (m[4][0], m[5][0], m[6][0]) == (120, 300, 60)
+        assert m[7][0] == 0.0  # xFilesFactor float32
+        assert m[8][0] == 0  # highPrecisionTimestamps
+        vals = struct.unpack("<3d", m[9][0])
+        assert vals[0] == 1.5 and math.isnan(vals[1]) and vals[2] == 3.0
+        assert (m[11][0], m[12][0]) == (100, 280)
+
+    def test_empty(self):
+        assert encode_v3_pb([]) == b""
+
+
+class TestV2:
+    def test_nan_becomes_absent(self):
+        m = decode_pb(decode_pb(encode_v2_pb(SERIES))[1][0])
+        assert m[1][0] == b"a.b.c"
+        assert (m[2][0], m[3][0], m[4][0]) == (120, 300, 60)
+        vals = struct.unpack("<3d", m[5][0])
+        assert vals == (1.5, 0.0, 3.0)  # NaN -> 0
+        assert m[6][0] == b"\x00\x01\x00"  # isAbsent flags
+
+
+class TestPickle:
+    def test_roundtrip(self):
+        got = pickle.loads(encode_pickle(SERIES))
+        assert got[0]["name"] == "a.b.c"
+        assert got[0]["pathExpression"] == "a.*.c"
+        assert got[0]["values"] == [1.5, None, 3.0]
+        assert (got[0]["start"], got[0]["end"], got[0]["step"]) == (120, 300, 60)
+
+
+class TestRenderJSON:
+    def test_valid_json_nan_null(self):
+        got = json.loads(encode_render_json(SERIES))
+        m = got["metrics"][0]
+        assert m["name"] == "a.b.c"
+        assert m["consolidationFunc"] == "avg"
+        assert m["values"] == [1.5, None, 3.0]
+        assert m["startTime"] == 120 and m["stopTime"] == 300 and m["stepTime"] == 60
+        assert m["requestStartTime"] == 100
+
+    def test_empty_fields_omitted(self):
+        s = Series("", "", "", 0, 60, 60, [], 0, 0)
+        m = json.loads(encode_render_json([s]))["metrics"][0]
+        assert "name" not in m and "values" not in m
+
+
+FIND_ROWS = [("a.b", True), ("a.c", False)]
+
+
+class TestFind:
+    def test_pickle(self):
+        got = pickle.loads(find_pickle(FIND_ROWS))
+        assert got == [
+            {"metric_path": "a.b", "isLeaf": True},
+            {"metric_path": "a.c", "isLeaf": False},
+        ]
+
+    def test_v2(self):
+        m = decode_pb(find_v2_pb("a.*", FIND_ROWS))
+        assert m[1][0] == b"a.*"
+        m0 = decode_pb(m[2][0])
+        assert m0[1][0] == b"a.b" and m0[2][0] == 1
+        m1 = decode_pb(m[2][1])
+        assert m1[1][0] == b"a.c" and m1[2][0] == 0
+
+    def test_v3_wraps_v2(self):
+        outer = decode_pb(find_v3_pb("a.*", FIND_ROWS))
+        assert outer[1][0] == find_v2_pb("a.*", FIND_ROWS)
+
+    def test_json_text_format(self):
+        assert find_json(FIND_ROWS) == b'[{path="a.b",leaf=1},{path="a.c"}]\r\n'
+
+    def test_limit(self):
+        assert pickle.loads(find_pickle(FIND_ROWS, limit=1)) == [
+            {"metric_path": "a.b", "isLeaf": True}
+        ]
+
+
+class TestIndexJSON:
+    def test_sorted_skips_nonleaf(self):
+        got = json.loads(index_json(["b.x", "a.", "a.y"]))
+        assert got == ["a.y", "b.x"]

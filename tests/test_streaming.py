@@ -1,0 +1,98 @@
+"""Streaming ingest tests — carbon plaintext -> points/path_index/tags_index
+with version-max dedup (the carbon-clickhouse + carbonlink role, SURVEY §2.9)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphite_clickhouse_spark.streaming.ingest import (
+    IngestJob,
+    build_tags_index,
+    parse_carbon_lines,
+    tags_map_from_path,
+)
+from graphite_clickhouse_spark.operators.dedup import dedup_versions
+
+
+def lines_df(spark, lines):
+    return spark.createDataFrame([(l,) for l in lines], "value string")
+
+
+class TestParse:
+    def test_basic_and_malformed(self, spark):
+        rows = parse_carbon_lines(
+            lines_df(
+                spark,
+                [
+                    "a.b.c 1.5 120",
+                    "garbage",
+                    "x.y nan_value 60",
+                    "a.b.c 2.0 180.0",  # float timestamp truncates
+                    "",
+                ],
+            ),
+            version=7,
+        ).collect()
+        got = {(r.path, r.time, r.value, r.version) for r in rows}
+        assert got == {("a.b.c", 120, 1.5, 7), ("a.b.c", 180, 2.0, 7)}
+
+    def test_tagged_path_normalized_sorted(self, spark):
+        rows = parse_carbon_lines(
+            lines_df(spark, ["cpu?host=h1&env=prod 1 60"]), version=1
+        ).collect()
+        assert rows[0].path == "cpu?env=prod&host=h1"
+
+    def test_tags_map(self, spark):
+        df = spark.createDataFrame([("cpu?env=prod&host=h1",), ("plain.name",)], "path string")
+        got = {r.path: r.m for r in df.select("path", tags_map_from_path("path").alias("m")).collect()}
+        assert got["cpu?env=prod&host=h1"] == {"__name__": "cpu", "env": "prod", "host": "h1"}
+        assert got["plain.name"] == {"__name__": "plain.name"}
+
+
+class TestIngestJob:
+    def test_stream_end_to_end_with_dedup(self, spark, tmp_path):
+        src = tmp_path / "in"
+        src.mkdir()
+        (src / "batch1.txt").write_text(
+            "a.b.c 1.0 60\n" "a.b.c 9.0 60\n" "d.e 5.0 120\n" "cpu?host=h1&env=p 2.0 60\n"
+        )
+        job = IngestJob(str(tmp_path / "out"))
+        q = job.start_text_stream(spark, str(src), str(tmp_path / "ckpt"))
+        q.awaitTermination(120)
+
+        pts = job.read_points(spark)
+        # same-version duplicate (a.b.c,60): version-max dedup on read keeps one
+        deduped = {
+            (r.path, r.time): r.value for r in dedup_versions(pts).collect()
+        }
+        assert deduped[("d.e", 120)] == 5.0
+        assert deduped[("a.b.c", 60)] in (1.0, 9.0)
+        assert ("cpu?env=p&host=h1", 60) in deduped
+
+        idx = {(r.path, r.level, r.is_leaf) for r in job.read_path_index(spark).collect()}
+        assert ("a.", 1, False) in idx
+        assert ("a.b.", 2, False) in idx
+        assert ("a.b.c", 3, True) in idx
+        assert ("d.e", 2, True) in idx
+
+        tags = {r.path: r.tags for r in job.read_tags_index(spark).collect()}
+        assert tags["cpu?env=p&host=h1"] == {"__name__": "cpu", "env": "p", "host": "h1"}
+
+    def test_later_version_wins_across_batches(self, spark, tmp_path):
+        base = str(tmp_path / "out")
+        job1 = IngestJob(base, version=1)
+        job1.write_batch(parse_carbon_lines(lines_df(spark, ["m.x 1.0 60"]), version=1))
+        job2 = IngestJob(base, version=2)
+        job2.write_batch(parse_carbon_lines(lines_df(spark, ["m.x 99.0 60"]), version=2))
+
+        got = dedup_versions(job2.read_points(spark)).collect()
+        assert [(r.path, r.time, r.value, r.version) for r in got] == [("m.x", 60, 99.0, 2)]
+
+    def test_date_partitioning(self, spark, tmp_path):
+        job = IngestJob(str(tmp_path / "out"), version=1)
+        job.write_batch(
+            parse_carbon_lines(lines_df(spark, ["a 1 60", "b 2 200000"]), version=1)
+        )
+        import os
+
+        parts = {d for d in os.listdir(job.points_dir) if d.startswith("date=")}
+        assert parts == {"date=1970-01-01", "date=1970-01-03"}
