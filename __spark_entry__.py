@@ -245,6 +245,90 @@ LIMIT 10
 """
 
 
+def q_autocomplete_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: tag-KEY autocomplete under a seriesByTag expr filter; the used
+    tag ('type') is excluded and __name__ surfaces as 'name'
+    (reference autocomplete/autocomplete.go:350-374,442-475)."""
+    from graphite_clickhouse_spark.plans.autocomplete import tag_keys_df
+    from graphite_clickhouse_spark.sources.tables import tagged_points_from_events
+
+    tp = tagged_points_from_events(spark, sf_dir)
+    return tag_keys_df(tp, exprs=["type=purchase"])
+
+
+SQL_AUTOCOMPLETE_TAGS = """
+SELECT value FROM (VALUES ('name'), ('user')) AS t(value)
+WHERE EXISTS (SELECT 1 FROM events WHERE event_type = 'purchase')
+ORDER BY value
+"""
+
+
+def q_prom_label_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prometheus LabelValues with a regex matcher
+    (prometheus/querier.go:72-108, matcher.go:15-77)."""
+    from graphite_clickhouse_spark.plans.prometheus import LabelMatcher, label_values
+    from graphite_clickhouse_spark.sources.tables import tagged_points_from_events
+
+    tp = tagged_points_from_events(spark, sf_dir)
+    return label_values(tp, "type", [LabelMatcher("user", "=~", "^u[12]$")])
+
+
+SQL_PROM_LABEL_VALUES = """
+SELECT DISTINCT event_type AS value
+FROM events
+WHERE user_id % 10 IN (1, 2)
+ORDER BY value
+"""
+
+
+def q_tagger_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13: tagger batch job — TOML rules (prefix/contains/regexp) applied
+    to the metric namespace as pure Column predicates; tags of ALL matching
+    rules union (reference tagger/rule.go:12-34, tagger.go:75-594)."""
+    from graphite_clickhouse_spark.pipeline.tagger import apply_rules, parse_rules
+
+    rules = parse_rules(
+        """
+[[rule]]
+has-prefix = "ev.purchase."
+tag = "kind=money"
+
+[[rule]]
+contains = ".u1"
+tag = "owner=one"
+
+[[rule]]
+regexp = "\\\\.u[02468]$"
+tag = "parity=even"
+"""
+    )
+    paths = _points(spark, sf_dir).select("path")
+    # only rows that got >=1 tag are uploaded (tagger/tagger.go semantics)
+    return (
+        apply_rules(paths, rules)
+        .filter(F.size("tags") > 0)
+        .select("path", F.array_join("tags", ",").alias("tags"))
+        .orderBy("path")
+    )
+
+
+SQL_TAGGER_RULES = """
+WITH paths AS (
+    SELECT DISTINCT 'ev.' || event_type || '.u' || CAST(user_id % 10 AS VARCHAR) AS path
+    FROM events
+)
+SELECT path,
+       array_to_string(list_sort(list_filter([
+           CASE WHEN path LIKE 'ev.purchase.%' THEN 'kind=money' END,
+           CASE WHEN path LIKE '%.u1%' THEN 'owner=one' END,
+           CASE WHEN regexp_matches(path, '\\.u[02468]$') THEN 'parity=even' END
+       ], x -> x IS NOT NULL)), ',') AS tags
+FROM paths
+WHERE tags IS NOT NULL AND tags <> ''
+ORDER BY path
+"""
+
+
 # ---------------------------------------------------------------------------
 # generic OLAP (scans/joins/windows on the TPC-H-ish tables)
 # ---------------------------------------------------------------------------
@@ -614,6 +698,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "index_tree": (q_index_tree, SQL_INDEX_TREE),
     "tagged_find": (q_tagged_find, SQL_TAGGED_FIND),
     "autocomplete_values": (q_autocomplete_values, SQL_AUTOCOMPLETE_VALUES),
+    "autocomplete_tags": (q_autocomplete_tags, SQL_AUTOCOMPLETE_TAGS),
+    "prom_label_values": (q_prom_label_values, SQL_PROM_LABEL_VALUES),
+    "tagger_rules": (q_tagger_rules, SQL_TAGGER_RULES),
     "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
     "semi_join_urgent": (q_semi_join_urgent, SQL_SEMI_JOIN_URGENT),
     "topk_orders_per_segment": (q_topk_orders_per_segment, SQL_TOPK_ORDERS_PER_SEGMENT),

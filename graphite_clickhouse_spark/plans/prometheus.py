@@ -1,0 +1,97 @@
+"""Prometheus adapter — label matchers over the graphite tag model
+(SURVEY.md §3.4; reference prometheus/ package).
+
+The reference embeds the Prometheus engine and implements its
+storage.Querier by translating label matchers into TaggedTerms
+(prometheus/matcher.go:15-77), running the normal tagged finder, and
+serving series through the same fetch path with
+maxDataPoints = 1000 * (until - from) / step
+(prometheus/querier_select.go:95-147). LabelNames/LabelValues are direct
+tag queries (prometheus/querier.go:35-108).
+
+Here the PromQL engine itself is out of scope (no public pure-Python
+PromQL evaluator is baked into this container); what we implement is the
+storage layer it would sit on: matcher -> predicate compilation, series
+selection, and label introspection — all as DataFrame plans over the
+tagged table.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .tagged import TaggedTerm, tagged_predicate
+
+#: prompb.LabelMatcher_Type / labels.MatchType -> tagged op
+#: (prometheus/matcher.go:15-27); graphite spells NRE as '!=~'
+MATCH_TYPE_TO_OP = {
+    "=": "=",
+    "!=": "!=",
+    "=~": "=~",
+    "!~": "!=~",
+}
+
+
+@dataclass
+class LabelMatcher:
+    name: str
+    op: str  # "=", "!=", "=~", "!~"
+    value: str
+
+
+def terms_from_matchers(matchers: list[LabelMatcher]) -> list[TaggedTerm]:
+    """prometheus/matcher.go:29-77: each matcher becomes a TaggedTerm.
+    The special graphite bridge (`{graphite="a.*.b"}` -> plain glob find,
+    finder/plain_from_tagged.go:16-65) is handled by the caller."""
+    terms = []
+    for m in matchers:
+        if m.op not in MATCH_TYPE_TO_OP:
+            raise ValueError(f"unknown matcher type {m.op!r}")
+        terms.append(TaggedTerm(key=m.name, op=MATCH_TYPE_TO_OP[m.op], value=m.value))
+    # same Eq < Match < Ne < NotMatch cost order the reference sorts by
+    # (finder/tagged.go:51-76) — semantically inert in Spark (Catalyst
+    # reorders conjuncts) but keeps plans/logs comparable.
+    order = {"=": 0, "=~": 1, "!=": 2, "!=~": 3}
+    terms.sort(key=lambda t: (t.key != "__name__", order[t.op]))
+    return terms
+
+
+def select_series(tagged: DataFrame, matchers: list[LabelMatcher]) -> DataFrame:
+    """storage.Querier.Select: matching series paths (distinct)."""
+    pred = tagged_predicate(terms_from_matchers(matchers), F.col("tags"))
+    return tagged.filter(pred).select("path").distinct()
+
+
+def label_names(tagged: DataFrame, matchers: list[LabelMatcher] | None = None) -> DataFrame:
+    """LabelNames (prometheus/querier.go:35-70) — distinct tag keys of
+    matching series; Prometheus spells the metric-name label __name__, so
+    no name-aliasing here (unlike graphite autocomplete)."""
+    df = tagged
+    if matchers:
+        df = tagged.filter(tagged_predicate(terms_from_matchers(matchers), F.col("tags")))
+    return (
+        df.select(F.explode(F.map_keys("tags")).alias("value")).distinct().orderBy("value")
+    )
+
+
+def label_values(
+    tagged: DataFrame, label: str, matchers: list[LabelMatcher] | None = None
+) -> DataFrame:
+    """LabelValues (prometheus/querier.go:72-108)."""
+    df = tagged
+    if matchers:
+        df = tagged.filter(tagged_predicate(terms_from_matchers(matchers), F.col("tags")))
+    return (
+        df.select(F.col("tags").getItem(label).alias("value"))
+        .filter(F.col("value").isNotNull())
+        .distinct()
+        .orderBy("value")
+    )
+
+
+def prom_max_data_points(from_ts: int, until_ts: int, step: int) -> int:
+    """prometheus/querier_select.go:95-147."""
+    return 1000 * max(0, until_ts - from_ts) // max(1, step)

@@ -1,0 +1,156 @@
+"""Autocomplete tags/values, prometheus label adapter, tagger batch job."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphite_clickhouse_spark.pipeline.tagger import apply_rules, parse_rules, tagged_table
+from graphite_clickhouse_spark.plans.autocomplete import (
+    autocomplete_tags,
+    tag_keys_df,
+    tag_values_df,
+)
+from graphite_clickhouse_spark.plans.prometheus import (
+    LabelMatcher,
+    label_names,
+    label_values,
+    prom_max_data_points,
+    select_series,
+    terms_from_matchers,
+)
+
+
+@pytest.fixture(scope="module")
+def tagged(spark):
+    rows = [
+        ("cpu?env=prod&host=h1", {"__name__": "cpu", "env": "prod", "host": "h1"}),
+        ("cpu?env=dev&host=h2", {"__name__": "cpu", "env": "dev", "host": "h2"}),
+        ("mem?env=prod&host=h1&rack=r9", {"__name__": "mem", "env": "prod", "host": "h1", "rack": "r9"}),
+    ]
+    return spark.createDataFrame(rows, "path string, tags map<string,string>")
+
+
+class TestAutocomplete:
+    def test_tag_keys_all(self, tagged):
+        got = [r.value for r in tag_keys_df(tagged).collect()]
+        assert got == ["env", "host", "name", "rack"]
+
+    def test_tag_keys_filtered_by_expr_drops_used(self, tagged):
+        # env=prod matches cpu#1 + mem; 'env' is a used tag -> excluded
+        got = [r.value for r in tag_keys_df(tagged, exprs=["env=prod"]).collect()]
+        assert got == ["host", "name", "rack"]
+
+    def test_tag_keys_prefix(self, tagged):
+        got = [r.value for r in tag_keys_df(tagged, tag_prefix="r").collect()]
+        assert got == ["rack"]
+
+    def test_name_injected(self, tagged):
+        # keys from a prefix that excludes name, but 'name' matches prefix ''
+        assert "name" in autocomplete_tags(tagged)
+
+    def test_values(self, tagged):
+        got = [r.value for r in tag_values_df(tagged, "host").collect()]
+        assert got == ["h1", "h2"]
+
+    def test_values_with_expr_and_prefix(self, tagged):
+        got = [
+            r.value
+            for r in tag_values_df(tagged, "host", exprs=["env=prod"], value_prefix="h").collect()
+        ]
+        assert got == ["h1"]
+
+    def test_values_of_name(self, tagged):
+        got = [r.value for r in tag_values_df(tagged, "name").collect()]
+        assert got == ["cpu", "mem"]
+
+
+class TestPrometheus:
+    def test_matcher_translation_and_order(self):
+        terms = terms_from_matchers(
+            [
+                LabelMatcher("env", "!~", "d.*"),
+                LabelMatcher("__name__", "=", "cpu"),
+                LabelMatcher("host", "=~", "h."),
+            ]
+        )
+        assert [(t.key, t.op, t.value) for t in terms] == [
+            ("__name__", "=", "cpu"),
+            ("host", "=~", "h."),
+            ("env", "!=~", "d.*"),
+        ]
+
+    def test_unknown_op(self):
+        with pytest.raises(ValueError):
+            terms_from_matchers([LabelMatcher("a", "~~", "x")])
+
+    def test_select_series(self, tagged):
+        got = sorted(
+            r.path
+            for r in select_series(
+                tagged,
+                [LabelMatcher("__name__", "=", "cpu"), LabelMatcher("env", "!=", "dev")],
+            ).collect()
+        )
+        assert got == ["cpu?env=prod&host=h1"]
+
+    def test_label_names_values(self, tagged):
+        names = [r.value for r in label_names(tagged, [LabelMatcher("__name__", "=", "cpu")]).collect()]
+        assert names == ["__name__", "env", "host"]
+        vals = [r.value for r in label_values(tagged, "env").collect()]
+        assert vals == ["dev", "prod"]
+
+    def test_max_data_points(self):
+        assert prom_max_data_points(0, 3600, 60) == 60000
+
+
+RULES_TOML = """
+[[rule]]
+has-prefix = "cpu."
+tag = "kind=compute"
+
+[[rule]]
+contains = ".h1."
+tags = ["host=h1", "seen=yes"]
+
+[[rule]]
+regexp = "\\\\.err(or)?$"
+tag = "severity=bad"
+
+[[rule]]
+equal = "uptime"
+tag = "kind=health"
+"""
+
+
+class TestTagger:
+    def test_parse(self):
+        rules = parse_rules(RULES_TOML)
+        assert len(rules) == 4
+        assert rules[0].tags == ["kind=compute"] and rules[0].has_prefix == "cpu."
+        assert rules[1].tags == ["host=h1", "seen=yes"]
+
+    def test_apply_union_of_matching_rules(self, spark):
+        paths = spark.createDataFrame(
+            [("cpu.h1.error",), ("cpu.h2.load",), ("disk.h1.io",), ("uptime",), ("other",)],
+            "path string",
+        )
+        got = {
+            r.path: (r.tags, r.tags_map)
+            for r in apply_rules(paths, parse_rules(RULES_TOML)).collect()
+        }
+        assert got["cpu.h1.error"][0] == ["host=h1", "kind=compute", "seen=yes", "severity=bad"]
+        assert got["cpu.h1.error"][1]["severity"] == "bad"
+        assert got["cpu.h2.load"][0] == ["kind=compute"]
+        assert got["disk.h1.io"][0] == ["host=h1", "seen=yes"]
+        assert got["uptime"][0] == ["kind=health"]
+        assert got["other"][0] == []
+
+    def test_tagged_table_drops_untagged(self, spark):
+        paths = spark.createDataFrame([("cpu.x",), ("nothing",)], "path string")
+        got = [r.path for r in tagged_table(paths, parse_rules(RULES_TOML)).collect()]
+        assert got == ["cpu.x"]
+
+    def test_value_with_equals_sign(self, spark):
+        # value containing '=' survives the k=v split (split limit 2)
+        rules = parse_rules('[[rule]]\nhas-prefix = "a"\ntag = "expr=x=y"\n')
+        got = apply_rules(spark.createDataFrame([("a.b",)], "path string"), rules).collect()
+        assert got[0].tags_map == {"expr": "x=y"}
