@@ -535,12 +535,13 @@ FROM documents
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """n-gram Jaccard near-dup pairs (threshold 0.1, word 2-grams)."""
+    """n-gram Jaccard near-dup pairs (threshold 0.5, word 3-grams) via the
+    lossless prefix-filtered join (pipeline/dedup.py)."""
     from graphite_clickhouse_spark.pipeline.dedup import ngram_jaccard_pairs
     from graphite_clickhouse_spark.sources.tables import load_table
 
     pairs = ngram_jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), n=2, threshold=0.1
+        load_table(spark, sf_dir, "documents"), n=3, threshold=0.5
     )
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
@@ -548,8 +549,8 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_NGRAM_JACCARD = """
 WITH sh AS (
     SELECT doc_id AS id, unnest(list_distinct(
-        list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
-                       i -> array_to_string(toks[i:i+1], ' ')))) AS shingle
+        list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+                       i -> array_to_string(toks[i:i+2], ' ')))) AS shingle
     FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
           FROM documents WHERE trim(text) <> '')
 ), sizes AS (
@@ -564,7 +565,7 @@ SELECT id_a, id_b,
 FROM inter
 JOIN sizes sa ON sa.id = id_a
 JOIN sizes sb ON sb.id = id_b
-WHERE i / (sa.n_sh + sb.n_sh - i) >= 0.1
+WHERE i / (sa.n_sh + sb.n_sh - i) >= 0.5
 """
 
 
@@ -642,7 +643,7 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphite_clickhouse_spark.sources.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_dedup(docs, n=2, num_hashes=32, bands=16, threshold=0.1)
+    pairs = minhash_dedup(docs, n=3, num_hashes=32, bands=16, threshold=0.5)
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 

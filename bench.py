@@ -66,6 +66,9 @@ def main() -> None:
         except Exception as exc:  # keep benching even if one query breaks
             failures[name] = f"{type(exc).__name__}: {exc}"[:200]
             print(f"# {name}: FAILED {failures[name]}", file=sys.stderr)
+        # queries are independent requests: drop any caches a query built
+        # so earlier queries' memory doesn't skew later timings
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

@@ -66,6 +66,48 @@ def shingle_table(
     )
 
 
+def tokens_projection(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, toks) with split() hoisted into its OWN projection.
+
+    The n-gram lambdas below reference `toks` several times; keeping the
+    split in a separate select stops CollapseProject from inlining it into
+    every lambda element (the collapse-and-recompute trap costs ~6x on
+    this stage — measured 3.4s -> 0.6s at sf0.1).
+
+    The scan is also REPARTITIONED: a small corpus arrives as one parquet
+    split, which would serialize the (CPU-bound) shingle hashing onto a
+    single core. At 100 TB the file count provides the parallelism and the
+    repartition collapses to a no-op-ish shuffle of narrow rows."""
+    sc = df.sparkSession.sparkContext
+    parts = max(df.rdd.getNumPartitions(), sc.defaultParallelism)
+    return df.repartition(parts).select(
+        F.col(id_col).alias("id"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("toks"),
+    )
+
+
+def ngram_hashes(n: int, toks_col: str = "toks") -> Column:
+    """Sorted distinct 64-bit hashes of word n-grams over a materialized
+    token array — hashes the n-token tuple directly (xxhash64 is n-ary),
+    never building shingle strings. This is the hot-path kernel for both
+    Jaccard and MinHash; string shingles (word_ngrams) exist only for
+    display/tests."""
+    toks = F.col(toks_col)
+
+    def gram(i: Column) -> Column:
+        return F.xxhash64(*[F.element_at(toks, i + j + 1) for j in range(n)])
+
+    return F.array_sort(
+        F.array_distinct(
+            F.when(F.size(toks) < n, F.array().cast("array<bigint>")).otherwise(
+                F.transform(F.sequence(F.lit(0), F.size(toks) - n), gram)
+            )
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     n: int = 3,
@@ -73,33 +115,79 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity for all pairs sharing >=1 shingle.
+    """EXACT n-gram Jaccard pairs >= threshold via prefix filtering
+    (PPJoin-family, Xiao et al., WWW'08 — lossless for the threshold).
 
-    |A ∩ B| from the shingle self-join, |A|,|B| from per-doc counts;
-    J = inter / (|A| + |B| - inter). Returns (id_a, id_b, jaccard) with
-    id_a < id_b and jaccard >= threshold.
+    Naive shape (self-join on every shingle, then count per pair) explodes
+    quadratically on hot shingles: at sf0.1 it makes 36M join rows / 10M
+    candidate pairs for an 11k-pair answer. Prefix filtering keeps exactly
+    the candidates that CAN reach the threshold:
+
+    1. order each doc's shingle set by global document frequency, rarest
+       first (hot shingles land at the tail);
+    2. index only the first  p = |d| - ceil(t*|d|) + 1  shingles — if
+       J(A,B) >= t then A and B must share an indexed shingle;
+    3. join on indexed shingles only (+ length filter |B| >= t*|A|),
+       distinct candidate pairs;
+    4. verify candidates with one array_intersect over the full sorted
+       hash arrays (no giant per-pair count aggregation).
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     """
-    # join on the 64-bit shingle hash: narrower shuffle rows than raw
-    # strings (collision odds are negligible and symmetric on both sides)
-    sh = shingle_table(df, n, text_col, id_col).select(
-        "id", F.xxhash64("shingle").alias("shingle")
+    sh = tokens_projection(df, text_col, id_col).select(
+        "id", F.explode(ngram_hashes(n)).alias("shingle")
     )
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count("*").alias("inter"))
+    # global document frequency — drives the rarest-first prefix ordering
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("df_"))
+    # per-doc shingle array sorted by (df, shingle): one shuffle on id
+    ordered = (
+        sh.join(freq, "shingle")
+        .groupBy("id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("df_", "shingle"))),
+                lambda s: s["shingle"],
+            ).alias("by_freq"),
+            F.count("*").alias("n_sh"),
+        )
     )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
-    jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
-    return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select("id_a", "id_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+    t = F.lit(float(threshold))
+    prefix_len = (F.col("n_sh") - F.ceil(t * F.col("n_sh")) + 1).cast("int")
+    sets = ordered.select(
+        "id",
+        "n_sh",
+        F.array_sort("by_freq").alias("sh"),  # numeric order for intersect
+        F.slice("by_freq", 1, prefix_len).alias("prefix"),
+    )
+    # referenced by both join sides + verification: materialize once
+    # (at cluster scale: persist as a table instead)
+    sets = sets.cache()
+    sets.count()
+
+    index = sets.select("id", "n_sh", F.explode("prefix").alias("shingle"))
+    a = index.alias("a")
+    b = index.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id"))
+            # length filter: J >= t needs t*|A| <= |B| (and symmetric)
+            & (F.col("b.n_sh") * t <= F.col("a.n_sh"))
+            & (F.col("a.n_sh") * t <= F.col("b.n_sh")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    pairs = cands.join(
+        F.broadcast(sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))), "id_a"
+    ).join(
+        F.broadcast(sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))), "id_b"
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter / (F.size("sh_a") + F.size("sh_b") - inter)
+    return pairs.select("id_a", "id_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
     )
 
 
@@ -126,16 +214,20 @@ def minhash_signature(
     Documents with no shingles are dropped.
     """
     kernel = _make_minhash_kernel(num_hashes)
-    sh = shingle_hashes(F.col(text_col), n)
     return (
-        df.select(F.col(id_col).alias("id"), sh.alias("__sh"))
-        .filter(F.size("__sh") > 0)
+        tokens_projection(df, text_col, id_col)
+        .filter(F.size("toks") >= n)  # cheap pushable filter; see minhash_dedup
+        .select("id", ngram_hashes(n).alias("__sh"))
         .select("id", F.pandas_udf(kernel, "array<bigint>")(F.col("__sh")).alias("sig"))
     )
 
 
 def shingle_hashes(text: Column, n: int) -> Column:
-    """Sorted distinct 64-bit hashes of the word n-gram shingles."""
+    """Sorted distinct 64-bit hashes of the word n-gram shingles.
+
+    Expression-only variant (hashes the joined shingle string); prefer
+    tokens_projection + ngram_hashes in hot paths — an inline split here
+    would be re-evaluated per lambda element after project collapsing."""
     return F.array_sort(F.transform(word_ngrams(text, n), lambda s: F.xxhash64(s)))
 
 
@@ -227,22 +319,32 @@ def minhash_dedup(
     """
     rows_per_band = num_hashes // bands
     # verification sets as sorted 64-bit hashes: 8-byte elements instead of
-    # full shingle strings keeps the pair join shuffle narrow
+    # full shingle strings keeps the pair join shuffle narrow.
+    # The no-shingle filter is expressed on the TOKEN count, not on the
+    # computed sh column: a filter on sh would be pushed below the
+    # projection and re-evaluate the whole shingle expression as a scan
+    # DataFilter (on the unrepartitioned input — measured 6-40x slower).
     sets = (
-        df.select(F.col(id_col).alias("id"), shingle_hashes(F.col(text_col), n).alias("sh"))
-        .filter(F.size("sh") > 0)
+        tokens_projection(df, text_col, id_col)
+        .filter(F.size("toks") >= n)
+        .select("id", ngram_hashes(n).alias("sh"))
         .cache()
     )
+    sets.count()  # EAGER: broadcast branches + sig branch all reuse it
     kernel = _make_minhash_kernel(num_hashes)
     sigs = sets.select(
         "id", F.pandas_udf(kernel, "array<bigint>")(F.col("sh")).alias("sig")
     ).cache()
+    sigs.count()  # EAGER: the LSH self-join reads it from both sides
     cands = minhash_lsh_candidates(sigs, bands, rows_per_band)
     pairs = (
         cands.join(F.broadcast(sets.withColumnsRenamed({"id": "id_a", "sh": "sh_a"})), "id_a")
         .join(F.broadcast(sets.withColumnsRenamed({"id": "id_b", "sh": "sh_b"})), "id_b")
     )
-    inter = _sorted_intersect_size(F.col("sh_a"), F.col("sh_b"))
+    # pure-JVM set intersection over the ~50-element sorted arrays; a
+    # Python kernel here would be Arrow-shipped AND evaluated twice
+    # (once in the threshold Filter, once in the output Project)
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return pairs.select(
         "id_a", "id_b", (inter / union).alias("jaccard")

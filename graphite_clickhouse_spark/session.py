@@ -33,6 +33,14 @@ def get_spark(
         # testdata parquet carries TIMESTAMP(NANOS); map to long nanoseconds
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # complex expression trees generate a LOT of JIT'd classes; the
+        # default 240m code cache fills mid-suite and HotSpot silently
+        # falls back to interpreted execution (measured 6x slowdowns on
+        # later queries). One JVM in local mode -> driver options cover all.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+        )
     )
     if extra_conf:
         for k, v in extra_conf.items():
