@@ -43,6 +43,21 @@ class TaggedTerm:
         return self.op in ("=", "=~") and self.value != ""
 
 
+@dataclass(frozen=True)
+class FeatureFlags:
+    """Tag-matching feature flags (doc/config.md:35-63, applied in
+    finder/tagged.go:130-282). Both default false, as in the reference.
+
+    - use_carbon_behaviour: `t=` (empty =) matches metrics WITHOUT tag t
+      (otherwise it matches metrics where t is present and empty).
+    - dont_match_missing_tags: `t!=v` / `t!=~re` require tag t present
+      (otherwise metrics missing t also match).
+    """
+
+    use_carbon_behaviour: bool = False
+    dont_match_missing_tags: bool = False
+
+
 def parse_series_by_tag(target: str) -> list[TaggedTerm]:
     """`seriesByTag('tag1=value1', 'name=~cpu.*')` -> [TaggedTerm...]."""
     m = SERIES_BY_TAG_RE.match(target.strip())
@@ -84,40 +99,57 @@ def parse_tagged_conditions(exprs: list[str]) -> list[TaggedTerm]:
     return terms
 
 
-def term_predicate(term: TaggedTerm, tags_col: Column) -> Column:
-    """One TaggedTerm -> boolean Column over a MAP<STRING,STRING> column."""
+def term_predicate(
+    term: TaggedTerm, tags_col: Column, flags: FeatureFlags = FeatureFlags()
+) -> Column:
+    """One TaggedTerm -> boolean Column over a MAP<STRING,STRING> column.
+
+    Flag semantics from finder/tagged.go:130-282 (see FeatureFlags)."""
     v = tags_col.getItem(term.key)
     if term.op == "=":
         if term.value == "":
-            return v.isNull() | (v == "")
+            if flags.use_carbon_behaviour:
+                return v.isNull()  # tag absent (tagged.go:135-139)
+            return v.isNotNull() & (v == "")  # Eq(Tag1,'key=') (tagged.go:150-156)
         if has_wildcard(term.value):
             return v.isNotNull() & v.rlike("^" + glob_to_regexp(term.value) + "$")
         return v == term.value
     if term.op == "!=":
         if term.value == "":
+            # tag exists and non-empty, regardless of flags (tagged.go:158-162)
             return v.isNotNull() & (v != "")
         if has_wildcard(term.value):
-            return v.isNull() | ~v.rlike("^" + glob_to_regexp(term.value) + "$")
-        return v.isNull() | (v != term.value)
+            base = ~v.rlike("^" + glob_to_regexp(term.value) + "$")
+        else:
+            base = v != term.value
+        if flags.dont_match_missing_tags:
+            return v.isNotNull() & base  # (tagged.go:164-167)
+        return v.isNull() | base
     if term.op == "=~":
         return v.isNotNull() & v.rlike(term.value)
     if term.op == "!=~":
+        if flags.dont_match_missing_tags:
+            return v.isNotNull() & ~v.rlike(term.value)  # (tagged.go:194-199)
         return v.isNull() | ~v.rlike(term.value)
     raise TaggedParseError(f"unknown op: {term.op}")
 
 
 def tagged_predicate(
-    terms: list[TaggedTerm], tags_col: Column, min_positive_terms: int = 1
+    terms: list[TaggedTerm],
+    tags_col: Column,
+    min_positive_terms: int = 0,
+    flags: FeatureFlags = FeatureFlags(),
 ) -> Column:
     """AND of all terms. Guardrail: at least `min_positive_terms` positive
     (non-negated, non-empty) terms required — the reference's
-    tags-min-in-query rejection (tagged.go:357-363)."""
+    tags-min-in-query rejection (tagged.go:357-363; config default 0,
+    doc/config.md:352)."""
     positives = sum(1 for t in terms if t.is_positive)
     if positives < min_positive_terms:
         raise TaggedParseError(
             f"at least {min_positive_terms} positive term(s) required, got {positives}"
         )
-    pred = term_predicate(terms[0], tags_col)
+    pred = term_predicate(terms[0], tags_col, flags)
     for t in terms[1:]:
-        pred = pred & term_predicate(t, tags_col)
+        pred = pred & term_predicate(t, tags_col, flags)
     return pred

@@ -54,6 +54,9 @@ class Engine:
     rules: Rules = field(default_factory=Rules.default)
     max_metrics_per_target: int = 15000  # reference default (L3)
     wildcard_min_distance: int = 0
+    #: optional plans.findcache.FindCache — caches resolved path lists per
+    #: (day-span, target, ttl-class), as the reference's find-cache (SO3)
+    find_cache: object | None = None
 
     # ---- FIND ----------------------------------------------------------
 
@@ -77,8 +80,19 @@ class Engine:
 
     def render(self, req: RenderRequest) -> DataFrame:
         """-> (path, function, start, stop, step, values array<double>)."""
-        paths_df = self.find_paths(req.target)
-        paths = [r.path for r in paths_df.collect()]  # resolved list is small
+        if self.find_cache is not None:
+            cached, cache_key, cache_ttl = self.find_cache.find_cached(
+                req.from_ts, req.until_ts, req.target
+            )
+        else:
+            cached = cache_key = cache_ttl = None
+        if cached is not None:
+            paths = list(cached)
+        else:
+            paths_df = self.find_paths(req.target)
+            paths = [r.path for r in paths_df.collect()]  # resolved list is small
+            if self.find_cache is not None:
+                self.find_cache.set(cache_key, paths, cache_ttl)
         if len(paths) > self.max_metrics_per_target:
             raise ValueError(
                 f"metrics per target limit exceeded: {len(paths)} > "
