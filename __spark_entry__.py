@@ -631,6 +631,84 @@ FROM documents
 """
 
 
+def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell assignment (the scale path for ANN): nearest of 8 centroids
+    per vector; the assignment becomes the partition key the corpus is
+    written under, so probes read only the closest cells."""
+    from graphite_clickhouse_spark.pipeline.similarity import ivf_assign
+    from graphite_clickhouse_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid")
+    )
+    return ivf_assign(emb, cents).select("vec_id", "centroid_id")
+
+
+SQL_IVF_ASSIGN = """
+WITH c AS (
+    SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8
+)
+SELECT vec_id, cid AS centroid_id FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(e.embedding, c.cvec) DESC, c.cid
+           ) AS rn
+    FROM embeddings e CROSS JOIN c
+) WHERE rn = 1
+"""
+
+
+def _lsh_planes_sql() -> str:
+    """Embed the deterministic hyperplanes as SQL literals so DuckDB
+    computes the identical bucket assignment."""
+    from graphite_clickhouse_spark.pipeline.similarity import deterministic_planes
+
+    planes = deterministic_planes(4, 64)
+    cases = []
+    for i, p in enumerate(planes):
+        arr = "[" + ",".join(f"{x!r}" for x in p) + "]"
+        cases.append(
+            f"CASE WHEN list_dot_product(embedding, {arr}) >= 0 THEN {1 << i} ELSE 0 END"
+        )
+    return " + ".join(cases)
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN: hyperplane sign-sketch buckets, exact cosine
+    ranking within the bucket (the approximate/scale variant of
+    ann_cosine_topk)."""
+    from graphite_clickhouse_spark.pipeline.similarity import lsh_ann_topk
+    from graphite_clickhouse_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = lsh_ann_topk(emb, queries, k=10, num_planes=4, dim=64)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+SQL_ANN_LSH_TOPK = f"""
+WITH b AS (
+    SELECT vec_id, embedding, {_lsh_planes_sql()} AS bucket
+    FROM embeddings
+), q AS (
+    SELECT vec_id AS query_id, embedding AS qv, bucket FROM b WHERE vec_id < 5
+)
+SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank FROM (
+    SELECT q.query_id, b.vec_id AS neighbor_id,
+           list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS cosine,
+           row_number() OVER (
+               PARTITION BY q.query_id
+               ORDER BY list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id
+           ) AS rank
+    FROM q JOIN b ON q.bucket = b.bucket AND b.vec_id <> q.query_id
+) WHERE rank <= 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # non-SQL-expressible ops (rows-only checks: xxhash64 has no DuckDB twin)
 # ---------------------------------------------------------------------------
@@ -711,6 +789,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
+    "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
+    "ivf_assign": (q_ivf_assign, SQL_IVF_ASSIGN),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
     "minhash_dedup": (q_minhash_dedup, None),
     "simhash_pairs": (q_simhash_pairs, None),

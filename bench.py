@@ -37,6 +37,9 @@ BENCH_QUERIES = [
     "lang_id",
     "ngram_jaccard",
     "ann_cosine_topk",
+    "ann_lsh_topk",
+    "ivf_assign",
+    "tagger_rules",
     "minhash_dedup",
     "simhash_pairs",
     "multimodal_features",

@@ -158,6 +158,14 @@ class IngestJob:
         return spark.read.parquet(self.tags_dir).dropDuplicates(["path", "date"])
 
 
+def points_with_recent(storage: DataFrame, recent: DataFrame) -> DataFrame:
+    """Carbonlink equivalent (SURVEY §2.1 S6, §2.3 J4): serve queries over
+    storage UNION the streaming sink's latest appends. Version-max dedup
+    on read (operators/dedup.py) resolves overlapping (path, time) exactly
+    like the reference's cache-points merge (render/data/data.go:94-130)."""
+    return storage.unionByName(recent, allowMissingColumns=True)
+
+
 def streaming_dedup_within_watermark(parsed: DataFrame, delay: str = "1 hour") -> DataFrame:
     """Pure-streaming alternative to dedup-in-foreachBatch: drop duplicate
     (path, time) arrivals within the watermark window. Note: unlike
