@@ -245,6 +245,61 @@ LIMIT 10
 """
 
 
+#: the reference's published benchmark workload (doc/aggregation.md:141-155,
+#: BASELINE.md): 986 metrics, 7 days @ 60 s, maxDataPoints=100 -> ~9.94M
+#: points reduced to ~100 buckets/metric by pushed-down resample.
+_BL_FROM = 1704067200
+_BL_UNTIL = _BL_FROM + 604800
+_BL_METRICS = 986
+_BL_PPM = 10080  # points per metric (7d @ 60s)
+
+
+def _baseline_step_bounds() -> tuple[int, int, int]:
+    from graphite_clickhouse_spark.functions.timemath import align_from_until, common_step
+
+    step = common_step([60], _BL_FROM, _BL_UNTIL, 100)
+    f_al, u_al = align_from_until(_BL_FROM, _BL_UNTIL, step)
+    return step, f_al, u_al
+
+
+def q_render_baseline_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE BASELINE.md workload: the -Resample scheme (internal
+    aggregation) over 9.94M synthetic points — A1 aggregate pushdown, A11
+    step math. The reference does this in 13.181 s against localhost
+    ClickHouse (doc/aggregation.md:152); this query is the direct
+    comparable on the Spark engine (deterministic generated series, no
+    storage dependency)."""
+    from graphite_clickhouse_spark.operators.resample import resample
+
+    step, f_al, u_al = _baseline_step_bounds()
+    pts = spark.range(_BL_METRICS * _BL_PPM).select(
+        F.concat(F.lit("m"), F.expr(f"id div {_BL_PPM}").cast("string")).alias("path"),
+        (F.lit(_BL_FROM) + (F.col("id") % _BL_PPM) * 60).alias("time"),
+        (((F.expr(f"id div {_BL_PPM}") * 7 + F.col("id") % _BL_PPM) % 1000) / 10.0).alias(
+            "value"
+        ),
+    )
+    out = resample(pts, f_al, u_al, step, "avg")
+    return out.select("path", "time", F.round("value", 6).alias("val"))
+
+
+def _sql_render_baseline_shape() -> str:
+    step, f_al, u_al = _baseline_step_bounds()
+    return f"""
+WITH pts AS (
+    SELECT 'm' || CAST(m AS VARCHAR) AS path,
+           {_BL_FROM} + 60 * i AS time,
+           CAST((m * 7 + i) % 1000 AS DOUBLE) / 10.0 AS value
+    FROM generate_series(0, {_BL_METRICS - 1}) t1(m)
+    CROSS JOIN generate_series(0, {_BL_PPM - 1}) t2(i)
+)
+SELECT path, time - (time % {step}) AS time, round(avg(value), 6) AS val
+FROM pts
+WHERE time BETWEEN {f_al} AND {u_al}
+GROUP BY 1, 2
+"""
+
+
 def q_autocomplete_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8: tag-KEY autocomplete under a seriesByTag expr filter; the used
     tag ('type') is excluded and __name__ surfaces as 'name'
@@ -518,6 +573,29 @@ FROM hits
 """
 
 
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-style pre-tokens
+    ([A-Za-z]+ | [0-9]+ | single non-alnum) per document."""
+    from graphite_clickhouse_spark.pipeline.text import bpe_ish_token_count, token_count
+    from graphite_clickhouse_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_ws_tokens"),
+        bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
+    )
+
+
+SQL_TOKEN_COUNT = """
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens
+FROM documents
+"""
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: raw + normalized md5."""
     from graphite_clickhouse_spark.pipeline.text import fingerprint
@@ -770,6 +848,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "render_resample_avg": (q_render_resample_avg, SQL_RENDER_RESAMPLE_AVG),
+    "render_baseline_shape": (q_render_baseline_shape, _sql_render_baseline_shape()),
     "render_resample_multi": (q_render_resample_multi, SQL_RENDER_RESAMPLE_MULTI),
     "version_dedup": (q_version_dedup, SQL_VERSION_DEDUP),
     "gapfill_grid": (q_gapfill_grid, SQL_GAPFILL_GRID),
@@ -787,6 +866,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
+    "token_count": (q_token_count, SQL_TOKEN_COUNT),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
     "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
