@@ -112,6 +112,33 @@ GROUP BY 1, 2
 """
 
 
+def q_consolidate_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: consolidateBy('last') -> anyLast rollup: per bucket keep the
+    value of the max (time, version) point (render/data/targets.go:150-172,
+    helper/rollup/aggr.go anyLast)."""
+    from graphite_clickhouse_spark.operators.resample import resample
+
+    pts = _points(spark, sf_dir)
+    out = resample(pts, FROM_TS, UNTIL_TS, 3600, "anyLast")
+    return out.select("path", "time", F.round("value", 6).alias("val"))
+
+
+SQL_CONSOLIDATE_LAST = (
+    POINTS_CTE
+    + """
+SELECT path, bucket AS time, round(value, 6) AS val FROM (
+    SELECT path, time - (time % 3600) AS bucket, value,
+           row_number() OVER (
+               PARTITION BY path, time - (time % 3600)
+               ORDER BY time DESC, version DESC
+           ) AS rn
+    FROM points
+    WHERE time BETWEEN 1704067200 AND 1706659199
+) WHERE rn = 1
+"""
+)
+
+
 def q_version_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6/J4: ReplacingMergeTree semantics — coarse 600 s time collisions,
     keep the max-version row per (path, time)."""
@@ -851,6 +878,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "render_baseline_shape": (q_render_baseline_shape, _sql_render_baseline_shape()),
     "render_resample_multi": (q_render_resample_multi, SQL_RENDER_RESAMPLE_MULTI),
     "version_dedup": (q_version_dedup, SQL_VERSION_DEDUP),
+    "consolidate_last": (q_consolidate_last, SQL_CONSOLIDATE_LAST),
     "gapfill_grid": (q_gapfill_grid, SQL_GAPFILL_GRID),
     "find_glob": (q_find_glob, SQL_FIND_GLOB),
     "index_tree": (q_index_tree, SQL_INDEX_TREE),

@@ -1,0 +1,194 @@
+"""HTTP API surface — the reference's mux re-expressed over the Engine.
+
+Reference endpoints (graphite-clickhouse.go:561-593):
+  /render (render/handler.go), /metrics/find/ (find/handler.go),
+  /tags/autoComplete/{tags,values} (autocomplete/autocomplete.go),
+  /metrics/index.json (index/index.go), /alive + / (healthcheck).
+
+Spark shape: the long-lived driver process owns the SparkSession and this
+server — HTTP parse/encode is driver-side (as the Go process is in the
+reference), executors do the scans/aggregations. A stdlib
+ThreadingHTTPServer is enough: Spark serializes job scheduling anyway and
+the reference's own concurrency limiters throttle to small counts.
+
+format= dispatch mirrors reply/formatter.go:25-51:
+  render: json (debug) | pickle | protobuf (v2) | carbonapi_v3_pb
+  find:   json (the reference's text-ish format) | pickle | protobuf | carbonapi_v3_pb
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+from pyspark.sql import functions as F
+
+from .plans.autocomplete import autocomplete_tags, tag_values_df
+from .render.pipeline import Engine, RenderRequest
+from .render import reply as R
+
+RENDER_CONTENT_TYPES = {
+    "json": "application/json",
+    "pickle": "application/pickle",
+    "protobuf": "application/x-protobuf",
+    "carbonapi_v3_pb": "application/x-protobuf",
+}
+
+
+class GraphiteHandler(BaseHTTPRequestHandler):
+    engine: Engine  # set by make_server
+    max_find_answer: int = 0  # max-metrics-in-find-answer (L2)
+
+    # ---- plumbing -------------------------------------------------------
+
+    def log_message(self, *args):  # quiet
+        pass
+
+    def _send(self, body: bytes, ctype: str = "application/json", status: int = 200):
+        self.send_response(status)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _error(self, status: int, msg: str):
+        self._send(msg.encode(), "text/plain", status)
+
+    # ---- dispatch -------------------------------------------------------
+
+    def do_GET(self):
+        self.do_POST()
+
+    def do_POST(self):
+        url = urlparse(self.path)
+        q = {k: v[0] for k, v in parse_qs(url.query).items()}
+        qlist = parse_qs(url.query)
+        try:
+            if url.path in ("/", "/alive", "/health"):
+                self._send(b"Graphite-clickhouse-spark is alive.\n", "text/plain")
+            elif url.path.rstrip("/") == "/render":
+                self._render(q)
+            elif url.path.startswith("/metrics/find"):
+                self._find(q)
+            elif url.path == "/metrics/index.json":
+                self._index()
+            elif url.path == "/tags/autoComplete/tags":
+                self._tags_autocomplete(q, qlist)
+            elif url.path == "/tags/autoComplete/values":
+                self._values_autocomplete(q, qlist)
+            else:
+                self._error(404, f"not found: {url.path}")
+        except ValueError as exc:
+            self._error(400, str(exc))
+
+    # ---- endpoints ------------------------------------------------------
+
+    def _render(self, q: dict):
+        target = q.get("target", "")
+        from_ts, until_ts = int(float(q["from"])), int(float(q["until"]))
+        mdp = int(q.get("maxDataPoints", 1048576))
+        fmt = q.get("format", "json")
+        if fmt not in RENDER_CONTENT_TYPES:
+            raise ValueError(f"unsupported format: {fmt}")
+        req = RenderRequest(target, from_ts, until_ts, max_data_points=mdp)
+        df = self.engine.render(req)
+        series = R.series_from_render(df, target, from_ts, until_ts)
+        enc = {
+            "json": R.encode_render_json,
+            "pickle": R.encode_pickle,
+            "protobuf": R.encode_v2_pb,
+            "carbonapi_v3_pb": R.encode_v3_pb,
+        }[fmt]
+        self._send(enc(series), RENDER_CONTENT_TYPES[fmt])
+
+    def _find_rows(self, query: str) -> list[tuple[str, bool]]:
+        """Resolve a find query incl. tree (non-leaf) nodes, leaf semantics
+        by trailing '.' as in finder/finder.go:115-122."""
+        idx = self.engine.path_index
+        if idx is None:
+            df = self.engine.find_paths(query)
+            return [(r.path, True) for r in df.collect()]
+        from .plans.glob import glob_predicate, validate_glob
+
+        g = validate_glob(query, self.engine.wildcard_min_distance)
+        # exact-depth pruning (P6, finder/index.go:69-78): glob predicates
+        # may degrade to a bare prefix LIKE (e.g. trailing *); the Level
+        # conjunct restores exactness, as in the reference
+        level = len(g.split("."))
+        # match BOTH leaf paths and '.'-suffixed tree nodes at this depth
+        pred_leaf = glob_predicate(F.col("path"), g)
+        pred_node = glob_predicate(F.col("path"), g + ".")
+        pred = (
+            pred_leaf
+            if pred_node is None
+            else (pred_node if pred_leaf is None else (pred_leaf | pred_node))
+        )
+        df = idx.filter(F.col("level") == level)
+        df = df if pred is None else df.filter(pred)
+        rows = df.select("path", "is_leaf").distinct().orderBy("path").collect()
+        return [(r.path.rstrip("."), bool(r.is_leaf)) for r in rows]
+
+    def _find(self, q: dict):
+        query = q.get("query", "")
+        fmt = q.get("format", "json")
+        rows = self._find_rows(query)
+        limit = self.max_find_answer
+        if fmt == "json":
+            self._send(R.find_json(rows, limit), "application/json")
+        elif fmt == "pickle":
+            self._send(R.find_pickle(rows, limit), "application/pickle")
+        elif fmt == "protobuf":
+            self._send(R.find_v2_pb(query, rows, limit), "application/x-protobuf")
+        elif fmt == "carbonapi_v3_pb":
+            self._send(R.find_v3_pb(query, rows, limit), "application/x-protobuf")
+        else:
+            raise ValueError(f"unsupported format: {fmt}")
+
+    def _index(self):
+        src = self.engine.path_index
+        if src is not None:
+            paths = [r.path for r in src.filter(F.col("is_leaf")).select("path").collect()]
+        else:
+            paths = [r.path for r in self.engine.points.select("path").distinct().collect()]
+        self._send(R.index_json(paths), "application/json")
+
+    def _tags_autocomplete(self, q: dict, qlist: dict):
+        if self.engine.tagged_points is None:
+            raise ValueError("no tagged table configured")
+        exprs = qlist.get("expr", [])
+        limit = int(q.get("limit", 10000))
+        tags = autocomplete_tags(
+            self.engine.tagged_points, exprs or None, q.get("tagPrefix", ""), limit
+        )
+        self._send(json.dumps(tags).encode(), "application/json")
+
+    def _values_autocomplete(self, q: dict, qlist: dict):
+        if self.engine.tagged_points is None:
+            raise ValueError("no tagged table configured")
+        tag = q.get("tag", "")
+        if not tag:
+            raise ValueError("tag parameter required")
+        exprs = qlist.get("expr", [])
+        limit = int(q.get("limit", 10000))
+        df = tag_values_df(
+            self.engine.tagged_points, tag, exprs or None, q.get("valuePrefix", ""), limit
+        )
+        vals = [r.value for r in df.collect()]
+        self._send(json.dumps(vals).encode(), "application/json")
+
+
+def make_server(engine: Engine, host: str = "127.0.0.1", port: int = 0) -> ThreadingHTTPServer:
+    """Bind (port=0 -> ephemeral). Caller runs serve_forever (or use
+    serve_background)."""
+    handler = type("BoundHandler", (GraphiteHandler,), {"engine": engine})
+    return ThreadingHTTPServer((host, port), handler)
+
+
+def serve_background(engine: Engine, host: str = "127.0.0.1", port: int = 0):
+    """Start in a daemon thread; returns (server, base_url)."""
+    srv = make_server(engine, host, port)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    return srv, f"http://{srv.server_address[0]}:{srv.server_address[1]}"

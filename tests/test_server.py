@@ -1,0 +1,117 @@
+"""HTTP surface tests: /render (all formats), /metrics/find, autocomplete,
+index.json — the e2e shape of the reference's test corpus (SURVEY §5)."""
+
+import json
+import pickle
+import struct
+import urllib.parse
+import urllib.request
+
+import pytest
+
+from graphite_clickhouse_spark.render.pipeline import Engine
+from graphite_clickhouse_spark.server import serve_background
+from graphite_clickhouse_spark.sources.tables import (
+    build_path_index,
+    points_from_events,
+    tagged_points_from_events,
+)
+
+SF = "/root/testdata/sf0.001"
+FROM_TS = 1704067200
+UNTIL_TS = 1706659199
+
+
+@pytest.fixture(scope="module")
+def base_url(spark):
+    points = points_from_events(spark, SF)
+    engine = Engine(
+        spark=spark,
+        points=points,
+        path_index=build_path_index(points.select("path")),
+        tagged_points=tagged_points_from_events(spark, SF),
+    )
+    srv, url = serve_background(engine)
+    yield url
+    srv.shutdown()
+
+
+def get(url: str) -> bytes:
+    with urllib.request.urlopen(url, timeout=120) as resp:
+        assert resp.status == 200
+        return resp.read()
+
+
+class TestRender:
+    def test_json(self, base_url):
+        body = get(
+            f"{base_url}/render?target=ev.purchase.u1&from={FROM_TS}&until={UNTIL_TS}"
+            f"&maxDataPoints=24&format=json"
+        )
+        got = json.loads(body)
+        assert got["metrics"][0]["name"] == "ev.purchase.u1"
+        assert got["metrics"][0]["pathExpression"] == "ev.purchase.u1"
+        assert len(got["metrics"][0]["values"]) > 0
+
+    def test_pickle(self, base_url):
+        body = get(
+            f"{base_url}/render?target=ev.purchase.*&from={FROM_TS}&until={UNTIL_TS}"
+            f"&maxDataPoints=24&format=pickle"
+        )
+        series = pickle.loads(body)
+        names = {s["name"] for s in series}
+        assert "ev.purchase.u1" in names and len(series) == 10
+
+    def test_protobuf_v2(self, base_url):
+        body = get(
+            f"{base_url}/render?target=ev.purchase.u1&from={FROM_TS}&until={UNTIL_TS}"
+            f"&maxDataPoints=24&format=protobuf"
+        )
+        assert body[:1] == b"\x0a"  # field 1, wire type 2 (FetchResponse)
+
+    def test_bad_format_400(self, base_url):
+        req = urllib.request.Request(
+            f"{base_url}/render?target=x&from=0&until=1&format=nope"
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=60)
+        assert ei.value.code == 400
+
+
+class TestFind:
+    def test_json_leaf_and_node(self, base_url):
+        body = get(f"{base_url}/metrics/find/?query=ev.purchase.*&format=json")
+        text = body.decode()
+        assert '{path="ev.purchase.u1",leaf=1}' in text
+        body2 = get(f"{base_url}/metrics/find/?query=ev.*&format=json")
+        assert ',leaf=1}' not in body2.decode()  # tree nodes only
+        assert '{path="ev.purchase"}' in body2.decode()
+
+    def test_pickle(self, base_url):
+        body = get(f"{base_url}/metrics/find/?query=ev.purchase.u1&format=pickle")
+        got = pickle.loads(body)
+        assert got == [{"metric_path": "ev.purchase.u1", "isLeaf": True}]
+
+
+class TestTags:
+    def test_autocomplete_tags(self, base_url):
+        body = get(f"{base_url}/tags/autoComplete/tags?expr=type%3Dpurchase")
+        assert json.loads(body) == ["name", "user"]
+
+    def test_autocomplete_values(self, base_url):
+        body = get(f"{base_url}/tags/autoComplete/values?tag=user&valuePrefix=u1")
+        assert json.loads(body) == ["u1"]
+
+
+class TestIndexAndHealth:
+    def test_index_json(self, base_url):
+        got = json.loads(get(f"{base_url}/metrics/index.json"))
+        assert "ev.purchase.u1" in got and got == sorted(got)
+
+    def test_alive(self, base_url):
+        assert b"alive" in get(f"{base_url}/alive")
+
+    def test_404(self, base_url):
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(f"{base_url}/nope", timeout=60)
+        assert ei.value.code == 404
