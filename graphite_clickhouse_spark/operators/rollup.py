@@ -91,6 +91,7 @@ class Rules:
                 raise ValueError("no <graphite_rollup> element")
             root = found
         patterns: list[Pattern] = []
+        default: Pattern | None = None
         for el in list(root):
             if el.tag not in ("pattern", "default"):
                 continue
@@ -108,14 +109,21 @@ class Rules:
             if rule_type == RULE_TAG_LIST:
                 regexp = _tag_list_to_regexp(regexp)
                 rule_type = RULE_TAGGED
-            patterns.append(
-                Pattern(
-                    regexp=regexp,
-                    function=(el.findtext("function") or None),
-                    retention=retention,
-                    rule_type=rule_type,
-                )
+            pat = Pattern(
+                regexp=regexp,
+                function=(el.findtext("function") or None),
+                retention=retention,
+                rule_type=rule_type,
             )
+            if el.tag == "default":
+                # <default> is the FALLBACK: appended after every pattern
+                # regardless of its position in the document
+                # (helper/rollup/xml.go:99-106)
+                default = pat
+            else:
+                patterns.append(pat)
+        if default is not None:
+            patterns.append(default)
         return cls(patterns)
 
     @classmethod

@@ -89,3 +89,21 @@ def test_lookup_many_groups():
     # consolidateBy override rewrites the function
     groups = rules.lookup_many(["a.min"], 0, {"a.min": "anyLast"})
     assert groups == {(10, "anyLast"): ["a.min"]}
+
+
+class TestDefaultFirstOrdering:
+    def test_default_element_applies_last_regardless_of_position(self):
+        # ClickHouse rollup XML commonly puts <default> FIRST; it must
+        # still be the fallback (helper/rollup/xml.go:99-106)
+        xml = """
+<yandex><graphite_rollup>
+  <default>
+    <function>avg</function>
+    <retention><age>0</age><precision>10</precision></retention>
+  </default>
+  <pattern><regexp>\\.sum$</regexp><function>sum</function></pattern>
+</graphite_rollup></yandex>
+"""
+        r = Rules.from_xml(xml)
+        assert r.lookup("a.b.sum", 0) == (10, "sum")
+        assert r.lookup("a.b.other", 0) == (10, "avg")
