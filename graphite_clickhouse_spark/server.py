@@ -86,8 +86,19 @@ class GraphiteHandler(BaseHTTPRequestHandler):
     # ---- endpoints ------------------------------------------------------
 
     def _render(self, q: dict):
+        import time as _time
+
+        from .functions.datetime_spec import date_param_to_epoch
+
         target = q.get("target", "")
-        from_ts, until_ts = int(float(q["from"])), int(float(q["until"]))
+        now = int(_time.time())
+        # graphite time specs (-1d, now, midnight+60s, epoch ints, ...)
+        from_ts = date_param_to_epoch(q.get("from", ""), now)
+        until_ts = date_param_to_epoch(q.get("until", ""), now)
+        if until_ts == 0 and q.get("until", "") == "":
+            until_ts = now
+        if from_ts == 0 and q.get("from", "") == "":
+            from_ts = until_ts - 86400
         mdp = int(q.get("maxDataPoints", 1048576))
         fmt = q.get("format", "json")
         if fmt not in RENDER_CONTENT_TYPES:

@@ -35,16 +35,28 @@ POINT_SCHEMA = "path string, value double, time long, date date, version long"
 
 
 def _normalize_tagged(col_name: str) -> F.Column:
-    """`name?b=2&a=1` -> `name?a=1&b=2` — tags sorted as in the reference's
-    ingest path (finder/tagged.go:551-596 decodes assuming sorted tags).
-    Pure JVM expressions: split / array_sort / array_join."""
+    """Carbon tagged names -> canonical stored form.
+
+    The carbon plaintext protocol spells tags `name;tag1=v1;tag2=v2`;
+    carbon-clickhouse canonicalizes to `name?tag1=v1&tag2=v2` with SORTED
+    tags (finder/tagged.go:551-596 decodes assuming that form). Accepts
+    either spelling. Pure JVM expressions: translate / split / array_sort /
+    array_join."""
+    # `;` form -> `?`+`&` form first (first ';' becomes '?', rest '&')
+    c = f"""
+        CASE WHEN instr({col_name}, ';') > 0 AND instr({col_name}, '?') = 0
+             THEN concat(substring_index({col_name}, ';', 1), '?',
+                         replace(substring({col_name},
+                             length(substring_index({col_name}, ';', 1)) + 2), ';', '&'))
+             ELSE {col_name} END
+    """
     return F.expr(
         f"""
-        CASE WHEN instr({col_name}, '?') = 0 THEN {col_name}
+        CASE WHEN instr({c}, '?') = 0 THEN {c}
         ELSE concat(
-            substring_index({col_name}, '?', 1), '?',
-            array_join(array_sort(split(substring({col_name},
-                length(substring_index({col_name}, '?', 1)) + 2), '&')), '&'))
+            substring_index({c}, '?', 1), '?',
+            array_join(array_sort(split(substring({c},
+                length(substring_index({c}, '?', 1)) + 2), '&')), '&'))
         END
         """
     )
