@@ -1,0 +1,112 @@
+"""Scale-property regression tests: assert the PHYSICAL PLANS keep the
+shapes that survive a 100x scale-up — filter pushdown to the parquet scan,
+partition pruning on date, broadcast semi-join for path resolution,
+map-side partial aggregation — plus the salted-aggregation operator.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphite_clickhouse_spark.operators.skew import salted_agg, salted_distinct
+from graphite_clickhouse_spark.streaming.ingest import IngestJob, parse_carbon_lines
+
+
+@pytest.fixture(scope="module")
+def points_dir(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("scale")
+    lines = [
+        f"m.p{i % 5} {float(i)} {60 + 86400 * (i % 3) + 60 * i}" for i in range(200)
+    ]
+    job = IngestJob(str(tmp / "out"), version=1)
+    job.write_batch(
+        parse_carbon_lines(
+            spark.createDataFrame([(l,) for l in lines], "value string"), version=1
+        )
+    )
+    return job
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+class TestPlanShapes:
+    def test_time_filter_pushed_to_scan(self, spark, points_dir):
+        df = points_dir.read_points(spark).filter(
+            (F.col("time") >= 86400) & (F.col("time") <= 200000)
+        )
+        plan = plan_of(df)
+        assert "PushedFilters: [" in plan
+        assert "GreaterThanOrEqual(time,86400)" in plan
+
+    def test_date_partition_pruning(self, spark, points_dir):
+        df = points_dir.read_points(spark).filter(F.col("date") == "1970-01-02")
+        plan = plan_of(df)
+        # partition filters prune files; data filters would list `date` in
+        # PushedFilters instead
+        assert "PartitionFilters" in plan and "1970-01-02" in plan
+
+    def test_path_semi_join_broadcasts(self, spark, points_dir):
+        pts = points_dir.read_points(spark)
+        paths = spark.createDataFrame([("m.p1",), ("m.p2",)], "path string")
+        joined = pts.join(F.broadcast(paths), "path", "left_semi")
+        plan = plan_of(joined)
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_resample_has_partial_aggregation(self, spark, points_dir):
+        from graphite_clickhouse_spark.operators.resample import resample
+
+        out = resample(points_dir.read_points(spark), 0, 10**9, 600, "avg")
+        plan = plan_of(out)
+        assert "partial_avg" in plan  # map-side combine before the shuffle
+        assert plan.count("Exchange") <= 2  # one agg shuffle (+AQE read)
+
+    def test_column_pruning_reads_only_needed(self, spark, points_dir):
+        df = points_dir.read_points(spark).select("path").distinct()
+        plan = plan_of(df)
+        assert "ReadSchema: struct<path:string>" in plan
+
+
+class TestSaltedAgg:
+    def test_matches_plain_agg(self, spark):
+        df = spark.range(10000).select(
+            (F.col("id") % 7).alias("k"), (F.col("id") % 100).cast("double").alias("v")
+        )
+        got = {
+            r.k: (r.total, r.n, r.avg_v, r.lo, r.hi)
+            for r in salted_agg(
+                df,
+                ["k"],
+                {
+                    "total": ("sum", "v"),
+                    "n": ("count", "v"),
+                    "avg_v": ("avg", "v"),
+                    "lo": ("min", "v"),
+                    "hi": ("max", "v"),
+                },
+            ).collect()
+        }
+        want = {
+            r.k: (r.total, r.n, r.avg_v, r.lo, r.hi)
+            for r in df.groupBy("k")
+            .agg(
+                F.sum("v").alias("total"),
+                F.count("v").alias("n"),
+                F.avg("v").alias("avg_v"),
+                F.min("v").alias("lo"),
+                F.max("v").alias("hi"),
+            )
+            .collect()
+        }
+        assert got == want
+
+    def test_salted_distinct(self, spark):
+        df = spark.range(1000).select((F.col("id") % 13).alias("k"))
+        got = sorted(r.k for r in salted_distinct(df, ["k"]).collect())
+        assert got == list(range(13))
+
+    def test_rejects_non_decomposable(self, spark):
+        df = spark.range(10).select(F.col("id").alias("k"), F.col("id").alias("v"))
+        with pytest.raises(ValueError):
+            salted_agg(df, ["k"], {"m": ("median", "v")})
