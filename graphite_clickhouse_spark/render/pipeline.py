@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from ..functions.timemath import align_from_until, common_step
 from ..operators.dedup import dedup_versions
 from ..operators.gapfill import gap_fill_arrays
-from ..operators.resample import AGG_FUNCTIONS, CONSOLIDATE_TO_AGG, resample
+from ..operators.resample import AGG_FUNCTIONS, CONSOLIDATE_TO_AGG, resample_grouped
 from ..operators.rollup import Rules
 from ..plans.glob import glob_predicate, validate_glob
 from ..plans.tagged import parse_series_by_tag, tagged_predicate
@@ -122,24 +122,29 @@ class Engine:
             else self.points
         )
 
-        out: DataFrame | None = None
-        for (_precision, function), group_paths in groups.items():
-            if function not in AGG_FUNCTIONS:
-                function = "avg"
-            pts = source.filter(F.col("path").isin(group_paths))
-            deduped = dedup_versions(
-                pts.filter(F.col("time").between(from_al, until_al))
-            )
-            agged = resample(deduped, from_al, until_al, step, function)
-            series = gap_fill_arrays(
-                agged,
-                from_al,
-                until_al,
-                step,
-                paths=self.spark.createDataFrame([(p,) for p in group_paths], "path string"),
-            ).withColumn("function", F.lit(function))
-            out = series if out is None else out.unionByName(series)
-        return out.orderBy("path")
+        # Single-pass plan: every function group shares the common step, so
+        # instead of one scan per (precision, function) group (the
+        # reference fans out one ClickHouse query per group,
+        # render/data/query.go:179-221) we broadcast-join the per-path
+        # function map and aggregate ALL groups in one scan + one shuffle
+        # (operators/resample.py::resample_grouped).
+        path_fn = [
+            (p, fn if fn in AGG_FUNCTIONS else "avg")
+            for (_precision, fn), group_paths in groups.items()
+            for p in group_paths
+        ]
+        pf = self.spark.createDataFrame(path_fn, "path string, agg_function string")
+        pts = source.filter(F.col("path").isin(paths))
+        deduped = dedup_versions(pts.filter(F.col("time").between(from_al, until_al)))
+        agged = resample_grouped(deduped, from_al, until_al, step, pf)
+        series = gap_fill_arrays(
+            agged.drop("agg_function"), from_al, until_al, step, paths=pf.select("path")
+        )
+        return (
+            series.join(F.broadcast(pf), "path")
+            .withColumnRenamed("agg_function", "function")
+            .orderBy("path")
+        )
 
     def _empty_series_df(self) -> DataFrame:
         return self.spark.createDataFrame(
