@@ -146,6 +146,20 @@ class Engine:
             .orderBy("path")
         )
 
+    def render_multi(self, reqs: list[RenderRequest]) -> DataFrame:
+        """SO1: multi-target / multi-timeframe union — each target renders
+        independently (as the reference fans out one fetch per target,
+        render/data/multi_target.go:227-238) and results concatenate; the
+        target expression is carried so alias fan-out (J2) can re-attach.
+        """
+        out: DataFrame | None = None
+        for req in reqs:
+            series = self.render(req).withColumn("target", F.lit(req.target))
+            out = series if out is None else out.unionByName(series)
+        return out if out is not None else self._empty_series_df().withColumn(
+            "target", F.lit("")
+        )
+
     def _empty_series_df(self) -> DataFrame:
         return self.spark.createDataFrame(
             [],

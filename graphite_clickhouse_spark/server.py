@@ -90,6 +90,29 @@ class GraphiteHandler(BaseHTTPRequestHandler):
 
         from .functions.datetime_spec import date_param_to_epoch
 
+        # POST body with a carbonapi_v3_pb MultiFetchRequest (the carbonapi
+        # request path, render/reply/v3_pb.go:25-62)
+        clen = int(self.headers.get("Content-Length") or 0)
+        if clen and q.get("format") == "carbonapi_v3_pb":
+            from .render.request import parse_multi_fetch_request
+
+            body = self.rfile.read(clen)
+            series = []
+            for fr in parse_multi_fetch_request(body):
+                req = RenderRequest(
+                    fr.target,
+                    fr.start_time,
+                    fr.stop_time,
+                    max_data_points=fr.max_data_points or 1048576,
+                    consolidate_by=fr.consolidate_by,
+                )
+                df = self.engine.render(req)
+                series.extend(
+                    R.series_from_render(df, fr.target, fr.start_time, fr.stop_time)
+                )
+            self._send(R.encode_v3_pb(series), "application/x-protobuf")
+            return
+
         target = q.get("target", "")
         now = int(_time.time())
         # graphite time specs (-1d, now, midnight+60s, epoch ints, ...)

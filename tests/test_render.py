@@ -132,3 +132,22 @@ def test_render_consolidate_by(engine):
                         consolidate_by="max")
     rows = engine.render(req).collect()
     assert rows[0].values == [1.0, 2.0]  # max of {0,1}, max of {2}
+
+
+class TestRenderMulti:
+    def test_multi_target_union(self, spark):
+        from graphite_clickhouse_spark.render.pipeline import Engine, RenderRequest
+        from graphite_clickhouse_spark.sources.tables import points_from_events
+
+        points = points_from_events(spark, "/root/testdata/sf0.001")
+        eng = Engine(spark=spark, points=points)
+        reqs = [
+            RenderRequest("ev.purchase.u1", 1704067200, 1704153600, max_data_points=24),
+            RenderRequest("ev.click.u2", 1704067200, 1704153600, max_data_points=24),
+        ]
+        rows = eng.render_multi(reqs).collect()
+        got = {(r.path, r.target) for r in rows}
+        assert got == {
+            ("ev.purchase.u1", "ev.purchase.u1"),
+            ("ev.click.u2", "ev.click.u2"),
+        }

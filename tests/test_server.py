@@ -115,3 +115,39 @@ class TestIndexAndHealth:
         with pytest.raises(urllib.error.HTTPError) as ei:
             urllib.request.urlopen(f"{base_url}/nope", timeout=60)
         assert ei.value.code == 404
+
+
+class TestRenderV3PbPost:
+    def test_multifetchrequest_body(self, base_url):
+        # hand-encode a MultiFetchRequest (field layout per the public
+        # carbonapi_v3_pb schema) and POST it
+        def varint(v):
+            out = bytearray()
+            while True:
+                b = v & 0x7F
+                v >>= 7
+                out.append(b | (0x80 if v else 0))
+                if not v:
+                    return bytes(out)
+
+        def ld(f, p):
+            return varint((f << 3) | 2) + varint(len(p)) + p
+
+        def vi(f, v):
+            return varint(f << 3) + varint(v)
+
+        fr = (
+            ld(1, b"ev.purchase.u1")
+            + vi(2, FROM_TS)
+            + vi(3, UNTIL_TS)
+            + ld(5, b"ev.purchase.u1")
+            + vi(6, 24)
+        )
+        body = ld(1, fr)
+        req = urllib.request.Request(
+            f"{base_url}/render?format=carbonapi_v3_pb", data=body, method="POST"
+        )
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            out = resp.read()
+        assert len(out) > 50 and out[:1] == b"\x0a"
+        assert b"ev.purchase.u1" in out
