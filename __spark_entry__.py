@@ -765,6 +765,60 @@ SELECT vec_id, cid AS centroid_id FROM (
 """
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe top-k: rank only vectors in the 2 nearest cells per query
+    — the partition-pruned ANN read path (cells from q_ivf_assign)."""
+    from graphite_clickhouse_spark.pipeline.similarity import ivf_assign, ivf_topk
+    from graphite_clickhouse_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid")
+    )
+    assigned = ivf_assign(emb, cents)
+    queries = emb.filter(F.col("vec_id") < 3)
+    out = ivf_topk(assigned, queries, cents, k=5, n_probe=2)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+SQL_IVF_TOPK = """
+WITH c AS (
+    SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+    FROM embeddings WHERE vec_id < 8
+), e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+), assign AS (
+    SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid, row_number() OVER (
+            PARTITION BY e.vec_id
+            ORDER BY list_cosine_similarity(e.emb, c.cvec) DESC, c.cid) AS rn
+        FROM e CROSS JOIN c
+    ) WHERE rn = 1
+), probes AS (
+    SELECT query_id, cid FROM (
+        SELECT q.vec_id AS query_id, c.cid, row_number() OVER (
+            PARTITION BY q.vec_id
+            ORDER BY list_cosine_similarity(q.emb, c.cvec) DESC, c.cid) AS prn
+        FROM e q CROSS JOIN c WHERE q.vec_id < 3
+    ) WHERE prn <= 2
+)
+SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank FROM (
+    SELECT p.query_id, a.vec_id AS neighbor_id,
+           list_cosine_similarity(qe.emb, ne.emb) AS cosine,
+           row_number() OVER (
+               PARTITION BY p.query_id
+               ORDER BY list_cosine_similarity(qe.emb, ne.emb) DESC, a.vec_id) AS rank
+    FROM probes p
+    JOIN assign a ON a.cid = p.cid
+    JOIN e qe ON qe.vec_id = p.query_id
+    JOIN e ne ON ne.vec_id = a.vec_id
+    WHERE a.vec_id <> p.query_id
+) WHERE rank <= 5
+"""
+
+
 def _lsh_planes_sql() -> str:
     """Embed the deterministic hyperplanes as SQL literals so DuckDB
     computes the identical bucket assignment."""
@@ -899,6 +953,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
     "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
     "ivf_assign": (q_ivf_assign, SQL_IVF_ASSIGN),
+    "ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
     "minhash_dedup": (q_minhash_dedup, None),
     "simhash_pairs": (q_simhash_pairs, None),

@@ -139,6 +139,53 @@ def lsh_ann_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def ivf_topk(
+    corpus_assigned: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    n_probe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "centroid_id",
+    centroid_vec: str = "centroid",
+) -> DataFrame:
+    """IVF probe: rank only vectors in each query's `n_probe` nearest
+    cells — the ANN scale path (corpus pre-partitioned by ivf_assign;
+    on disk, partitioning by centroid_id means a probe reads only those
+    partitions).
+
+    -> (query_id, neighbor_id, cosine, rank). Approximate: recall grows
+    with n_probe."""
+    c = centroids.select(
+        F.col(centroid_id).alias("cid"), F.col(centroid_vec).alias("cvec")
+    )
+    # nearest n_probe cells per query (tiny: queries x centroids)
+    qw = Window.partitionBy("query_id").orderBy(F.col("csim").desc(), F.col("cid"))
+    probes = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+        .crossJoin(F.broadcast(c))
+        .select("query_id", "q_vec", "cid", cosine(F.col("q_vec"), F.col("cvec")).alias("csim"))
+        .withColumn("prn", F.row_number().over(qw))
+        .filter(F.col("prn") <= n_probe)
+        .select("query_id", "q_vec", "cid")
+    )
+    corpus = corpus_assigned.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col(centroid_id).alias("cid"),
+    )
+    scored = (
+        corpus.join(F.broadcast(probes), "cid")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: DataFrame,

@@ -157,6 +157,38 @@ class IngestJob:
             writer = writer.trigger(availableNow=True)
         return writer.start()
 
+    # -- maintenance ------------------------------------------------------
+
+    def compact(self, spark: SparkSession, target_files_per_date: int = 1) -> None:
+        """The ReplacingMergeTree background merge, run explicitly: fold
+        duplicate (path, time) rows to their max-version winner and
+        coalesce the many small files streaming appends leave behind.
+
+        The reference leans on ClickHouse doing this continuously (and
+        still dedups client-side because merges lag — helper/point/
+        func.go:28-51); here it is a scheduled batch job. Dedup-on-read
+        stays correct before/after, compaction just makes reads cheaper.
+        Writes to a temp dir then swaps, so concurrent readers never see a
+        half-written table.
+        """
+        from ..operators.dedup import dedup_versions_all_columns
+
+        tmp = self.points_dir + ".compacting"
+        deduped = dedup_versions_all_columns(self.read_points(spark))
+        (
+            deduped.repartition(target_files_per_date, "date")
+            .sortWithinPartitions("path", "time")
+            .write.mode("overwrite")
+            .partitionBy("date")
+            .parquet(tmp)
+        )
+        import shutil
+
+        old = self.points_dir + ".old"
+        shutil.move(self.points_dir, old)
+        shutil.move(tmp, self.points_dir)
+        shutil.rmtree(old)
+
     # -- read side --------------------------------------------------------
 
     def read_points(self, spark: SparkSession) -> DataFrame:

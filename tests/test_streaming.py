@@ -96,3 +96,29 @@ class TestIngestJob:
 
         parts = {d for d in os.listdir(job.points_dir) if d.startswith("date=")}
         assert parts == {"date=1970-01-01", "date=1970-01-03"}
+
+
+class TestCompaction:
+    def test_compact_dedups_and_preserves_reads(self, spark, tmp_path):
+        import os
+
+        base = str(tmp_path / "out")
+        job1 = IngestJob(base, version=1)
+        job1.write_batch(
+            parse_carbon_lines(lines_df(spark, ["m.x 1.0 60", "m.y 5.0 60"]), version=1)
+        )
+        job2 = IngestJob(base, version=2)
+        job2.write_batch(parse_carbon_lines(lines_df(spark, ["m.x 9.0 60"]), version=2))
+
+        assert job2.read_points(spark).count() == 3  # pre-compaction: dup m.x
+        job2.compact(spark)
+        rows = {(r.path, r.time): (r.value, r.version) for r in job2.read_points(spark).collect()}
+        assert rows == {("m.x", 60): (9.0, 2), ("m.y", 60): (5.0, 1)}  # merged
+
+        # still date-partitioned and smaller file count
+        parts = [d for d in os.listdir(job2.points_dir) if d.startswith("date=")]
+        assert parts == ["date=1970-01-01"]
+
+        # dedup-on-read unchanged (idempotent against compaction)
+        got = {(r.path, r.time): r.value for r in dedup_versions(job2.read_points(spark)).collect()}
+        assert got == {("m.x", 60): 9.0, ("m.y", 60): 5.0}
