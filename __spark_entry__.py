@@ -765,6 +765,26 @@ SELECT vec_id, cid AS centroid_id FROM (
 """
 
 
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact all-pairs at oracle scale;
+    the LSH-bucketed variant is the 100 TB path, same function)."""
+    from graphite_clickhouse_spark.pipeline.similarity import embedding_neardup_pairs
+    from graphite_clickhouse_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = embedding_neardup_pairs(emb, threshold=0.45)
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+SQL_EMBEDDING_NEARDUP = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.emb, b.emb), 6) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.emb, b.emb) >= 0.45
+"""
+
+
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF probe top-k: rank only vectors in the 2 nearest cells per query
     — the partition-pruned ANN read path (cells from q_ivf_assign)."""
@@ -954,6 +974,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
     "ivf_assign": (q_ivf_assign, SQL_IVF_ASSIGN),
     "ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
+    "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
     "minhash_dedup": (q_minhash_dedup, None),
     "simhash_pairs": (q_simhash_pairs, None),

@@ -139,6 +139,37 @@ def lsh_ann_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def embedding_neardup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    num_planes: int = 0,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine) with
+    id_a < id_b and cosine >= threshold.
+
+    num_planes=0 -> EXACT all-pairs (self-join; quadratic — the oracle
+    shape, fine to ~10^4 vectors). num_planes>0 -> LSH-bucketed: only
+    pairs sharing a hyperplane sign-sketch bucket are scored (the scale
+    path; recall < 1, rises as planes shrink)."""
+    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    if num_planes > 0:
+        planes = deterministic_planes(num_planes, dim, seed)
+        a = a.withColumn("bucket", hyperplane_sketch(F.col("va"), planes))
+        b = b.withColumn("bucket", hyperplane_sketch(F.col("vb"), planes))
+        pairs = a.join(b, ["bucket"]).filter(F.col("id_a") < F.col("id_b"))
+    else:
+        pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def ivf_topk(
     corpus_assigned: DataFrame,
     queries: DataFrame,
