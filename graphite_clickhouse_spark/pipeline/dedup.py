@@ -134,9 +134,19 @@ def ngram_jaccard_pairs(
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     """
-    sh = tokens_projection(df, text_col, id_col).select(
-        "id", F.explode(ngram_hashes(n)).alias("shingle")
+    # per-doc sorted shingle-hash arrays, computed ONCE and cached: the
+    # frequency pass and the ordering pass below both read this cache
+    # instead of re-running the tokenize+gram-hash expression per branch
+    # (at cluster scale: persist as a table instead)
+    base = (
+        tokens_projection(df, text_col, id_col)
+        .filter(F.size("toks") >= n)  # token-count filter: pushable, and
+        # does NOT re-evaluate the shingle expression as a scan filter
+        .select("id", ngram_hashes(n).alias("sh"))
+        .cache()
     )
+    base.count()
+    sh = base.select("id", F.explode("sh").alias("shingle"))
     # global document frequency — drives the rarest-first prefix ordering
     freq = sh.groupBy("shingle").agg(F.count("*").alias("df_"))
     # per-doc shingle array sorted by (df, shingle): one shuffle on id
@@ -160,7 +170,6 @@ def ngram_jaccard_pairs(
         F.slice("by_freq", 1, prefix_len).alias("prefix"),
     )
     # referenced by both join sides + verification: materialize once
-    # (at cluster scale: persist as a table instead)
     sets = sets.cache()
     sets.count()
 
