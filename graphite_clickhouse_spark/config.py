@@ -1,0 +1,213 @@
+"""TOML config loader — accepts the reference's graphite-clickhouse.conf
+format (doc/config.md:233-521, config/config.go) so an existing deployment
+can bring its config file unchanged.
+
+Only the query-semantic knobs are honoured; infra-only sections (listen
+addresses, TLS, service discovery, logging, ClickHouse URLs) are parsed
+and recorded in ``Settings.ignored`` but have no Spark equivalent — Spark
+IS the execution engine, there is no database to dial.
+
+Mapping (reference key -> here):
+- [common] max-metrics-in-find-answer / max-metrics-per-target -> find
+  encoder limit / Engine.max_metrics_per_target (L2/L3)
+- [common] target-blacklist -> plans.guards.Blacklist (P12)
+- [common.find-cache] -> plans.findcache.CacheConfig (SO3); type "null"
+  or all-zero timeouts disable it
+- [feature-flags] -> plans.tagged.FeatureFlags (P9/P10 semantics)
+- [clickhouse] extra-prefix -> plans.guards.PrefixFinder (P13)
+- [clickhouse] wildcard-min-distance / tags-min-in-query -> find guards
+- [clickhouse] max-data-points -> RenderRequest default (L4)
+- [clickhouse] render/find/tags *-concurrent-queries / *-max-queries ->
+  plans.limiter.ClassLimiters (the reference's limiter/ package)
+- [clickhouse] rollup-conf path / "none" (+ rollup-default-precision,
+  rollup-default-function), or per-[[data-table]] rollup-conf ->
+  operators.rollup.Rules ("auto" has no remote server here; it falls back
+  to the defaults, as the reference does before the first fetch)
+- [clickhouse] data-timeout / index-timeout -> per-class limiter queue
+  timeouts (closest Spark-side analogue of query deadlines)
+"""
+
+from __future__ import annotations
+
+import re
+import tomllib
+from dataclasses import dataclass, field
+from typing import Any
+
+from .operators.rollup import Rules
+from .plans.findcache import CacheConfig
+from .plans.guards import Blacklist, PrefixFinder
+from .plans.limiter import ClassLimiters
+from .plans.tagged import FeatureFlags
+
+_DURATION_RE = re.compile(r"(\d+(?:\.\d+)?)(ns|us|µs|ms|s|m|h|d)")
+_UNIT_SEC = {"ns": 1e-9, "us": 1e-6, "µs": 1e-6, "ms": 1e-3, "s": 1, "m": 60, "h": 3600, "d": 86400}
+
+
+def parse_go_duration(s: str | int | float) -> float:
+    """Go duration string ("1m0s", "100ms") -> seconds. Bare numbers pass
+    through (the reference accepts integer seconds in a few places)."""
+    if isinstance(s, (int, float)):
+        return float(s)
+    s = s.strip()
+    if not s or s == "0":
+        return 0.0
+    total, matched = 0.0, 0
+    for m in _DURATION_RE.finditer(s):
+        total += float(m.group(1)) * _UNIT_SEC[m.group(2)]
+        matched += len(m.group(0))
+    if matched != len(s.replace("-", "", 1)):
+        raise ValueError(f"bad duration: {s!r}")
+    return -total if s.startswith("-") else total
+
+
+@dataclass
+class Settings:
+    """Parsed, engine-ready view of a graphite-clickhouse.conf."""
+
+    max_metrics_in_find_answer: int = 0  # 0 = unlimited
+    max_metrics_per_target: int = 15000
+    append_empty_series: bool = False
+    blacklist: Blacklist | None = None
+    find_cache: CacheConfig | None = None
+    flags: FeatureFlags = field(default_factory=FeatureFlags)
+    prefix: PrefixFinder | None = None
+    wildcard_min_distance: int = 0
+    tags_min_in_query: int = 0
+    tagged_autocomplete_days: int = 7
+    max_data_points: int = 1048576
+    internal_aggregation: bool = True
+    data_timeout_sec: float = 60.0
+    index_timeout_sec: float = 60.0
+    limiters: dict[str, dict[str, int]] = field(default_factory=dict)
+    rules: Rules = field(default_factory=Rules.default)
+    data_tables: list[dict[str, Any]] = field(default_factory=list)
+    #: sections/keys present in the file that have no Spark-side meaning
+    ignored: list[str] = field(default_factory=list)
+
+    def class_limiters(self) -> ClassLimiters:
+        """Per-class request limiters from the parsed capacities; a
+        capacity of 0 means unlimited (reference semantics) — modelled as
+        a very large limiter rather than no limiter, keeping one code
+        path."""
+        def cap(c: str, key: str, default: int) -> int:
+            v = self.limiters.get(c, {}).get(key, 0)
+            return v if v > 0 else default
+
+        return ClassLimiters(
+            render=cap("render", "concurrent", 1 << 20),
+            find=cap("find", "concurrent", 1 << 20),
+            tags=cap("tags", "concurrent", 1 << 20),
+            queue_timeout_sec=self.index_timeout_sec or 60.0,
+        )
+
+
+def _read_rollup(ch: dict[str, Any], tables: list[dict[str, Any]], ignored: list[str]) -> Rules:
+    """rollup-conf resolution order mirrors config.go: the first
+    [[data-table]] with an explicit rollup-conf wins, else [clickhouse]."""
+    candidates: list[dict[str, Any]] = [t for t in tables if t.get("rollup-conf")] + [ch]
+    for src in candidates:
+        conf = src.get("rollup-conf", "auto")
+        default_prec = int(src.get("rollup-default-precision", 0) or 0)
+        default_fn = src.get("rollup-default-function", "") or "avg"
+        if conf == "none":
+            return Rules.single_default(default_prec or 60, default_fn)
+        if conf in ("auto", ""):
+            # no remote ClickHouse to fetch from: run on defaults, like the
+            # reference before its first auto-refresh completes
+            if conf == "auto":
+                ignored.append("clickhouse.rollup-conf=auto (no remote server)")
+            continue
+        with open(conf, "rb") as fh:
+            return Rules.from_xml(fh.read().decode())
+    return Rules.default()
+
+
+def load_settings(toml_text: str) -> Settings:
+    """Parse a graphite-clickhouse.conf (TOML) into Settings."""
+    raw = tomllib.loads(toml_text)
+    s = Settings()
+
+    common = raw.get("common", {})
+    s.max_metrics_in_find_answer = int(common.get("max-metrics-in-find-answer", 0))
+    s.max_metrics_per_target = int(common.get("max-metrics-per-target", 15000)) or (1 << 31)
+    s.append_empty_series = bool(common.get("append-empty-series", False))
+    bl = common.get("target-blacklist", [])
+    s.blacklist = Blacklist(list(bl)) if bl else None
+    fc = common.get("find-cache", {})
+    if fc and fc.get("type", "null") != "null":
+        s.find_cache = CacheConfig(
+            default_timeout_sec=int(parse_go_duration(fc.get("default-timeout", 0))),
+            short_timeout_sec=int(parse_go_duration(fc.get("short-timeout", 0))),
+            short_duration_sec=int(parse_go_duration(fc.get("short-duration", "0s")))
+            or 3 * 3600,
+            short_until_offset_sec=int(fc.get("short-offset", 0) or 120),
+        )
+
+    ff = raw.get("feature-flags", {})
+    s.flags = FeatureFlags(
+        use_carbon_behaviour=bool(ff.get("use-carbon-behaviour", False)),
+        dont_match_missing_tags=bool(ff.get("dont-match-missing-tags", False)),
+    )
+
+    ch = raw.get("clickhouse", {})
+    if ch.get("extra-prefix"):
+        s.prefix = PrefixFinder(ch["extra-prefix"])
+    s.wildcard_min_distance = int(ch.get("wildcard-min-distance", 0))
+    s.tags_min_in_query = int(ch.get("tags-min-in-query", 0))
+    s.tagged_autocomplete_days = int(ch.get("tagged-autocomplete-days", 7))
+    s.max_data_points = int(ch.get("max-data-points", 1048576))
+    s.internal_aggregation = bool(ch.get("internal-aggregation", True))
+    s.data_timeout_sec = parse_go_duration(ch.get("data-timeout", "1m"))
+    s.index_timeout_sec = parse_go_duration(ch.get("index-timeout", "1m"))
+    for cls in ("render", "find", "tags"):
+        s.limiters[cls] = {
+            "max": int(ch.get(f"{cls}-max-queries", 0)),
+            "concurrent": int(
+                ch.get(f"{cls}-concurrent-queries", 0)
+                or ch.get(f"{cls}-max-concurrent", 0)
+            ),
+        }
+
+    s.data_tables = list(raw.get("data-table", []))
+    s.rules = _read_rollup(ch, s.data_tables, s.ignored)
+
+    for section in ("logging", "debug", "prometheus", "carbonlink", "sd", "metrics"):
+        if section in raw:
+            s.ignored.append(section)
+    for key in ("listen", "pprof-listen", "max-cpu", "memory-return-interval"):
+        if key in common:
+            s.ignored.append(f"common.{key}")
+    for key in ("url", "connect-timeout", "tls", "query-params", "index-table",
+                "index-use-daily", "index-reverse", "tagged-table", "tags-count-table"):
+        if key in ch:
+            s.ignored.append(f"clickhouse.{key}")
+    return s
+
+
+def load_settings_file(path: str) -> Settings:
+    with open(path, "rb") as fh:
+        return load_settings(fh.read().decode())
+
+
+def engine_from_settings(spark, settings: Settings, points, path_index=None,
+                         tagged_points=None):
+    """Wire Settings into a render Engine (plus FindCache when enabled)."""
+    from .plans.findcache import FindCache
+    from .render.pipeline import Engine
+
+    cache = FindCache(settings.find_cache) if settings.find_cache else None
+    return Engine(
+        spark=spark,
+        points=points,
+        path_index=path_index,
+        tagged_points=tagged_points,
+        rules=settings.rules,
+        max_metrics_per_target=settings.max_metrics_per_target,
+        wildcard_min_distance=settings.wildcard_min_distance,
+        find_cache=cache,
+        flags=settings.flags,
+        blacklist=settings.blacklist,
+        prefix=settings.prefix,
+        tags_min_in_query=settings.tags_min_in_query,
+    )

@@ -131,6 +131,13 @@ class Rules:
         return cls([Pattern(function=SUPER_DEFAULT_FUNCTION,
                             retention=[Retention(0, SUPER_DEFAULT_PRECISION)])])
 
+    @classmethod
+    def single_default(cls, precision: int, function: str) -> "Rules":
+        """rollup-conf = "none": one catch-all rule from
+        rollup-default-precision / rollup-default-function
+        (config/config.go, doc/config.md:194-195)."""
+        return cls([Pattern(function=function, retention=[Retention(0, precision)])])
+
     def _candidates(self, metric: str) -> list[Pattern]:
         tagged = "?" in metric
         want = RULE_TAGGED if tagged else RULE_PLAIN

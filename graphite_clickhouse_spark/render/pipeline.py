@@ -31,7 +31,8 @@ from ..operators.gapfill import gap_fill_arrays
 from ..operators.resample import AGG_FUNCTIONS, CONSOLIDATE_TO_AGG, resample_grouped
 from ..operators.rollup import Rules
 from ..plans.glob import glob_predicate, validate_glob
-from ..plans.tagged import parse_series_by_tag, tagged_predicate
+from ..plans.guards import MATCHED, PARTIAL, Blacklist, PrefixFinder
+from ..plans.tagged import FeatureFlags, parse_series_by_tag, tagged_predicate
 
 
 @dataclass
@@ -57,24 +58,56 @@ class Engine:
     #: optional plans.findcache.FindCache — caches resolved path lists per
     #: (day-span, target, ttl-class), as the reference's find-cache (SO3)
     find_cache: object | None = None
+    #: tag-matching feature flags (doc/config.md:35-63)
+    flags: FeatureFlags = field(default_factory=FeatureFlags)
+    #: target blacklist (P12): matching queries yield empty results
+    blacklist: Blacklist | None = None
+    #: extra-prefix namespace (P13): tree served under this prefix
+    prefix: PrefixFinder | None = None
+    #: minimum positive terms in seriesByTag (tags-min-in-query)
+    tags_min_in_query: int = 0
 
     # ---- FIND ----------------------------------------------------------
 
     def find_paths(self, target: str) -> DataFrame:
-        """Resolve a target to the set of real metric paths (leaf nodes)."""
+        """Resolve a target to the set of real metric paths (leaf nodes).
+
+        Blacklisted targets resolve to the empty set (finder/blacklist.go:
+        the request succeeds with an empty body). With an extra-prefix
+        configured, the query is matched against the prefix, stripped for
+        the real find, and results are re-attached (finder/prefix.go)."""
+        if self.blacklist is not None and self.blacklist.matches(target):
+            return self._empty_paths_df()
         if target.lstrip().startswith("seriesByTag"):
             if self.tagged_points is None:
                 raise ValueError("no tagged points table configured")
             terms = parse_series_by_tag(target)
-            pred = tagged_predicate(terms, F.col("tags"))
+            pred = tagged_predicate(
+                terms, F.col("tags"), self.tags_min_in_query, self.flags
+            )
             return self.tagged_points.filter(pred).select("path").distinct()
+        if self.prefix is not None:
+            m = self.prefix.match(target)
+            if m.state == PARTIAL:
+                return self.spark.createDataFrame([(m.part,)], "path string")
+            if m.state != MATCHED:
+                return self._empty_paths_df()
+            target = m.inner_query
         query = validate_glob(target, self.wildcard_min_distance)
         if self.path_index is not None:
             src = self.path_index.filter(F.col("is_leaf"))
         else:
             src = self.points.select("path").distinct()
         pred = glob_predicate(F.col("path"), query)
-        return (src if pred is None else src.filter(pred)).select("path").distinct()
+        found = (src if pred is None else src.filter(pred)).select("path").distinct()
+        if self.prefix is not None and self.prefix.prefix:
+            found = found.select(
+                F.concat(F.lit(self.prefix.prefix + "."), F.col("path")).alias("path")
+            )
+        return found
+
+    def _empty_paths_df(self) -> DataFrame:
+        return self.spark.createDataFrame([], "path string")
 
     # ---- RENDER --------------------------------------------------------
 
@@ -93,6 +126,20 @@ class Engine:
             paths = [r.path for r in paths_df.collect()]  # resolved list is small
             if self.find_cache is not None:
                 self.find_cache.set(cache_key, paths, cache_ttl)
+        # extra-prefix: find returns prefixed display names; storage holds
+        # real (stripped) paths — fetch stripped, re-attach at the end
+        # (finder/prefix.go:115-117; partial tree nodes have no data)
+        prefix_dot = (
+            self.prefix.prefix + "."
+            if self.prefix is not None and self.prefix.prefix
+            else ""
+        )
+        if prefix_dot:
+            paths = [
+                p[len(prefix_dot):]
+                for p in paths
+                if p.startswith(prefix_dot) and not p.endswith(".")
+            ]
         if len(paths) > self.max_metrics_per_target:
             raise ValueError(
                 f"metrics per target limit exceeded: {len(paths)} > "
@@ -140,11 +187,12 @@ class Engine:
         series = gap_fill_arrays(
             agged.drop("agg_function"), from_al, until_al, step, paths=pf.select("path")
         )
-        return (
-            series.join(F.broadcast(pf), "path")
-            .withColumnRenamed("agg_function", "function")
-            .orderBy("path")
+        out = series.join(F.broadcast(pf), "path").withColumnRenamed(
+            "agg_function", "function"
         )
+        if prefix_dot:
+            out = out.withColumn("path", F.concat(F.lit(prefix_dot), F.col("path")))
+        return out.orderBy("path")
 
     def render_multi(self, reqs: list[RenderRequest]) -> DataFrame:
         """SO1: multi-target / multi-timeframe union — each target renders
