@@ -210,4 +210,5 @@ def engine_from_settings(spark, settings: Settings, points, path_index=None,
         blacklist=settings.blacklist,
         prefix=settings.prefix,
         tags_min_in_query=settings.tags_min_in_query,
+        append_empty_series=settings.append_empty_series,
     )

@@ -66,6 +66,11 @@ class Engine:
     prefix: PrefixFinder | None = None
     #: minimum positive terms in seriesByTag (tags-min-in-query)
     tags_min_in_query: int = 0
+    #: if True, metrics that resolved in find but have no points in range
+    #: are returned as all-NaN series; if False (reference default) they
+    #: are dropped from the response (common.append-empty-series,
+    #: render/data/ch_response.go:98-107)
+    append_empty_series: bool = False
 
     # ---- FIND ----------------------------------------------------------
 
@@ -190,6 +195,11 @@ class Engine:
         out = series.join(F.broadcast(pf), "path").withColumnRenamed(
             "agg_function", "function"
         )
+        if not self.append_empty_series:
+            # drop metrics with no points in range (all buckets gap-filled
+            # to NaN) — the reference's default; append-empty-series=true
+            # keeps them as NaN grids (ch_response.go:98-107)
+            out = out.filter(~F.forall("values", lambda v: F.isnan(v)))
         if prefix_dot:
             out = out.withColumn("path", F.concat(F.lit(prefix_dot), F.col("path")))
         return out.orderBy("path")

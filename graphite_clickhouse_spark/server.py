@@ -40,6 +40,7 @@ RENDER_CONTENT_TYPES = {
 class GraphiteHandler(BaseHTTPRequestHandler):
     engine: Engine  # set by make_server
     max_find_answer: int = 0  # max-metrics-in-find-answer (L2)
+    limiters = None  # plans.limiter.ClassLimiters | None (set by make_server)
 
     # ---- plumbing -------------------------------------------------------
 
@@ -62,6 +63,8 @@ class GraphiteHandler(BaseHTTPRequestHandler):
         self.do_POST()
 
     def do_POST(self):
+        from .plans.limiter import LimitExceeded
+
         url = urlparse(self.path)
         q = {k: v[0] for k, v in parse_qs(url.query).items()}
         qlist = parse_qs(url.query)
@@ -69,19 +72,40 @@ class GraphiteHandler(BaseHTTPRequestHandler):
             if url.path in ("/", "/alive", "/health"):
                 self._send(b"Graphite-clickhouse-spark is alive.\n", "text/plain")
             elif url.path.rstrip("/") == "/render":
-                self._render(q)
+                with self._limit("render"):
+                    self._render(q)
             elif url.path.startswith("/metrics/find"):
-                self._find(q)
+                with self._limit("find"):
+                    self._find(q)
             elif url.path == "/metrics/index.json":
-                self._index()
+                with self._limit("find"):
+                    self._index()
             elif url.path == "/tags/autoComplete/tags":
-                self._tags_autocomplete(q, qlist)
+                with self._limit("tags"):
+                    self._tags_autocomplete(q, qlist)
             elif url.path == "/tags/autoComplete/values":
-                self._values_autocomplete(q, qlist)
+                with self._limit("tags"):
+                    self._values_autocomplete(q, qlist)
             else:
                 self._error(404, f"not found: {url.path}")
+        except LimitExceeded as exc:
+            # the reference maps limiter rejections to 503
+            # (find/handler.go:176, autocomplete.go:390)
+            self._error(503, str(exc))
         except ValueError as exc:
-            self._error(400, str(exc))
+            # metrics-per-target cap is a 403 in the reference
+            # (render/data/multi_target.go:64)
+            if "metrics per target limit exceeded" in str(exc):
+                self._error(403, str(exc))
+            else:
+                self._error(400, str(exc))
+
+    def _limit(self, cls: str):
+        import contextlib
+
+        if self.limiters is None:
+            return contextlib.nullcontext()
+        return getattr(self.limiters, cls).enter()
 
     # ---- endpoints ------------------------------------------------------
 
@@ -213,16 +237,23 @@ class GraphiteHandler(BaseHTTPRequestHandler):
         self._send(json.dumps(vals).encode(), "application/json")
 
 
-def make_server(engine: Engine, host: str = "127.0.0.1", port: int = 0) -> ThreadingHTTPServer:
+def make_server(
+    engine: Engine, host: str = "127.0.0.1", port: int = 0, settings=None
+) -> ThreadingHTTPServer:
     """Bind (port=0 -> ephemeral). Caller runs serve_forever (or use
-    serve_background)."""
-    handler = type("BoundHandler", (GraphiteHandler,), {"engine": engine})
+    serve_background). `settings` (config.Settings) wires the per-class
+    request limiters and find-answer cap."""
+    attrs = {"engine": engine}
+    if settings is not None:
+        attrs["max_find_answer"] = settings.max_metrics_in_find_answer
+        attrs["limiters"] = settings.class_limiters()
+    handler = type("BoundHandler", (GraphiteHandler,), attrs)
     return ThreadingHTTPServer((host, port), handler)
 
 
-def serve_background(engine: Engine, host: str = "127.0.0.1", port: int = 0):
+def serve_background(engine: Engine, host: str = "127.0.0.1", port: int = 0, settings=None):
     """Start in a daemon thread; returns (server, base_url)."""
-    srv = make_server(engine, host, port)
+    srv = make_server(engine, host, port, settings=settings)
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
     return srv, f"http://{srv.server_address[0]}:{srv.server_address[1]}"

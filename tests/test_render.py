@@ -147,7 +147,16 @@ class TestRenderMulti:
         ]
         rows = eng.render_multi(reqs).collect()
         got = {(r.path, r.target) for r in rows}
+        # ev.click.u2 has no points in the window: dropped by default
+        # (append-empty-series=false, ch_response.go:98-107)
+        assert got == {("ev.purchase.u1", "ev.purchase.u1")}
+
+        eng_append = Engine(spark=spark, points=points, append_empty_series=True)
+        rows = eng_append.render_multi(reqs).collect()
+        got = {(r.path, r.target) for r in rows}
         assert got == {
             ("ev.purchase.u1", "ev.purchase.u1"),
             ("ev.click.u2", "ev.click.u2"),
         }
+        empty = [r for r in rows if r.path == "ev.click.u2"][0]
+        assert all(v != v for v in empty.values)  # all-NaN grid

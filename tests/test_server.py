@@ -151,3 +151,58 @@ class TestRenderV3PbPost:
             out = resp.read()
         assert len(out) > 50 and out[:1] == b"\x0a"
         assert b"ev.purchase.u1" in out
+
+
+class TestConfiguredServer:
+    """Settings-wired server: per-class limiters (503) and the
+    metrics-per-target cap (403, multi_target.go:64)."""
+
+    @pytest.fixture(scope="class")
+    def limited(self, spark):
+        from graphite_clickhouse_spark.config import (
+            engine_from_settings,
+            load_settings,
+        )
+
+        conf = (
+            "[common]\nmax-metrics-per-target = 2\n"
+            "[clickhouse]\nrender-concurrent-queries = 1\n"
+        )
+        settings = load_settings(conf)
+        points = points_from_events(spark, SF)
+        engine = engine_from_settings(
+            spark, settings, points,
+            path_index=build_path_index(points.select("path")),
+        )
+        srv, url = serve_background(engine, settings=settings)
+        yield srv, url
+        srv.shutdown()
+
+    def test_render_concurrency_limited_503(self, limited):
+        import urllib.error
+
+        srv, base = limited
+        url = (
+            f"{base}/render?target=ev.purchase.u1&from={FROM_TS}"
+            f"&until={UNTIL_TS}&maxDataPoints=24&format=json"
+        )
+        assert json.loads(get(url))["metrics"]  # server healthy
+        # hold the single render slot; queue is 0 -> immediate 503
+        lim = srv.RequestHandlerClass.limiters.render
+        with lim.enter():
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                urllib.request.urlopen(url, timeout=120)
+            assert ei.value.code == 503
+        assert json.loads(get(url))["metrics"]  # slot released
+
+    def test_max_metrics_per_target_403(self, limited):
+        import urllib.error
+
+        _, base = limited
+        url = (
+            f"{base}/render?target=ev.purchase.*&from={FROM_TS}"
+            f"&until={UNTIL_TS}&maxDataPoints=24&format=json"
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(url, timeout=120)
+        assert ei.value.code == 403
