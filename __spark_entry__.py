@@ -219,7 +219,9 @@ SELECT DISTINCT
             THEN array_to_string(toks[1:i], '.') || '.'
             ELSE path END AS path,
        CAST(i AS INTEGER) AS level,
-       i = len(toks) AS is_leaf
+       i = len(toks) AS is_leaf,
+       CASE WHEN i = len(toks) AND NOT contains(path, '?')
+            THEN array_to_string(list_reverse(toks), '.') END AS path_rev
 FROM parts, unnest(generate_series(1, len(toks))) AS u(i)
 """
 

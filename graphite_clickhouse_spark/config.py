@@ -36,6 +36,7 @@ from typing import Any
 
 from .operators.rollup import Rules
 from .plans.findcache import CacheConfig
+from .plans.glob import ReverseRule
 from .plans.guards import Blacklist, PrefixFinder
 from .plans.limiter import ClassLimiters
 from .plans.tagged import FeatureFlags
@@ -74,6 +75,8 @@ class Settings:
     prefix: PrefixFinder | None = None
     wildcard_min_distance: int = 0
     tags_min_in_query: int = 0
+    index_reverse: str = "auto"
+    index_reverses: tuple = ()
     tagged_autocomplete_days: int = 7
     max_data_points: int = 1048576
     internal_aggregation: bool = True
@@ -155,6 +158,16 @@ def load_settings(toml_text: str) -> Settings:
         s.prefix = PrefixFinder(ch["extra-prefix"])
     s.wildcard_min_distance = int(ch.get("wildcard-min-distance", 0))
     s.tags_min_in_query = int(ch.get("tags-min-in-query", 0))
+    s.index_reverse = str(ch.get("index-reverse", "auto"))
+    s.index_reverses = tuple(
+        ReverseRule(
+            reverse=r.get("reverse", "auto"),
+            prefix=r.get("prefix", ""),
+            suffix=r.get("suffix", ""),
+            regex=r.get("regex") or None,
+        )
+        for r in ch.get("index-reverses", [])
+    )
     s.tagged_autocomplete_days = int(ch.get("tagged-autocomplete-days", 7))
     s.max_data_points = int(ch.get("max-data-points", 1048576))
     s.internal_aggregation = bool(ch.get("internal-aggregation", True))
@@ -179,7 +192,7 @@ def load_settings(toml_text: str) -> Settings:
         if key in common:
             s.ignored.append(f"common.{key}")
     for key in ("url", "connect-timeout", "tls", "query-params", "index-table",
-                "index-use-daily", "index-reverse", "tagged-table", "tags-count-table"):
+                "index-use-daily", "tagged-table", "tags-count-table"):
         if key in ch:
             s.ignored.append(f"clickhouse.{key}")
     return s
@@ -211,4 +224,6 @@ def engine_from_settings(spark, settings: Settings, points, path_index=None,
         prefix=settings.prefix,
         tags_min_in_query=settings.tags_min_in_query,
         append_empty_series=settings.append_empty_series,
+        index_reverse=settings.index_reverse,
+        index_reverses=settings.index_reverses,
     )

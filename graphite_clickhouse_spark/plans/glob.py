@@ -148,13 +148,81 @@ def validate_glob(query: str, wildcard_min_distance: int = 0) -> str:
     query = clear_glob(query)
     if has_unmatched_brackets(query):
         raise GlobError(f"query has unmatched brackets: {query}")
-    if wildcard_min_distance > 0:
+    if wildcard_min_distance > 0 and "." in query:
+        # single-node queries are exempt so root browsing stays possible
+        # (finder/index.go:185-193 moreThanOneNode)
         d = max_wildcard_distance(query)
         if 0 <= d < wildcard_min_distance:
             raise GlobError(
                 f"query has wildcards way too early at the start and at the end: {query}"
             )
     return query
+
+
+def reverse_path(path: str) -> str:
+    """Dot-segment reversal: 'a.b.c' -> 'c.b.a' (pkg/reverse/reverse.go:8-22).
+
+    Tagged paths (containing '?') are never reversed. Works on globs too —
+    wildcards live inside nodes, and node order is all that flips."""
+    if "?" in path:
+        return path
+    return ".".join(reversed(path.split(".")))
+
+
+#: index-reverse modes (finder/index.go:13-17)
+REVERSE_AUTO = "auto"
+REVERSE_DIRECT = "direct"
+REVERSE_REVERSED = "reversed"
+
+
+class ReverseRule:
+    """One [[clickhouse.index-reverses]] entry: first matching rule decides
+    the mode for a query (finder/index.go:80-98, config/config.go
+    IndexReverseRule). A rule matches when ALL of its set conditions hold."""
+
+    def __init__(self, reverse: str, prefix: str = "", suffix: str = "",
+                 regex: str | None = None):
+        if reverse not in (REVERSE_AUTO, REVERSE_DIRECT, REVERSE_REVERSED):
+            raise ValueError(f"bad index-reverse: {reverse!r}")
+        self.reverse = reverse
+        self.prefix = prefix
+        self.suffix = suffix
+        self.rx = re.compile(regex) if regex else None
+
+    def matches(self, query: str) -> bool:
+        if self.prefix and not query.startswith(self.prefix):
+            return False
+        if self.suffix and not query.endswith(self.suffix):
+            return False
+        if self.rx is not None and self.rx.search(query) is None:
+            return False
+        return True
+
+
+def use_reverse(query: str, mode: str = REVERSE_AUTO,
+                rules: tuple[ReverseRule, ...] | list[ReverseRule] = ()) -> bool:
+    """Should this query match against the REVERSED path index?
+
+    Mirrors IndexFinder.useReverse (finder/index.go:100-130): explicit
+    mode wins; then the first matching per-query rule; then the auto
+    heuristic — reverse iff the first wildcard is more nodes away from the
+    END than from the START (so the literal suffix, as a reversed prefix,
+    prunes more than the literal prefix would)."""
+    if mode == REVERSE_DIRECT:
+        return False
+    if mode == REVERSE_REVERSED:
+        return True
+    for rule in rules:
+        if rule.matches(query):
+            if rule.reverse != REVERSE_AUTO:
+                return rule.reverse == REVERSE_REVERSED
+            break
+    w = index_wildcard(query)
+    if w == -1:
+        return False
+    first_wildcard_node = query[:w].count(".")
+    last_wildcard_node = query[index_last_wildcard(query):].count(".")
+    return first_wildcard_node < last_wildcard_node
 
 
 def non_wildcard_prefix(g: str) -> str:

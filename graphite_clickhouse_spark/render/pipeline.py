@@ -30,7 +30,7 @@ from ..operators.dedup import dedup_versions
 from ..operators.gapfill import gap_fill_arrays
 from ..operators.resample import AGG_FUNCTIONS, CONSOLIDATE_TO_AGG, resample_grouped
 from ..operators.rollup import Rules
-from ..plans.glob import glob_predicate, validate_glob
+from ..plans.glob import glob_predicate, reverse_path, use_reverse, validate_glob
 from ..plans.guards import MATCHED, PARTIAL, Blacklist, PrefixFinder
 from ..plans.tagged import FeatureFlags, parse_series_by_tag, tagged_predicate
 
@@ -66,6 +66,12 @@ class Engine:
     prefix: PrefixFinder | None = None
     #: minimum positive terms in seriesByTag (tags-min-in-query)
     tags_min_in_query: int = 0
+    #: index orientation: "auto" | "direct" | "reversed" (clickhouse.
+    #: index-reverse) + per-query override rules (index-reverses); auto
+    #: matches suffix-anchored globs against the reversed-path column so
+    #: the literal suffix pushes down as a prefix (finder/index.go:100-130)
+    index_reverse: str = "auto"
+    index_reverses: tuple = ()
     #: if True, metrics that resolved in find but have no points in range
     #: are returned as all-NaN series; if False (reference default) they
     #: are dropped from the response (common.append-empty-series,
@@ -99,11 +105,19 @@ class Engine:
                 return self._empty_paths_df()
             target = m.inner_query
         query = validate_glob(target, self.wildcard_min_distance)
+        match_col = "path"
         if self.path_index is not None:
             src = self.path_index.filter(F.col("is_leaf"))
+            # reversed-index orientation: match the reversed glob against
+            # path_rev so the literal SUFFIX becomes a pushdown prefix
+            # (whereFilter, finder/index.go:163-177)
+            if "path_rev" in src.columns and use_reverse(
+                query, self.index_reverse, self.index_reverses
+            ):
+                match_col, query = "path_rev", reverse_path(query)
         else:
             src = self.points.select("path").distinct()
-        pred = glob_predicate(F.col("path"), query)
+        pred = glob_predicate(F.col(match_col), query)
         found = (src if pred is None else src.filter(pred)).select("path").distinct()
         if self.prefix is not None and self.prefix.prefix:
             found = found.select(

@@ -89,7 +89,15 @@ def build_path_index(points_paths: DataFrame) -> DataFrame:
     depth, leaf = the full metric name).
 
     Input: DataFrame with a `path` column (plain dotted names).
-    Output: (path, level, is_leaf) distinct.
+    Output: (path, level, is_leaf, path_rev) distinct.
+
+    `path_rev` is the dot-segment-reversed name for LEAF rows (null for
+    tree nodes and tagged paths). The reference duplicates every index row
+    in reversed orientation at a level offset (doc/index-table.md:20-38,
+    finder/index.go:19-21) so suffix-anchored globs become prefix scans;
+    columnar storage lets us carry it as one extra column instead —
+    StringStartsWith on `path_rev` pushes into the Parquet scan and prunes
+    row groups by min/max stats exactly like a prefix on `path` does.
 
     Spark-first: posexplode over a transform(sequence(...)) — pure JVM
     expression work, no Python; the distinct() is the only shuffle and it
@@ -103,7 +111,7 @@ def build_path_index(points_paths: DataFrame) -> DataFrame:
             i < n, F.concat(F.array_join(F.slice(parts, F.lit(1), i), "."), F.lit("."))
         ).otherwise(F.col("path")),
     )
-    return (
+    idx = (
         points_paths.select("path")
         .distinct()
         .select(F.posexplode(prefixes).alias("pos", "node"), F.col("path").alias("full"))
@@ -113,4 +121,9 @@ def build_path_index(points_paths: DataFrame) -> DataFrame:
             (~F.col("node").endswith(".")).alias("is_leaf"),
         )
         .distinct()
+    )
+    rev = F.array_join(F.reverse(F.split(F.col("path"), "[.]")), ".")
+    return idx.withColumn(
+        "path_rev",
+        F.when(F.col("is_leaf") & ~F.col("path").contains("?"), rev),
     )

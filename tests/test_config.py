@@ -219,3 +219,19 @@ class TestFlagsWiring:
         assert (
             eng2.find_paths("seriesByTag('name=disk.io','dc=')").collect() == []
         )  # without the flag, dc= means dc present-and-empty
+
+
+def test_index_reverse_config():
+    from graphite_clickhouse_spark.config import load_settings
+    from graphite_clickhouse_spark.plans.glob import use_reverse
+
+    s = load_settings(
+        '[clickhouse]\nindex-reverse = "auto"\n'
+        '[[clickhouse.index-reverses]]\nsuffix = ".sum"\nreverse = "direct"\n'
+        '[[clickhouse.index-reverses]]\nprefix = "test2."\nreverse = "reversed"\n'
+    )
+    assert s.index_reverse == "auto"
+    assert len(s.index_reverses) == 2
+    # rules override the auto heuristic (finder/index_test.go:63-95)
+    assert use_reverse("a*.b.c.d.sum", s.index_reverse, s.index_reverses) is False
+    assert use_reverse("test2.b.c.d.e", s.index_reverse, s.index_reverses) is True

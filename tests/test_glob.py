@@ -77,3 +77,87 @@ def test_wildcard_distance_guard():
 def test_non_wildcard_prefix():
     assert non_wildcard_prefix("svc.host.*") == "svc.host."
     assert non_wildcard_prefix("plain.name") == "plain.name"
+
+
+def test_wildcard_distance_single_node_exempt():
+    # single-node queries pass the guard so root browsing works
+    # (finder/index.go:185-193 moreThanOneNode)
+    assert validate_glob("*", wildcard_min_distance=4) == "*"
+    with pytest.raises(GlobError):
+        validate_glob("*.a", wildcard_min_distance=4)
+
+
+def test_reverse_path():
+    from graphite_clickhouse_spark.plans.glob import reverse_path
+
+    assert reverse_path("a.b.c") == "c.b.a"
+    assert reverse_path("one") == "one"
+    assert reverse_path("ev?type=click&user=u1") == "ev?type=click&user=u1"
+    assert reverse_path("*.b.c") == "c.b.*"
+
+
+@pytest.mark.parametrize(
+    "query,expected",
+    [
+        # finder/index_test.go:17-27 Test_useReverse
+        ("a.b.c.d.e", False),
+        ("a.b*", False),
+        ("a.b.c.d.e*", False),
+        ("a.b.c.d*.e", False),
+        ("a.b*.c*.d.e", True),
+        ("a.b*.c.d.e", True),
+    ],
+)
+def test_use_reverse_auto(query, expected):
+    from graphite_clickhouse_spark.plans.glob import use_reverse
+
+    assert use_reverse(query) is expected
+
+
+@pytest.mark.parametrize(
+    "query,mode,expected",
+    [
+        # finder/index_test.go:35-61 Test_useReverseWithSetConfig
+        ("a.b.c.d.e", "reversed", True),
+        ("a.b.c.d.e", "auto", False),
+        ("a.b.c.d.e", "direct", False),
+        ("a.b.c.d.e*", "direct", False),
+        ("a.b.c.d*.e", "direct", False),
+        ("a.b.c.d*.e", "reversed", True),
+        ("a*.b.c.d*.e", "reversed", True),
+        ("a.b*.c.d*.e", "reversed", True),
+        ("a.*.c.*.e.*.j", "reversed", True),
+        ("a.*.c.*.e.*.j", "direct", False),
+        ("a.b*.c.*d.e", "reversed", True),
+    ],
+)
+def test_use_reverse_forced(query, mode, expected):
+    from graphite_clickhouse_spark.plans.glob import use_reverse
+
+    assert use_reverse(query, mode) is expected
+
+
+@pytest.mark.parametrize(
+    "query,expected",
+    [
+        # finder/index_test.go:63-95 Test_checkReverses
+        ("a.b.c.d*.sum", False),
+        ("a*.b.c.d.sum", False),
+        ("test.b.c*.d*.alloc", False),
+        ("test.b.c*.d.alloc", False),
+        ("test2.b.c*.d*.e", True),
+        ("test2.b.c*.d.e", True),
+        ("a.b.c.d*.max", True),  # regex rule
+        ("a.b.c*.d.max", True),  # regex rule
+    ],
+)
+def test_use_reverse_rules(query, expected):
+    from graphite_clickhouse_spark.plans.glob import ReverseRule, use_reverse
+
+    rules = (
+        ReverseRule("direct", suffix=".sum"),
+        ReverseRule("direct", prefix="test.", suffix=".alloc"),
+        ReverseRule("reversed", prefix="test2."),
+        ReverseRule("reversed", regex=r"^a\..*\.max$"),
+    )
+    assert use_reverse(query, "auto", rules) is expected

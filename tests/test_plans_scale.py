@@ -110,3 +110,29 @@ class TestSaltedAgg:
         df = spark.range(10).select(F.col("id").alias("k"), F.col("id").alias("v"))
         with pytest.raises(ValueError):
             salted_agg(df, ["k"], {"m": ("median", "v")})
+
+
+class TestReversedIndexPushdown:
+    """The point of the reversed index: a leading-wildcard glob, hopeless
+    for pushdown on `path`, becomes a StringStartsWith Parquet filter on
+    `path_rev` — at 100 TB that is row-group pruning instead of a full
+    index scan."""
+
+    def test_suffix_glob_pushes_startswith(self, spark, tmp_path):
+        from graphite_clickhouse_spark.render.pipeline import Engine
+        from graphite_clickhouse_spark.sources.tables import build_path_index
+
+        paths = spark.createDataFrame(
+            [(f"dc{i % 3}.host{i}.cpu.load",) for i in range(50)], "path string"
+        )
+        loc = str(tmp_path / "pidx")
+        build_path_index(paths).write.parquet(loc)
+        eng = Engine(
+            spark=spark, points=paths, path_index=spark.read.parquet(loc)
+        )
+        df = eng.find_paths("*.*.cpu.load")
+        plan = plan_of(df)
+        # the plan string elides long filter lists; match the stable prefix
+        assert "StringStartsWith(path_rev,load.c" in plan, plan
+        got = {r.path for r in df.collect()}
+        assert len(got) == 50 and "dc0.host0.cpu.load" in got

@@ -160,3 +160,31 @@ class TestRenderMulti:
         }
         empty = [r for r in rows if r.path == "ev.click.u2"][0]
         assert all(v != v for v in empty.values)  # all-NaN grid
+
+
+class TestReversedIndex:
+    """Reversed-path index orientation (finder/index.go:100-177): the
+    engine picks path vs path_rev per query; results are identical either
+    way, only the pushdown-friendly prefix changes."""
+
+    QUERIES = ["*.plain", "test.plain*", "*.plain*", "test.{plain1,plain2}",
+               "test2.plain", "*"]
+
+    def test_direct_reversed_equivalence(self, spark, engine):
+        for q in self.QUERIES:
+            direct = Engine(
+                spark=spark, points=engine.points, path_index=engine.path_index,
+                index_reverse="direct",
+            )
+            reverse = Engine(
+                spark=spark, points=engine.points, path_index=engine.path_index,
+                index_reverse="reversed",
+            )
+            d = sorted(r.path for r in direct.find_paths(q).collect())
+            r = sorted(r.path for r in reverse.find_paths(q).collect())
+            assert d == r, q
+
+    def test_path_rev_column(self, engine):
+        rows = {r.path: r.path_rev for r in engine.path_index.collect()}
+        assert rows["test.plain1"] == "plain1.test"
+        assert rows["test."] is None  # tree nodes carry no reversed form
