@@ -187,6 +187,67 @@ FROM grid LEFT JOIN agg ON grid.path = agg.path AND grid.time = agg.time
 """
 
 
+def q_render_unaggregated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """internal-aggregation=false render: raw fetch + client-side rollup at
+    each metric's OWN retention precision — response mixes 900 s and 1800 s
+    steps, maxDataPoints does NOT inflate them (doc/aggregation.md scheme
+    2, render/data/query.go:385-392, helper/rollup/rules.go:409-421)."""
+    from graphite_clickhouse_spark.operators.rollup import Pattern, Retention, Rules
+    from graphite_clickhouse_spark.render.pipeline import Engine, RenderRequest
+
+    rules = Rules(
+        [
+            Pattern(regexp=r"^ev\.purchase\.", function="sum",
+                    retention=[Retention(0, 900)]),
+            Pattern(regexp="", function="avg", retention=[Retention(0, 1800)]),
+        ]
+    )
+    eng = Engine(spark=spark, points=_points(spark, sf_dir), rules=rules,
+                 internal_aggregation=False)
+    series = eng.render(
+        RenderRequest("ev.*.u1", FROM_TS, UNTIL_TS, max_data_points=100)
+    )
+    exploded = series.select(
+        "path", "step", "start", F.posexplode("values").alias("pos", "v")
+    )
+    return exploded.select(
+        "path",
+        (F.col("start") + F.col("pos") * F.col("step")).alias("time"),
+        "step",
+        F.when(F.isnan("v"), F.lit(None)).otherwise(F.round("v", 6)).alias("val"),
+    )
+
+
+SQL_RENDER_UNAGGREGATED = POINTS_CTE + f"""
+, dedup AS (
+    SELECT path, time, arg_max(value, version) AS value
+    FROM points
+    WHERE time BETWEEN {FROM_TS} AND {UNTIL_TS}
+      AND regexp_matches(path, '^ev[.]([^.]*?)[.]u1$')
+    GROUP BY 1, 2
+), spec AS (
+    SELECT path,
+           CASE WHEN path LIKE 'ev.purchase.%' THEN 900 ELSE 1800 END AS step,
+           CASE WHEN path LIKE 'ev.purchase.%' THEN 'sum' ELSE 'avg' END AS fn
+    FROM (SELECT DISTINCT path FROM dedup)
+), agg AS (
+    SELECT d.path, s.step, d.time - (d.time % s.step) AS time,
+           round(CASE WHEN s.fn = 'sum' THEN sum(d.value)
+                      ELSE avg(d.value) END, 6) AS val
+    FROM dedup d JOIN spec s USING (path)
+    GROUP BY 1, 2, 3, s.fn
+), grid AS (
+    SELECT path, step,
+           unnest(generate_series({FROM_TS}, {UNTIL_TS + 1} - step, step)) AS time
+    FROM spec
+)
+SELECT grid.path, grid.time, grid.step, agg.val
+FROM grid
+LEFT JOIN agg ON grid.path = agg.path AND grid.time = agg.time
+                 AND grid.step = agg.step
+"""
+
+
 def q_find_glob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P2/P3/P6/A7: glob find over the derived path index (leaf nodes)."""
     from graphite_clickhouse_spark.plans.glob import glob_predicate
@@ -956,6 +1017,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "version_dedup": (q_version_dedup, SQL_VERSION_DEDUP),
     "consolidate_last": (q_consolidate_last, SQL_CONSOLIDATE_LAST),
     "gapfill_grid": (q_gapfill_grid, SQL_GAPFILL_GRID),
+    "render_unaggregated": (q_render_unaggregated, SQL_RENDER_UNAGGREGATED),
     "find_glob": (q_find_glob, SQL_FIND_GLOB),
     "index_tree": (q_index_tree, SQL_INDEX_TREE),
     "tagged_find": (q_tagged_find, SQL_TAGGED_FIND),

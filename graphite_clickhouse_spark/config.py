@@ -226,4 +226,5 @@ def engine_from_settings(spark, settings: Settings, points, path_index=None,
         append_empty_series=settings.append_empty_series,
         index_reverse=settings.index_reverse,
         index_reverses=settings.index_reverses,
+        internal_aggregation=settings.internal_aggregation,
     )

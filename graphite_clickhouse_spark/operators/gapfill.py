@@ -84,3 +84,41 @@ def gap_fill_arrays(
         F.lit(step).alias("step"),
         values.alias("values"),
     )
+
+
+def gap_fill_arrays_dynamic(
+    points: DataFrame,
+    from_ts: int,
+    until_ts: int,
+    path_specs: DataFrame,
+) -> DataFrame:
+    """Per-path-step variant of ``gap_fill_arrays`` for the unaggregated
+    render path: each series densifies on ITS OWN grid
+    (ch_response.go:85-95 calls FillNulls with data.GetStep(id)).
+
+    ``points`` must be bucket-aggregated with per-row step already;
+    ``path_specs`` (path, step) supplies the universe (series with no
+    points still get a grid when append-empty-series is on). Grid bounds
+    per metric follow func.go:55-62 with the SHARED aligned window and the
+    metric's own step.
+    """
+    start_expr = F.col("_from") - F.col("_from") % F.col("step")
+    start_expr = F.when(start_expr < F.col("_from"), start_expr + F.col("step")).otherwise(start_expr)
+    pairs = points.groupBy("path", "step").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("time"), F.col("value")))
+        ).alias("by_time")
+    )
+    pairs = path_specs.select("path", "step").join(pairs, ["path", "step"], "left")
+    with_bounds = (
+        pairs.withColumn("_from", F.lit(from_ts))
+        .withColumn("start", start_expr)
+        .withColumn(
+            "stop", F.lit(until_ts) - F.lit(until_ts) % F.col("step") + F.col("step")
+        )
+    )
+    idx = F.sequence(F.col("start"), F.col("stop") - F.col("step"), F.col("step"))
+    values = F.transform(
+        idx, lambda t: F.coalesce(F.element_at(F.col("by_time"), t), F.lit(float("nan")))
+    )
+    return with_bounds.select("path", "start", "stop", "step", values.alias("values"))

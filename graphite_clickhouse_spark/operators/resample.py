@@ -122,3 +122,50 @@ def resample_grouped(
         .when(fn == "anyLast", F.col("_anyLast"))
     )
     return agged.select(path_col, "time", value.alias(value_col), "agg_function")
+
+
+def resample_grouped_dynamic(
+    df: DataFrame,
+    from_ts: int,
+    until_ts: int,
+    path_specs: DataFrame,
+    path_col: str = "path",
+    time_col: str = "time",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-path step AND function — the client-side rollup of the
+    UNAGGREGATED fetch (internal-aggregation=false): each metric keeps its
+    own retention precision, so one response mixes steps
+    (helper/rollup/rules.go:409-421 RollupMetricAge via doMetricPrecision,
+    render/data/data.go:134-142 SetSteps).
+
+    ``path_specs`` is a small (path, step, agg_function) DataFrame —
+    broadcast-joined; the bucket floors to the per-row step (absolute
+    alignment t - t%precision, rules.go:381-389). Still one scan + one
+    shuffle for all groups.
+    """
+    joined = df.join(F.broadcast(path_specs), path_col)
+    order = F.struct(F.col(time_col), *([F.col("version")] if "version" in df.columns else []))
+    v = F.col(value_col)
+    fn = F.col("agg_function")
+    bucket = (F.col(time_col) - F.col(time_col) % F.col("step")).alias("time")
+    bucketed = joined.filter(F.col(time_col).between(from_ts, until_ts)).groupBy(
+        F.col(path_col), bucket, F.col("step"), fn.alias("agg_function")
+    )
+    agged = bucketed.agg(
+        F.avg(v).alias("_avg"),
+        F.sum(v).alias("_sum"),
+        F.min(v).alias("_min"),
+        F.max(v).alias("_max"),
+        F.min_by(v, order).alias("_any"),
+        F.max_by(v, order).alias("_anyLast"),
+    )
+    value = (
+        F.when(fn == "avg", F.col("_avg"))
+        .when(fn == "sum", F.col("_sum"))
+        .when(fn == "min", F.col("_min"))
+        .when(fn == "max", F.col("_max"))
+        .when(fn == "any", F.col("_any"))
+        .when(fn == "anyLast", F.col("_anyLast"))
+    )
+    return agged.select(path_col, "time", "step", value.alias(value_col), "agg_function")

@@ -274,3 +274,71 @@ def glob_predicate_multi(col: Column, queries: list[str]) -> Column | None:
     for p in preds[1:]:
         out = out | p
     return out
+
+
+def split_query(query: str, max_node_to_split_index: int) -> list[str]:
+    """try-split-query: expand ONE brace list of a plain query into N
+    queries so each part can (a) pass the wildcard-min-distance guard and
+    (b) get a selective direct/reversed index prefix
+    (finder/split.go:130-225 splitQuery; truth table split_test.go:16-200).
+
+    Which list is expanded: if one side of the query (before the first
+    '{' / after the last '}') is wildcard-free, that side's list is
+    expanded — but only when that side's literal node count is within
+    max-node-to-split-index; wildcards on both sides → no split; no
+    wildcards at all → the side with more literal nodes (ties broken by
+    more choices in the leftmost list).
+    """
+    first_open = query.find("{")
+    first_close = query.find("}")
+    last_open = query.rfind("{")
+    last_close = query.rfind("}")
+
+    direct_node_count = query[:first_open].count(".")
+    direct_wildcard = index_wildcard(query[:first_open])
+    reverse_node_count = query[last_close:].count(".")
+    if last_close == len(query) - 1:
+        reverse_wildcard = -1
+    else:
+        reverse_wildcard = index_last_wildcard(query[last_close + 1:])
+
+    use_direct = True
+    if direct_wildcard >= 0 and reverse_wildcard >= 0:
+        return [query]
+    elif direct_wildcard < 0 and reverse_wildcard >= 0:
+        if direct_node_count > max_node_to_split_index:
+            return [query]
+        use_direct = True
+    elif direct_wildcard >= 0 and reverse_wildcard < 0:
+        if reverse_node_count > max_node_to_split_index:
+            return [query]
+        use_direct = False
+    else:
+        if (direct_node_count > max_node_to_split_index
+                and reverse_node_count > max_node_to_split_index):
+            return [query]
+
+    if last_open < first_close:
+        # only one list in the query: expand it in place
+        return expand_braces(query)
+
+    choices_left = query[first_open:first_close].count(",")
+    choices_right = query[last_open:last_close].count(",")
+
+    if direct_wildcard < 0 and reverse_wildcard < 0:
+        if direct_node_count > reverse_node_count:
+            if direct_node_count > max_node_to_split_index:
+                return [query]
+            use_direct = True
+        elif reverse_node_count > direct_node_count:
+            if reverse_node_count > max_node_to_split_index:
+                return [query]
+            use_direct = False
+        else:
+            use_direct = choices_left >= choices_right
+
+    if use_direct:
+        prefix, part, suffix = "", query[:first_close + 1], query[first_close + 1:]
+    else:
+        prefix, part, suffix = query[:last_open], query[last_open:], ""
+    return [prefix + p + suffix for p in expand_braces(part)]

@@ -25,12 +25,25 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.timemath import align_from_until, common_step
+from ..functions.timemath import align_from_until, common_step, max_step
 from ..operators.dedup import dedup_versions
-from ..operators.gapfill import gap_fill_arrays
-from ..operators.resample import AGG_FUNCTIONS, CONSOLIDATE_TO_AGG, resample_grouped
+from ..operators.gapfill import gap_fill_arrays, gap_fill_arrays_dynamic
+from ..operators.resample import (
+    AGG_FUNCTIONS,
+    CONSOLIDATE_TO_AGG,
+    resample_grouped,
+    resample_grouped_dynamic,
+)
 from ..operators.rollup import Rules
-from ..plans.glob import glob_predicate, reverse_path, use_reverse, validate_glob
+from ..plans.glob import (
+    glob_predicate,
+    glob_predicate_multi,
+    has_wildcard,
+    reverse_path,
+    split_query,
+    use_reverse,
+    validate_glob,
+)
 from ..plans.guards import MATCHED, PARTIAL, Blacklist, PrefixFinder
 from ..plans.tagged import FeatureFlags, parse_series_by_tag, tagged_predicate
 
@@ -72,6 +85,12 @@ class Engine:
     #: the literal suffix pushes down as a prefix (finder/index.go:100-130)
     index_reverse: str = "auto"
     index_reverses: tuple = ()
+    #: True (default): aggregate to a common LCM/maxDataPoints step in the
+    #: scan (the -Resample scheme, doc/aggregation.md:108-137). False: the
+    #: unaggregated scheme — fetch raw, roll up client-side to each
+    #: metric's OWN retention precision; one response mixes steps and
+    #: maxDataPoints is NOT applied (query.go:385-392, rules.go:409-421)
+    internal_aggregation: bool = True
     #: if True, metrics that resolved in find but have no points in range
     #: are returned as all-NaN series; if False (reference default) they
     #: are dropped from the response (common.append-empty-series,
@@ -179,7 +198,12 @@ class Engine:
         groups = self.rules.lookup_many(paths, age, override)
 
         steps = [precision for (precision, _fn) in groups]
-        step = common_step(steps, req.from_ts, req.until_ts, req.max_data_points)
+        if self.internal_aggregation:
+            step = common_step(steps, req.from_ts, req.until_ts, req.max_data_points)
+        else:
+            # unaggregated fetch window aligns to max(steps); each metric
+            # then grids at its own precision (query.go:385-392)
+            step = max_step(steps)
         from_al, until_al = align_from_until(req.from_ts, req.until_ts, step)
 
         source = (
@@ -195,20 +219,30 @@ class Engine:
         # function map and aggregate ALL groups in one scan + one shuffle
         # (operators/resample.py::resample_grouped).
         path_fn = [
-            (p, fn if fn in AGG_FUNCTIONS else "avg")
-            for (_precision, fn), group_paths in groups.items()
+            (p, int(precision), fn if fn in AGG_FUNCTIONS else "avg")
+            for (precision, fn), group_paths in groups.items()
             for p in group_paths
         ]
-        pf = self.spark.createDataFrame(path_fn, "path string, agg_function string")
+        pf = self.spark.createDataFrame(
+            path_fn, "path string, step long, agg_function string"
+        )
         pts = source.filter(F.col("path").isin(paths))
         deduped = dedup_versions(pts.filter(F.col("time").between(from_al, until_al)))
-        agged = resample_grouped(deduped, from_al, until_al, step, pf)
-        series = gap_fill_arrays(
-            agged.drop("agg_function"), from_al, until_al, step, paths=pf.select("path")
-        )
-        out = series.join(F.broadcast(pf), "path").withColumnRenamed(
-            "agg_function", "function"
-        )
+        if self.internal_aggregation:
+            agged = resample_grouped(
+                deduped, from_al, until_al, step, pf.drop("step")
+            )
+            series = gap_fill_arrays(
+                agged.drop("agg_function"), from_al, until_al, step,
+                paths=pf.select("path"),
+            )
+        else:
+            agged = resample_grouped_dynamic(deduped, from_al, until_al, pf)
+            series = gap_fill_arrays_dynamic(
+                agged.drop("agg_function"), from_al, until_al, pf
+            )
+        out = series.join(F.broadcast(pf.select("path", "agg_function")), "path")\
+            .withColumnRenamed("agg_function", "function")
         if not self.append_empty_series:
             # drop metrics with no points in range (all buckets gap-filled
             # to NaN) — the reference's default; append-empty-series=true

@@ -188,3 +188,70 @@ class TestReversedIndex:
         rows = {r.path: r.path_rev for r in engine.path_index.collect()}
         assert rows["test.plain1"] == "plain1.test"
         assert rows["test."] is None  # tree nodes carry no reversed form
+
+
+class TestUnaggregatedRender:
+    """internal-aggregation=false: raw fetch + client-side rollup at each
+    metric's OWN retention precision — one response mixes steps, no
+    maxDataPoints inflation (doc/aggregation.md scheme 2,
+    query.go:385-392, rules.go:409-421, ch_response.go:85-95)."""
+
+    @pytest.fixture(scope="class")
+    def mixed(self, spark):
+        rows = []
+        # fast.* at 10s resolution, slow.* at 30s; points every 10s
+        for name in ["fast.m1", "slow.m1"]:
+            for i in range(12):
+                rows.append((name, RNOW - 120 + 10 * i, float(i), 1))
+        points = spark.createDataFrame(rows, POINTS_SCHEMA)
+        rules = Rules(
+            [
+                Pattern(regexp=r"^slow\.", function="sum",
+                        retention=[Retention(0, 30)]),
+                Pattern(regexp="", function="avg", retention=[Retention(0, 10)]),
+            ]
+        )
+        return Engine(
+            spark=spark, points=points, rules=rules, internal_aggregation=False
+        )
+
+    def test_mixed_steps_one_response(self, mixed):
+        req = RenderRequest("*.m1", RNOW - 115, RNOW - 5, max_data_points=2)
+        rows = {r.path: r for r in mixed.render(req).collect()}
+        fast, slow = rows["fast.m1"], rows["slow.m1"]
+        # per-metric steps survive; maxDataPoints=2 did NOT inflate them
+        assert fast.step == 10 and slow.step == 30
+        # window aligned to max(steps)=30: from=ceil(RNOW-115,30), until=
+        # floor(RNOW-5,30)+29 (query.go:417-420); RNOW%30==20
+        from_al = RNOW - 110  # ceil_to_multiplier(RNOW-115, 30)
+        assert fast.start == from_al  # 10 divides from_al
+        # fast keeps raw 10s values (avg of single points)
+        n_fast = (fast.stop - fast.start) // 10
+        assert len(fast.values) == n_fast
+        assert fast.values[0] == 1.0  # point at RNOW-110 has value 1.0
+        # slow buckets are 30s sums with ABSOLUTE alignment (t - t%30)
+        assert slow.start % 30 == 0
+        # bucket at slow.start covers times {start, start+10, start+20}
+        covered = [
+            v for (t, v) in [
+                (RNOW - 120 + 10 * i, float(i)) for i in range(12)
+            ] if slow.start <= t < slow.start + 30
+        ]
+        assert slow.values[0] == sum(covered)
+
+    def test_aggregated_vs_unaggregated_same_values_when_steps_equal(
+        self, spark, engine
+    ):
+        # when every metric has the same retention and maxDataPoints is
+        # large, both schemes produce identical grids
+        req = RenderRequest("test.plain*", RNOW - 30, RNOW)
+        agg = {r.path: r for r in engine.render(req).collect()}
+        una = Engine(
+            spark=spark, points=engine.points, path_index=engine.path_index,
+            rules=engine.rules, internal_aggregation=False,
+        )
+        for path, row in {
+            r.path: r for r in una.render(req).collect()
+        }.items():
+            assert row.step == agg[path].step
+            assert row.values == agg[path].values, path
