@@ -77,6 +77,8 @@ class Settings:
     tags_min_in_query: int = 0
     index_reverse: str = "auto"
     index_reverses: tuple = ()
+    try_split_query: bool = False
+    max_node_to_split_index: int = 0
     tagged_autocomplete_days: int = 7
     max_data_points: int = 1048576
     internal_aggregation: bool = True
@@ -158,6 +160,8 @@ def load_settings(toml_text: str) -> Settings:
         s.prefix = PrefixFinder(ch["extra-prefix"])
     s.wildcard_min_distance = int(ch.get("wildcard-min-distance", 0))
     s.tags_min_in_query = int(ch.get("tags-min-in-query", 0))
+    s.try_split_query = bool(ch.get("try-split-query", False))
+    s.max_node_to_split_index = int(ch.get("max-node-to-split-index", 0))
     s.index_reverse = str(ch.get("index-reverse", "auto"))
     s.index_reverses = tuple(
         ReverseRule(
@@ -227,4 +231,6 @@ def engine_from_settings(spark, settings: Settings, points, path_index=None,
         index_reverse=settings.index_reverse,
         index_reverses=settings.index_reverses,
         internal_aggregation=settings.internal_aggregation,
+        try_split_query=settings.try_split_query,
+        max_node_to_split_index=settings.max_node_to_split_index,
     )

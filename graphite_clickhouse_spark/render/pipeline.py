@@ -36,7 +36,6 @@ from ..operators.resample import (
 )
 from ..operators.rollup import Rules
 from ..plans.glob import (
-    glob_predicate,
     glob_predicate_multi,
     has_wildcard,
     reverse_path,
@@ -85,6 +84,11 @@ class Engine:
     #: the literal suffix pushes down as a prefix (finder/index.go:100-130)
     index_reverse: str = "auto"
     index_reverses: tuple = ()
+    #: try-split-query: expand one brace list into N queries so each part
+    #: passes wildcard-min-distance and gets a selective index prefix
+    #: (finder/split.go); the split parts share one orientation decision
+    try_split_query: bool = False
+    max_node_to_split_index: int = 0
     #: True (default): aggregate to a common LCM/maxDataPoints step in the
     #: scan (the -Resample scheme, doc/aggregation.md:108-137). False: the
     #: unaggregated scheme — fetch raw, roll up client-side to each
@@ -123,20 +127,35 @@ class Engine:
             if m.state != MATCHED:
                 return self._empty_paths_df()
             target = m.inner_query
-        query = validate_glob(target, self.wildcard_min_distance)
+        queries = [target]
+        if self.try_split_query and ("{" in target or "}" in target):
+            # split BEFORE the distance guard: each part is validated on
+            # its own, so '{a,b}.x.y.*' can pass a guard the unsplit
+            # query would fail (SplitIndexFinder.Execute + whereFilter,
+            # finder/split.go:72-100,240-253)
+            parts = split_query(validate_glob(target), self.max_node_to_split_index)
+            if len(parts) > 1:
+                queries = parts
+        queries = [validate_glob(q, self.wildcard_min_distance) for q in queries]
         match_col = "path"
         if self.path_index is not None:
             src = self.path_index.filter(F.col("is_leaf"))
             # reversed-index orientation: match the reversed glob against
             # path_rev so the literal SUFFIX becomes a pushdown prefix
-            # (whereFilter, finder/index.go:163-177)
-            if "path_rev" in src.columns and use_reverse(
-                query, self.index_reverse, self.index_reverses
+            # (whereFilter, finder/index.go:163-177). Split parts share
+            # one decision, taken from the first wildcarded part
+            # (split.go:245-253).
+            decisive = next((q for q in queries if has_wildcard(q)), None)
+            if decisive is None and len(queries) == 1:
+                decisive = queries[0]
+            if "path_rev" in src.columns and decisive is not None and use_reverse(
+                decisive, self.index_reverse, self.index_reverses
             ):
-                match_col, query = "path_rev", reverse_path(query)
+                match_col = "path_rev"
+                queries = [reverse_path(q) for q in queries]
         else:
             src = self.points.select("path").distinct()
-        pred = glob_predicate(F.col(match_col), query)
+        pred = glob_predicate_multi(F.col(match_col), queries)
         found = (src if pred is None else src.filter(pred)).select("path").distinct()
         if self.prefix is not None and self.prefix.prefix:
             found = found.select(

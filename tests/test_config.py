@@ -235,3 +235,13 @@ def test_index_reverse_config():
     # rules override the auto heuristic (finder/index_test.go:63-95)
     assert use_reverse("a*.b.c.d.sum", s.index_reverse, s.index_reverses) is False
     assert use_reverse("test2.b.c.d.e", s.index_reverse, s.index_reverses) is True
+
+
+def test_try_split_query_config():
+    from graphite_clickhouse_spark.config import load_settings
+
+    s = load_settings(
+        "[clickhouse]\ntry-split-query = true\nmax-node-to-split-index = 2\n"
+    )
+    assert s.try_split_query is True
+    assert s.max_node_to_split_index == 2

@@ -161,3 +161,55 @@ def test_use_reverse_rules(query, expected):
         ReverseRule("reversed", regex=r"^a\..*\.max$"),
     )
     assert use_reverse(query, "auto", rules) is expected
+
+
+@pytest.mark.parametrize(
+    "query,max_node,expected",
+    [
+        # finder/split_test.go:16-200 Test_splitQuery
+        ("some.*.{a,b,c}.{first,second}.*.test.metric", 3,
+         ["some.*.{a,b,c}.{first,second}.*.test.metric"]),
+        ("some.long.{a,b,c}.{first,second}.*.metric", 1,
+         ["some.long.{a,b,c}.{first,second}.*.metric"]),
+        ("some.long.{a,b,c}.{first,second}.*.metric", 2,
+         ["some.long.a.{first,second}.*.metric",
+          "some.long.b.{first,second}.*.metric",
+          "some.long.c.{first,second}.*.metric"]),
+        ("some.*.{a,b,c}.{first,second}.test.metric", 1,
+         ["some.*.{a,b,c}.{first,second}.test.metric"]),
+        ("some.*.{a,b,c}.{first,second}.test.metric", 2,
+         ["some.*.{a,b,c}.first.test.metric",
+          "some.*.{a,b,c}.second.test.metric"]),
+        ("some.long.{a,b,c}.{first,second}.test.metric", 1,
+         ["some.long.{a,b,c}.{first,second}.test.metric"]),
+        ("{first,second}.some.metric.*", 3,
+         ["first.some.metric.*", "second.some.metric.*"]),
+        ("*.some.metric.{first,second}", 3,
+         ["*.some.metric.first", "*.some.metric.second"]),
+        ("some.very.long.{a,b}.*.{first,second}.metric", 2,
+         ["some.very.long.{a,b}.*.{first,second}.metric"]),
+        ("some.very.long.{a,b}.*.{first,second}.metric", 3,
+         ["some.very.long.a.*.{first,second}.metric",
+          "some.very.long.b.*.{first,second}.metric"]),
+        ("some.{a,b}.*.{first,second}.long.test.metric", 2,
+         ["some.{a,b}.*.{first,second}.long.test.metric"]),
+        ("some.{a,b}.*.{first,second}.long.test.metric", 3,
+         ["some.{a,b}.*.first.long.test.metric",
+          "some.{a,b}.*.second.long.test.metric"]),
+        ("some.very.long.{a,b,c}.*.{first,second}.long.test.metric", 3,
+         ["some.very.long.a.*.{first,second}.long.test.metric",
+          "some.very.long.b.*.{first,second}.long.test.metric",
+          "some.very.long.c.*.{first,second}.long.test.metric"]),
+        ("some.very.long.{a,b}.*.{first,second,third}.long.test.metric", 3,
+         ["some.very.long.{a,b}.*.first.long.test.metric",
+          "some.very.long.{a,b}.*.second.long.test.metric",
+          "some.very.long.{a,b}.*.third.long.test.metric"]),
+        ("query.{a,b}", -1, ["query.{a,b}"]),
+        ("*.query.{a,b}", -1, ["*.query.{a,b}"]),
+        ("*.query.{a,b}", 20, ["*.query.a", "*.query.b"]),
+    ],
+)
+def test_split_query(query, max_node, expected):
+    from graphite_clickhouse_spark.plans.glob import split_query
+
+    assert split_query(query, max_node) == expected

@@ -255,3 +255,60 @@ class TestUnaggregatedRender:
         }.items():
             assert row.step == agg[path].step
             assert row.values == agg[path].values, path
+
+
+class TestTrySplitQuery:
+    """try-split-query: '{a,b}.x.y.*' splits into per-choice queries that
+    each pass wildcard-min-distance and compile to selective predicates
+    (finder/split.go; doc/config.md:347)."""
+
+    @pytest.fixture(scope="class")
+    def split_engine(self, spark):
+        rows = [
+            (p, RNOW, 1.0, 1)
+            for p in ["first.some.metric.a", "first.some.metric.b",
+                      "second.some.metric.c", "third.some.metric.d"]
+        ]
+        points = spark.createDataFrame(rows, POINTS_SCHEMA)
+        return Engine(
+            spark=spark, points=points,
+            path_index=build_path_index(points.select("path")),
+            wildcard_min_distance=3, try_split_query=True,
+            max_node_to_split_index=3,
+        )
+
+    def test_split_passes_guard(self, split_engine):
+        # unsplit, the query has wildcards 0 nodes from both ends -> the
+        # guard rejects it; split parts are 'first.some.metric.*' etc.
+        # with distance 3 -> accepted
+        got = sorted(
+            r.path
+            for r in split_engine.find_paths("{first,second}.some.metric.*").collect()
+        )
+        assert got == [
+            "first.some.metric.a", "first.some.metric.b", "second.some.metric.c",
+        ]
+
+    def test_unsplit_rejected_without_split(self, spark, split_engine):
+        from graphite_clickhouse_spark.plans.glob import GlobError
+
+        plain = Engine(
+            spark=spark, points=split_engine.points,
+            path_index=split_engine.path_index, wildcard_min_distance=3,
+        )
+        with pytest.raises(GlobError):
+            plain.find_paths("{first,second}.some.metric.*").collect()
+
+    def test_split_with_reversed_orientation(self, spark, split_engine):
+        # '*.some.metric.{a,c}' splits on the RIGHT list; parts
+        # '*.some.metric.a' keep the leading wildcard -> auto picks the
+        # reversed index, suffix pushes down
+        eng = Engine(
+            spark=spark, points=split_engine.points,
+            path_index=split_engine.path_index, try_split_query=True,
+            max_node_to_split_index=3,
+        )
+        got = sorted(
+            r.path for r in eng.find_paths("*.some.metric.{a,c}").collect()
+        )
+        assert got == ["first.some.metric.a", "second.some.metric.c"]
