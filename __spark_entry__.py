@@ -426,6 +426,39 @@ ORDER BY value
 """
 
 
+def q_prom_plain_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """graphite{target=...} Prometheus bridge: plain glob find + synthetic
+    tagged display names with nodeN labels (finder/plain_from_tagged.go)."""
+    from graphite_clickhouse_spark.plans.prometheus import (
+        LabelMatcher,
+        select_series_engine,
+    )
+    from graphite_clickhouse_spark.render.pipeline import Engine
+
+    eng = Engine(spark=spark, points=_points(spark, sf_dir))
+    return select_series_engine(
+        eng,
+        [
+            LabelMatcher("__name__", "=", "graphite"),
+            LabelMatcher("target", "=", "ev.*.u[0-3]"),
+            LabelMatcher("node1", "=", "event"),
+            LabelMatcher("node2", "=", "user"),
+        ],
+    )
+
+
+SQL_PROM_PLAIN_BRIDGE = POINTS_CTE + """
+, found AS (
+    SELECT DISTINCT path FROM points
+    WHERE regexp_matches(path, '^ev[.]([^.]*?)[.]u[0-3]$')
+)
+SELECT 'graphite?event=' || string_split(path, '.')[2]
+       || '&metric=' || path
+       || '&user=' || string_split(path, '.')[3] AS path
+FROM found
+"""
+
+
 def q_tagger_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S13: tagger batch job — TOML rules (prefix/contains/regexp) applied
     to the metric namespace as pure Column predicates; tags of ALL matching
@@ -1024,6 +1057,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "autocomplete_values": (q_autocomplete_values, SQL_AUTOCOMPLETE_VALUES),
     "autocomplete_tags": (q_autocomplete_tags, SQL_AUTOCOMPLETE_TAGS),
     "prom_label_values": (q_prom_label_values, SQL_PROM_LABEL_VALUES),
+    "prom_plain_bridge": (q_prom_plain_bridge, SQL_PROM_PLAIN_BRIDGE),
     "tagger_rules": (q_tagger_rules, SQL_TAGGER_RULES),
     "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
     "semi_join_urgent": (q_semi_join_urgent, SQL_SEMI_JOIN_URGENT),

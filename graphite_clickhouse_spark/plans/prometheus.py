@@ -95,3 +95,84 @@ def label_values(
 def prom_max_data_points(from_ts: int, until_ts: int, step: int) -> int:
     """prometheus/querier_select.go:95-147."""
     return 1000 * max(0, until_ts - from_ts) // max(1, step)
+
+
+@dataclass
+class PlainFromTagged:
+    """Parsed `graphite{target="a.*.b", node1="host", rename="..."}`
+    special form (finder/plain_from_tagged.go:16-65): a Prometheus
+    selector that queries PLAIN graphite metrics through the tag API."""
+
+    target: str
+    metric_name: str = "graphite"
+    node_labels: dict[int, str] | None = None
+
+
+def plain_from_tagged(terms) -> PlainFromTagged | None:
+    """makePlainFromTagged (plain_from_tagged.go:23-65): recognized when
+    the matchers include __name__="graphite" (Eq) and a non-empty
+    target="glob" (Eq). nodeN="label" matchers map path node N to a
+    Prometheus label; rename="m" overrides the synthetic metric name.
+    Returns None when the selector is a normal tagged query."""
+    is_graphite = any(
+        t.key == "__name__" and t.op == "=" and t.value == "graphite" for t in terms
+    )
+    target = next(
+        (t.value for t in terms if t.key == "target" and t.op == "=" and t.value),
+        "",
+    )
+    if not is_graphite or not target:
+        return None
+    spec = PlainFromTagged(target=target)
+    node_labels: dict[int, str] = {}
+    for t in terms:
+        if t.op != "=" or not t.value:
+            continue
+        if t.key == "rename":
+            spec.metric_name = t.value
+        elif t.key.startswith("node") and t.key[4:].isdigit():
+            node_labels[int(t.key[4:])] = t.value
+    spec.node_labels = node_labels or None
+    return spec
+
+
+def plain_display_names(paths: DataFrame, spec: PlainFromTagged,
+                        path_col: str = "path") -> DataFrame:
+    """Abs (plain_from_tagged.go:85-124): each found plain path becomes a
+    tagged display name `name?metric=<path>&label=<node>...` with labels
+    sorted by name and URL-escaped (QueryEscape = quote_plus).
+
+    Pure JVM expressions: split + element_at + url_encode — no Python in
+    the per-row path."""
+    from urllib.parse import quote_plus
+
+    parts = F.split(F.col(path_col), "[.]")
+    labels: list[tuple[str, object]] = [("metric", F.col(path_col))]
+    for n, label in (spec.node_labels or {}).items():
+        # element_at is 1-based; missing nodes yield NULL and are skipped
+        labels.append((label, F.element_at(parts, n + 1)))
+    labels.sort(key=lambda kv: kv[0])
+    pieces = [
+        F.when(
+            v.isNotNull(),
+            F.concat(F.lit(quote_plus(k) + "="), F.url_encode(v)),
+        )
+        for k, v in labels
+    ]
+    display = F.concat(
+        F.lit(spec.metric_name + "?"),
+        F.array_join(F.array(*pieces), "&"),  # array_join drops NULLs
+    )
+    return paths.select(display.alias(path_col))
+
+
+def select_series_engine(engine, matchers: list[LabelMatcher]) -> DataFrame:
+    """Full Select path incl. the plain-graphite bridge (finder.go:135-145):
+    `graphite{target=...}` routes through the PLAIN finder (globs, reversed
+    index, split — everything Engine.find_paths does) and synthesizes
+    tagged display names; anything else is a normal tagged select."""
+    terms = terms_from_matchers(matchers)
+    spec = plain_from_tagged(terms)
+    if spec is not None:
+        return plain_display_names(engine.find_paths(spec.target), spec)
+    return select_series(engine.tagged_points, matchers)

@@ -154,3 +154,69 @@ class TestTagger:
         rules = parse_rules('[[rule]]\nhas-prefix = "a"\ntag = "expr=x=y"\n')
         got = apply_rules(spark.createDataFrame([("a.b",)], "path string"), rules).collect()
         assert got[0].tags_map == {"expr": "x=y"}
+
+
+class TestPlainFromTagged:
+    """graphite{target="..."} bridge (finder/plain_from_tagged.go)."""
+
+    def test_parse(self):
+        from graphite_clickhouse_spark.plans.prometheus import plain_from_tagged
+        from graphite_clickhouse_spark.plans.tagged import TaggedTerm
+
+        terms = [
+            TaggedTerm("__name__", "=", "graphite"),
+            TaggedTerm("target", "=", "telegraf.*.cpu.avg"),
+            TaggedTerm("node1", "=", "host"),
+            TaggedTerm("rename", "=", "cpu_avg"),
+        ]
+        spec = plain_from_tagged(terms)
+        assert spec.target == "telegraf.*.cpu.avg"
+        assert spec.metric_name == "cpu_avg"
+        assert spec.node_labels == {1: "host"}
+        # normal tagged query -> None
+        assert plain_from_tagged([TaggedTerm("__name__", "=", "cpu")]) is None
+
+    def test_display_names(self, spark):
+        from graphite_clickhouse_spark.plans.prometheus import (
+            PlainFromTagged,
+            plain_display_names,
+        )
+
+        paths = spark.createDataFrame(
+            [("telegraf.db01.cpu.avg",), ("telegraf.web02.cpu.avg",)],
+            "path string",
+        )
+        spec = PlainFromTagged(
+            target="telegraf.*.cpu.avg", node_labels={1: "host"}
+        )
+        got = sorted(r.path for r in plain_display_names(paths, spec).collect())
+        # labels sorted by name: host < metric (Abs, plain_from_tagged.go:105)
+        assert got == [
+            "graphite?host=db01&metric=telegraf.db01.cpu.avg",
+            "graphite?host=web02&metric=telegraf.web02.cpu.avg",
+        ]
+
+    def test_select_series_engine_bridge(self, spark):
+        from graphite_clickhouse_spark.plans.prometheus import (
+            LabelMatcher,
+            select_series_engine,
+        )
+        from graphite_clickhouse_spark.render.pipeline import Engine
+
+        points = spark.createDataFrame(
+            [("telegraf.db01.cpu.avg", 0, 1.0, 1)],
+            "path string, time long, value double, version long",
+        )
+        eng = Engine(spark=spark, points=points)
+        got = [
+            r.path
+            for r in select_series_engine(
+                eng,
+                [
+                    LabelMatcher("__name__", "=", "graphite"),
+                    LabelMatcher("target", "=", "telegraf.*.cpu.*"),
+                    LabelMatcher("node0", "=", "app"),
+                ],
+            ).collect()
+        ]
+        assert got == ["graphite?app=telegraf&metric=telegraf.db01.cpu.avg"]
