@@ -252,3 +252,28 @@ def index_json(paths: Iterable[str]) -> bytes:
     """/metrics/index.json: sorted JSON array, non-leaf ('.'-suffixed) paths
     skipped (index/index.go:23-120)."""
     return json.dumps(sorted(p for p in paths if not p.endswith("."))).encode("utf-8")
+
+
+def capability_response_json(name: str) -> bytes:
+    """/_internal/capabilities/ JSON body (capabilities/handler.go:73-94):
+    gogoproto json tags carry omitempty, so the all-false bools and only
+    the two set fields appear."""
+    return json.dumps(
+        {
+            "supportedProtocols": [
+                "carbonapi_v3_pb", "carbonapi_v2_pb", "graphite-web-pickle",
+            ],
+            "name": name,
+        }
+    ).encode()
+
+
+def capability_response_v3_pb(name: str) -> bytes:
+    """CapabilityResponse protobuf (go-graphite/protocol
+    carbonapi_v3_pb.proto: supportedProtocols=1, name=2; the bool fields
+    3-6 are false = proto3 default = omitted on the wire)."""
+    out = b""
+    for proto in ("carbonapi_v3_pb", "carbonapi_v2_pb", "graphite-web-pickle"):
+        out += _string(1, proto)
+    out += _string(2, name)
+    return out

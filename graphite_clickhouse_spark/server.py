@@ -69,8 +69,12 @@ class GraphiteHandler(BaseHTTPRequestHandler):
         q = {k: v[0] for k, v in parse_qs(url.query).items()}
         qlist = parse_qs(url.query)
         try:
-            if url.path in ("/", "/alive", "/health"):
+            if url.path in ("/", "/alive"):
                 self._send(b"Graphite-clickhouse-spark is alive.\n", "text/plain")
+            elif url.path == "/health":
+                self._health()
+            elif url.path.rstrip("/") == "/_internal/capabilities":
+                self._capabilities(q)
             elif url.path.rstrip("/") == "/render":
                 with self._limit("render"):
                     self._render(q)
@@ -108,6 +112,63 @@ class GraphiteHandler(BaseHTTPRequestHandler):
         return getattr(self.limiters, cls).enter()
 
     # ---- endpoints ------------------------------------------------------
+
+    #: shared probe state: [last_probe_epoch, failed] — one storage probe
+    #: per 10 s across threads (healthcheck/healthcheck.go:50-62)
+    _health_state = [0.0, 1]
+    _health_lock = threading.Lock()
+
+    def _health(self):
+        """Storage healthcheck: a guaranteed-empty index query proves the
+        scan path end-to-end (the reference probes Level=20002 /
+        Date='1970-02-12', healthcheck.go:41-47); rate-limited to one
+        probe per 10 s."""
+        import time as _time
+
+        state = type(self)._health_state
+        with type(self)._health_lock:
+            now = _time.time()
+            probe = now - state[0] >= 10
+            if probe:
+                state[0] = now
+        if probe:
+            failed = 1
+            try:
+                src = (
+                    self.engine.path_index
+                    if self.engine.path_index is not None
+                    else self.engine.points
+                )
+                src.filter(
+                    F.col("path").isin("NonExistient", "NonExistient.")
+                ).limit(1).count()
+                failed = 0
+            except Exception:
+                failed = 1
+            state[1] = failed
+        if state[1]:
+            self._error(503, "Storage healthcheck failed")
+        else:
+            self._send(b"Graphite-clickhouse-spark is alive.\n", "text/plain")
+
+    def _capabilities(self, q: dict):
+        """/_internal/capabilities/ (capabilities/handler.go:26-112):
+        carbonapi protocol negotiation; format via ?format= or the
+        Accept: application/x-carbonapi-v3-pb header."""
+        import socket
+
+        fmt = q.get("format", "")
+        if self.headers.get("Accept") == "application/x-carbonapi-v3-pb":
+            fmt = "carbonapi_v3_pb"
+        name = socket.gethostname() or "(unknown)"
+        if fmt == "json":
+            self._send(R.capability_response_json(name), "application/json")
+        elif fmt == "carbonapi_v3_pb":
+            self._send(
+                R.capability_response_v3_pb(name), "application/x-carbonapi-v3-pb"
+            )
+        else:
+            self._error(400, "Bad request (unsupported format)")
 
     def _render(self, q: dict):
         import time as _time

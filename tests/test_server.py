@@ -206,3 +206,44 @@ class TestConfiguredServer:
         with pytest.raises(urllib.error.HTTPError) as ei:
             urllib.request.urlopen(url, timeout=120)
         assert ei.value.code == 403
+
+
+class TestHealthAndCapabilities:
+    def test_health_probes_storage(self, base_url):
+        base = base_url
+        body = get(f"{base}/health")
+        assert b"alive" in body
+
+    def test_capabilities_json(self, base_url):
+        base = base_url
+        body = get(f"{base}/_internal/capabilities/?format=json")
+        d = json.loads(body)
+        assert d["supportedProtocols"] == [
+            "carbonapi_v3_pb", "carbonapi_v2_pb", "graphite-web-pickle",
+        ]
+        assert d["name"]
+
+    def test_capabilities_pb_and_accept_header(self, base_url):
+        import urllib.request
+
+        base = base_url
+        req = urllib.request.Request(
+            f"{base}/_internal/capabilities/",
+            headers={"Accept": "application/x-carbonapi-v3-pb"},
+        )
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            assert resp.headers["Content-Type"] == "application/x-carbonapi-v3-pb"
+            out = resp.read()
+        # field 1 (len-delim) = first supported protocol
+        assert out[0] == 0x0A and b"carbonapi_v3_pb" in out
+
+    def test_capabilities_bad_format(self, base_url):
+        import urllib.error
+        import urllib.request
+
+        base = base_url
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(
+                f"{base}/_internal/capabilities/", timeout=120
+            )
+        assert ei.value.code == 400
