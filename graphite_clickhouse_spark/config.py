@@ -79,6 +79,8 @@ class Settings:
     index_reverses: tuple = ()
     try_split_query: bool = False
     max_node_to_split_index: int = 0
+    index_use_daily: bool = True
+    date_mode: str = "utc"
     tagged_autocomplete_days: int = 7
     max_data_points: int = 1048576
     internal_aggregation: bool = True
@@ -160,6 +162,13 @@ def load_settings(toml_text: str) -> Settings:
         s.prefix = PrefixFinder(ch["extra-prefix"])
     s.wildcard_min_distance = int(ch.get("wildcard-min-distance", 0))
     s.tags_min_in_query = int(ch.get("tags-min-in-query", 0))
+    s.index_use_daily = bool(ch.get("index-use-daily", True))
+    mode = str(ch.get("date-format", "") or "utc").lower()
+    if mode == "":
+        mode = "utc"
+    if mode not in ("utc", "default", "both"):
+        raise ValueError(f"unsupported date-format: {mode}")
+    s.date_mode = mode
     s.try_split_query = bool(ch.get("try-split-query", False))
     s.max_node_to_split_index = int(ch.get("max-node-to-split-index", 0))
     s.index_reverse = str(ch.get("index-reverse", "auto"))
@@ -196,7 +205,7 @@ def load_settings(toml_text: str) -> Settings:
         if key in common:
             s.ignored.append(f"common.{key}")
     for key in ("url", "connect-timeout", "tls", "query-params", "index-table",
-                "index-use-daily", "tagged-table", "tags-count-table"):
+                "tagged-table", "tags-count-table"):
         if key in ch:
             s.ignored.append(f"clickhouse.{key}")
     return s
@@ -233,4 +242,6 @@ def engine_from_settings(spark, settings: Settings, points, path_index=None,
         internal_aggregation=settings.internal_aggregation,
         try_split_query=settings.try_split_query,
         max_node_to_split_index=settings.max_node_to_split_index,
+        index_use_daily=settings.index_use_daily,
+        date_mode=settings.date_mode,
     )

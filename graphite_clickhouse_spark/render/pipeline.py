@@ -89,6 +89,11 @@ class Engine:
     #: (finder/split.go); the split parts share one orientation decision
     try_split_query: bool = False
     max_node_to_split_index: int = 0
+    #: daily index semantics: when the path_index carries a `date` column
+    #: and the find has a time range, prune to the days in range
+    #: (finder/index.go:151-161 useDaily; date modes date.go:39-105)
+    index_use_daily: bool = True
+    date_mode: str = "utc"  # clickhouse.date-format: default | utc | both
     #: True (default): aggregate to a common LCM/maxDataPoints step in the
     #: scan (the -Resample scheme, doc/aggregation.md:108-137). False: the
     #: unaggregated scheme — fetch raw, roll up client-side to each
@@ -103,7 +108,9 @@ class Engine:
 
     # ---- FIND ----------------------------------------------------------
 
-    def find_paths(self, target: str) -> DataFrame:
+    def find_paths(
+        self, target: str, from_ts: int | None = None, until_ts: int | None = None
+    ) -> DataFrame:
         """Resolve a target to the set of real metric paths (leaf nodes).
 
         Blacklisted targets resolve to the empty set (finder/blacklist.go:
@@ -140,6 +147,20 @@ class Engine:
         match_col = "path"
         if self.path_index is not None:
             src = self.path_index.filter(F.col("is_leaf"))
+            # daily index: prune to the days of the query window — at
+            # scale the index read tracks the window, not the retention
+            if (
+                self.index_use_daily
+                and "date" in src.columns
+                and from_ts is not None
+                and until_ts is not None
+                and from_ts > 0
+                and until_ts > 0
+            ):
+                from ..functions.date import date_bounds
+
+                lo, hi = date_bounds(from_ts, until_ts, self.date_mode)
+                src = src.filter(F.col("date").between(lo, hi))
             # reversed-index orientation: match the reversed glob against
             # path_rev so the literal SUFFIX becomes a pushdown prefix
             # (whereFilter, finder/index.go:163-177). Split parts share
@@ -179,7 +200,7 @@ class Engine:
         if cached is not None:
             paths = list(cached)
         else:
-            paths_df = self.find_paths(req.target)
+            paths_df = self.find_paths(req.target, req.from_ts, req.until_ts)
             paths = [r.path for r in paths_df.collect()]  # resolved list is small
             if self.find_cache is not None:
                 self.find_cache.set(cache_key, paths, cache_ttl)

@@ -222,14 +222,28 @@ class GraphiteHandler(BaseHTTPRequestHandler):
         }[fmt]
         self._send(enc(series), RENDER_CONTENT_TYPES[fmt])
 
-    def _find_rows(self, query: str) -> list[tuple[str, bool]]:
+    def _find_rows(
+        self, query: str, from_ts: int = 0, until_ts: int = 0
+    ) -> list[tuple[str, bool]]:
         """Resolve a find query incl. tree (non-leaf) nodes, leaf semantics
-        by trailing '.' as in finder/finder.go:115-122."""
+        by trailing '.' as in finder/finder.go:115-122. from/until bound
+        the daily index when present (finder/index.go:151-161)."""
         idx = self.engine.path_index
         if idx is None:
-            df = self.engine.find_paths(query)
+            df = self.engine.find_paths(query, from_ts or None, until_ts or None)
             return [(r.path, True) for r in df.collect()]
         from .plans.glob import glob_predicate, validate_glob
+
+        if (
+            self.engine.index_use_daily
+            and "date" in idx.columns
+            and from_ts > 0
+            and until_ts > 0
+        ):
+            from .functions.date import date_bounds
+
+            lo, hi = date_bounds(from_ts, until_ts, self.engine.date_mode)
+            idx = idx.filter(F.col("date").between(lo, hi))
 
         g = validate_glob(query, self.engine.wildcard_min_distance)
         # exact-depth pruning (P6, finder/index.go:69-78): glob predicates
@@ -252,7 +266,9 @@ class GraphiteHandler(BaseHTTPRequestHandler):
     def _find(self, q: dict):
         query = q.get("query", "")
         fmt = q.get("format", "json")
-        rows = self._find_rows(query)
+        rows = self._find_rows(
+            query, int(q.get("from", 0) or 0), int(q.get("until", 0) or 0)
+        )
         limit = self.max_find_answer
         if fmt == "json":
             self._send(R.find_json(rows, limit), "application/json")

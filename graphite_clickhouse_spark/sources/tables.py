@@ -127,3 +127,41 @@ def build_path_index(points_paths: DataFrame) -> DataFrame:
         "path_rev",
         F.when(F.col("is_leaf") & ~F.col("path").contains("?"), rev),
     )
+
+
+def build_daily_path_index(points: DataFrame) -> DataFrame:
+    """Daily find-index rows: (date, path, level, is_leaf, path_rev), one
+    tree per calendar day a path received points (the reference's daily
+    index rows, doc/index-table.md:20-38; queried with Date bounds by
+    DateFinder / IndexFinder useDaily, finder/index.go:151-161).
+
+    Written date-partitioned, a time-bounded find prunes to the days in
+    range — the index scan cost tracks the QUERY window, not the total
+    retention (the 100 TB lever: most dashboards ask for hours, not
+    years). Input needs (path, date) columns; one distinct per day.
+    """
+    parts = F.split(F.col("path"), "[.]")
+    n = F.size(parts)
+    prefixes = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.when(
+            i < n, F.concat(F.array_join(F.slice(parts, F.lit(1), i), "."), F.lit("."))
+        ).otherwise(F.col("path")),
+    )
+    rev = F.array_join(F.reverse(F.split(F.col("path"), "[.]")), ".")
+    return (
+        points.select("path", "date")
+        .distinct()
+        .select("date", F.posexplode(prefixes).alias("pos", "node"))
+        .select(
+            "date",
+            F.col("node").alias("path"),
+            (F.col("pos") + 1).alias("level"),
+            (~F.col("node").endswith(".")).alias("is_leaf"),
+        )
+        .distinct()
+        .withColumn(
+            "path_rev",
+            F.when(F.col("is_leaf") & ~F.col("path").contains("?"), rev),
+        )
+    )

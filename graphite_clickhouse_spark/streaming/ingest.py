@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import dedup_versions_all_columns
-from ..sources.tables import build_path_index
+from ..sources.tables import build_daily_path_index
 
 POINT_SCHEMA = "path string, value double, time long, date date, version long"
 
@@ -135,7 +135,11 @@ class IngestJob:
         parsed = dedup_versions_all_columns(parsed)
         parsed.write.mode("append").partitionBy("date").parquet(self.points_dir)
         plain = parsed.filter(~F.col("path").contains("?"))
-        build_path_index(plain).write.mode("append").parquet(self.index_dir)
+        # daily index rows, date-partitioned: a windowed find prunes
+        # to the days in range (doc/index-table.md:20-38)
+        build_daily_path_index(plain).write.mode("append").partitionBy(
+            "date"
+        ).parquet(self.index_dir)
         tagged = build_tags_index(parsed)
         tagged.write.mode("append").parquet(self.tags_dir)
 

@@ -136,3 +136,62 @@ class TestReversedIndexPushdown:
         assert "StringStartsWith(path_rev,load.c" in plan, plan
         got = {r.path for r in df.collect()}
         assert len(got) == 50 and "dc0.host0.cpu.load" in got
+
+
+class TestDailyIndexFind:
+    """Daily index (finder/index.go useDaily): a time-bounded find reads
+    only the days in the window — PartitionFilters on date — and excludes
+    paths whose data lies entirely outside it."""
+
+    @pytest.fixture(scope="class")
+    def daily(self, spark, tmp_path_factory):
+        tmp = tmp_path_factory.mktemp("daily")
+        # day 1 (1970-01-01): m.old ; day 3 (1970-01-03): m.new
+        lines = ["m.old 1.0 3600", "m.new 2.0 180000"]
+        job = IngestJob(str(tmp / "out"), version=1)
+        job.write_batch(
+            parse_carbon_lines(
+                spark.createDataFrame([(l,) for l in lines], "value string"),
+                version=1,
+            )
+        )
+        return job
+
+    def test_date_partition_pruned(self, spark, daily):
+        from graphite_clickhouse_spark.render.pipeline import Engine
+
+        eng = Engine(
+            spark=spark,
+            points=daily.read_points(spark),
+            path_index=spark.read.parquet(daily.index_dir),
+        )
+        df = eng.find_paths("m.*", from_ts=170000, until_ts=190000)
+        plan = plan_of(df)
+        assert "PartitionFilters" in plan and "1970-01-03" in plan, plan
+        assert [r.path for r in df.collect()] == ["m.new"]
+
+    def test_unbounded_find_sees_all(self, spark, daily):
+        from graphite_clickhouse_spark.render.pipeline import Engine
+
+        eng = Engine(
+            spark=spark,
+            points=daily.read_points(spark),
+            path_index=spark.read.parquet(daily.index_dir),
+        )
+        got = sorted(r.path for r in eng.find_paths("m.*").collect())
+        assert got == ["m.new", "m.old"]
+
+    def test_daily_disabled(self, spark, daily):
+        from graphite_clickhouse_spark.render.pipeline import Engine
+
+        eng = Engine(
+            spark=spark,
+            points=daily.read_points(spark),
+            path_index=spark.read.parquet(daily.index_dir),
+            index_use_daily=False,
+        )
+        got = sorted(
+            r.path
+            for r in eng.find_paths("m.*", from_ts=170000, until_ts=190000).collect()
+        )
+        assert got == ["m.new", "m.old"]
