@@ -29,6 +29,7 @@ BENCH_QUERIES = [
     "render_baseline_shape",
     "render_resample_avg",
     "render_resample_multi",
+    "render_unaggregated",
     "version_dedup",
     "gapfill_grid",
     "find_glob",

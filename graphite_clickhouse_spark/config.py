@@ -87,6 +87,9 @@ class Settings:
     data_timeout_sec: float = 60.0
     index_timeout_sec: float = 60.0
     limiters: dict[str, dict[str, int]] = field(default_factory=dict)
+    #: [clickhouse.user-limits.<name>] overrides, keyed by the
+    #: X-Forwarded-User header value (config.go:162-165,236)
+    user_limits: dict[str, dict[str, int]] = field(default_factory=dict)
     rules: Rules = field(default_factory=Rules.default)
     data_tables: list[dict[str, Any]] = field(default_factory=list)
     #: sections/keys present in the file that have no Spark-side meaning
@@ -107,6 +110,22 @@ class Settings:
             tags=cap("tags", "concurrent", 1 << 20),
             queue_timeout_sec=self.index_timeout_sec or 60.0,
         )
+
+    def user_limiters(self) -> dict:
+        """Per-user limiter overrides (render/data/multi_target.go:95-125:
+        a user present in user-limits gets their OWN limiter instead of
+        the class one)."""
+        from .plans.limiter import RequestLimiter
+
+        out = {}
+        for user, lim in self.user_limits.items():
+            conc = int(lim.get("concurrent-queries", 0) or 0)
+            out[user] = RequestLimiter(
+                conc if conc > 0 else 1 << 20,
+                max_queue=int(lim.get("max-queries", 0) or 0),
+                queue_timeout_sec=self.index_timeout_sec or 60.0,
+            )
+        return out
 
 
 def _read_rollup(ch: dict[str, Any], tables: list[dict[str, Any]], ignored: list[str]) -> Rules:
@@ -195,6 +214,10 @@ def load_settings(toml_text: str) -> Settings:
             ),
         }
 
+    s.user_limits = {
+        user: dict(lim)
+        for user, lim in (ch.get("user-limits", {}) or {}).items()
+    }
     s.data_tables = list(raw.get("data-table", []))
     s.rules = _read_rollup(ch, s.data_tables, s.ignored)
 

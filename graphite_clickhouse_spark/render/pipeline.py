@@ -266,7 +266,20 @@ class Engine:
         pf = self.spark.createDataFrame(
             path_fn, "path string, step long, agg_function string"
         )
-        pts = source.filter(F.col("path").isin(paths))
+        # path restriction: a literal In() pushes into the Parquet scan
+        # (row-group pruning on path min/max) but serializes every name
+        # into the plan — fine for dashboards, not for 15k-metric targets.
+        # Past the threshold the broadcast semi-join inside
+        # resample_grouped* (points ⋈ pf) carries the restriction alone,
+        # the reference's external-data temp table (render/data/
+        # query.go:363-380); a min/max path range filter keeps coarse
+        # row-group pruning.
+        if len(paths) <= 1000:
+            pts = source.filter(F.col("path").isin(paths))
+        else:
+            pts = source.filter(
+                F.col("path").between(min(paths), max(paths))
+            ).join(F.broadcast(pf.select("path")), "path", "left_semi")
         deduped = dedup_versions(pts.filter(F.col("time").between(from_al, until_al)))
         if self.internal_aggregation:
             agged = resample_grouped(

@@ -41,6 +41,7 @@ class GraphiteHandler(BaseHTTPRequestHandler):
     engine: Engine  # set by make_server
     max_find_answer: int = 0  # max-metrics-in-find-answer (L2)
     limiters = None  # plans.limiter.ClassLimiters | None (set by make_server)
+    user_limiters: dict = {}  # per X-Forwarded-User overrides
 
     # ---- plumbing -------------------------------------------------------
 
@@ -107,6 +108,12 @@ class GraphiteHandler(BaseHTTPRequestHandler):
     def _limit(self, cls: str):
         import contextlib
 
+        # a user named in user-limits gets their own limiter in place of
+        # the class one (render/data/multi_target.go:95-125; username from
+        # the X-Forwarded-User header, render/handler.go:273)
+        user = self.headers.get("X-Forwarded-User", "")
+        if user and self.user_limiters and user in self.user_limiters:
+            return self.user_limiters[user].enter()
         if self.limiters is None:
             return contextlib.nullcontext()
         return getattr(self.limiters, cls).enter()
@@ -324,6 +331,7 @@ def make_server(
     if settings is not None:
         attrs["max_find_answer"] = settings.max_metrics_in_find_answer
         attrs["limiters"] = settings.class_limiters()
+        attrs["user_limiters"] = settings.user_limiters()
     handler = type("BoundHandler", (GraphiteHandler,), attrs)
     return ThreadingHTTPServer((host, port), handler)
 

@@ -195,3 +195,26 @@ class TestDailyIndexFind:
             for r in eng.find_paths("m.*", from_ts=170000, until_ts=190000).collect()
         )
         assert got == ["m.new", "m.old"]
+
+
+class TestWidePathTargetFetch:
+    """>1000 resolved paths: the fetch drops the literal In() (plan bloat)
+    for a broadcast semi-join + path-range rough filter — the reference's
+    external-data temp table (render/data/query.go:363-380)."""
+
+    def test_wide_target_semi_join_plan_and_values(self, spark):
+        from graphite_clickhouse_spark.render.pipeline import Engine, RenderRequest
+
+        n = 1100
+        rows = [(f"w.m{i:04d}", 600, float(i), 1) for i in range(n)]
+        points = spark.createDataFrame(
+            rows, "path string, time long, value double, version long"
+        )
+        eng = Engine(spark=spark, points=points, max_metrics_per_target=10**6)
+        df = eng.render(RenderRequest("w.*", 0, 1200, max_data_points=2))
+        plan = plan_of(df)
+        assert "BroadcastHashJoin" in plan
+        assert " In(path, [" not in plan  # no 1100-literal In
+        out = df.collect()
+        assert len(out) == n
+        assert out[5].values[1] == 5.0  # w.m0005 value in the 600s bucket

@@ -247,3 +247,49 @@ class TestHealthAndCapabilities:
                 f"{base}/_internal/capabilities/", timeout=120
             )
         assert ei.value.code == 400
+
+
+class TestUserLimits:
+    """[clickhouse.user-limits.<name>]: the named user's requests go
+    through their OWN limiter, picked by X-Forwarded-User
+    (multi_target.go:95-125, handler.go:273)."""
+
+    @pytest.fixture(scope="class")
+    def limited(self, spark):
+        from graphite_clickhouse_spark.config import (
+            engine_from_settings,
+            load_settings,
+        )
+
+        settings = load_settings(
+            "[clickhouse.user-limits.grafana]\nconcurrent-queries = 1\n"
+        )
+        points = points_from_events(spark, SF)
+        engine = engine_from_settings(
+            spark, settings, points,
+            path_index=build_path_index(points.select("path")),
+        )
+        srv, url = serve_background(engine, settings=settings)
+        yield srv, url
+        srv.shutdown()
+
+    def test_named_user_gets_own_limiter(self, limited):
+        import urllib.error
+        import urllib.request
+
+        srv, base = limited
+        url = (
+            f"{base}/render?target=ev.purchase.u1&from={FROM_TS}"
+            f"&until={UNTIL_TS}&maxDataPoints=24&format=json"
+        )
+        lim = srv.RequestHandlerClass.user_limiters["grafana"]
+        with lim.enter():
+            # the named user is rejected while their slot is held...
+            req = urllib.request.Request(
+                url, headers={"X-Forwarded-User": "grafana"}
+            )
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                urllib.request.urlopen(req, timeout=120)
+            assert ei.value.code == 503
+            # ...but anonymous requests use the (unlimited) class limiter
+            assert json.loads(get(url))["metrics"]
