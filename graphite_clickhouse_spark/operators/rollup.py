@@ -187,3 +187,164 @@ class Rules:
                 function = consolidate_overrides[m]
             groups.setdefault((precision, function), []).append(m)
         return groups
+
+
+# ---------------------------------------------------------------------------
+# GraphiteMergeTree background-merge equivalent
+# ---------------------------------------------------------------------------
+
+
+def rollup_specs_df(spark, rules: "Rules", paths_df):
+    """Distributed (path -> function, retention ladder) binding.
+
+    Spark-side twin of Rules.lookup for UNBOUNDED path sets (a storage
+    merge touches every metric, unlike a render which sees a resolved
+    list): the tiny ordered pattern table is broadcast and joined to the
+    distinct paths with `rlike`; per path the FIRST matching pattern with
+    a function fixes the function and the FIRST with a retention fixes
+    the ladder (ClickHouse selectPatternForPath semantics; the reference
+    client mirrors it at helper/rollup/rules.go:298-363).
+
+    Returns (path, function, ladder array<struct<age int, precision int>>).
+    """
+    from pyspark.sql import functions as F
+
+    rows = []
+    for i, p in enumerate(rules.patterns):
+        rows.append(
+            (
+                i,
+                p.regexp or "",
+                p.rule_type,
+                p.function,
+                [(r.age, r.precision) for r in p.retention] or None,
+            )
+        )
+    pat = spark.createDataFrame(
+        rows,
+        "pidx int, regexp string, rule_type string, function string, "
+        "ladder array<struct<age:int,precision:int>>",
+    )
+    paths = paths_df.select("path").distinct()
+    tagged = F.instr("path", "?") > 0
+    type_ok = F.when(tagged, F.col("rule_type") != RULE_PLAIN).otherwise(
+        F.col("rule_type").isin(RULE_ALL, RULE_PLAIN)
+    )
+    re_ok = (F.col("regexp") == "") | F.expr("path rlike regexp")
+    j = paths.join(F.broadcast(pat), type_ok & re_ok)
+    fn_pick = F.min_by("function", F.when(F.col("function").isNotNull(), F.col("pidx")))
+    ladder_pick = F.min_by("ladder", F.when(F.col("ladder").isNotNull(), F.col("pidx")))
+    out = j.groupBy("path").agg(
+        F.coalesce(fn_pick, F.lit(SUPER_DEFAULT_FUNCTION)).alias("function"),
+        F.coalesce(
+            ladder_pick,
+            F.array(
+                F.struct(
+                    F.lit(0).alias("age"),
+                    F.lit(SUPER_DEFAULT_PRECISION).alias("precision"),
+                )
+            ),
+        ).alias("ladder"),
+    )
+    # paths matching NO pattern still need the super-default
+    missing = paths.join(out.select("path"), "path", "left_anti").select(
+        "path",
+        F.lit(SUPER_DEFAULT_FUNCTION).alias("function"),
+        F.array(
+            F.struct(
+                F.lit(0).alias("age"), F.lit(SUPER_DEFAULT_PRECISION).alias("precision")
+            )
+        ).alias("ladder"),
+    )
+    return out.unionByName(missing)
+
+
+def graphite_merge(
+    df,
+    rules: "Rules",
+    now_ts: int,
+    path_col: str = "path",
+    time_col: str = "time",
+    value_col: str = "value",
+    version_col: str = "version",
+):
+    """GraphiteMergeTree merge, as a batch Spark job: round each row's time
+    to the retention precision for its age, version-dedup rows whose
+    (path, time) collide, then aggregate each (path, bucket) with the
+    metric's rollup function.
+
+    This is what ClickHouse does to the points table in background merges /
+    OPTIMIZE FINAL (tests/clickhouse/rollup/init.sql:1-18 GraphiteMergeTree;
+    semantics pinned by the reference e2e corpus: tests/agg_merge — bucket
+    collisions aggregate; tests/agg_latest — equal post-rounding times
+    dedup by write-version; rows younger than the first retention age or in
+    the future stay raw, matching CH's `time_of_merge` age guard).
+
+    One pass over the points: broadcast-joined specs, two key-compatible
+    aggregations (dedup on (path,time,bucket), then rollup on
+    (path,bucket)) — partial aggregation collapses duplicates map-side.
+    """
+    from pyspark.sql import functions as F
+
+    from .resample import AGG_FUNCTIONS  # noqa: F401  (closed function map)
+
+    specs = rollup_specs_df(df.sparkSession, rules, df.select(path_col))
+    j = df.join(specs, path_col)
+    age = F.lit(now_ts) - F.col(time_col)
+    # last ladder entry with entry.age <= age; younger/future rows stay raw
+    applicable = F.filter("ladder", lambda x: x["age"] <= age)
+    precision = F.when(
+        (age >= 0) & (F.size(applicable) > 0),
+        F.element_at(applicable, -1)["precision"],
+    ).otherwise(F.lit(1))
+    bucket = F.col(time_col) - F.col(time_col) % precision
+    rows = j.select(
+        path_col,
+        bucket.alias("__bucket"),
+        F.col(time_col).alias("__t"),
+        value_col,
+        version_col,
+        "function",
+    )
+    # 1) ReplacingMergeTree step: equal (path, raw time) -> max version row
+    dedup = rows.groupBy(path_col, "__bucket", "__t").agg(
+        F.max(F.struct(F.col(version_col).alias("v"), F.col(value_col).alias("x")))
+        .getField("x")
+        .alias(value_col),
+        F.max(version_col).alias(version_col),
+        F.first("function").alias("function"),
+    )
+    # 2) rollup step: aggregate the bucket with the metric's function
+    v = F.col(value_col)
+    order = F.struct(F.col("__t"), F.col(version_col))
+    fn = F.col("function")
+    agged = dedup.groupBy(path_col, "__bucket").agg(
+        F.avg(v).alias("_avg"),
+        F.sum(v).alias("_sum"),
+        F.min(v).alias("_min"),
+        F.max(v).alias("_max"),
+        F.min_by(v, order).alias("_any"),
+        F.max_by(v, order).alias("_anyLast"),
+        F.max(version_col).alias(version_col),
+        F.first(fn).alias("function"),
+    )
+    value = (
+        F.when(fn == "avg", F.col("_avg"))
+        .when(fn == "sum", F.col("_sum"))
+        .when(fn == "min", F.col("_min"))
+        .when(fn == "max", F.col("_max"))
+        .when(fn == "any", F.col("_any"))
+        .when(fn == "anyLast", F.col("_anyLast"))
+        .otherwise(F.col("_avg"))
+    )
+    out = agged.select(
+        path_col,
+        F.col("__bucket").alias(time_col),
+        value.alias(value_col),
+        version_col,
+    )
+    if "date" in df.columns:
+        out = out.withColumn(
+            "date", F.to_date(F.timestamp_seconds(F.col(time_col)))
+        )
+    return out

@@ -22,12 +22,16 @@ from pyspark.sql import functions as F
 from .tagged import parse_tagged_conditions, tagged_predicate
 
 
-def _filtered(tagged: DataFrame, exprs: list[str] | None) -> tuple[DataFrame, set[str]]:
+def _filtered(
+    tagged: DataFrame, exprs: list[str] | None, flags: "FeatureFlags | None" = None
+) -> tuple[DataFrame, set[str]]:
     """Apply seriesByTag-style exprs; returns (filtered df, used tag keys)."""
+    from .tagged import FeatureFlags
+
     if not exprs:
         return tagged, set()
     terms = parse_tagged_conditions(exprs)
-    pred = tagged_predicate(terms, F.col("tags"))
+    pred = tagged_predicate(terms, F.col("tags"), flags=flags or FeatureFlags())
     used = {("name" if t.key == "__name__" else t.key) for t in terms}
     return tagged.filter(pred), used
 
@@ -37,11 +41,12 @@ def tag_keys_df(
     exprs: list[str] | None = None,
     tag_prefix: str = "",
     limit: int = 10000,
+    flags=None,
 ) -> DataFrame:
     """Distinct tag keys -> single `value` column, __name__ surfaced as
     'name', used tags removed, sorted, limited (autocomplete.go:350-374,
     post-pass :442-475)."""
-    df, used = _filtered(tagged, exprs)
+    df, used = _filtered(tagged, exprs, flags)
     keys = (
         df.select(F.explode(F.map_keys("tags")).alias("value"))
         .withColumn(
@@ -83,11 +88,12 @@ def tag_values_df(
     exprs: list[str] | None = None,
     value_prefix: str = "",
     limit: int = 10000,
+    flags=None,
 ) -> DataFrame:
     """Distinct values of one tag -> single `value` column, sorted, limited
     (autocomplete.go:620-657; 'name' aliases __name__)."""
     key = "__name__" if tag == "name" else tag
-    df, _used = _filtered(tagged, exprs)
+    df, _used = _filtered(tagged, exprs, flags)
     vals = df.select(F.col("tags").getItem(key).alias("value")).filter(
         F.col("value").isNotNull()
     )

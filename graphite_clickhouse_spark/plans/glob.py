@@ -26,6 +26,8 @@ WILDCARD_CHARS = "[]{}*?"
 class GlobError(ValueError):
     """Malformed glob query (reference answers HTTP 400)."""
 
+    http_status = 400
+
 
 def has_wildcard(target: str) -> bool:
     return any(c in target for c in WILDCARD_CHARS)
@@ -153,8 +155,10 @@ def validate_glob(query: str, wildcard_min_distance: int = 0) -> str:
         # (finder/index.go:185-193 moreThanOneNode)
         d = max_wildcard_distance(query)
         if 0 <= d < wildcard_min_distance:
+            # exact reference wording (finder/index.go:193) — the e2e
+            # corpus matches it with error_regexp
             raise GlobError(
-                f"query has wildcards way too early at the start and at the end: {query}"
+                "query has wildcards way too early at the start and at the end of it"
             )
     return query
 

@@ -29,7 +29,17 @@ SERIES_BY_TAG_RE = re.compile(r"^seriesByTag\s*\((.*)\)\s*$", re.DOTALL)
 
 
 class TaggedParseError(ValueError):
-    pass
+    http_status = 400
+
+
+class CostlySeriesByTagError(TaggedParseError):
+    """tags-min-in-query / tags-min-in-autocomplete rejection
+    (finder/tagged.go:23 ErrCostlySeriesByTag, HTTP 403)."""
+
+    http_status = 403
+
+    def __init__(self) -> None:
+        super().__init__("seriesByTag argument has too much wildcard and regex terms")
 
 
 @dataclass
@@ -56,6 +66,24 @@ class FeatureFlags:
 
     use_carbon_behaviour: bool = False
     dont_match_missing_tags: bool = False
+
+
+class RegexSyntaxError(TaggedParseError):
+    """Invalid =~/!=~ regex. The reference surfaces ClickHouse's re2
+    compile failure as HTTP 400 "Incorrect regex syntax"
+    (helper/clickhouse/clickhouse.go:88); we validate at plan time."""
+
+    http_status = 400
+
+    def __init__(self) -> None:
+        super().__init__("Incorrect regex syntax")
+
+
+def _validate_regex(value: str) -> None:
+    try:
+        re.compile(value)
+    except re.error:
+        raise RegexSyntaxError() from None
 
 
 def parse_series_by_tag(target: str) -> list[TaggedTerm]:
@@ -126,8 +154,18 @@ def term_predicate(
             return v.isNotNull() & base  # (tagged.go:164-167)
         return v.isNull() | base
     if term.op == "=~":
+        if term.value in ("", "*"):
+            # where.Match special case (pkg/where/match.go:205-208):
+            # empty/star regex degrades to "tag present"
+            return v.isNotNull()
+        _validate_regex(term.value)
         return v.isNotNull() & v.rlike(term.value)
     if term.op == "!=~":
+        if term.value in ("", "*"):
+            if flags.dont_match_missing_tags:
+                return v.isNotNull() & F.lit(False)
+            return v.isNull()
+        _validate_regex(term.value)
         if flags.dont_match_missing_tags:
             return v.isNotNull() & ~v.rlike(term.value)  # (tagged.go:194-199)
         return v.isNull() | ~v.rlike(term.value)
@@ -144,11 +182,19 @@ def tagged_predicate(
     (non-negated, non-empty) terms required — the reference's
     tags-min-in-query rejection (tagged.go:357-363; config default 0,
     doc/config.md:352)."""
-    positives = sum(1 for t in terms if t.is_positive)
-    if positives < min_positive_terms:
-        raise TaggedParseError(
-            f"at least {min_positive_terms} positive term(s) required, got {positives}"
-        )
+    # reference counting (tagged.go:325-363): only `=` terms whose value
+    # has no glob wildcard count; under use-carbon-behaviour an empty `t=`
+    # is wildcard-like (matches every metric without the tag) so it stops
+    # counting too
+    non_wildcards = sum(
+        1
+        for t in terms
+        if t.op == "="
+        and not has_wildcard(t.value)
+        and not (flags.use_carbon_behaviour and t.value == "")
+    )
+    if min_positive_terms > 0 and non_wildcards < min_positive_terms:
+        raise CostlySeriesByTagError()
     pred = term_predicate(terms[0], tags_col, flags)
     for t in terms[1:]:
         pred = pred & term_predicate(t, tags_col, flags)

@@ -280,27 +280,43 @@ class Engine:
             pts = source.filter(
                 F.col("path").between(min(paths), max(paths))
             ).join(F.broadcast(pf.select("path")), "path", "left_semi")
-        deduped = dedup_versions(pts.filter(F.col("time").between(from_al, until_al)))
+        pts = pts.filter(F.col("time").between(from_al, until_al))
         if self.internal_aggregation:
+            # NO version dedup here: the reference's aggregated path skips
+            # Sort/Uniq entirely — the -Resample SQL reads raw rows without
+            # FINAL, so duplicate-version rows all contribute
+            # (render/data/query.go:243-269 runs Uniq only when
+            # !isAggregated; pinned by tests/agg_internal "Deduplication
+            # not work with internal aggregation")
             agged = resample_grouped(
-                deduped, from_al, until_al, step, pf.drop("step")
+                pts, from_al, until_al, step, pf.drop("step")
             )
             series = gap_fill_arrays(
                 agged.drop("agg_function"), from_al, until_al, step,
                 paths=pf.select("path"),
             )
         else:
+            # unaggregated path: Sort -> Uniq (max-version per exact
+            # (path,time)) -> client rollup, as query.go:243-269
+            deduped = dedup_versions(pts)
             agged = resample_grouped_dynamic(deduped, from_al, until_al, pf)
             series = gap_fill_arrays_dynamic(
                 agged.drop("agg_function"), from_al, until_al, pf
             )
         out = series.join(F.broadcast(pf.select("path", "agg_function")), "path")\
             .withColumnRenamed("agg_function", "function")
+        all_nan = F.forall("values", lambda v: F.isnan(v))
         if not self.append_empty_series:
             # drop metrics with no points in range (all buckets gap-filled
             # to NaN) — the reference's default; append-empty-series=true
-            # keeps them as NaN grids (ch_response.go:98-107)
-            out = out.filter(~F.forall("values", lambda v: F.isnan(v)))
+            # keeps them as NaN grids reported with the literal function
+            # "any" (ch_response.go:98-107, :200-209)
+            out = out.filter(~all_nan)
+        else:
+            out = out.withColumn(
+                "function",
+                F.when(all_nan, F.lit("any")).otherwise(F.col("function")),
+            )
         if prefix_dot:
             out = out.withColumn("path", F.concat(F.lit(prefix_dot), F.col("path")))
         return out.orderBy("path")
@@ -325,3 +341,46 @@ class Engine:
             "path string, start long, stop long, step long, "
             "values array<double>, function string",
         )
+
+
+def find_tree_rows(
+    engine: Engine, query: str, from_ts: int = 0, until_ts: int = 0
+) -> list[tuple[str, bool]]:
+    """Resolve a find query incl. tree (non-leaf) nodes, leaf semantics
+    by trailing '.' as in finder/finder.go:115-122. from/until bound
+    the daily index when present (finder/index.go:151-161). Shared by the
+    HTTP /metrics/find handler and the e2e scenario harness."""
+    from ..plans.glob import glob_predicate, validate_glob
+
+    idx = engine.path_index
+    if idx is None:
+        df = engine.find_paths(query, from_ts or None, until_ts or None)
+        return [(r.path, True) for r in df.collect()]
+    if (
+        engine.index_use_daily
+        and "date" in idx.columns
+        and from_ts > 0
+        and until_ts > 0
+    ):
+        from ..functions.date import date_bounds
+
+        lo, hi = date_bounds(from_ts, until_ts, engine.date_mode)
+        idx = idx.filter(F.col("date").between(lo, hi))
+
+    g = validate_glob(query, engine.wildcard_min_distance)
+    # exact-depth pruning (P6, finder/index.go:69-78): glob predicates
+    # may degrade to a bare prefix LIKE (e.g. trailing *); the Level
+    # conjunct restores exactness, as in the reference
+    level = len(g.split("."))
+    # match BOTH leaf paths and '.'-suffixed tree nodes at this depth
+    pred_leaf = glob_predicate(F.col("path"), g)
+    pred_node = glob_predicate(F.col("path"), g + ".")
+    pred = (
+        pred_leaf
+        if pred_node is None
+        else (pred_node if pred_leaf is None else (pred_leaf | pred_node))
+    )
+    df = idx.filter(F.col("level") == level)
+    df = df if pred is None else df.filter(pred)
+    rows = df.select("path", "is_leaf").distinct().orderBy("path").collect()
+    return [(r.path.rstrip("."), bool(r.is_leaf)) for r in rows]

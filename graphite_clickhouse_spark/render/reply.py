@@ -93,13 +93,30 @@ class Series:
     request_stop: int = 0
 
 
+def tagged_display_name(path: str) -> str:
+    """Storage key -> display name: `name?k1=v1&k2=v2` becomes
+    `name;k1=v1;k2=v2` with sorted, URL-unescaped tags (TaggedDecode /
+    TaggedFinder.Abs, finder/tagged.go:565-603 — applied at the alias-map
+    boundary, pkg/alias/map.go:54, so responses show graphite's semicolon
+    form while storage keeps the sortable `?`-form)."""
+    from urllib.parse import unquote
+
+    if "?" not in path:
+        return path
+    name, _, args = path.partition("?")
+    if not args:
+        return unquote(name)
+    tags = sorted(unquote(t) for t in args.split("&"))
+    return ";".join([unquote(name), *tags])
+
+
 def series_from_render(df, target: str, from_ts: int, until_ts: int) -> list[Series]:
     """Collect an Engine.render() result DataFrame into encoder input."""
     out = []
     for row in df.collect():
         out.append(
             Series(
-                name=row["path"],
+                name=tagged_display_name(row["path"]),
                 path_expression=target,
                 function=row["function"],
                 start=row["start"],

@@ -98,12 +98,13 @@ class GraphiteHandler(BaseHTTPRequestHandler):
             # (find/handler.go:176, autocomplete.go:390)
             self._error(503, str(exc))
         except ValueError as exc:
-            # metrics-per-target cap is a 403 in the reference
-            # (render/data/multi_target.go:64)
+            # guard errors carry their reference HTTP code (GlobError 400,
+            # CostlySeriesByTagError 403, finder/tagged.go:23); the
+            # metrics-per-target cap is a 403 (render/data/multi_target.go:64)
             if "metrics per target limit exceeded" in str(exc):
                 self._error(403, str(exc))
             else:
-                self._error(400, str(exc))
+                self._error(getattr(exc, "http_status", 400), str(exc))
 
     def _limit(self, cls: str):
         import contextlib
@@ -232,43 +233,9 @@ class GraphiteHandler(BaseHTTPRequestHandler):
     def _find_rows(
         self, query: str, from_ts: int = 0, until_ts: int = 0
     ) -> list[tuple[str, bool]]:
-        """Resolve a find query incl. tree (non-leaf) nodes, leaf semantics
-        by trailing '.' as in finder/finder.go:115-122. from/until bound
-        the daily index when present (finder/index.go:151-161)."""
-        idx = self.engine.path_index
-        if idx is None:
-            df = self.engine.find_paths(query, from_ts or None, until_ts or None)
-            return [(r.path, True) for r in df.collect()]
-        from .plans.glob import glob_predicate, validate_glob
+        from .render.pipeline import find_tree_rows
 
-        if (
-            self.engine.index_use_daily
-            and "date" in idx.columns
-            and from_ts > 0
-            and until_ts > 0
-        ):
-            from .functions.date import date_bounds
-
-            lo, hi = date_bounds(from_ts, until_ts, self.engine.date_mode)
-            idx = idx.filter(F.col("date").between(lo, hi))
-
-        g = validate_glob(query, self.engine.wildcard_min_distance)
-        # exact-depth pruning (P6, finder/index.go:69-78): glob predicates
-        # may degrade to a bare prefix LIKE (e.g. trailing *); the Level
-        # conjunct restores exactness, as in the reference
-        level = len(g.split("."))
-        # match BOTH leaf paths and '.'-suffixed tree nodes at this depth
-        pred_leaf = glob_predicate(F.col("path"), g)
-        pred_node = glob_predicate(F.col("path"), g + ".")
-        pred = (
-            pred_leaf
-            if pred_node is None
-            else (pred_node if pred_leaf is None else (pred_leaf | pred_node))
-        )
-        df = idx.filter(F.col("level") == level)
-        df = df if pred is None else df.filter(pred)
-        rows = df.select("path", "is_leaf").distinct().orderBy("path").collect()
-        return [(r.path.rstrip("."), bool(r.is_leaf)) for r in rows]
+        return find_tree_rows(self.engine, query, from_ts, until_ts)
 
     def _find(self, q: dict):
         query = q.get("query", "")

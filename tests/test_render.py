@@ -100,8 +100,11 @@ def test_render_basic(engine):
 
 
 def test_render_rollup_functions(engine):
-    # bucket at RNOW holds {0.0(v1),2.0(v2)} dedup-> 2.0 plus 4.0 @ rnow+1
-    expect = {"avg": 3.0, "sum": 6.0, "min": 2.0, "max": 4.0}
+    # bucket at RNOW holds {0.0(v1), 2.0(v2), 4.0(v1 @ rnow+1)}. The
+    # aggregated path does NOT version-dedup (query.go:243-269 skips Uniq
+    # when isAggregated; e2e tests/agg_internal "Deduplication not work
+    # with internal aggregation") so all three raw rows contribute.
+    expect = {"avg": 2.0, "sum": 6.0, "min": 0.0, "max": 4.0}
     for fn, want in expect.items():
         req = RenderRequest(f"test.{fn}", RNOW, RNOW + 9)
         rows = engine.render(req).collect()
