@@ -160,6 +160,55 @@ GROUP BY 1, 2
 """
 
 
+def q_storage_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphiteMergeTree background-merge equivalent (OPTIMIZE FINAL):
+    round time to the retention precision for the row's age, dedup equal
+    (path, time) by max write-version, aggregate each bucket with the
+    metric's rollup function (operators/rollup.py::graphite_merge;
+    semantics from tests/clickhouse/rollup + e2e agg_merge/agg_latest).
+    Rules here: ev.purchase.* -> sum@900s, default avg@1800s; `now` pinned
+    after the data so every row rolls."""
+    from graphite_clickhouse_spark.operators.rollup import (
+        Pattern,
+        Retention,
+        Rules,
+        graphite_merge,
+    )
+
+    rules = Rules(
+        [
+            Pattern(regexp=r"^ev\.purchase\.", function="sum",
+                    retention=[Retention(0, 900)]),
+            Pattern(regexp="", function="avg", retention=[Retention(0, 1800)]),
+        ]
+    )
+    out = graphite_merge(_points(spark, sf_dir), rules, UNTIL_TS + 3600)
+    return out.select(
+        "path", "time", F.round("value", 6).alias("val"), "version"
+    )
+
+
+SQL_STORAGE_MERGE = POINTS_CTE + """
+, dedup AS (
+    SELECT path,
+           CASE WHEN path LIKE 'ev.purchase.%' THEN time - (time % 900)
+                ELSE time - (time % 1800) END AS bucket,
+           time,
+           arg_max(value, version) AS value,
+           max(version) AS version
+    FROM points
+    GROUP BY 1, 2, 3
+)
+SELECT path,
+       bucket AS time,
+       round(CASE WHEN path LIKE 'ev.purchase.%' THEN sum(value)
+                  ELSE avg(value) END, 6) AS val,
+       max(version) AS version
+FROM dedup
+GROUP BY path, bucket
+"""
+
+
 def q_gapfill_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W3: dense daily grid with NULL gaps for the ev.error.* series."""
     from graphite_clickhouse_spark.operators.gapfill import gap_fill
@@ -1048,6 +1097,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "render_baseline_shape": (q_render_baseline_shape, _sql_render_baseline_shape()),
     "render_resample_multi": (q_render_resample_multi, SQL_RENDER_RESAMPLE_MULTI),
     "version_dedup": (q_version_dedup, SQL_VERSION_DEDUP),
+    "storage_merge": (q_storage_merge, SQL_STORAGE_MERGE),
     "consolidate_last": (q_consolidate_last, SQL_CONSOLIDATE_LAST),
     "gapfill_grid": (q_gapfill_grid, SQL_GAPFILL_GRID),
     "render_unaggregated": (q_render_unaggregated, SQL_RENDER_UNAGGREGATED),

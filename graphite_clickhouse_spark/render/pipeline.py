@@ -177,6 +177,18 @@ class Engine:
         else:
             src = self.points.select("path").distinct()
         pred = glob_predicate_multi(F.col(match_col), queries)
+        if self.path_index is not None and "level" in src.columns:
+            # exact-depth Level conjunct (P6, finder/index.go:69-78): keeps
+            # a bare `*` from matching deeper leaves (render of `*` is
+            # empty when depth-1 entries are all tree nodes) and prunes the
+            # index scan to one depth
+            levels = sorted({len(q.split(".")) for q in queries})
+            lvl = (
+                F.col("level") == levels[0]
+                if len(levels) == 1
+                else F.col("level").isin(levels)
+            )
+            pred = lvl if pred is None else (pred & lvl)
         found = (src if pred is None else src.filter(pred)).select("path").distinct()
         if self.prefix is not None and self.prefix.prefix:
             found = found.select(
@@ -233,7 +245,12 @@ class Engine:
         if req.consolidate_by:
             fn = CONSOLIDATE_TO_AGG.get(req.consolidate_by)
             if fn is None:
-                raise ValueError(f"unknown consolidateBy: {req.consolidate_by}")
+                # reference wording (render/data/query.go:336), HTTP 400
+                raise ValueError(
+                    "failed to choose appropriate aggregation for "
+                    f"'{req.target}': unknown consolidation function "
+                    f"'{req.consolidate_by}'"
+                )
             override = {p: fn for p in paths}
         groups = self.rules.lookup_many(paths, age, override)
 

@@ -112,13 +112,22 @@ def tagged_display_name(path: str) -> str:
 
 def series_from_render(df, target: str, from_ts: int, until_ts: int) -> list[Series]:
     """Collect an Engine.render() result DataFrame into encoder input."""
+    from ..operators.resample import AGG_DISPLAY_NAME
+
     out = []
     for row in df.collect():
+        # whisper-style display names for any/anyLast (Data.GetAggregation,
+        # render/data/data.go:53-67); appended empty series bypass the
+        # mapping and report the literal "any" (ch_response.go:200-209)
+        fn = row["function"]
+        values = row["values"]
+        if not all(v is None or math.isnan(v) for v in values):
+            fn = AGG_DISPLAY_NAME.get(fn, fn)
         out.append(
             Series(
                 name=tagged_display_name(row["path"]),
                 path_expression=target,
-                function=row["function"],
+                function=fn,
                 start=row["start"],
                 stop=row["stop"],
                 step=row["step"],

@@ -131,8 +131,11 @@ class TestReversedIndexPushdown:
             spark=spark, points=paths, path_index=spark.read.parquet(loc)
         )
         df = eng.find_paths("*.*.cpu.load")
-        plan = plan_of(df)
-        # the plan string elides long filter lists; match the stable prefix
+        # FileScan's one-line form elides long filter lists — read the
+        # full PushedFilters from the formatted explain instead
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
         assert "StringStartsWith(path_rev,load.c" in plan, plan
         got = {r.path for r in df.collect()}
         assert len(got) == 50 and "dc0.host0.cpu.load" in got
