@@ -1050,12 +1050,16 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash fingerprints + Hamming-bucket near-pairs (rows-only)."""
+    """SimHash fingerprints + Hamming-bucket near-pairs (rows-only).
+
+    max_hamming=3 is the lossless regime for the 4x16-bit chunk LSH
+    (pigeonhole: <=3 flipped bits leave >=1 chunk intact), i.e. the
+    result is EXACTLY all pairs within Hamming distance 3."""
     from graphite_clickhouse_spark.pipeline.dedup import simhash, simhash_near_pairs
     from graphite_clickhouse_spark.sources.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_near_pairs(simhash(docs), max_hamming=16)
+    return simhash_near_pairs(simhash(docs), max_hamming=3)
 
 
 # ---------------------------------------------------------------------------

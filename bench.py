@@ -8,7 +8,7 @@ Each query is timed end-to-end (plan + execute + collect to driver) after
 a one-time session warmup, mirroring how the reference measures its render
 pipeline (request-to-response wall time, doc/aggregation.md:141-155) — a
 warm long-lived server answering a request. Each query runs
-$SPARK_GRAFT_BENCH_REPS times (default 2, caches dropped between reps) and
+$SPARK_GRAFT_BENCH_REPS times (default 3, caches dropped between reps) and
 the MIN is reported: single cold runs in local mode are dominated by
 GC/JIT/Python-worker-fork noise (±20% observed), not by the plan.
 """
@@ -31,20 +31,30 @@ BENCH_QUERIES = [
     "render_resample_multi",
     "render_unaggregated",
     "version_dedup",
+    "storage_merge",
+    "consolidate_last",
     "gapfill_grid",
     "find_glob",
     "index_tree",
     "tagged_find",
+    "autocomplete_tags",
+    "autocomplete_values",
+    "prom_label_values",
+    "prom_plain_bridge",
     "tpch_q1",
     "semi_join_urgent",
     "topk_orders_per_segment",
     "dedup_exact",
     "text_quality",
     "lang_id",
+    "token_count",
+    "fingerprint",
     "ngram_jaccard",
     "ann_cosine_topk",
     "ann_lsh_topk",
     "ivf_assign",
+    "ivf_topk",
+    "embedding_neardup",
     "tagger_rules",
     "minhash_dedup",
     "simhash_pairs",
@@ -67,7 +77,7 @@ def main() -> None:
     _noop = F.pandas_udf(lambda s: s, "long")
     spark.range(32, numPartitions=32).select(_noop("id")).collect()
 
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
     for name in BENCH_QUERIES:

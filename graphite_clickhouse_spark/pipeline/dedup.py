@@ -459,6 +459,8 @@ def simhash_near_pairs(fps: DataFrame, max_hamming: int = 3) -> DataFrame:
             F.col("b.id").alias("id_b"),
             F.bit_count(xor).alias("hamming"),
         )
-        .distinct()
+        # filter BEFORE the dedup aggregate: a loose bucket match (chunk
+        # collision, far fingerprints) dies before it costs a shuffle row
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
