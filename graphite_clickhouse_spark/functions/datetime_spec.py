@@ -18,7 +18,10 @@ from datetime import datetime, timedelta, timezone
 _UNIT_SECONDS = [
     # longest-match first
     ("seconds", 1), ("second", 1), ("sec", 1), ("s", 1),
-    ("minutes", 60), ("minute", 60), ("min", 60),
+    # "m" = minutes: the reference resolves offsets through carbonapi's
+    # parser.IntervalString, whose unit table accepts bare "m" (the e2e
+    # corpus relies on it: issues/daytime/test.toml "midnight+1380m")
+    ("minutes", 60), ("minute", 60), ("min", 60), ("m", 60),
     ("hours", 3600), ("hour", 3600), ("h", 3600),
     ("days", 86400), ("day", 86400), ("d", 86400),
     ("weeks", 604800), ("week", 604800), ("w", 604800),

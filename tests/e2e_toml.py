@@ -52,7 +52,10 @@ from graphite_clickhouse_spark.render.pipeline import (
     find_tree_rows,
 )
 from graphite_clickhouse_spark.render.reply import tagged_display_name
-from graphite_clickhouse_spark.sources.tables import build_path_index
+from graphite_clickhouse_spark.sources.tables import (
+    build_daily_path_index,
+    build_path_index,
+)
 from graphite_clickhouse_spark.streaming.ingest import (
     parse_carbon_lines,
     tags_map_from_path,
@@ -83,6 +86,8 @@ class TemplateKnobs:
     dont_match_missing_tags: bool = False
     tags_min_in_query: int = 0
     wildcard_min_distance: int = 0
+    index_use_daily: bool = False
+    date_format: str = "utc"
 
 
 def template_knobs(scenario_dir: Path, template: str) -> TemplateKnobs:
@@ -96,6 +101,10 @@ def template_knobs(scenario_dir: Path, template: str) -> TemplateKnobs:
         m = re.search(rf"^\s*{re.escape(key)}\s*=\s*(\d+)", txt, re.M)
         return int(m.group(1)) if m else default
 
+    def _str(key: str, default: str) -> str:
+        m = re.search(rf'^\s*{re.escape(key)}\s*=\s*"([^"]*)"', txt, re.M)
+        return m.group(1) if m else default
+
     return TemplateKnobs(
         name=template,
         internal_aggregation=_bool("internal-aggregation", True),
@@ -104,6 +113,8 @@ def template_knobs(scenario_dir: Path, template: str) -> TemplateKnobs:
         dont_match_missing_tags=_bool("dont-match-missing-tags", False),
         tags_min_in_query=_int("tags-min-in-query", 0),
         wildcard_min_distance=_int("wildcard-min-distance", 0),
+        index_use_daily=_bool("index-use-daily", False),
+        date_format=_str("date-format", "utc"),
     )
 
 
@@ -122,7 +133,11 @@ class Scenario:
 
 
 def load_scenario(name: str) -> Scenario:
+    # most scenarios live under tests/; regression dirs (issues/daytime,
+    # the GH #184 day-boundary corpus) sit at the repo root
     d = REFERENCE_TESTS / name
+    if not d.exists():
+        d = REFERENCE_TESTS.parent / name
     cfg = tomllib.loads((d / "test.toml").read_text())["test"]
     precision = _go_duration_seconds(cfg.get("precision", "1s"))
     templates = [
@@ -183,12 +198,21 @@ class ScenarioEngine:
             "tags", tags_map_from_path("path")
         )
         k = self.knobs
+        # index-use-daily: one index tree per day a path received points,
+        # find bounded by the request window (finder/index.go:151-161)
+        idx = (
+            build_daily_path_index(plain)
+            if k.index_use_daily
+            else build_path_index(plain.select("path"))
+        )
         self.engine = Engine(
             spark=self.spark,
             points=plain,
-            path_index=build_path_index(plain.select("path")),
+            path_index=idx,
             tagged_points=tagged,
             rules=self.rules,
+            index_use_daily=k.index_use_daily,
+            date_mode=k.date_format,
             internal_aggregation=k.internal_aggregation,
             append_empty_series=k.append_empty_series,
             tags_min_in_query=k.tags_min_in_query,
@@ -275,26 +299,31 @@ def run_render_check(se: ScenarioEngine, check: dict, precision: int):
         raise AssertionError(f"expected error {check['error_regexp']!r}, got result")
 
     got = sorted(_run(), key=lambda r: (r["name"], r["path"]))
+    # path/consolidation are optional in the goldens: v2_pb/pickle check
+    # blocks omit fields their wire format does not carry
+    # (cmd/e2e-test/checks.go compares per-format structs)
     want = []
     for res in check.get("result", []):
         want.append(
             {
                 "name": res["name"],
-                "path": res["path"],
-                "consolidation": res["consolidation"],
+                "path": res.get("path"),
+                "consolidation": res.get("consolidation"),
                 "start": resolve_ts(res["start"], precision),
                 "stop": resolve_ts(res["stop"], precision),
                 "step": res["step"],
                 "values": [float(v) for v in res["values"]],
             }
         )
-    want.sort(key=lambda r: (r["name"], r["path"]))
+    want.sort(key=lambda r: (r["name"], r["path"] or ""))
     assert [r["name"] for r in got] == [r["name"] for r in want], (
         f"series set mismatch:\n got {[r['name'] for r in got]}\n"
         f"want {[r['name'] for r in want]}"
     )
     for g, w in zip(got, want):
         for k in ("path", "consolidation", "start", "stop", "step"):
+            if k in ("path", "consolidation") and w[k] is None:
+                continue
             assert g[k] == w[k], f"{w['name']}: {k} {g[k]} != {w[k]}\n{g}\n{w}"
         assert len(g["values"]) == len(w["values"]), (
             f"{w['name']}: length {len(g['values'])} != {len(w['values'])}"
@@ -311,9 +340,11 @@ def run_render_check(se: ScenarioEngine, check: dict, precision: int):
 
 def run_find_check(se: ScenarioEngine, check: dict, precision: int):
     query = check["query"]
+    from_ts = resolve_ts(check["from"], precision) if "from" in check else 0
+    until_ts = resolve_ts(check["until"], precision) if "until" in check else 0
 
     def _run():
-        return find_tree_rows(se.engine, query)
+        return find_tree_rows(se.engine, query, from_ts, until_ts)
 
     if check.get("error_regexp"):
         pat = re.compile(check["error_regexp"])

@@ -6,7 +6,7 @@ against our ingest + merge + Engine pipeline.
 Excluded scenario dirs and why: one_table (hand-ported in
 test_e2e_one_table.py), find_cache + limiter* (cache/limiter infra has
 dedicated unit tests; checks are timing-based), tls / error_handling
-(transport-level proxy fault injection), issues/ (no test.toml schema).
+(transport-level proxy fault injection).
 """
 
 from __future__ import annotations
@@ -35,6 +35,9 @@ SCENARIOS = [
     "feature_flags_use_carbon_behaviour",
     "tags_min_in_query",
     "wildcard_min_distance",
+    # GH issue #184 day-boundary regression corpus (midnight / 23h points,
+    # daily index with date bounds, date-format=both)
+    "issues/daytime",
 ]
 
 # (scenario, template) pairs — scenarios with several gch templates run once
