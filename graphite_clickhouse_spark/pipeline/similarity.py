@@ -139,6 +139,27 @@ def lsh_ann_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def _pair_cosine_udf():
+    """Arrow-batched cosine over pair rows (va, vb) — one einsum per batch
+    instead of an interpreted per-element fold per row. Zero-norm vectors
+    yield NaN (matches the fold's 0/0), which any >= threshold drops."""
+    import numpy as np
+    import pandas as pd
+
+    @F.pandas_udf("double")
+    def pair_cosine(va: pd.Series, vb: pd.Series) -> pd.Series:
+        A = np.array(va.tolist(), dtype=np.float64)
+        B = np.array(vb.tolist(), dtype=np.float64)
+        if A.size == 0:
+            return pd.Series(np.zeros(0))
+        num = np.einsum("ij,ij->i", A, B)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = num / (np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1))
+        return pd.Series(out)
+
+    return pair_cosine
+
+
 def embedding_neardup_pairs(
     corpus: DataFrame,
     threshold: float = 0.95,
@@ -151,22 +172,64 @@ def embedding_neardup_pairs(
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine) with
     id_a < id_b and cosine >= threshold.
 
-    num_planes=0 -> EXACT all-pairs (self-join; quadratic — the oracle
-    shape, fine to ~10^4 vectors). num_planes>0 -> LSH-bucketed: only
-    pairs sharing a hyperplane sign-sketch bucket are scored (the scale
-    path; recall < 1, rises as planes shrink)."""
-    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    num_planes=0 -> EXACT all-pairs. Quadratic by definition, so the
+    corpus must be broadcastable (~10^5-10^6 vectors); instead of
+    materializing pair rows through a join, every partition multiplies
+    its Arrow batch against the broadcast normalized matrix (BLAS) and
+    emits only the surviving pairs — no shuffle, no per-pair array copies.
+    num_planes>0 -> LSH-bucketed: only pairs sharing a hyperplane
+    sign-sketch bucket are scored (the 100 TB path: candidates per bucket
+    ~ n/2^planes; recall < 1, rises as planes shrink)."""
     if num_planes > 0:
+        a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+        b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
         planes = deterministic_planes(num_planes, dim, seed)
         a = a.withColumn("bucket", hyperplane_sketch(F.col("va"), planes))
         b = b.withColumn("bucket", hyperplane_sketch(F.col("vb"), planes))
         pairs = a.join(b, ["bucket"]).filter(F.col("id_a") < F.col("id_b"))
-    else:
-        pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
-    return (
-        pairs.select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cosine"))
-        .filter(F.col("cosine") >= threshold)
+        pair_cosine = _pair_cosine_udf()
+        return (
+            pairs.select("id_a", "id_b", pair_cosine("va", "vb").alias("cosine"))
+            .filter(F.col("cosine") >= threshold)
+        )
+
+    import numpy as np
+
+    pdf = corpus.select(id_col, vec_col).toPandas()
+    ids_all = pdf[id_col].to_numpy()
+    M = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        Mn = M / np.linalg.norm(M, axis=1)[:, None]
+    bc = corpus.sparkSession.sparkContext.broadcast((ids_all, Mn))
+    n = max(len(ids_all), 1)
+    # bound the score-block to ~512 MB of doubles per matmul
+    rows_per_block = max(1, (1 << 26) // n)
+    thr = float(threshold)
+
+    def score(batches):
+        import pandas as pd
+
+        ids_b, Mn_b = bc.value
+        for batch in batches:
+            A = np.array(batch[vec_col].tolist(), dtype=np.float64)
+            ia = batch[id_col].to_numpy()
+            if A.size == 0:
+                continue
+            with np.errstate(divide="ignore", invalid="ignore"):
+                An = A / np.linalg.norm(A, axis=1)[:, None]
+            for lo in range(0, len(ia), rows_per_block):
+                hi = lo + rows_per_block
+                S = An[lo:hi] @ Mn_b.T
+                with np.errstate(invalid="ignore"):
+                    mask = (S >= thr) & (ia[lo:hi, None] < ids_b[None, :])
+                r, c = np.nonzero(mask)
+                yield pd.DataFrame(
+                    {"id_a": ia[lo:hi][r], "id_b": ids_b[c], "cosine": S[r, c]}
+                )
+
+    id_dt = corpus.schema[id_col].dataType.simpleString()
+    return corpus.select(id_col, vec_col).mapInPandas(
+        score, f"id_a {id_dt}, id_b {id_dt}, cosine double"
     )
 
 

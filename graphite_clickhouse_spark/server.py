@@ -91,6 +91,8 @@ class GraphiteHandler(BaseHTTPRequestHandler):
             elif url.path == "/tags/autoComplete/values":
                 with self._limit("tags"):
                     self._values_autocomplete(q, qlist)
+            elif url.path == "/debug/config":
+                self._debug_config()
             else:
                 self._error(404, f"not found: {url.path}")
         except LimitExceeded as exc:
@@ -158,6 +160,27 @@ class GraphiteHandler(BaseHTTPRequestHandler):
             self._error(503, "Storage healthcheck failed")
         else:
             self._send(b"Graphite-clickhouse-spark is alive.\n", "text/plain")
+
+    def _debug_config(self):
+        """/debug/config (graphite-clickhouse.go:574-593): dump the active
+        settings as indented JSON. Non-scalar fields (rules, limiters,
+        compiled regexes) are rendered via repr — the endpoint is a
+        debugging surface, not a machine contract."""
+        s = getattr(self, "settings", None)
+        if s is None:
+            self._send(b"{}", "application/json")
+            return
+        import dataclasses
+
+        out = {}
+        for f in dataclasses.fields(s):
+            v = getattr(s, f.name)
+            try:
+                json.dumps(v)
+            except TypeError:
+                v = repr(v)
+            out[f.name] = v
+        self._send(json.dumps(out, indent=2).encode(), "application/json")
 
     def _capabilities(self, q: dict):
         """/_internal/capabilities/ (capabilities/handler.go:26-112):
@@ -296,6 +319,7 @@ def make_server(
     request limiters and find-answer cap."""
     attrs = {"engine": engine}
     if settings is not None:
+        attrs["settings"] = settings
         attrs["max_find_answer"] = settings.max_metrics_in_find_answer
         attrs["limiters"] = settings.class_limiters()
         attrs["user_limiters"] = settings.user_limiters()

@@ -207,6 +207,14 @@ class TestConfiguredServer:
             urllib.request.urlopen(url, timeout=120)
         assert ei.value.code == 403
 
+    def test_debug_config(self, limited):
+        """/debug/config dumps the active settings as JSON
+        (graphite-clickhouse.go:574-593)."""
+        _, base = limited
+        cfg = json.loads(get(f"{base}/debug/config"))
+        assert cfg["max_metrics_per_target"] == 2
+        assert cfg["limiters"]["render"]["concurrent"] == 1
+
 
 class TestHealthAndCapabilities:
     def test_health_probes_storage(self, base_url):
