@@ -267,4 +267,5 @@ def engine_from_settings(spark, settings: Settings, points, path_index=None,
         max_node_to_split_index=settings.max_node_to_split_index,
         index_use_daily=settings.index_use_daily,
         date_mode=settings.date_mode,
+        tagged_autocomplete_days=settings.tagged_autocomplete_days,
     )

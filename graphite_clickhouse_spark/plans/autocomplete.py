@@ -22,6 +22,22 @@ from pyspark.sql import functions as F
 from .tagged import parse_tagged_conditions, tagged_predicate
 
 
+def tagged_window(
+    tagged: DataFrame, days: int, now_ts: int | None, date_mode: str = "utc"
+) -> DataFrame:
+    """Bound the tags table to the last `days` days (autocomplete.go:302,
+    586 dateString: Date BETWEEN today-days AND today). The reference
+    always applies this — it is what keeps autocomplete latency flat as
+    retention grows (scan tracks the window, not history). No-op when the
+    table carries no date column or days <= 0."""
+    if days <= 0 or now_ts is None or "date" not in tagged.columns:
+        return tagged
+    from ..functions.date import date_bounds
+
+    lo, hi = date_bounds(now_ts - days * 86400, now_ts, date_mode)
+    return tagged.filter(F.col("date").between(lo, hi))
+
+
 def _filtered(
     tagged: DataFrame, exprs: list[str] | None, flags: "FeatureFlags | None" = None
 ) -> tuple[DataFrame, set[str]]:
@@ -42,10 +58,15 @@ def tag_keys_df(
     tag_prefix: str = "",
     limit: int = 10000,
     flags=None,
+    days: int = 0,
+    now_ts: int | None = None,
+    date_mode: str = "utc",
 ) -> DataFrame:
     """Distinct tag keys -> single `value` column, __name__ surfaced as
     'name', used tags removed, sorted, limited (autocomplete.go:350-374,
-    post-pass :442-475)."""
+    post-pass :442-475). days/now_ts bound the scan to the
+    tagged-autocomplete-days window."""
+    tagged = tagged_window(tagged, days, now_ts, date_mode)
     df, used = _filtered(tagged, exprs, flags)
     keys = (
         df.select(F.explode(F.map_keys("tags")).alias("value"))
@@ -66,12 +87,21 @@ def autocomplete_tags(
     exprs: list[str] | None = None,
     tag_prefix: str = "",
     limit: int = 10000,
+    days: int = 0,
+    now_ts: int | None = None,
+    date_mode: str = "utc",
 ) -> list[str]:
     """Full endpoint semantics: the DataFrame plan above plus the
     driver-side guarantee that 'name' is offered when it fits the prefix
     (autocomplete.go:462-467)."""
     _, used = _filtered(tagged, exprs)
-    tags = [r.value for r in tag_keys_df(tagged, exprs, tag_prefix, limit).collect()]
+    tags = [
+        r.value
+        for r in tag_keys_df(
+            tagged, exprs, tag_prefix, limit, days=days, now_ts=now_ts,
+            date_mode=date_mode,
+        ).collect()
+    ]
     if (
         "name" not in tags
         and "name" not in used
@@ -89,10 +119,14 @@ def tag_values_df(
     value_prefix: str = "",
     limit: int = 10000,
     flags=None,
+    days: int = 0,
+    now_ts: int | None = None,
+    date_mode: str = "utc",
 ) -> DataFrame:
     """Distinct values of one tag -> single `value` column, sorted, limited
     (autocomplete.go:620-657; 'name' aliases __name__)."""
     key = "__name__" if tag == "name" else tag
+    tagged = tagged_window(tagged, days, now_ts, date_mode)
     df, _used = _filtered(tagged, exprs, flags)
     vals = df.select(F.col("tags").getItem(key).alias("value")).filter(
         F.col("value").isNotNull()

@@ -65,25 +65,40 @@ def select_series(tagged: DataFrame, matchers: list[LabelMatcher]) -> DataFrame:
     return tagged.filter(pred).select("path").distinct()
 
 
-def label_names(tagged: DataFrame, matchers: list[LabelMatcher] | None = None) -> DataFrame:
+def label_names(
+    tagged: DataFrame,
+    matchers: list[LabelMatcher] | None = None,
+    days: int = 0,
+    now_ts: int | None = None,
+) -> DataFrame:
     """LabelNames (prometheus/querier.go:35-70) — distinct tag keys of
     matching series; Prometheus spells the metric-name label __name__, so
-    no name-aliasing here (unlike graphite autocomplete)."""
-    df = tagged
+    no name-aliasing here (unlike graphite autocomplete). days/now_ts
+    apply the tagged-autocomplete-days scan bound (querier.go:40)."""
+    from .autocomplete import tagged_window
+
+    df = tagged_window(tagged, days, now_ts)
     if matchers:
-        df = tagged.filter(tagged_predicate(terms_from_matchers(matchers), F.col("tags")))
+        df = df.filter(tagged_predicate(terms_from_matchers(matchers), F.col("tags")))
     return (
         df.select(F.explode(F.map_keys("tags")).alias("value")).distinct().orderBy("value")
     )
 
 
 def label_values(
-    tagged: DataFrame, label: str, matchers: list[LabelMatcher] | None = None
+    tagged: DataFrame,
+    label: str,
+    matchers: list[LabelMatcher] | None = None,
+    days: int = 0,
+    now_ts: int | None = None,
 ) -> DataFrame:
-    """LabelValues (prometheus/querier.go:72-108)."""
-    df = tagged
+    """LabelValues (prometheus/querier.go:72-108); days/now_ts is the
+    tagged-autocomplete-days bound (querier.go:77)."""
+    from .autocomplete import tagged_window
+
+    df = tagged_window(tagged, days, now_ts)
     if matchers:
-        df = tagged.filter(tagged_predicate(terms_from_matchers(matchers), F.col("tags")))
+        df = df.filter(tagged_predicate(terms_from_matchers(matchers), F.col("tags")))
     return (
         df.select(F.col("tags").getItem(label).alias("value"))
         .filter(F.col("value").isNotNull())

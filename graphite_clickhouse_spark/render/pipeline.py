@@ -105,6 +105,10 @@ class Engine:
     #: are dropped from the response (common.append-empty-series,
     #: render/data/ch_response.go:98-107)
     append_empty_series: bool = False
+    #: scan window (days back from now) for /tags/autoComplete and
+    #: prometheus label queries (clickhouse.tagged-autocomplete-days,
+    #: autocomplete.go:302,586 / querier.go:40,77)
+    tagged_autocomplete_days: int = 7
 
     # ---- FIND ----------------------------------------------------------
 

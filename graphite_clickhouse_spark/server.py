@@ -287,16 +287,22 @@ class GraphiteHandler(BaseHTTPRequestHandler):
         self._send(R.index_json(paths), "application/json")
 
     def _tags_autocomplete(self, q: dict, qlist: dict):
+        import time
+
         if self.engine.tagged_points is None:
             raise ValueError("no tagged table configured")
         exprs = qlist.get("expr", [])
         limit = int(q.get("limit", 10000))
         tags = autocomplete_tags(
-            self.engine.tagged_points, exprs or None, q.get("tagPrefix", ""), limit
+            self.engine.tagged_points, exprs or None, q.get("tagPrefix", ""), limit,
+            days=self.engine.tagged_autocomplete_days, now_ts=int(time.time()),
+            date_mode=self.engine.date_mode,
         )
         self._send(json.dumps(tags).encode(), "application/json")
 
     def _values_autocomplete(self, q: dict, qlist: dict):
+        import time
+
         if self.engine.tagged_points is None:
             raise ValueError("no tagged table configured")
         tag = q.get("tag", "")
@@ -305,7 +311,9 @@ class GraphiteHandler(BaseHTTPRequestHandler):
         exprs = qlist.get("expr", [])
         limit = int(q.get("limit", 10000))
         df = tag_values_df(
-            self.engine.tagged_points, tag, exprs or None, q.get("valuePrefix", ""), limit
+            self.engine.tagged_points, tag, exprs or None, q.get("valuePrefix", ""), limit,
+            days=self.engine.tagged_autocomplete_days, now_ts=int(time.time()),
+            date_mode=self.engine.date_mode,
         )
         vals = [r.value for r in df.collect()]
         self._send(json.dumps(vals).encode(), "application/json")

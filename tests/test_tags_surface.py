@@ -62,6 +62,53 @@ class TestAutocomplete:
         got = [r.value for r in tag_values_df(tagged, "name").collect()]
         assert got == ["cpu", "mem"]
 
+    def test_autocomplete_days_window(self, spark):
+        """tagged-autocomplete-days bounds the scan to [now-days, now]
+        (autocomplete.go:302,586): a tag row last written outside the
+        window disappears from keys and values."""
+        import datetime
+
+        now = 1_704_154_000  # 2024-01-02 UTC
+        rows = [
+            ("cpu?env=prod", {"__name__": "cpu", "env": "prod"},
+             datetime.date(2024, 1, 2)),
+            ("old?zone=z1", {"__name__": "old", "zone": "z1"},
+             datetime.date(2023, 12, 20)),
+        ]
+        df = spark.createDataFrame(
+            rows, "path string, tags map<string,string>, date date"
+        )
+        keys = [r.value for r in tag_keys_df(df, days=7, now_ts=now).collect()]
+        assert keys == ["env", "name"]
+        vals = [
+            r.value
+            for r in tag_values_df(df, "name", days=7, now_ts=now).collect()
+        ]
+        assert vals == ["cpu"]
+        # no bound -> both days visible
+        assert len(tag_keys_df(df).collect()) == 3
+
+    def test_prometheus_label_window(self, spark):
+        import datetime
+
+        now = 1_704_154_000
+        rows = [
+            ("cpu?env=prod", {"__name__": "cpu", "env": "prod"},
+             datetime.date(2024, 1, 2)),
+            ("old?zone=z1", {"__name__": "old", "zone": "z1"},
+             datetime.date(2023, 12, 20)),
+        ]
+        df = spark.createDataFrame(
+            rows, "path string, tags map<string,string>, date date"
+        )
+        names = [r.value for r in label_names(df, days=7, now_ts=now).collect()]
+        assert names == ["__name__", "env"]
+        vals = [
+            r.value
+            for r in label_values(df, "__name__", days=7, now_ts=now).collect()
+        ]
+        assert vals == ["cpu"]
+
 
 class TestPrometheus:
     def test_matcher_translation_and_order(self):
