@@ -422,6 +422,52 @@ def q_render_baseline_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("path", "time", F.round("value", 6).alias("val"))
 
 
+def q_render_baseline_unagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BASELINE.md scheme 2 (groupArray / internal-aggregation=false,
+    doc/aggregation.md:151: 35.498 s in the reference): the same 986x7d
+    workload but fetched as per-path point ARRAYS with no aggregate
+    pushdown — the groupArray shuffle materializes every point into a
+    per-series array (9.94M points into 986 arrays), exactly the data
+    movement the -Resample scheme avoids. Output is the per-series array
+    envelope (ends read from the materialized array, so the array is not
+    prunable) + an avg over the same rows."""
+    pts = spark.range(_BL_METRICS * _BL_PPM).select(
+        F.concat(F.lit("m"), F.expr(f"id div {_BL_PPM}").cast("string")).alias("path"),
+        (F.lit(_BL_FROM) + (F.col("id") % _BL_PPM) * 60).alias("time"),
+        (((F.expr(f"id div {_BL_PPM}") * 7 + F.col("id") % _BL_PPM) % 1000) / 10.0).alias(
+            "value"
+        ),
+    )
+    arr = F.array_sort(F.collect_list(F.struct("time", "value")))
+    return (
+        pts.filter(F.col("time").between(_BL_FROM, _BL_UNTIL))
+        .groupBy("path")
+        .agg(arr.alias("arr"), F.round(F.avg("value"), 6).alias("avg_val"))
+        .select(
+            "path",
+            F.size("arr").alias("n_points"),
+            F.element_at("arr", 1).getField("time").alias("first_time"),
+            F.element_at("arr", -1).getField("time").alias("last_time"),
+            "avg_val",
+        )
+    )
+
+
+SQL_RENDER_BASELINE_UNAGG = f"""
+SELECT path, count(*) AS n_points, min(time) AS first_time,
+       max(time) AS last_time, round(avg(value), 6) AS avg_val
+FROM (
+    SELECT 'm' || CAST(m AS VARCHAR) AS path,
+           {_BL_FROM} + 60 * i AS time,
+           CAST((m * 7 + i) % 1000 AS DOUBLE) / 10.0 AS value
+    FROM generate_series(0, {_BL_METRICS - 1}) t1(m)
+    CROSS JOIN generate_series(0, {_BL_PPM - 1}) t2(i)
+)
+WHERE time BETWEEN {_BL_FROM} AND {_BL_UNTIL}
+GROUP BY path
+"""
+
+
 def _sql_render_baseline_shape() -> str:
     step, f_al, u_al = _baseline_step_bounds()
     return f"""
@@ -1099,6 +1145,7 @@ def entry(spark: SparkSession) -> DataFrame:
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "render_resample_avg": (q_render_resample_avg, SQL_RENDER_RESAMPLE_AVG),
     "render_baseline_shape": (q_render_baseline_shape, _sql_render_baseline_shape()),
+    "render_baseline_unagg": (q_render_baseline_unagg, SQL_RENDER_BASELINE_UNAGG),
     "render_resample_multi": (q_render_resample_multi, SQL_RENDER_RESAMPLE_MULTI),
     "version_dedup": (q_version_dedup, SQL_VERSION_DEDUP),
     "storage_merge": (q_storage_merge, SQL_STORAGE_MERGE),

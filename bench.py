@@ -27,6 +27,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 #: headline set: the render spine, the heavy aggregations, each pipeline family
 BENCH_QUERIES = [
     "render_baseline_shape",
+    "render_baseline_unagg",
     "render_resample_avg",
     "render_resample_multi",
     "render_unaggregated",
