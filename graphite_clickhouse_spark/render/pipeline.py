@@ -54,6 +54,9 @@ class RenderRequest:
     until_ts: int
     max_data_points: int = 1048576  # reference default max-data-points
     consolidate_by: str | None = None  # consolidateBy override (A10)
+    #: False = ?noCache=1: bypass the find-cache read AND write
+    #: (render/handler.go:334)
+    use_cache: bool = True
 
 
 @dataclass
@@ -207,7 +210,8 @@ class Engine:
 
     def render(self, req: RenderRequest) -> DataFrame:
         """-> (path, function, start, stop, step, values array<double>)."""
-        if self.find_cache is not None:
+        use_cache = self.find_cache is not None and req.use_cache
+        if use_cache:
             cached, cache_key, cache_ttl = self.find_cache.find_cached(
                 req.from_ts, req.until_ts, req.target
             )
@@ -218,7 +222,7 @@ class Engine:
         else:
             paths_df = self.find_paths(req.target, req.from_ts, req.until_ts)
             paths = [r.path for r in paths_df.collect()]  # resolved list is small
-            if self.find_cache is not None:
+            if use_cache:
                 self.find_cache.set(cache_key, paths, cache_ttl)
         # extra-prefix: find returns prefixed display names; storage holds
         # real (stripped) paths — fetch stripped, re-attach at the end

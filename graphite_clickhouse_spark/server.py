@@ -37,6 +37,11 @@ RENDER_CONTENT_TYPES = {
 }
 
 
+def _truthy(s: str) -> bool:
+    """carbonapi parser.TruthyBool: accepts 1/true/t/yes/y (any case)."""
+    return s.lower() in ("1", "true", "t", "yes", "y")
+
+
 class GraphiteHandler(BaseHTTPRequestHandler):
     engine: Engine  # set by make_server
     max_find_answer: int = 0  # max-metrics-in-find-answer (L2)
@@ -242,7 +247,10 @@ class GraphiteHandler(BaseHTTPRequestHandler):
         fmt = q.get("format", "json")
         if fmt not in RENDER_CONTENT_TYPES:
             raise ValueError(f"unsupported format: {fmt}")
-        req = RenderRequest(target, from_ts, until_ts, max_data_points=mdp)
+        req = RenderRequest(
+            target, from_ts, until_ts, max_data_points=mdp,
+            use_cache=not _truthy(q.get("noCache", "")),
+        )
         df = self.engine.render(req)
         series = R.series_from_render(df, target, from_ts, until_ts)
         enc = {
@@ -263,9 +271,21 @@ class GraphiteHandler(BaseHTTPRequestHandler):
     def _find(self, q: dict):
         query = q.get("query", "")
         fmt = q.get("format", "json")
-        rows = self._find_rows(
-            query, int(q.get("from", 0) or 0), int(q.get("until", 0) or 0)
-        )
+        from_ts = int(q.get("from", 0) or 0)
+        until_ts = int(q.get("until", 0) or 0)
+        # find-cache probe, bypassed by ?noCache=1 (find/handler.go:136)
+        cache = self.engine.find_cache
+        use_cache = cache is not None and not _truthy(q.get("noCache", ""))
+        rows = cache_key = cache_ttl = None
+        if use_cache:
+            rows, cache_key, cache_ttl = cache.find_cached(
+                from_ts, until_ts, "find:" + query
+            )
+        if rows is None:
+            rows = self._find_rows(query, from_ts, until_ts)
+            if use_cache:
+                cache.set(cache_key, rows, cache_ttl)
+        rows = [tuple(r) for r in rows]
         limit = self.max_find_answer
         if fmt == "json":
             self._send(R.find_json(rows, limit), "application/json")

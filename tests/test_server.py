@@ -207,6 +207,37 @@ class TestConfiguredServer:
             urllib.request.urlopen(url, timeout=120)
         assert ei.value.code == 403
 
+    def test_find_cache_and_nocache(self, spark):
+        """Find responses are served from the find-cache on repeat;
+        ?noCache=1 bypasses it (find/handler.go:136)."""
+        from graphite_clickhouse_spark.config import (
+            engine_from_settings,
+            load_settings,
+        )
+        from graphite_clickhouse_spark.server import serve_background
+
+        conf = (
+            "[common.find-cache]\ntype = \"mem\"\ndefault-timeout = 600\n"
+            "find-timeout = 600\n"
+        )
+        settings = load_settings(conf)
+        points = points_from_events(spark, SF)
+        engine = engine_from_settings(
+            spark, settings, points,
+            path_index=build_path_index(points.select("path")),
+        )
+        srv, base = serve_background(engine, settings=settings)
+        try:
+            url = f"{base}/metrics/find?query=ev.*.u1&format=json"
+            first = get(url)
+            h0 = engine.find_cache.hits
+            assert get(url) == first  # second hit: cache
+            assert engine.find_cache.hits == h0 + 1
+            assert get(url + "&noCache=1") == first  # bypass: no new hit
+            assert engine.find_cache.hits == h0 + 1
+        finally:
+            srv.shutdown()
+
     def test_debug_config(self, limited):
         """/debug/config dumps the active settings as JSON
         (graphite-clickhouse.go:574-593)."""
