@@ -83,7 +83,7 @@ class GraphiteHandler(BaseHTTPRequestHandler):
                 self._capabilities(q)
             elif url.path.rstrip("/") == "/render":
                 with self._limit("render"):
-                    self._render(q)
+                    self._render(q, qlist)
             elif url.path.startswith("/metrics/find"):
                 with self._limit("find"):
                     self._find(q)
@@ -206,7 +206,7 @@ class GraphiteHandler(BaseHTTPRequestHandler):
         else:
             self._error(400, "Bad request (unsupported format)")
 
-    def _render(self, q: dict):
+    def _render(self, q: dict, qlist: dict | None = None):
         import time as _time
 
         from .functions.datetime_spec import date_param_to_epoch
@@ -234,7 +234,9 @@ class GraphiteHandler(BaseHTTPRequestHandler):
             self._send(R.encode_v3_pb(series), "application/x-protobuf")
             return
 
-        target = q.get("target", "")
+        # graphite-web sends one target= param PER TARGET; all render in
+        # one request and the series concatenate (render/data/multi_target.go)
+        targets = (qlist or {}).get("target") or [q.get("target", "")]
         now = int(_time.time())
         # graphite time specs (-1d, now, midnight+60s, epoch ints, ...)
         from_ts = date_param_to_epoch(q.get("from", ""), now)
@@ -247,12 +249,15 @@ class GraphiteHandler(BaseHTTPRequestHandler):
         fmt = q.get("format", "json")
         if fmt not in RENDER_CONTENT_TYPES:
             raise ValueError(f"unsupported format: {fmt}")
-        req = RenderRequest(
-            target, from_ts, until_ts, max_data_points=mdp,
-            use_cache=not _truthy(q.get("noCache", "")),
-        )
-        df = self.engine.render(req)
-        series = R.series_from_render(df, target, from_ts, until_ts)
+        use_cache = not _truthy(q.get("noCache", ""))
+        series = []
+        for target in targets:
+            req = RenderRequest(
+                target, from_ts, until_ts, max_data_points=mdp,
+                use_cache=use_cache,
+            )
+            df = self.engine.render(req)
+            series.extend(R.series_from_render(df, target, from_ts, until_ts))
         enc = {
             "json": R.encode_render_json,
             "pickle": R.encode_pickle,

@@ -32,6 +32,11 @@ from ..operators.dedup import dedup_versions_all_columns
 from ..sources.tables import build_daily_path_index
 
 POINT_SCHEMA = "path string, value double, time long, date date, version long"
+#: explicit read schemas: a micro-batch with only plain (or only tagged)
+#: paths leaves the other table's directory empty, and an empty parquet
+#: dir cannot infer a schema
+INDEX_SCHEMA = "path string, level int, is_leaf boolean, path_rev string, date date"
+TAGS_SCHEMA = "path string, tags map<string,string>, date date"
 
 
 def _normalize_tagged(col_name: str) -> F.Column:
@@ -140,8 +145,11 @@ class IngestJob:
         build_daily_path_index(plain).write.mode("append").partitionBy(
             "date"
         ).parquet(self.index_dir)
+        # date-partitioned like the reference's tags table (ORDER BY
+        # (Tag1, Path, Date)): the tagged-autocomplete-days window and
+        # seriesByTag date bounds become partition prunes
         tagged = build_tags_index(parsed)
-        tagged.write.mode("append").parquet(self.tags_dir)
+        tagged.write.mode("append").partitionBy("date").parquet(self.tags_dir)
 
     # -- streaming --------------------------------------------------------
 
@@ -200,10 +208,14 @@ class IngestJob:
 
     def read_path_index(self, spark: SparkSession) -> DataFrame:
         # appended batches may repeat prefix rows; index is tiny vs points
-        return spark.read.parquet(self.index_dir).distinct()
+        return spark.read.schema(INDEX_SCHEMA).parquet(self.index_dir).distinct()
 
     def read_tags_index(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(self.tags_dir).dropDuplicates(["path", "date"])
+        return (
+            spark.read.schema(TAGS_SCHEMA)
+            .parquet(self.tags_dir)
+            .dropDuplicates(["path", "date"])
+        )
 
 
 def points_with_recent(storage: DataFrame, recent: DataFrame) -> DataFrame:

@@ -141,6 +141,31 @@ class TestReversedIndexPushdown:
         assert len(got) == 50 and "dc0.host0.cpu.load" in got
 
 
+class TestAutocompleteWindowPruning:
+    """tagged-autocomplete-days over a date-partitioned tags table is a
+    partition prune: the scan reads only the days in the window."""
+
+    def test_partition_filters_on_date(self, spark, tmp_path):
+        from graphite_clickhouse_spark.plans.autocomplete import tag_values_df
+
+        lines = [
+            "fresh;env=prod 1.0 180000",   # 1970-01-03
+            "stale;zone=z1 2.0 3600",      # 1970-01-01
+        ]
+        job = IngestJob(str(tmp_path / "out"), version=1)
+        job.write_batch(
+            parse_carbon_lines(
+                spark.createDataFrame([(l,) for l in lines], "value string"),
+                version=1,
+            )
+        )
+        tags = job.read_tags_index(spark)
+        df = tag_values_df(tags, "name", days=1, now_ts=190000)
+        plan = plan_of(df)
+        assert "PartitionFilters" in plan and "1970-01-0" in plan, plan
+        assert [r.value for r in df.collect()] == ["fresh"]
+
+
 class TestDailyIndexFind:
     """Daily index (finder/index.go useDaily): a time-bounded find reads
     only the days in the window — PartitionFilters on date — and excludes

@@ -53,6 +53,19 @@ class TestRender:
         assert got["metrics"][0]["pathExpression"] == "ev.purchase.u1"
         assert len(got["metrics"][0]["values"]) > 0
 
+    def test_multi_target_get(self, base_url):
+        """graphite-web sends one target= param per target; the response
+        concatenates every target's series (render/data/multi_target.go)."""
+        body = get(
+            f"{base_url}/render?target=ev.purchase.u1&target=ev.click.u1"
+            f"&from={FROM_TS}&until={UNTIL_TS}&maxDataPoints=24&format=json"
+        )
+        got = json.loads(body)
+        names = [m["name"] for m in got["metrics"]]
+        exprs = [m["pathExpression"] for m in got["metrics"]]
+        assert names == ["ev.purchase.u1", "ev.click.u1"]
+        assert exprs == ["ev.purchase.u1", "ev.click.u1"]
+
     def test_pickle(self, base_url):
         body = get(
             f"{base_url}/render?target=ev.purchase.*&from={FROM_TS}&until={UNTIL_TS}"
