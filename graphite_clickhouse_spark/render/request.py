@@ -122,3 +122,20 @@ def parse_multi_fetch_request(body: bytes) -> list[FetchRequest]:
         if f == 1 and w == 2:
             out.append(_parse_fetch_request(v))
     return out
+
+
+def parse_multi_glob_request(body: bytes) -> tuple[list[str], int, int]:
+    """carbonapi_v3_pb MultiGlobRequest bytes -> (metrics, start, stop)
+    (the find POST body, find/handler.go:84-109; built by the e2e client
+    helper/client/find.go:49-54: metrics=1 repeated string, startTime=2,
+    stopTime=3)."""
+    metrics: list[str] = []
+    start = stop = 0
+    for f, w, v in _decode_fields(body):
+        if f == 1 and w == 2:
+            metrics.append(v.decode("utf-8"))
+        elif f == 2:
+            start = v
+        elif f == 3:
+            stop = v
+    return metrics, start, stop

@@ -278,6 +278,20 @@ class GraphiteHandler(BaseHTTPRequestHandler):
         fmt = q.get("format", "json")
         from_ts = int(q.get("from", 0) or 0)
         until_ts = int(q.get("until", 0) or 0)
+        # carbonapi sends find as a v3_pb MultiGlobRequest POST body; like
+        # the reference, only single-metric requests are supported
+        # (find/handler.go:84-109)
+        clen = int(self.headers.get("Content-Length") or 0)
+        if clen and fmt == "carbonapi_v3_pb":
+            from .render.request import parse_multi_glob_request
+
+            metrics, g_start, g_stop = parse_multi_glob_request(self.rfile.read(clen))
+            if len(metrics) != 1:
+                raise ValueError(
+                    "Multiple metrics in same find request is not supported yet"
+                )
+            query = metrics[0]
+            from_ts, until_ts = g_start or from_ts, g_stop or until_ts
         # find-cache probe, bypassed by ?noCache=1 (find/handler.go:136)
         cache = self.engine.find_cache
         use_cache = cache is not None and not _truthy(q.get("noCache", ""))

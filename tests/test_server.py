@@ -165,6 +165,45 @@ class TestRenderV3PbPost:
         assert len(out) > 50 and out[:1] == b"\x0a"
         assert b"ev.purchase.u1" in out
 
+    def test_multiglobrequest_find_body(self, base_url):
+        """find accepts a v3_pb MultiGlobRequest POST body; >1 metric is
+        rejected like the reference (find/handler.go:84-109)."""
+        import urllib.error
+
+        def varint(v):
+            out = bytearray()
+            while True:
+                b = v & 0x7F
+                v >>= 7
+                out.append(b | (0x80 if v else 0))
+                if not v:
+                    return bytes(out)
+
+        def ld(f, p):
+            return varint((f << 3) | 2) + varint(len(p)) + p
+
+        def vi(f, v):
+            return varint(f << 3) + varint(v)
+
+        body = ld(1, b"ev.*.u1") + vi(2, FROM_TS) + vi(3, UNTIL_TS)
+        req = urllib.request.Request(
+            f"{base_url}/metrics/find?format=carbonapi_v3_pb",
+            data=body, method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            out = resp.read()
+        assert b"ev.purchase.u1" in out and b"ev.click.u1" in out
+
+        two = ld(1, b"a.*") + ld(1, b"b.*")
+        req = urllib.request.Request(
+            f"{base_url}/metrics/find?format=carbonapi_v3_pb",
+            data=two, method="POST",
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=120)
+        assert ei.value.code == 400
+        assert b"not supported yet" in ei.value.read()
+
 
 class TestConfiguredServer:
     """Settings-wired server: per-class limiters (503) and the
