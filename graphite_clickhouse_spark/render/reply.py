@@ -110,6 +110,40 @@ def tagged_display_name(path: str) -> str:
     return ";".join([unquote(name), *tags])
 
 
+def series_from_render_multi(df, reqs) -> list[Series]:
+    """Collect an Engine.render_multi() result (one unioned plan, a
+    `target` column per row) into encoder input, ordered as requested:
+    series group by target in request order, paths sorted within
+    (render/data/ch_response.go:215-228 concatenation semantics)."""
+    from ..operators.resample import AGG_DISPLAY_NAME
+
+    by_target = {r.target: i for i, r in enumerate(reqs)}
+    frames = {r.target: (r.from_ts, r.until_ts) for r in reqs}
+    out = []
+    for row in sorted(
+        df.collect(), key=lambda r: (by_target.get(r["target"], 0), r["path"])
+    ):
+        fn = row["function"]
+        values = row["values"]
+        if not all(v is None or math.isnan(v) for v in values):
+            fn = AGG_DISPLAY_NAME.get(fn, fn)
+        from_ts, until_ts = frames.get(row["target"], (0, 0))
+        out.append(
+            Series(
+                name=tagged_display_name(row["path"]),
+                path_expression=row["target"],
+                function=fn,
+                start=row["start"],
+                stop=row["stop"],
+                step=row["step"],
+                values=[float("nan") if v is None else v for v in row["values"]],
+                request_start=from_ts,
+                request_stop=until_ts,
+            )
+        )
+    return out
+
+
 def series_from_render(df, target: str, from_ts: int, until_ts: int) -> list[Series]:
     """Collect an Engine.render() result DataFrame into encoder input."""
     from ..operators.resample import AGG_DISPLAY_NAME

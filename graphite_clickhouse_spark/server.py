@@ -218,19 +218,17 @@ class GraphiteHandler(BaseHTTPRequestHandler):
             from .render.request import parse_multi_fetch_request
 
             body = self.rfile.read(clen)
-            series = []
-            for fr in parse_multi_fetch_request(body):
-                req = RenderRequest(
+            reqs = [
+                RenderRequest(
                     fr.target,
                     fr.start_time,
                     fr.stop_time,
                     max_data_points=fr.max_data_points or 1048576,
                     consolidate_by=fr.consolidate_by,
                 )
-                df = self.engine.render(req)
-                series.extend(
-                    R.series_from_render(df, fr.target, fr.start_time, fr.stop_time)
-                )
+                for fr in parse_multi_fetch_request(body)
+            ]
+            series = self._render_series(reqs)
             self._send(R.encode_v3_pb(series), "application/x-protobuf")
             return
 
@@ -250,14 +248,15 @@ class GraphiteHandler(BaseHTTPRequestHandler):
         if fmt not in RENDER_CONTENT_TYPES:
             raise ValueError(f"unsupported format: {fmt}")
         use_cache = not _truthy(q.get("noCache", ""))
-        series = []
-        for target in targets:
-            req = RenderRequest(
-                target, from_ts, until_ts, max_data_points=mdp,
-                use_cache=use_cache,
-            )
-            df = self.engine.render(req)
-            series.extend(R.series_from_render(df, target, from_ts, until_ts))
+        series = self._render_series(
+            [
+                RenderRequest(
+                    target, from_ts, until_ts, max_data_points=mdp,
+                    use_cache=use_cache,
+                )
+                for target in targets
+            ]
+        )
         enc = {
             "json": R.encode_render_json,
             "pickle": R.encode_pickle,
@@ -265,6 +264,19 @@ class GraphiteHandler(BaseHTTPRequestHandler):
             "carbonapi_v3_pb": R.encode_v3_pb,
         }[fmt]
         self._send(enc(series), RENDER_CONTENT_TYPES[fmt])
+
+    def _render_series(self, reqs):
+        """One target -> single plan; several -> render_multi's unioned
+        plan (ONE fetch job for the whole request instead of one per
+        target — the multi-target dashboards case)."""
+        if not reqs:
+            return []
+        if len(reqs) == 1:
+            df = self.engine.render(reqs[0])
+            return R.series_from_render(
+                df, reqs[0].target, reqs[0].from_ts, reqs[0].until_ts
+            )
+        return R.series_from_render_multi(self.engine.render_multi(reqs), reqs)
 
     def _find_rows(
         self, query: str, from_ts: int = 0, until_ts: int = 0
