@@ -208,8 +208,9 @@ class Engine:
 
     # ---- RENDER --------------------------------------------------------
 
-    def render(self, req: RenderRequest) -> DataFrame:
-        """-> (path, function, start, stop, step, values array<double>)."""
+    def _resolve_paths(self, req: RenderRequest) -> list[str]:
+        """Find + find-cache + extra-prefix strip + per-target guard:
+        target expression -> storage paths (the FINDER stage of §3.1)."""
         use_cache = self.find_cache is not None and req.use_cache
         if use_cache:
             cached, cache_key, cache_ttl = self.find_cache.find_cached(
@@ -227,53 +228,86 @@ class Engine:
         # extra-prefix: find returns prefixed display names; storage holds
         # real (stripped) paths — fetch stripped, re-attach at the end
         # (finder/prefix.go:115-117; partial tree nodes have no data)
-        prefix_dot = (
-            self.prefix.prefix + "."
-            if self.prefix is not None and self.prefix.prefix
-            else ""
-        )
-        if prefix_dot:
+        if self._prefix_dot:
             paths = [
-                p[len(prefix_dot):]
+                p[len(self._prefix_dot):]
                 for p in paths
-                if p.startswith(prefix_dot) and not p.endswith(".")
+                if p.startswith(self._prefix_dot) and not p.endswith(".")
             ]
         if len(paths) > self.max_metrics_per_target:
+            # per-target limit (render/data/multi_target.go:56-69)
             raise ValueError(
                 f"metrics per target limit exceeded: {len(paths)} > "
                 f"{self.max_metrics_per_target}"
             )
+        return paths
+
+    @property
+    def _prefix_dot(self) -> str:
+        return (
+            self.prefix.prefix + "."
+            if self.prefix is not None and self.prefix.prefix
+            else ""
+        )
+
+    def render(self, req: RenderRequest) -> DataFrame:
+        """-> (path, function, start, stop, step, values array<double>)."""
+        paths = self._resolve_paths(req)
         if not paths:
             return self._empty_series_df()
+        tagged = req.target.lstrip().startswith("seriesByTag")
+        return self._fetch_series(
+            paths,
+            req.from_ts,
+            req.until_ts,
+            req.max_data_points,
+            req.consolidate_by,
+            tagged,
+            label=req.target,
+        )
 
+    def _fetch_series(
+        self,
+        paths: list[str],
+        from_ts: int,
+        until_ts: int,
+        max_data_points: int,
+        consolidate_by: str | None,
+        tagged: bool,
+        label: str = "",
+    ) -> DataFrame:
+        """The DATA FETCH stage of §3.1 over an already-resolved path set
+        (shared by render() and the multi-target shared fetch): rollup
+        binding, common-step math, one-scan grouped resample, gap fill."""
+        prefix_dot = self._prefix_dot
         import time as _time
 
-        age = max(0, int(_time.time()) - req.from_ts)
+        age = max(0, int(_time.time()) - from_ts)
         override = None
-        if req.consolidate_by:
-            fn = CONSOLIDATE_TO_AGG.get(req.consolidate_by)
+        if consolidate_by:
+            fn = CONSOLIDATE_TO_AGG.get(consolidate_by)
             if fn is None:
                 # reference wording (render/data/query.go:336), HTTP 400
                 raise ValueError(
                     "failed to choose appropriate aggregation for "
-                    f"'{req.target}': unknown consolidation function "
-                    f"'{req.consolidate_by}'"
+                    f"'{label}': unknown consolidation function "
+                    f"'{consolidate_by}'"
                 )
             override = {p: fn for p in paths}
         groups = self.rules.lookup_many(paths, age, override)
 
         steps = [precision for (precision, _fn) in groups]
         if self.internal_aggregation:
-            step = common_step(steps, req.from_ts, req.until_ts, req.max_data_points)
+            step = common_step(steps, from_ts, until_ts, max_data_points)
         else:
             # unaggregated fetch window aligns to max(steps); each metric
             # then grids at its own precision (query.go:385-392)
             step = max_step(steps)
-        from_al, until_al = align_from_until(req.from_ts, req.until_ts, step)
+        from_al, until_al = align_from_until(from_ts, until_ts, step)
 
         source = (
             self.tagged_points
-            if req.target.lstrip().startswith("seriesByTag") and self.tagged_points is not None
+            if tagged and self.tagged_points is not None
             else self.points
         )
 
@@ -347,15 +381,57 @@ class Engine:
         return out.orderBy("path")
 
     def render_multi(self, reqs: list[RenderRequest]) -> DataFrame:
-        """SO1: multi-target / multi-timeframe union — each target renders
-        independently (as the reference fans out one fetch per target,
-        render/data/multi_target.go:227-238) and results concatenate; the
-        target expression is carried so alias fan-out (J2) can re-attach.
-        """
-        out: DataFrame | None = None
+        """SO1 + J2: multi-target render with a SHARED fetch per
+        (timeframe, consolidateBy, source) group — targets of one
+        timeframe resolve independently, their path sets union into ONE
+        scan/aggregate with a common step across all of them (the
+        reference's per-request common-step barrier, common_step.go:44-63,
+        and per-function-group queries over the merged alias.Map,
+        render/data/query.go:179-221), then an alias fan-out re-attaches
+        every (path -> target) pair (pkg/alias/map.go:37-70). One
+        dashboard request = one fetch job, not one per target.
+
+        Deviation: the common-step barrier spans a (timeframe,
+        consolidateBy, source) group, not the whole timeframe — two
+        same-frame targets with different consolidateBy may keep different
+        steps where the reference would LCM them together."""
+        if not reqs:
+            return self._empty_series_df().withColumn("target", F.lit(""))
+
+        groups: dict[tuple, list[tuple[RenderRequest, list[str]]]] = {}
         for req in reqs:
-            series = self.render(req).withColumn("target", F.lit(req.target))
-            out = series if out is None else out.unionByName(series)
+            tagged = req.target.lstrip().startswith("seriesByTag")
+            key = (
+                req.from_ts,
+                req.until_ts,
+                req.max_data_points,
+                req.consolidate_by,
+                tagged,
+            )
+            groups.setdefault(key, []).append((req, self._resolve_paths(req)))
+
+        prefix_dot = self._prefix_dot
+        out: DataFrame | None = None
+        for (from_ts, until_ts, mdp, consolidate, tagged), members in groups.items():
+            alias_pairs = [
+                (p, req.target) for req, paths in members for p in paths
+            ]
+            if not alias_pairs:
+                continue
+            distinct_paths = sorted({p for p, _t in alias_pairs})
+            series = self._fetch_series(
+                distinct_paths, from_ts, until_ts, mdp, consolidate, tagged,
+                label=members[0][0].target,
+            )
+            if prefix_dot:
+                # fetch re-attached the prefix; alias pairs carry stripped
+                # paths from _resolve_paths
+                alias_pairs = [(prefix_dot + p, t) for p, t in alias_pairs]
+            aliases = self.spark.createDataFrame(
+                alias_pairs, "path string, target string"
+            )
+            fanned = series.join(F.broadcast(aliases), "path")
+            out = fanned if out is None else out.unionByName(fanned)
         return out if out is not None else self._empty_series_df().withColumn(
             "target", F.lit("")
         )
