@@ -90,17 +90,20 @@ def gap_fill_arrays_dynamic(
     points: DataFrame,
     from_ts: int,
     until_ts: int,
-    path_specs: DataFrame,
+    path_specs: DataFrame | None = None,
 ) -> DataFrame:
     """Per-path-step variant of ``gap_fill_arrays`` for the unaggregated
     render path: each series densifies on ITS OWN grid
     (ch_response.go:85-95 calls FillNulls with data.GetStep(id)).
 
     ``points`` must be bucket-aggregated with per-row step already;
-    ``path_specs`` (path, step) supplies the universe (series with no
-    points still get a grid when append-empty-series is on). Grid bounds
-    per metric follow func.go:55-62 with the SHARED aligned window and the
-    metric's own step.
+    ``path_specs`` (path, step), when given, supplies the universe —
+    series with no points still get a grid. Only pass it when
+    append-empty-series is on: the universe left-join cannot broadcast
+    its small (left) side, and with the flag off the all-NaN series are
+    dropped downstream anyway. Grid bounds per metric follow
+    func.go:55-62 with the SHARED aligned window and the metric's own
+    step.
     """
     start_expr = F.col("_from") - F.col("_from") % F.col("step")
     start_expr = F.when(start_expr < F.col("_from"), start_expr + F.col("step")).otherwise(start_expr)
@@ -109,7 +112,8 @@ def gap_fill_arrays_dynamic(
             F.collect_list(F.struct(F.col("time"), F.col("value")))
         ).alias("by_time")
     )
-    pairs = path_specs.select("path", "step").join(pairs, ["path", "step"], "left")
+    if path_specs is not None:
+        pairs = path_specs.select("path", "step").join(pairs, ["path", "step"], "left")
     with_bounds = (
         pairs.withColumn("_from", F.lit(from_ts))
         .withColumn("start", start_expr)

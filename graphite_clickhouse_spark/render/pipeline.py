@@ -350,9 +350,12 @@ class Engine:
             agged = resample_grouped(
                 pts, from_al, until_al, step, pf.drop("step")
             )
+            # the path universe feeds gap fill only when empty series are
+            # kept: its left-join cannot broadcast (left side of LEFT
+            # OUTER) and pathless series are all-NaN-filtered otherwise
             series = gap_fill_arrays(
                 agged.drop("agg_function"), from_al, until_al, step,
-                paths=pf.select("path"),
+                paths=pf.select("path") if self.append_empty_series else None,
             )
         else:
             # unaggregated path: Sort -> Uniq (max-version per exact
@@ -360,7 +363,8 @@ class Engine:
             deduped = dedup_versions(pts)
             agged = resample_grouped_dynamic(deduped, from_al, until_al, pf)
             series = gap_fill_arrays_dynamic(
-                agged.drop("agg_function"), from_al, until_al, pf
+                agged.drop("agg_function"), from_al, until_al,
+                pf if self.append_empty_series else None,
             )
         out = series.join(F.broadcast(pf.select("path", "agg_function")), "path")\
             .withColumnRenamed("agg_function", "function")
