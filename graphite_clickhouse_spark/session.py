@@ -39,7 +39,8 @@ def get_spark(
         # later queries). One JVM in local mode -> driver options cover all.
         .config(
             "spark.driver.extraJavaOptions",
-            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+            "-XX:ReservedCodeCacheSize=2g -XX:+UseCodeCacheFlushing "
+            "-XX:+SegmentedCodeCache",
         )
     )
     if extra_conf:
