@@ -42,6 +42,37 @@ class LabelMatcher:
     value: str
 
 
+def parse_promql_selector(sel: str) -> list[LabelMatcher]:
+    """Parse a PromQL instant-vector selector — `name{k="v",k2=~"re"}`,
+    `{k!="v"}`, or a bare `name` — into LabelMatchers (the public PromQL
+    selector grammar; the /api/v1/series match[] parameter shape). Only
+    the selector subset is supported (no offsets/ranges/functions)."""
+    import re as _re
+
+    sel = sel.strip()
+    m = _re.fullmatch(r"([a-zA-Z_:][a-zA-Z0-9_:]*)?\s*(?:\{(.*)\})?", sel, _re.S)
+    if m is None or (not m.group(1) and m.group(2) is None):
+        raise ValueError(f"invalid selector: {sel!r}")
+    out: list[LabelMatcher] = []
+    if m.group(1):
+        out.append(LabelMatcher("__name__", "=", m.group(1)))
+    body = (m.group(2) or "").strip()
+    pos = 0
+    pair = _re.compile(
+        r'\s*([a-zA-Z_][a-zA-Z0-9_]*)\s*(=~|!~|!=|=)\s*"((?:[^"\\]|\\.)*)"\s*(,|$)'
+    )
+    while pos < len(body):
+        pm = pair.match(body, pos)
+        if pm is None:
+            raise ValueError(f"invalid selector: {sel!r}")
+        value = pm.group(3).encode().decode("unicode_escape")
+        out.append(LabelMatcher(pm.group(1), pm.group(2), value))
+        pos = pm.end()
+    if not out:
+        raise ValueError(f"invalid selector: {sel!r}")
+    return out
+
+
 def terms_from_matchers(matchers: list[LabelMatcher]) -> list[TaggedTerm]:
     """prometheus/matcher.go:29-77: each matcher becomes a TaggedTerm.
     The special graphite bridge (`{graphite="a.*.b"}` -> plain glob find,
@@ -63,6 +94,28 @@ def select_series(tagged: DataFrame, matchers: list[LabelMatcher]) -> DataFrame:
     """storage.Querier.Select: matching series paths (distinct)."""
     pred = tagged_predicate(terms_from_matchers(matchers), F.col("tags"))
     return tagged.filter(pred).select("path").distinct()
+
+
+def series_label_sets(
+    tagged: DataFrame,
+    selectors: list[list[LabelMatcher]],
+    days: int = 0,
+    now_ts: int | None = None,
+) -> DataFrame:
+    """/api/v1/series: union of series matching ANY selector, one row per
+    distinct series with its full label map (Prometheus Series() over the
+    tagged table)."""
+    from .autocomplete import tagged_window
+
+    base = tagged_window(tagged, days, now_ts)
+    out: DataFrame | None = None
+    for matchers in selectors:
+        pred = tagged_predicate(terms_from_matchers(matchers), F.col("tags"))
+        df = base.filter(pred).select("path", "tags")
+        out = df if out is None else out.unionByName(df)
+    if out is None:
+        out = base.select("path", "tags")
+    return out.dropDuplicates(["path"]).orderBy("path")
 
 
 def label_names(

@@ -98,6 +98,17 @@ class GraphiteHandler(BaseHTTPRequestHandler):
                     self._values_autocomplete(q, qlist)
             elif url.path == "/debug/config":
                 self._debug_config()
+            elif url.path == "/api/v1/labels":
+                with self._limit("tags"):
+                    self._prom_labels(qlist)
+            elif url.path.startswith("/api/v1/label/") and url.path.endswith("/values"):
+                with self._limit("tags"):
+                    self._prom_label_values(
+                        url.path[len("/api/v1/label/"):-len("/values")], qlist
+                    )
+            elif url.path == "/api/v1/series":
+                with self._limit("tags"):
+                    self._prom_series(qlist)
             else:
                 self._error(404, f"not found: {url.path}")
         except LimitExceeded as exc:
@@ -165,6 +176,66 @@ class GraphiteHandler(BaseHTTPRequestHandler):
             self._error(503, "Storage healthcheck failed")
         else:
             self._send(b"Graphite-clickhouse-spark is alive.\n", "text/plain")
+
+    # ---- prometheus api (the label/series introspection surface of the
+    # embedded prometheus listener, prometheus/querier.go:35-108; the
+    # PromQL evaluator itself is out of scope) -------------------------
+
+    def _prom_matchers(self, qlist: dict) -> list:
+        from .plans.prometheus import parse_promql_selector
+
+        return [parse_promql_selector(s) for s in qlist.get("match[]", [])]
+
+    def _prom_ok(self, data):
+        self._send(
+            json.dumps({"status": "success", "data": data}).encode(),
+            "application/json",
+        )
+
+    def _prom_window(self) -> tuple[int, int]:
+        import time
+
+        return self.engine.tagged_autocomplete_days, int(time.time())
+
+    def _prom_labels(self, qlist: dict):
+        from .plans.prometheus import label_names
+
+        if self.engine.tagged_points is None:
+            raise ValueError("no tagged table configured")
+        sels = self._prom_matchers(qlist)
+        days, now = self._prom_window()
+        names = label_names(
+            self.engine.tagged_points, sels[0] if sels else None,
+            days=days, now_ts=now,
+        )
+        self._prom_ok([r.value for r in names.collect()])
+
+    def _prom_label_values(self, label: str, qlist: dict):
+        from .plans.prometheus import label_values
+
+        if self.engine.tagged_points is None:
+            raise ValueError("no tagged table configured")
+        sels = self._prom_matchers(qlist)
+        days, now = self._prom_window()
+        vals = label_values(
+            self.engine.tagged_points, label, sels[0] if sels else None,
+            days=days, now_ts=now,
+        )
+        self._prom_ok([r.value for r in vals.collect()])
+
+    def _prom_series(self, qlist: dict):
+        from .plans.prometheus import series_label_sets
+
+        if self.engine.tagged_points is None:
+            raise ValueError("no tagged table configured")
+        sels = self._prom_matchers(qlist)
+        if not sels:
+            raise ValueError("no match[] parameter provided")
+        days, now = self._prom_window()
+        df = series_label_sets(
+            self.engine.tagged_points, sels, days=days, now_ts=now
+        )
+        self._prom_ok([dict(r.tags) for r in df.collect()])
 
     def _debug_config(self):
         """/debug/config (graphite-clickhouse.go:574-593): dump the active

@@ -205,6 +205,44 @@ class TestRenderV3PbPost:
         assert b"not supported yet" in ei.value.read()
 
 
+class TestPrometheusAPI:
+    """/api/v1/{labels,label/<n>/values,series} over the tagged table
+    (the introspection surface of the embedded prometheus listener)."""
+
+    def test_labels(self, base_url):
+        got = json.loads(get(f"{base_url}/api/v1/labels"))
+        assert got["status"] == "success"
+        assert "__name__" in got["data"] and "type" in got["data"]
+
+    def test_label_values_with_selector(self, base_url):
+        from urllib.parse import quote
+
+        sel = quote('ev{type="purchase"}')
+        got = json.loads(
+            get(f"{base_url}/api/v1/label/user/values?match[]={sel}")
+        )
+        assert got["status"] == "success"
+        assert "u1" in got["data"]
+
+    def test_series(self, base_url):
+        from urllib.parse import quote
+
+        sel = quote('ev{type="purchase",user=~"u[01]"}')
+        got = json.loads(get(f"{base_url}/api/v1/series?match[]={sel}"))
+        assert got["status"] == "success"
+        users = sorted({s["user"] for s in got["data"]})
+        assert users == ["u0", "u1"]
+        assert all(s["__name__"] == "ev" and s["type"] == "purchase"
+                   for s in got["data"])
+
+    def test_series_requires_match(self, base_url):
+        import urllib.error
+
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(f"{base_url}/api/v1/series", timeout=120)
+        assert ei.value.code == 400
+
+
 class TestConfiguredServer:
     """Settings-wired server: per-class limiters (503) and the
     metrics-per-target cap (403, multi_target.go:64)."""

@@ -168,6 +168,43 @@ tag = "kind=health"
 """
 
 
+class TestPromSelectorParser:
+    def test_bare_name(self):
+        from graphite_clickhouse_spark.plans.prometheus import parse_promql_selector
+
+        (m,) = parse_promql_selector("cpu_usage")
+        assert (m.name, m.op, m.value) == ("__name__", "=", "cpu_usage")
+
+    def test_name_and_matchers(self):
+        from graphite_clickhouse_spark.plans.prometheus import parse_promql_selector
+
+        ms = parse_promql_selector('cpu{env="prod", host=~"h.*", rack!="r9", dc!~"us-.*"}')
+        assert [(m.name, m.op, m.value) for m in ms] == [
+            ("__name__", "=", "cpu"),
+            ("env", "=", "prod"),
+            ("host", "=~", "h.*"),
+            ("rack", "!=", "r9"),
+            ("dc", "!~", "us-.*"),
+        ]
+
+    def test_escaped_quote_and_empty_brace(self):
+        from graphite_clickhouse_spark.plans.prometheus import parse_promql_selector
+
+        (m1, m2) = parse_promql_selector(r'm{k="a\"b"}')
+        assert m2.value == 'a"b'
+        (m,) = parse_promql_selector("m{}")
+        assert m.name == "__name__"
+
+    def test_invalid(self):
+        from graphite_clickhouse_spark.plans.prometheus import parse_promql_selector
+
+        import pytest as _pytest
+
+        for bad in ("", "{", "m{k=v}", "m{k=}", "{k=='v'}"):
+            with _pytest.raises(ValueError):
+                parse_promql_selector(bad)
+
+
 class TestTagger:
     def test_parse(self):
         rules = parse_rules(RULES_TOML)
