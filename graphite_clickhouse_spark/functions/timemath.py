@@ -46,9 +46,26 @@ def lcm_many(steps: list[int]) -> int:
     return out
 
 
-def common_step(steps: list[int], from_ts: int, until_ts: int, max_data_points: int) -> int:
-    """Final step for an aggregated fetch across metrics of one request."""
+def common_step(
+    steps: list[int],
+    from_ts: int,
+    until_ts: int,
+    max_data_points: int,
+    barrier_base: int = 0,
+) -> int:
+    """Final step for an aggregated fetch across metrics of one request.
+
+    barrier_base carries the request-wide common-step barrier: the
+    reference LCMs the per-timeframe step contributions of EVERY
+    timeframe/target in a MultiTarget request through one shared
+    commonStep (render/data/query.go:100-109 newQuery builds a single
+    cStep for all conditions; setStep at :382-415 then rounds each
+    timeframe's maxDataPoints-inflated step up to a multiple of the
+    global LCM). 0 = single-group request, local LCM only.
+    """
     base = lcm_many(steps)
+    if barrier_base:
+        base = lcm(base, barrier_base) if base else barrier_base
     if base <= 0:
         return 0
     step = max(base, ceil_div(until_ts - from_ts, max_data_points))

@@ -25,7 +25,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.timemath import align_from_until, common_step, max_step
+from ..functions.timemath import align_from_until, common_step, lcm_many, max_step
 from ..operators.dedup import dedup_versions
 from ..operators.gapfill import gap_fill_arrays, gap_fill_arrays_dynamic
 from ..operators.resample import (
@@ -275,6 +275,7 @@ class Engine:
         consolidate_by: str | None,
         tagged: bool,
         label: str = "",
+        barrier_base: int = 0,
     ) -> DataFrame:
         """The DATA FETCH stage of §3.1 over an already-resolved path set
         (shared by render() and the multi-target shared fetch): rollup
@@ -298,7 +299,9 @@ class Engine:
 
         steps = [precision for (precision, _fn) in groups]
         if self.internal_aggregation:
-            step = common_step(steps, from_ts, until_ts, max_data_points)
+            step = common_step(
+                steps, from_ts, until_ts, max_data_points, barrier_base
+            )
         else:
             # unaggregated fetch window aligns to max(steps); each metric
             # then grids at its own precision (query.go:385-392)
@@ -395,10 +398,12 @@ class Engine:
         every (path -> target) pair (pkg/alias/map.go:37-70). One
         dashboard request = one fetch job, not one per target.
 
-        Deviation: the common-step barrier spans a (timeframe,
-        consolidateBy, source) group, not the whole timeframe — two
-        same-frame targets with different consolidateBy may keep different
-        steps where the reference would LCM them together."""
+        The common-step barrier spans the WHOLE request: newQuery builds
+        ONE shared commonStep for every timeframe/target
+        (render/data/query.go:100-109), each timeframe LCMs its metric
+        steps into it, and every timeframe's final step is a multiple of
+        the global LCM (query.go:382-415). Replicated here as a pre-pass
+        that LCMs all groups' retention steps before any fetch."""
         if not reqs:
             return self._empty_series_df().withColumn("target", F.lit(""))
 
@@ -414,6 +419,20 @@ class Engine:
             )
             groups.setdefault(key, []).append((req, self._resolve_paths(req)))
 
+        barrier = 0
+        if self.internal_aggregation and len(groups) > 1:
+            import time as _time
+
+            now = int(_time.time())
+            contributions = []
+            for (from_ts, _u, _m, _c, _t), members in groups.items():
+                paths = sorted({p for _req, ps in members for p in ps})
+                if not paths:
+                    continue
+                lookup = self.rules.lookup_many(paths, max(0, now - from_ts))
+                contributions.extend(pr for (pr, _fn) in lookup)
+            barrier = lcm_many(contributions)
+
         prefix_dot = self._prefix_dot
         out: DataFrame | None = None
         for (from_ts, until_ts, mdp, consolidate, tagged), members in groups.items():
@@ -425,7 +444,7 @@ class Engine:
             distinct_paths = sorted({p for p, _t in alias_pairs})
             series = self._fetch_series(
                 distinct_paths, from_ts, until_ts, mdp, consolidate, tagged,
-                label=members[0][0].target,
+                label=members[0][0].target, barrier_base=barrier,
             )
             if prefix_dot:
                 # fetch re-attached the prefix; alias pairs carry stripped

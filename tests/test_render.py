@@ -165,6 +165,61 @@ class TestRenderMulti:
         assert all(v != v for v in empty.values)  # all-NaN grid
 
 
+class TestCommonStepBarrier:
+    """Request-wide common-step barrier: ONE shared commonStep spans every
+    timeframe/target of a MultiTarget request (newQuery at
+    render/data/query.go:100-109; setStep rounds each timeframe's step to
+    a multiple of the global LCM, query.go:382-415)."""
+
+    @pytest.fixture(scope="class")
+    def barrier_engine(self, spark):
+        rows = []
+        for name, step in [("barrier.a", 10), ("barrier.b", 15)]:
+            for i in range(9):
+                rows.append((name, RNOW - 90 + step * i, float(i), 1))
+        points = spark.createDataFrame(rows, POINTS_SCHEMA)
+        rules = Rules(
+            [
+                Pattern(regexp=r"\.a$", function="avg",
+                        retention=[Retention(0, 10)]),
+                Pattern(regexp=r"\.b$", function="avg",
+                        retention=[Retention(0, 15)]),
+            ]
+        )
+        return Engine(
+            spark=spark,
+            points=points,
+            path_index=build_path_index(points.select("path")),
+            rules=rules,
+        )
+
+    def test_single_target_keeps_local_step(self, barrier_engine):
+        rows = barrier_engine.render_multi(
+            [RenderRequest("barrier.a", RNOW - 90, RNOW)]
+        ).collect()
+        assert {r.step for r in rows} == {10}
+
+    def test_same_frame_different_consolidate_by(self, barrier_engine):
+        # different consolidateBy splits the fetch into separate
+        # aggregation groups, but the step barrier still spans both
+        reqs = [
+            RenderRequest("barrier.a", RNOW - 90, RNOW, consolidate_by="max"),
+            RenderRequest("barrier.b", RNOW - 90, RNOW),
+        ]
+        rows = barrier_engine.render_multi(reqs).collect()
+        assert len(rows) == 2
+        assert {r.step for r in rows} == {30}  # LCM(10, 15)
+
+    def test_cross_timeframe_barrier(self, barrier_engine):
+        reqs = [
+            RenderRequest("barrier.a", RNOW - 90, RNOW),
+            RenderRequest("barrier.b", RNOW - 60, RNOW + 30),
+        ]
+        rows = barrier_engine.render_multi(reqs).collect()
+        assert len(rows) == 2
+        assert {r.step for r in rows} == {30}
+
+
 class TestReversedIndex:
     """Reversed-path index orientation (finder/index.go:100-177): the
     engine picks path vs path_rev per query; results are identical either
