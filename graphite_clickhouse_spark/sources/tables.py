@@ -29,9 +29,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-#: events.ts is long NANOSECONDS (see load_table); integer div keeps epoch
-#: seconds exact (double division would lose precision at 1e18).
-EVENTS_TS_SECONDS = "ts div 1000000000"
+def events_ts_seconds(ev: DataFrame) -> F.Column:
+    """Epoch-seconds column for events.ts, whatever physical type the
+    testdata was generated with: long nanoseconds (integer div keeps epoch
+    seconds exact — double division would lose precision at 1e18) or a
+    parquet timestamp (micros), which Spark surfaces as TIMESTAMP/_NTZ."""
+    dt = ev.schema["ts"].dataType.simpleString()
+    if dt == "bigint":
+        return F.expr("ts div 1000000000")
+    if dt == "timestamp_ntz":
+        # NTZ wall-clock == UTC in this dataset; route through a zone-less
+        # cast so the session timezone cannot shift the epoch.
+        return F.unix_timestamp(F.to_timestamp(F.col("ts").cast("string")))
+    return F.col("ts").cast("long")
 
 
 def points_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -45,7 +55,7 @@ def points_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(
             F.lit("ev."), F.col("event_type"), F.lit(".u"), (F.col("user_id") % 10).cast("string")
         ).alias("path"),
-        F.expr(EVENTS_TS_SECONDS).alias("time"),
+        events_ts_seconds(ev).alias("time"),
         F.col("value"),
         F.col("event_id").alias("version"),
     )
@@ -76,7 +86,7 @@ def tagged_points_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("type"), F.col("event_type"),
             F.lit("user"), user,
         ).alias("tags"),
-        F.expr(EVENTS_TS_SECONDS).alias("time"),
+        events_ts_seconds(ev).alias("time"),
         F.col("value"),
         F.col("event_id").alias("version"),
     )
