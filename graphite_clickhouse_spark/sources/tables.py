@@ -38,9 +38,11 @@ def events_ts_seconds(ev: DataFrame) -> F.Column:
     if dt == "bigint":
         return F.expr("ts div 1000000000")
     if dt == "timestamp_ntz":
-        # NTZ wall-clock == UTC in this dataset; route through a zone-less
-        # cast so the session timezone cannot shift the epoch.
-        return F.unix_timestamp(F.to_timestamp(F.col("ts").cast("string")))
+        # NTZ wall-clock == UTC in this dataset. timestampdiff between two
+        # NTZ operands is session-timezone-independent (a tz-pinned cast
+        # route is NOT — the driver harness may run a non-UTC session) and
+        # stays inside whole-stage codegen.
+        return F.expr("timestampdiff(SECOND, timestamp_ntz'1970-01-01 00:00:00', ts)")
     return F.col("ts").cast("long")
 
 
