@@ -554,6 +554,122 @@ FROM found
 """
 
 
+#: PromQL eval grid shared by query + oracle: 7 days @ 6 h steps.
+_PQ_START = 1704067200
+_PQ_END = 1704672000
+_PQ_STEP = 21600
+
+
+def q_promql_range_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prometheus /api/v1/query_range with a plain vector selector
+    (plans/promql.py): per eval step, the newest sample in
+    (t - lookback, t] with write-version tie-break — the PromQL staleness
+    rule over the tagged table (the surface prometheus/run.go:43-63 gets
+    from embedding promql.NewEngine)."""
+    from graphite_clickhouse_spark.plans.promql import eval_promql
+    from graphite_clickhouse_spark.sources.tables import tagged_points_from_events
+
+    tp = tagged_points_from_events(spark, sf_dir)
+    out = eval_promql(
+        tp, 'ev{type="purchase"}', _PQ_START, _PQ_END, _PQ_STEP
+    )
+    return out.select("series", "t", "value")
+
+
+SQL_PROMQL_RANGE_SELECT = f"""
+WITH grid AS (SELECT g AS t FROM generate_series({_PQ_START}, {_PQ_END}, {_PQ_STEP}) s(g)),
+pts AS (
+    SELECT '__name__=ev,type=purchase,user=u' || CAST(user_id % 10 AS VARCHAR) AS series,
+           CAST(floor(epoch(ts)) AS BIGINT) AS time,
+           value, event_id AS version
+    FROM events WHERE event_type = 'purchase'
+)
+SELECT series, t, value FROM (
+    SELECT p.series, g.t, p.value,
+           row_number() OVER (PARTITION BY p.series, g.t
+                              ORDER BY p.time DESC, p.version DESC) AS rn
+    FROM grid g JOIN pts p ON p.time <= g.t AND p.time > g.t - 300
+) WHERE rn = 1
+"""
+
+
+def q_promql_rate_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`sum by (type) (rate(ev[1h]))`: range-vector rate with upstream
+    counter-reset + extrapolation semantics (promql/functions.go
+    extrapolatedRate), aggregated across series — the full PromQL subset
+    pipeline (plans/promql.py) in one plan. Rounded to 6 dp on both sides
+    (the per-(series,step) rate sum is order-sensitive in the last bits)."""
+    from graphite_clickhouse_spark.plans.promql import eval_promql
+    from graphite_clickhouse_spark.sources.tables import tagged_points_from_events
+
+    tp = tagged_points_from_events(spark, sf_dir)
+    out = eval_promql(
+        tp, "sum by (type) (rate(ev[1h]))", _PQ_START, _PQ_END, _PQ_STEP
+    )
+    return out.select("series", "t", F.round("value", 6).alias("value"))
+
+
+SQL_PROMQL_RATE_SUM = f"""
+WITH grid AS (SELECT g AS t FROM generate_series({_PQ_START}, {_PQ_END}, {_PQ_STEP}) s(g)),
+pts AS (
+    SELECT 'type=' || event_type AS series,
+           CAST(floor(epoch(ts)) AS BIGINT) AS time,
+           'u' || CAST(user_id % 10 AS VARCHAR) AS u,
+           value, event_id AS version
+    FROM events
+),
+ded AS (  -- read-side version dedup per (series-instance, second)
+    SELECT series, u, time, max_by(value, version) AS value
+    FROM pts GROUP BY series, u, time
+),
+j AS (
+    SELECT d.series, d.u, g.t, d.time, d.value
+    FROM grid g JOIN ded d ON d.time <= g.t AND d.time > g.t - 3600
+),
+o AS (
+    SELECT series, u, t, time, value,
+           lag(value) OVER (PARTITION BY series, u, t ORDER BY time) AS pv
+    FROM j
+),
+agg AS (
+    SELECT series, u, t,
+           sum(CASE WHEN pv IS NULL THEN 0
+                    WHEN value < pv THEN value
+                    ELSE value - pv END) AS raw,
+           count(*) AS cnt, min(time) AS ft, max(time) AS lt,
+           arg_min(value, time) AS fv
+    FROM o GROUP BY series, u, t HAVING count(*) >= 2
+),
+ex AS (
+    SELECT series, t, raw,
+           CAST(lt - ft AS DOUBLE) AS sampled,
+           CAST(lt - ft AS DOUBLE) / (cnt - 1) AS avg_dur,
+           CAST(ft - (t - 3600) AS DOUBLE) AS ds0,
+           CAST(t - lt AS DOUBLE) AS de0, fv
+    FROM agg
+),
+ex2 AS (
+    SELECT series, t, raw, sampled, fv,
+           CASE WHEN ds0 >= 1.1 * avg_dur THEN avg_dur / 2 ELSE ds0 END AS ds1,
+           CASE WHEN de0 >= 1.1 * avg_dur THEN avg_dur / 2 ELSE de0 END AS de
+    FROM ex
+),
+ex3 AS (
+    SELECT series, t, raw, sampled, de,
+           CASE WHEN raw > 0 AND fv >= 0 AND sampled * (fv / raw) < ds1
+                THEN sampled * (fv / raw) ELSE ds1 END AS ds
+    FROM ex2
+),
+r AS (
+    SELECT series, t,
+           raw * (sampled + ds + de) / sampled / 3600.0 AS rate
+    FROM ex3
+)
+SELECT series, t, round(sum(rate), 6) AS value
+FROM r GROUP BY series, t
+"""
+
+
 def q_tagger_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S13: tagger batch job — TOML rules (prefix/contains/regexp) applied
     to the metric namespace as pure Column predicates; tags of ALL matching
@@ -1159,6 +1275,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "autocomplete_tags": (q_autocomplete_tags, SQL_AUTOCOMPLETE_TAGS),
     "prom_label_values": (q_prom_label_values, SQL_PROM_LABEL_VALUES),
     "prom_plain_bridge": (q_prom_plain_bridge, SQL_PROM_PLAIN_BRIDGE),
+    "promql_range_select": (q_promql_range_select, SQL_PROMQL_RANGE_SELECT),
+    "promql_rate_sum": (q_promql_rate_sum, SQL_PROMQL_RATE_SUM),
     "tagger_rules": (q_tagger_rules, SQL_TAGGER_RULES),
     "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
     "semi_join_urgent": (q_semi_join_urgent, SQL_SEMI_JOIN_URGENT),

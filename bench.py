@@ -42,6 +42,8 @@ BENCH_QUERIES = [
     "autocomplete_values",
     "prom_label_values",
     "prom_plain_bridge",
+    "promql_range_select",
+    "promql_rate_sum",
     "tpch_q1",
     "semi_join_urgent",
     "topk_orders_per_segment",

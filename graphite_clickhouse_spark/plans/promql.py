@@ -1,0 +1,620 @@
+"""PromQL subset evaluator over the tagged points table.
+
+The reference embeds the upstream PromQL engine over its storage.Querier
+(prometheus/run.go:43-63: promql.NewEngine + web/api v1 routes), which
+gives it /api/v1/query and /api/v1/query_range for free. No public
+pure-Python PromQL engine is available in this container, so this module
+implements the evaluation semantics of the practical subset directly as
+DataFrame plans:
+
+- instant-vector selectors `name{k="v",k2=~"re"}` with staleness lookback
+  (sample picked per eval step = newest sample in (t - lookback, t]);
+- range-vector functions rate / increase / delta / idelta /
+  {avg,sum,min,max,count,last}_over_time over `sel[window]`;
+- aggregation operators sum / avg / min / max / count with
+  `by (...)` / `without (...)` grouping;
+- vector-scalar arithmetic (+ - * /) in either operand order.
+
+Evaluation strategy (Spark-first, no Python in the hot path): instead of
+a theta-join between points and the eval-step grid, every sample computes
+the contiguous range of eval indices it can serve — for a sample at p and
+eval times t_j = start + j*step, `p in (t_j - w, t_j]` iff
+`ceil((p-start)/step) <= j <= ceil((p+w-start)/step) - 1` — and explodes
+`sequence(j_min, j_max)` (bounded by ~w/step + 1 rows per sample). One
+hash aggregation per (series, j) then computes the window function. All
+arithmetic is integer Column expressions inside whole-stage codegen;
+rate/increase reproduce the upstream extrapolation algorithm
+(promql/functions.go extrapolatedRate — public semantics) over a
+sort_array + aggregate() fold, still JVM-side.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .prometheus import LabelMatcher, terms_from_matchers
+from .tagged import tagged_predicate
+
+#: Prometheus default staleness lookback (--query.lookback-delta), seconds.
+DEFAULT_LOOKBACK = 300
+
+#: Prometheus hard cap on eval steps per query (web/api: "exceeded maximum
+#: resolution of 11,000 points per timeseries").
+MAX_RESOLUTION = 11000
+
+AGG_OPS = {"sum", "avg", "min", "max", "count"}
+RANGE_FNS = {
+    "rate", "increase", "delta", "idelta",
+    "avg_over_time", "sum_over_time", "min_over_time", "max_over_time",
+    "count_over_time", "last_over_time",
+}
+
+_DURATION_RE = re.compile(r"(\d+)(ms|s|m|h|d|w|y)")
+_DURATION_UNIT = {
+    "ms": 0.001, "s": 1, "m": 60, "h": 3600,
+    "d": 86400, "w": 604800, "y": 31536000,
+}
+
+
+class PromQLError(ValueError):
+    http_status = 400
+
+
+def parse_duration(s: str) -> int:
+    """`1h30m` -> seconds (multi-unit Prometheus duration grammar; a bare
+    number is accepted as seconds — the /api/v1/query_range `step`
+    parameter allows that form)."""
+    s = s.strip()
+    if re.fullmatch(r"[0-9]+(\.[0-9]+)?", s):
+        sec = int(float(s))
+        if sec <= 0:
+            raise PromQLError(f"duration must be positive: {s!r}")
+        return sec
+    pos, total = 0, 0.0
+    for m in _DURATION_RE.finditer(s):
+        if m.start() != pos:
+            raise PromQLError(f"invalid duration: {s!r}")
+        total += int(m.group(1)) * _DURATION_UNIT[m.group(2)]
+        pos = m.end()
+    if pos != len(s) or pos == 0:
+        raise PromQLError(f"invalid duration: {s!r}")
+    sec = int(total)
+    if sec <= 0:
+        raise PromQLError(f"duration must be positive: {s!r}")
+    return sec
+
+
+# ---- AST ----------------------------------------------------------------
+
+
+@dataclass
+class VectorSelector:
+    matchers: list[LabelMatcher]
+
+
+@dataclass
+class RangeFn:
+    fn: str
+    selector: VectorSelector
+    window: int  # seconds
+
+
+@dataclass
+class Aggregate:
+    op: str
+    expr: object
+    grouping: list[str] = field(default_factory=list)
+    without: bool = False
+
+
+@dataclass
+class BinOp:
+    op: str  # + - * /
+    expr: object
+    scalar: float
+    scalar_on_left: bool = False
+
+
+# ---- parser -------------------------------------------------------------
+
+_IDENT_RE = re.compile(r"[a-zA-Z_:][a-zA-Z0-9_:]*")
+_LABEL_RE = re.compile(r"[a-zA-Z_][a-zA-Z0-9_]*")
+_NUMBER_RE = re.compile(r"[0-9]+(\.[0-9]+)?([eE][+-]?[0-9]+)?")
+_MATCHER_RE = re.compile(
+    r'\s*([a-zA-Z_][a-zA-Z0-9_]*)\s*(=~|!~|!=|=)\s*"((?:[^"\\]|\\.)*)"\s*(,|\})'
+)
+
+
+class _Parser:
+    def __init__(self, s: str):
+        self.s = s
+        self.i = 0
+
+    def _ws(self):
+        while self.i < len(self.s) and self.s[self.i].isspace():
+            self.i += 1
+
+    def _peek(self) -> str:
+        self._ws()
+        return self.s[self.i] if self.i < len(self.s) else ""
+
+    def _expect(self, ch: str):
+        if self._peek() != ch:
+            raise PromQLError(
+                f"parse error at {self.i}: expected {ch!r} in {self.s!r}"
+            )
+        self.i += 1
+
+    def _ident(self) -> str | None:
+        self._ws()
+        m = _IDENT_RE.match(self.s, self.i)
+        if m is None:
+            return None
+        self.i = m.end()
+        return m.group(0)
+
+    def _number(self) -> float | None:
+        self._ws()
+        m = _NUMBER_RE.match(self.s, self.i)
+        if m is None:
+            return None
+        self.i = m.end()
+        return float(m.group(0))
+
+    # grammar entry
+    def parse(self):
+        node = self._expr()
+        self._ws()
+        if self.i != len(self.s):
+            raise PromQLError(
+                f"parse error: trailing input at {self.i} in {self.s!r}"
+            )
+        return node
+
+    def _expr(self):
+        # scalar-on-left binop: `2 * expr`
+        save = self.i
+        num = self._number()
+        if num is not None:
+            op = self._peek()
+            if op and op in "+-*/":
+                self.i += 1
+                rhs = self._expr()
+                return BinOp(op, rhs, num, scalar_on_left=True)
+            self.i = save
+            raise PromQLError("expression does not produce an instant vector")
+        node = self._primary()
+        while True:
+            op = self._peek()
+            if not op or op not in "+-*/":
+                break
+            self.i += 1
+            num = self._number()
+            if num is None:
+                raise PromQLError(
+                    "only vector-scalar arithmetic is supported "
+                    f"(at {self.i} in {self.s!r})"
+                )
+            node = BinOp(op, node, num)
+        return node
+
+    def _primary(self):
+        ch = self._peek()
+        if ch == "(":
+            self.i += 1
+            node = self._expr()
+            self._expect(")")
+            return node
+        if ch == "{":
+            return VectorSelector(self._matchers(None))
+        name = self._ident()
+        if name is None:
+            raise PromQLError(f"parse error at {self.i} in {self.s!r}")
+        if name in AGG_OPS:
+            return self._agg(name)
+        if name in RANGE_FNS:
+            self._expect("(")
+            sel = self._selector()
+            self._expect("[")
+            node = RangeFn(name, sel, self._duration_token())
+            self._expect("]")
+            self._expect(")")
+            return node
+        # plain selector starting with a metric name
+        if self._peek() == "(":
+            raise PromQLError(f"unsupported function: {name}")
+        return VectorSelector(self._matchers(name))
+
+    def _agg(self, op: str):
+        grouping, without = None, False
+        mod = None
+        save = self.i
+        word = self._ident()
+        if word in ("by", "without"):
+            mod = word
+        else:
+            self.i = save
+        if mod is not None:
+            grouping, without = self._label_list(), mod == "without"
+        self._expect("(")
+        inner = self._expr()
+        self._expect(")")
+        if grouping is None:
+            save = self.i
+            word = self._ident()
+            if word in ("by", "without"):
+                grouping, without = self._label_list(), word == "without"
+            else:
+                self.i = save
+        return Aggregate(op, inner, grouping or [], without)
+
+    def _label_list(self) -> list[str]:
+        self._expect("(")
+        out = []
+        while True:
+            if self._peek() == ")":
+                self.i += 1
+                return out
+            self._ws()
+            m = _LABEL_RE.match(self.s, self.i)
+            if m is None:
+                raise PromQLError(f"parse error in grouping at {self.i}")
+            out.append(m.group(0))
+            self.i = m.end()
+            if self._peek() == ",":
+                self.i += 1
+
+    def _selector(self) -> VectorSelector:
+        ch = self._peek()
+        if ch == "{":
+            return VectorSelector(self._matchers(None))
+        name = self._ident()
+        if name is None:
+            raise PromQLError(f"expected selector at {self.i} in {self.s!r}")
+        return VectorSelector(self._matchers(name))
+
+    def _matchers(self, name: str | None) -> list[LabelMatcher]:
+        out: list[LabelMatcher] = []
+        if name:
+            out.append(LabelMatcher("__name__", "=", name))
+        self._ws()
+        if self.i < len(self.s) and self.s[self.i] == "{":
+            self.i += 1
+            self._ws()
+            if self.i < len(self.s) and self.s[self.i] == "}":
+                self.i += 1
+            else:
+                while True:
+                    m = _MATCHER_RE.match(self.s, self.i)
+                    if m is None:
+                        raise PromQLError(
+                            f"invalid matcher at {self.i} in {self.s!r}"
+                        )
+                    out.append(LabelMatcher(
+                        m.group(1), m.group(2),
+                        m.group(3).encode().decode("unicode_escape"),
+                    ))
+                    self.i = m.end()
+                    if m.group(4) == "}":
+                        break
+        if not out:
+            raise PromQLError("vector selector must contain at least one matcher")
+        return out
+
+    def _duration_token(self) -> int:
+        self._ws()
+        j = self.i
+        while j < len(self.s) and self.s[j] not in "]":
+            j += 1
+        dur = parse_duration(self.s[self.i:j])
+        self.i = j
+        return dur
+
+
+def parse_promql(expr: str):
+    """Parse the supported PromQL subset; PromQLError (HTTP 400) on
+    anything outside it."""
+    return _Parser(expr).parse()
+
+
+# ---- evaluation ---------------------------------------------------------
+
+
+def _canon(labels: F.Column) -> F.Column:
+    """Canonical group key: sorted `k=v` strings (maps are not directly
+    groupable/orderable in Spark; an array<string> is)."""
+    return F.array_sort(
+        F.transform(
+            F.map_entries(labels),
+            lambda e: F.concat(e.getField("key"), F.lit("="), e.getField("value")),
+        )
+    )
+
+
+def _drop_name(labels: F.Column) -> F.Column:
+    return F.map_filter(labels, lambda k, _: k != "__name__")
+
+
+def _eval_indices(time_col: F.Column, start: int, step: int, window: int,
+                  n_evals: int) -> tuple[F.Column, F.Column]:
+    """Eval-step index range [j_min, j_max] a sample at `time_col` serves,
+    for membership `p in (t_j - window, t_j]`: j >= ceil((p-start)/step)
+    and j <= ceil((p+window-start)/step) - 1. Integer-exact (no doubles):
+    ceil(x/s) for possibly-negative x as floor((x + s - 1) / s) via
+    `div` on a shifted non-negative numerator.
+    """
+    # ceil-div on integers; numerators are guarded non-negative (samples
+    # passed the `p > start - window` filter), so truncating division is
+    # floor division and `(x + step - 1) / step` is an exact ceil.
+    j_min = F.when(
+        time_col <= F.lit(start), F.lit(0)
+    ).otherwise(
+        F.floor((time_col - F.lit(start) + F.lit(step) - 1) / F.lit(step)).cast("int")
+    )
+    j_max_raw = (
+        F.floor((time_col + F.lit(window) - F.lit(start) + F.lit(step) - 1) / F.lit(step))
+        .cast("int") - 1
+    )
+    j_max = F.least(j_max_raw, F.lit(n_evals - 1))
+    return F.greatest(j_min, F.lit(0)), j_max
+
+
+def _explode_to_grid(pts: DataFrame, start: int, step: int, window: int,
+                     n_evals: int) -> DataFrame:
+    """points(path, tags, time, value[, version]) -> one row per
+    (sample, eval index j) with j in the sample's service range."""
+    j_min, j_max = _eval_indices(F.col("time"), start, step, window, n_evals)
+    return (
+        pts.withColumn("j_min", j_min)
+        .withColumn("j_max", j_max)
+        .filter(F.col("j_min") <= F.col("j_max"))
+        .withColumn("j", F.explode(F.sequence("j_min", "j_max")))
+        .drop("j_min", "j_max")
+    )
+
+
+def _grid_time(start: int, step: int) -> F.Column:
+    return (F.lit(start) + F.col("j").cast("long") * F.lit(step)).alias("t")
+
+
+class Evaluator:
+    """Evaluates a parsed PromQL AST over tagged points at an eval grid
+    t_j = start + j*step, j in [0, n_evals). Result frame:
+    (labels map<string,string>, t long, value double)."""
+
+    def __init__(self, tagged: DataFrame, start: int, end: int, step: int,
+                 lookback: int = DEFAULT_LOOKBACK):
+        if end < start:
+            raise PromQLError("end timestamp must not be before start time")
+        if step <= 0:
+            raise PromQLError("zero or negative query resolution step")
+        self.tagged = tagged
+        self.start, self.end, self.step = int(start), int(end), int(step)
+        self.lookback = int(lookback)
+        self.n_evals = (self.end - self.start) // self.step + 1
+        if self.n_evals > MAX_RESOLUTION:
+            raise PromQLError(
+                "exceeded maximum resolution of 11,000 points per timeseries"
+            )
+
+    # -- sources
+
+    def _points(self, sel: VectorSelector, window: int) -> DataFrame:
+        pred = tagged_predicate(terms_from_matchers(sel.matchers), F.col("tags"))
+        return (
+            self.tagged.filter(pred)
+            .filter(
+                (F.col("time") > F.lit(self.start - window))
+                & (F.col("time") <= F.lit(self.end))
+            )
+            .select("path", "tags", "time", "value", "version")
+        )
+
+    def _dedup(self, pts: DataFrame) -> DataFrame:
+        """ReplacingMergeTree read-side dedup: per (path, time) keep the
+        max-version sample (same contract as operators.dedup)."""
+        w = F.struct(F.col("version").alias("v"), F.col("value").alias("x"))
+        return pts.groupBy("path", "time").agg(
+            F.max(w).getField("x").alias("value"),
+            F.first("tags").alias("tags"),
+        )
+
+    # -- node dispatch
+
+    def eval(self, node) -> DataFrame:
+        if isinstance(node, VectorSelector):
+            return self._eval_selector(node)
+        if isinstance(node, RangeFn):
+            return self._eval_range_fn(node)
+        if isinstance(node, Aggregate):
+            return self._eval_agg(node)
+        if isinstance(node, BinOp):
+            return self._eval_bin(node)
+        raise PromQLError(f"unsupported expression node: {node!r}")
+
+    # -- selector: newest sample in (t - lookback, t]
+
+    def _eval_selector(self, node: VectorSelector) -> DataFrame:
+        pts = self._points(node, self.lookback)
+        ex = _explode_to_grid(pts, self.start, self.step, self.lookback,
+                              self.n_evals)
+        # newest sample wins; version breaks exact-time ties (write-version
+        # semantics, helper/point/func.go:29-51) — one hash agg, no window
+        w = F.struct("time", "version", F.col("value").alias("x"))
+        return (
+            ex.groupBy("path", "j")
+            .agg(F.max(w).getField("x").alias("value"),
+                 F.first("tags").alias("labels"))
+            .select("labels", _grid_time(self.start, self.step),
+                    F.col("value"))
+        )
+
+    # -- range functions
+
+    _SIMPLE_OVER_TIME = {
+        "avg_over_time": lambda: F.avg("value"),
+        "sum_over_time": lambda: F.sum("value"),
+        "min_over_time": lambda: F.min("value"),
+        "max_over_time": lambda: F.max("value"),
+        "count_over_time": lambda: F.count("value").cast("double"),
+    }
+
+    def _eval_range_fn(self, node: RangeFn) -> DataFrame:
+        pts = self._dedup(self._points(node.selector, node.window))
+        ex = _explode_to_grid(pts, self.start, self.step, node.window,
+                              self.n_evals)
+        g = ex.groupBy("path", "j")
+        if node.fn in self._SIMPLE_OVER_TIME:
+            out = g.agg(
+                self._SIMPLE_OVER_TIME[node.fn]().alias("value"),
+                F.first("tags").alias("labels"),
+            )
+        elif node.fn == "last_over_time":
+            out = g.agg(F.max_by("value", "time").alias("value"),
+                        F.first("tags").alias("labels"))
+        else:
+            out = self._rate_family(g, node)
+        drop = node.fn not in ("last_over_time",)
+        labels = _drop_name(F.col("labels")) if drop else F.col("labels")
+        return out.select(labels.alias("labels"),
+                          _grid_time(self.start, self.step), "value")
+
+    def _rate_family(self, grouped, node: RangeFn) -> DataFrame:
+        """rate / increase / delta / idelta with upstream extrapolation
+        semantics (promql/functions.go extrapolatedRate / instantValue):
+
+        - counter reset handling: any sample < previous sample adds the
+          full new value instead of the difference;
+        - extrapolate the sampled interval out to the window boundaries,
+          but no further than half an average sample interval past the
+          first/last sample; for counters additionally no further than
+          the zero-crossing implied by the first sample's value;
+        - rate = extrapolated increase / window seconds;
+        - idelta = last - previous sample (no extrapolation).
+        """
+        w, step, start = node.window, self.step, self.start
+        base = grouped.agg(
+            F.sort_array(
+                F.collect_list(F.struct("time", "value"))
+            ).alias("samples"),
+            F.first("tags").alias("labels"),
+        ).filter(F.size("samples") >= 2)
+        s = F.col("samples")
+        cnt = F.size(s)
+        first_t = s.getItem(0).getField("time")
+        first_v = s.getItem(0).getField("value")
+        last_t = F.element_at(s, -1).getField("time")
+        last_v = F.element_at(s, -1).getField("value")
+        if node.fn == "idelta":
+            prev_v = F.element_at(s, -2).getField("value")
+            return base.select(
+                "path", "j", "labels", (last_v - prev_v).alias("value")
+            )
+        if node.fn == "delta":
+            raw = (last_v - first_v).alias("raw")
+            is_counter = False
+        else:
+            # reset-adjusted increase: fold over samples[2:]
+            raw = F.expr(
+                "aggregate(slice(samples, 2, size(samples) - 1), "
+                "named_struct('acc', cast(0.0 as double), "
+                "             'prev', samples[0].value), "
+                "(st, x) -> named_struct("
+                "  'acc', st.acc + IF(x.value < st.prev, x.value, "
+                "                     x.value - st.prev), "
+                "  'prev', x.value), "
+                "st -> st.acc)"
+            ).alias("raw")
+            is_counter = True
+
+        df = base.select("path", "j", "labels", raw,
+                         cnt.alias("cnt"), first_t.alias("ft"),
+                         first_v.alias("fv"), last_t.alias("lt"))
+        range_start = F.lit(start) + F.col("j").cast("long") * F.lit(step) - F.lit(w)
+        range_end = F.lit(start) + F.col("j").cast("long") * F.lit(step)
+        dur_start = (F.col("ft") - range_start).cast("double")
+        dur_end = (range_end - F.col("lt")).cast("double")
+        sampled = (F.col("lt") - F.col("ft")).cast("double")
+        avg_dur = sampled / (F.col("cnt") - 1).cast("double")
+        threshold = avg_dur * 1.1
+        dur_start = F.when(dur_start >= threshold, avg_dur / 2).otherwise(dur_start)
+        if is_counter:
+            # never extrapolate a counter below zero
+            dur_zero = sampled * (F.col("fv") / F.col("raw"))
+            dur_start = F.when(
+                (F.col("raw") > 0) & (F.col("fv") >= 0) & (dur_zero < dur_start),
+                dur_zero,
+            ).otherwise(dur_start)
+        dur_end = F.when(dur_end >= threshold, avg_dur / 2).otherwise(dur_end)
+        factor = (sampled + dur_start + dur_end) / sampled
+        value = F.col("raw") * factor
+        if node.fn == "rate":
+            value = value / F.lit(float(w))
+        return df.select("path", "j", "labels", value.alias("value"))
+
+    # -- aggregation operators
+
+    def _eval_agg(self, node: Aggregate) -> DataFrame:
+        child = self.eval(node.expr)
+        keys = F.array([F.lit(k) for k in node.grouping])
+        if node.without:
+            keep = F.map_filter(
+                F.col("labels"),
+                lambda k, _: ~F.array_contains(keys, k) & (k != "__name__"),
+            )
+        elif node.grouping:
+            keep = F.map_filter(
+                F.col("labels"), lambda k, _: F.array_contains(keys, k)
+            )
+        else:
+            keep = F.expr("cast(map() as map<string,string>)")
+        agg = {
+            "sum": F.sum("value"),
+            "avg": F.avg("value"),
+            "min": F.min("value"),
+            "max": F.max("value"),
+            "count": F.count("value").cast("double"),
+        }[node.op]
+        return (
+            child.withColumn("labels", keep)
+            .withColumn("gkey", _canon(F.col("labels")))
+            .groupBy("gkey", "t")
+            .agg(agg.alias("value"), F.first("labels").alias("labels"))
+            .select("labels", "t", "value")
+        )
+
+    # -- vector <op> scalar
+
+    def _eval_bin(self, node: BinOp) -> DataFrame:
+        child = self.eval(node.expr)
+        v, c = F.col("value"), F.lit(node.scalar)
+        left, right = (c, v) if node.scalar_on_left else (v, c)
+        value = {
+            "+": left + right,
+            "-": left - right,
+            "*": left * right,
+            "/": left / right,
+        }[node.op]
+        return child.select(
+            _drop_name(F.col("labels")).alias("labels"), "t",
+            value.alias("value"),
+        )
+
+
+def eval_promql(tagged: DataFrame, expr: str, start: int, end: int,
+                step: int, lookback: int = DEFAULT_LOOKBACK) -> DataFrame:
+    """Parse + evaluate; returns (labels map, series string, t, value)
+    sorted frame. `series` is the canonical sorted `k=v` join — a stable,
+    groupable series identity for encoders and oracles."""
+    node = parse_promql(expr)
+    ev = Evaluator(tagged, start, end, step, lookback)
+    out = ev.eval(node)
+    return out.select(
+        "labels",
+        F.array_join(_canon(F.col("labels")), ",").alias("series"),
+        "t", "value",
+    ).orderBy("series", "t")

@@ -109,6 +109,12 @@ class GraphiteHandler(BaseHTTPRequestHandler):
             elif url.path == "/api/v1/series":
                 with self._limit("tags"):
                     self._prom_series(qlist)
+            elif url.path == "/api/v1/query_range":
+                with self._limit("render"):
+                    self._prom_query_range(q)
+            elif url.path == "/api/v1/query":
+                with self._limit("render"):
+                    self._prom_query(q)
             else:
                 self._error(404, f"not found: {url.path}")
         except LimitExceeded as exc:
@@ -236,6 +242,93 @@ class GraphiteHandler(BaseHTTPRequestHandler):
             self.engine.tagged_points, sels, days=days, now_ts=now
         )
         self._prom_ok([dict(r.tags) for r in df.collect()])
+
+    # ---- prometheus query evaluation (the /api/v1/query{,_range} routes
+    # the reference gets from embedding promql.NewEngine,
+    # prometheus/run.go:43-63; evaluated by plans.promql) --------------
+
+    @staticmethod
+    def _prom_ts(s: str, what: str) -> int:
+        try:
+            return int(float(s))
+        except (TypeError, ValueError):
+            raise ValueError(f"invalid parameter {what!r}: {s!r}")
+
+    def _prom_result(self, df, result_type: str):
+        """(labels, series, t, value) rows -> Prometheus API payload.
+        Sample values are strings in the wire format; NaN stays out of
+        JSON via the string encoding."""
+        import math
+
+        def fmt(v: float) -> str:
+            if math.isnan(v):
+                return "NaN"
+            if math.isinf(v):
+                return "+Inf" if v > 0 else "-Inf"
+            return repr(v)  # shortest round-trip decimal
+
+        series: dict[str, dict] = {}
+        for r in df.collect():
+            entry = series.setdefault(
+                r.series, {"metric": dict(r.labels), "values": []}
+            )
+            entry["values"].append([r.t, fmt(r.value)])
+        result = []
+        for s in sorted(series):
+            e = series[s]
+            if result_type == "vector":
+                result.append({"metric": e["metric"], "value": e["values"][-1]})
+            else:
+                result.append(e)
+        self._prom_ok({"resultType": result_type, "result": result})
+
+    def _prom_tagged(self):
+        if self.engine.tagged_points is None:
+            raise ValueError("no tagged table configured")
+        return self.engine.tagged_points
+
+    def _prom_err(self, msg: str, status: int = 400):
+        self._send(
+            json.dumps(
+                {"status": "error", "errorType": "bad_data", "error": msg}
+            ).encode(),
+            "application/json",
+            status,
+        )
+
+    def _prom_query_range(self, q: dict):
+        from .plans.promql import eval_promql, parse_duration
+
+        try:
+            tagged = self._prom_tagged()
+            expr = q.get("query")
+            if not expr:
+                raise ValueError("missing parameter 'query'")
+            start = self._prom_ts(q.get("start"), "start")
+            end = self._prom_ts(q.get("end"), "end")
+            step = parse_duration(q.get("step", ""))
+            df = eval_promql(tagged, expr, start, end, step)
+        except ValueError as exc:
+            self._prom_err(str(exc), getattr(exc, "http_status", 400))
+            return
+        self._prom_result(df, "matrix")
+
+    def _prom_query(self, q: dict):
+        import time as _time
+
+        from .plans.promql import eval_promql
+
+        try:
+            tagged = self._prom_tagged()
+            expr = q.get("query")
+            if not expr:
+                raise ValueError("missing parameter 'query'")
+            ts = self._prom_ts(q.get("time", str(int(_time.time()))), "time")
+            df = eval_promql(tagged, expr, ts, ts, 1)
+        except ValueError as exc:
+            self._prom_err(str(exc), getattr(exc, "http_status", 400))
+            return
+        self._prom_result(df, "vector")
 
     def _debug_config(self):
         """/debug/config (graphite-clickhouse.go:574-593): dump the active

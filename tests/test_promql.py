@@ -1,0 +1,218 @@
+"""PromQL subset evaluator (plans/promql.py): parser, evaluation
+semantics against hand-computed Prometheus results (selector staleness,
+rate/increase/delta extrapolation — promql/functions.go semantics), and
+the /api/v1/query{,_range} HTTP routes (the surface the reference gets
+from embedding promql.NewEngine, prometheus/run.go:43-63)."""
+
+import json
+import urllib.error
+import urllib.parse
+import urllib.request
+
+import pytest
+
+from graphite_clickhouse_spark.plans.promql import (
+    Aggregate,
+    BinOp,
+    PromQLError,
+    RangeFn,
+    VectorSelector,
+    eval_promql,
+    parse_duration,
+    parse_promql,
+)
+
+
+@pytest.fixture(scope="module")
+def tagged(spark):
+    rows = [
+        # series a: counter with a reset at t=220; series b: gauge
+        ("m?k=a", {"__name__": "m", "k": "a"}, 100, 1.0, 1),
+        ("m?k=a", {"__name__": "m", "k": "a"}, 160, 3.0, 2),
+        ("m?k=a", {"__name__": "m", "k": "a"}, 220, 1.0, 3),
+        ("m?k=a", {"__name__": "m", "k": "a"}, 280, 2.0, 4),
+        ("m?k=b", {"__name__": "m", "k": "b"}, 100, 10.0, 5),
+        ("m?k=b", {"__name__": "m", "k": "b"}, 220, 20.0, 6),
+        # duplicate (path, time): higher version must win (A6 semantics)
+        ("m?k=b", {"__name__": "m", "k": "b"}, 220, 25.0, 7),
+    ]
+    return spark.createDataFrame(
+        rows, "path string, tags map<string,string>, time long, value double, version long"
+    )
+
+
+def rows(df):
+    return {(r.series, r.t): r.value for r in df.collect()}
+
+
+class TestParser:
+    def test_selector_forms(self):
+        node = parse_promql('m{k="v",j=~"re"}')
+        assert isinstance(node, VectorSelector)
+        assert [(m.name, m.op, m.value) for m in node.matchers] == [
+            ("__name__", "=", "m"), ("k", "=", "v"), ("j", "=~", "re"),
+        ]
+        bare = parse_promql("some_metric")
+        assert bare.matchers[0].value == "some_metric"
+        anon = parse_promql('{k!="v"}')
+        assert anon.matchers[0].op == "!="
+
+    def test_range_fn_and_agg(self):
+        node = parse_promql('sum by (k) (rate(m{k="a"}[5m]))')
+        assert isinstance(node, Aggregate)
+        assert node.op == "sum" and node.grouping == ["k"] and not node.without
+        assert isinstance(node.expr, RangeFn)
+        assert node.expr.fn == "rate" and node.expr.window == 300
+
+    def test_trailing_by_and_without(self):
+        node = parse_promql("avg (m) by (k, j)")
+        assert node.grouping == ["k", "j"]
+        node = parse_promql("count without (k) (m)")
+        assert node.without and node.grouping == ["k"]
+
+    def test_scalar_arith(self):
+        node = parse_promql("m * 8")
+        assert isinstance(node, BinOp) and node.scalar == 8.0
+        node = parse_promql("2 * m")
+        assert node.scalar_on_left
+
+    def test_durations(self):
+        assert parse_duration("90s") == 90
+        assert parse_duration("1h30m") == 5400
+        assert parse_duration("15") == 15
+        with pytest.raises(PromQLError):
+            parse_duration("-5m")
+
+    @pytest.mark.parametrize("bad", [
+        "rate(m)", "m[5m]", "foo(m[5m])", "sum(m) by", "m offset 5m",
+        "m{k=v}", "", "1 + 2",
+    ])
+    def test_rejects(self, bad):
+        with pytest.raises(PromQLError):
+            parse_promql(bad)
+
+
+class TestEval:
+    def test_selector_staleness_and_version(self, tagged):
+        # t=300: newest of series a is (280, 2.0); series b dedups the
+        # (220) duplicate to version 7's value 25.0
+        got = rows(eval_promql(tagged, 'm{k=~"a|b"}', 300, 300, 1))
+        assert got == {
+            ("__name__=m,k=a", 300): 2.0,
+            ("__name__=m,k=b", 300): 25.0,
+        }
+
+    def test_selector_outside_lookback_absent(self, tagged):
+        # at t=700 every sample is > 300 s old -> empty vector, not NaN
+        assert rows(eval_promql(tagged, "m", 700, 700, 1)) == {}
+
+    def test_range_grid(self, tagged):
+        got = rows(eval_promql(tagged, 'm{k="b"}', 100, 300, 100))
+        assert got == {
+            ("__name__=m,k=b", 100): 10.0,
+            ("__name__=m,k=b", 200): 10.0,
+            ("__name__=m,k=b", 300): 25.0,
+        }
+
+    def test_increase_reset_and_extrapolation(self, tagged):
+        # window (100, 300]: samples 3,1,2 -> reset-adjusted raw = 1+1 = 2;
+        # ft=160 lt=280 sampled=120 cnt=3 avgDur=60 thr=66;
+        # durStart=60 durEnd=20 (both < thr, kept); zero-guard 180 > 60;
+        # factor=(120+60+20)/120 -> increase = 2*5/3
+        got = rows(eval_promql(tagged, 'increase(m{k="a"}[200s])', 300, 300, 1))
+        assert got[("k=a", 300)] == pytest.approx(10 / 3)
+
+    def test_rate_is_increase_over_window(self, tagged):
+        got = rows(eval_promql(tagged, 'rate(m{k="a"}[200s])', 300, 300, 1))
+        assert got[("k=a", 300)] == pytest.approx(10 / 3 / 200)
+
+    def test_delta_gauge(self, tagged):
+        # b in (0,300]: 10 -> 25, sampled=120, durStart=100, durEnd=80,
+        # avgDur=120 thr=132 -> factor 2.5 -> 37.5
+        got = rows(eval_promql(tagged, 'delta(m{k="b"}[300s])', 300, 300, 1))
+        assert got[("k=b", 300)] == pytest.approx(37.5)
+
+    def test_idelta(self, tagged):
+        got = rows(eval_promql(tagged, 'idelta(m{k="a"}[300s])', 300, 300, 1))
+        assert got[("k=a", 300)] == pytest.approx(2.0 - 1.0)
+
+    def test_over_time_family(self, tagged):
+        got = rows(eval_promql(
+            tagged, "sum by (k) (avg_over_time(m[5m]))", 200, 300, 100))
+        assert got == {
+            ("k=a", 200): 2.0, ("k=a", 300): 1.75,
+            ("k=b", 200): 10.0, ("k=b", 300): 17.5,
+        }
+        got = rows(eval_promql(tagged, "count_over_time(m[300s])", 300, 300, 1))
+        assert got[("k=a", 300)] == 4.0 and got[("k=b", 300)] == 2.0
+        got = rows(eval_promql(tagged, "last_over_time(m[300s])", 300, 300, 1))
+        # last_over_time keeps __name__
+        assert got[("__name__=m,k=b", 300)] == 25.0
+
+    def test_agg_plain_and_without(self, tagged):
+        got = rows(eval_promql(tagged, "sum(m)", 300, 300, 1))
+        assert got == {("", 300): 27.0}
+        got = rows(eval_promql(tagged, "count without (k) (m)", 300, 300, 1))
+        assert got == {("", 300): 2.0}
+
+    def test_vector_scalar(self, tagged):
+        got = rows(eval_promql(tagged, 'm{k="b"} * 2', 300, 300, 1))
+        assert got == {("k=b", 300): 50.0}
+        got = rows(eval_promql(tagged, '100 - m{k="b"}', 300, 300, 1))
+        assert got == {("k=b", 300): 75.0}
+
+    def test_resolution_cap(self, tagged):
+        with pytest.raises(PromQLError, match="11,000"):
+            eval_promql(tagged, "m", 0, 20000, 1)
+
+
+class TestHTTP:
+    def test_query_range(self, prom_url):
+        q = urllib.parse.urlencode({
+            "query": 'm{k="b"}', "start": 100, "end": 300, "step": "100",
+        })
+        with urllib.request.urlopen(f"{prom_url}/api/v1/query_range?{q}", timeout=120) as r:
+            got = json.loads(r.read())
+        assert got["status"] == "success"
+        assert got["data"]["resultType"] == "matrix"
+        (series,) = got["data"]["result"]
+        assert series["metric"] == {"__name__": "m", "k": "b"}
+        assert series["values"] == [[100, "10.0"], [200, "10.0"], [300, "25.0"]]
+
+    def test_instant_query(self, prom_url):
+        q = urllib.parse.urlencode({
+            "query": 'sum by (k) (m)', "time": 300,
+        })
+        with urllib.request.urlopen(f"{prom_url}/api/v1/query?{q}", timeout=120) as r:
+            got = json.loads(r.read())
+        assert got["data"]["resultType"] == "vector"
+        vals = {tuple(sorted(e["metric"].items())): e["value"]
+                for e in got["data"]["result"]}
+        assert vals[(("k", "a"),)] == [300, "2.0"]
+        assert vals[(("k", "b"),)] == [300, "25.0"]
+
+    def test_bad_query_is_json_400(self, prom_url):
+        q = urllib.parse.urlencode({
+            "query": "rate(m)", "start": 0, "end": 10, "step": 1,
+        })
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(f"{prom_url}/api/v1/query_range?{q}", timeout=120)
+        assert exc.value.code == 400
+        err = json.loads(exc.value.read())
+        assert err["status"] == "error" and err["errorType"] == "bad_data"
+
+
+@pytest.fixture(scope="module")
+def prom_url(spark, tagged):
+    from graphite_clickhouse_spark.render.pipeline import Engine
+    from graphite_clickhouse_spark.server import serve_background
+
+    engine = Engine(
+        spark=spark,
+        points=tagged.select("path", "time", "value", "version"),
+        path_index=None,
+        tagged_points=tagged,
+    )
+    srv, url = serve_background(engine)
+    yield url
+    srv.shutdown()
