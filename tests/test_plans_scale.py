@@ -246,3 +246,34 @@ class TestWidePathTargetFetch:
         out = df.collect()
         assert len(out) == n
         assert out[5].values[1] == 5.0  # w.m0005 value in the 600s bucket
+
+
+class TestPromQLPlanShape:
+    """The promql eval grid must stay join-free: each sample explodes to
+    its bounded eval-index range (fan-out <= window/step + 1) instead of a
+    theta-join against the grid — the shape that survives 100x scale-up."""
+
+    def test_no_joins_bounded_exchanges(self, spark):
+        from graphite_clickhouse_spark.plans.promql import eval_promql
+
+        tagged = spark.createDataFrame(
+            [("m?k=a", {"__name__": "m", "k": "a"}, 100, 1.0, 1)],
+            "path string, tags map<string,string>, time long, value double, version long",
+        )
+        plan = plan_of(eval_promql(tagged, "sum by (k) (rate(m[5m]))", 0, 3600, 60))
+        assert "Join" not in plan, plan
+        assert "CartesianProduct" not in plan
+        # dedup, per-(series, step) rate, by-label agg, output sort
+        assert plan.count("Exchange") <= 4
+
+    def test_selector_single_agg_exchange(self, spark):
+        from graphite_clickhouse_spark.plans.promql import eval_promql
+
+        tagged = spark.createDataFrame(
+            [("m?k=a", {"__name__": "m", "k": "a"}, 100, 1.0, 1)],
+            "path string, tags map<string,string>, time long, value double, version long",
+        )
+        plan = plan_of(eval_promql(tagged, "m", 0, 3600, 60))
+        assert "Join" not in plan
+        # one agg shuffle + the output sort
+        assert plan.count("Exchange") <= 2
