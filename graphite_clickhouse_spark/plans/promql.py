@@ -46,7 +46,9 @@ DEFAULT_LOOKBACK = 300
 #: resolution of 11,000 points per timeseries").
 MAX_RESOLUTION = 11000
 
-AGG_OPS = {"sum", "avg", "min", "max", "count"}
+AGG_OPS = {"sum", "avg", "min", "max", "count", "topk", "bottomk", "quantile"}
+#: aggregation operators taking a leading scalar parameter
+PARAM_AGG_OPS = {"topk", "bottomk", "quantile"}
 RANGE_FNS = {
     "rate", "increase", "delta", "idelta",
     "avg_over_time", "sum_over_time", "min_over_time", "max_over_time",
@@ -109,6 +111,7 @@ class Aggregate:
     expr: object
     grouping: list[str] = field(default_factory=list)
     without: bool = False
+    param: float | None = None  # topk/bottomk k, quantile phi
 
 
 @dataclass
@@ -241,6 +244,12 @@ class _Parser:
         if mod is not None:
             grouping, without = self._label_list(), mod == "without"
         self._expect("(")
+        param = None
+        if op in PARAM_AGG_OPS:
+            param = self._number()
+            if param is None:
+                raise PromQLError(f"{op} expects a scalar first argument")
+            self._expect(",")
         inner = self._expr()
         self._expect(")")
         if grouping is None:
@@ -250,7 +259,7 @@ class _Parser:
                 grouping, without = self._label_list(), word == "without"
             else:
                 self.i = save
-        return Aggregate(op, inner, grouping or [], without)
+        return Aggregate(op, inner, grouping or [], without, param)
 
     def _label_list(self) -> list[str]:
         self._expect("(")
@@ -572,13 +581,43 @@ class Evaluator:
             )
         else:
             keep = F.expr("cast(map() as map<string,string>)")
+        if node.op in ("topk", "bottomk"):
+            # selects k series per (group, step) but KEEPS the original
+            # label sets (upstream topk/bottomk semantics); deterministic
+            # tie-break on the series identity
+            from pyspark.sql import Window
+
+            k = int(node.param)
+            if k <= 0:
+                return child.filter(F.lit(False))
+            order = (
+                F.col("value").desc() if node.op == "topk"
+                else F.col("value").asc()
+            )
+            w = Window.partitionBy("gkey", "t").orderBy(
+                order, _canon(F.col("labels"))
+            )
+            return (
+                child.withColumn("gkey", _canon(keep))
+                .withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") <= k)
+                .select("labels", "t", "value")
+            )
         agg = {
             "sum": F.sum("value"),
             "avg": F.avg("value"),
             "min": F.min("value"),
             "max": F.max("value"),
             "count": F.count("value").cast("double"),
+            "quantile": None,  # built below (needs phi)
         }[node.op]
+        if node.op == "quantile":
+            phi = float(node.param if node.param is not None else 0.0)
+            if phi < 0 or phi > 1:
+                raise PromQLError("quantile phi must be in [0, 1]")
+            # upstream promql quantile() = linear interpolation over the
+            # sorted per-group sample values == exact percentile_cont
+            agg = F.percentile("value", F.lit(phi))
         return (
             child.withColumn("labels", keep)
             .withColumn("gkey", _canon(F.col("labels")))

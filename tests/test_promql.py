@@ -216,3 +216,33 @@ def prom_url(spark, tagged):
     srv, url = serve_background(engine)
     yield url
     srv.shutdown()
+
+
+class TestParamAggs:
+    def test_topk(self, tagged):
+        # t=300 values: a=2.0, b=25.0
+        got = rows(eval_promql(tagged, "topk(1, m)", 300, 300, 1))
+        assert got == {("__name__=m,k=b", 300): 25.0}
+
+    def test_bottomk(self, tagged):
+        got = rows(eval_promql(tagged, "bottomk(1, m)", 300, 300, 1))
+        assert got == {("__name__=m,k=a", 300): 2.0}
+
+    def test_topk_keeps_labels_by_group(self, tagged):
+        # grouping by k puts each series in its own group -> both survive
+        got = rows(eval_promql(tagged, "topk(1, m) by (k)", 300, 300, 1))
+        assert set(got) == {("__name__=m,k=a", 300), ("__name__=m,k=b", 300)}
+
+    def test_quantile(self, tagged):
+        got = rows(eval_promql(tagged, "quantile(0.5, m)", 300, 300, 1))
+        assert got[("", 300)] == pytest.approx((2.0 + 25.0) / 2)
+        got = rows(eval_promql(tagged, "quantile(1, m)", 300, 300, 1))
+        assert got[("", 300)] == 25.0
+
+    def test_param_required(self):
+        with pytest.raises(PromQLError):
+            parse_promql("topk(m)")
+
+    def test_quantile_phi_range(self, tagged):
+        with pytest.raises(PromQLError):
+            eval_promql(tagged, "quantile(2, m)", 300, 300, 1)
