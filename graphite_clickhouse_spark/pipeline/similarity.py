@@ -307,3 +307,34 @@ def ivf_assign(
         .filter(F.col("rn") == 1)
         .select(id_col, vec_col, F.col("cid").alias(centroid_id))
     )
+
+
+def train_centroids(
+    corpus: DataFrame,
+    k: int = 64,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 20,
+) -> DataFrame:
+    """KMeans-trained IVF centroids (pyspark.ml distributed Lloyd's with
+    cosine distance, so cells match the cosine assignment/probe metric of
+    ivf_assign/ivf_topk). This is the real IVF build path at scale: train
+    on a sample, `ivf_assign` the full corpus, write partitioned by
+    centroid_id, and probes read only n_probe cells.
+
+    -> DataFrame(centroid_id int, centroid array<double>)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = corpus.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(
+        k=k, seed=seed, maxIter=max_iter, distanceMeasure="cosine"
+    ).fit(feats)
+    rows = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    return corpus.sparkSession.createDataFrame(
+        rows, "centroid_id int, centroid array<double>"
+    )

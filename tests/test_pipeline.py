@@ -22,6 +22,7 @@ from graphite_clickhouse_spark.pipeline.multimodal import (
 from graphite_clickhouse_spark.pipeline.similarity import (
     cosine_topk,
     ivf_assign,
+    ivf_topk,
     lsh_ann_topk,
 )
 from graphite_clickhouse_spark.pipeline.text import (
@@ -161,6 +162,32 @@ def test_ivf_assign(emb, spark):
     rows = assigned.collect()
     assert len(rows) == 100
     assert {r.centroid_id for r in rows} <= {0, 1, 2, 3}
+
+
+def test_kmeans_ivf_trained_centroids(emb, spark):
+    """train_centroids (pyspark.ml KMeans, cosine distance) -> ivf_assign
+    -> ivf_topk. Invariant: probing EVERY cell is exhaustive, so the
+    result must equal brute-force cosine_topk; probing fewer cells is a
+    subset with recall <= 1."""
+    from graphite_clickhouse_spark.pipeline.similarity import train_centroids
+
+    cents = train_centroids(emb, k=8)
+    assert cents.count() == 8
+    assigned = ivf_assign(emb, cents)
+    assert assigned.count() == emb.count()
+    # every cell non-pathological (cosine kmeans on this data balances)
+    sizes = [r["count"] for r in assigned.groupBy("centroid_id").count().collect()]
+    assert min(sizes) > 0 and len(sizes) == 8
+
+    queries = emb.limit(5)
+    e = {(r.query_id, r.neighbor_id)
+         for r in cosine_topk(emb, queries, k=10).collect()}
+    a_all = {(r.query_id, r.neighbor_id)
+             for r in ivf_topk(assigned, queries, cents, k=10, n_probe=8).collect()}
+    assert a_all == e  # probe-all == exact
+    a_1 = {(r.query_id, r.neighbor_id)
+           for r in ivf_topk(assigned, queries, cents, k=10, n_probe=1).collect()}
+    assert len(a_1 & e) <= len(e)
 
 
 def test_multimodal_features(spark):
