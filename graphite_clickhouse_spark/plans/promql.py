@@ -8,11 +8,14 @@ implements the evaluation semantics of the practical subset directly as
 DataFrame plans:
 
 - instant-vector selectors `name{k="v",k2=~"re"}` with staleness lookback
-  (sample picked per eval step = newest sample in (t - lookback, t]);
-- range-vector functions rate / increase / delta / idelta /
-  {avg,sum,min,max,count,last}_over_time over `sel[window]`;
-- aggregation operators sum / avg / min / max / count with
-  `by (...)` / `without (...)` grouping;
+  (sample picked per eval step = newest sample in (t - lookback, t]) and
+  the `offset <dur>` modifier;
+- range-vector functions rate / increase / delta / idelta / deriv /
+  changes / resets / {avg,sum,min,max,count,last}_over_time over
+  `sel[window]`;
+- aggregation operators sum / avg / min / max / count and parameterized
+  topk / bottomk / quantile with `by (...)` / `without (...)` grouping;
+- absent();
 - vector-scalar arithmetic (+ - * /) in either operand order.
 
 Evaluation strategy (Spark-first, no Python in the hot path): instead of
@@ -50,7 +53,7 @@ AGG_OPS = {"sum", "avg", "min", "max", "count", "topk", "bottomk", "quantile"}
 #: aggregation operators taking a leading scalar parameter
 PARAM_AGG_OPS = {"topk", "bottomk", "quantile"}
 RANGE_FNS = {
-    "rate", "increase", "delta", "idelta",
+    "rate", "increase", "delta", "idelta", "deriv", "changes", "resets",
     "avg_over_time", "sum_over_time", "min_over_time", "max_over_time",
     "count_over_time", "last_over_time",
 }
@@ -96,6 +99,7 @@ def parse_duration(s: str) -> int:
 @dataclass
 class VectorSelector:
     matchers: list[LabelMatcher]
+    offset: int = 0  # seconds; shifts the evaluated window into the past
 
 
 @dataclass
@@ -103,6 +107,11 @@ class RangeFn:
     fn: str
     selector: VectorSelector
     window: int  # seconds
+
+
+@dataclass
+class AbsentFn:
+    selector: VectorSelector
 
 
 @dataclass
@@ -213,7 +222,7 @@ class _Parser:
             self._expect(")")
             return node
         if ch == "{":
-            return VectorSelector(self._matchers(None))
+            return VectorSelector(self._matchers(None), self._offset_opt())
         name = self._ident()
         if name is None:
             raise PromQLError(f"parse error at {self.i} in {self.s!r}")
@@ -225,12 +234,19 @@ class _Parser:
             self._expect("[")
             node = RangeFn(name, sel, self._duration_token())
             self._expect("]")
+            sel.offset = self._offset_opt()
             self._expect(")")
             return node
+        if name == "absent":
+            self._expect("(")
+            sel = self._selector()
+            sel.offset = self._offset_opt()
+            self._expect(")")
+            return AbsentFn(sel)
         # plain selector starting with a metric name
         if self._peek() == "(":
             raise PromQLError(f"unsupported function: {name}")
-        return VectorSelector(self._matchers(name))
+        return VectorSelector(self._matchers(name), self._offset_opt())
 
     def _agg(self, op: str):
         grouping, without = None, False
@@ -260,6 +276,26 @@ class _Parser:
             else:
                 self.i = save
         return Aggregate(op, inner, grouping or [], without, param)
+
+    _DUR_TOKEN = re.compile(r"-?[0-9][0-9a-z.]*")
+
+    def _offset_opt(self) -> int:
+        """Optional `offset <duration>` modifier (negative allowed, as
+        upstream)."""
+        save = self.i
+        word = self._ident()
+        if word != "offset":
+            self.i = save
+            return 0
+        self._ws()
+        m = self._DUR_TOKEN.match(self.s, self.i)
+        if m is None:
+            raise PromQLError(f"offset expects a duration at {self.i}")
+        self.i = m.end()
+        tok = m.group(0)
+        if tok.startswith("-"):
+            return -parse_duration(tok[1:])
+        return parse_duration(tok)
 
     def _label_list(self) -> list[str]:
         self._expect("(")
@@ -413,15 +449,24 @@ class Evaluator:
     # -- sources
 
     def _points(self, sel: VectorSelector, window: int) -> DataFrame:
+        """Matching samples in the (offset-shifted) query window. With an
+        offset o, a sample at p behaves exactly like a sample at p + o
+        against the unshifted grid — so shift the scan filter into the
+        past and re-emit `time` shifted; everything downstream (grid
+        explode, rate boundaries) is then offset-oblivious."""
         pred = tagged_predicate(terms_from_matchers(sel.matchers), F.col("tags"))
-        return (
+        o = int(getattr(sel, "offset", 0))
+        df = (
             self.tagged.filter(pred)
             .filter(
-                (F.col("time") > F.lit(self.start - window))
-                & (F.col("time") <= F.lit(self.end))
+                (F.col("time") > F.lit(self.start - window - o))
+                & (F.col("time") <= F.lit(self.end - o))
             )
             .select("path", "tags", "time", "value", "version")
         )
+        if o:
+            df = df.withColumn("time", F.col("time") + F.lit(o))
+        return df
 
     def _dedup(self, pts: DataFrame) -> DataFrame:
         """ReplacingMergeTree read-side dedup: per (path, time) keep the
@@ -443,6 +488,8 @@ class Evaluator:
             return self._eval_agg(node)
         if isinstance(node, BinOp):
             return self._eval_bin(node)
+        if isinstance(node, AbsentFn):
+            return self._eval_absent(node)
         raise PromQLError(f"unsupported expression node: {node!r}")
 
     # -- selector: newest sample in (t - lookback, t]
@@ -485,12 +532,54 @@ class Evaluator:
         elif node.fn == "last_over_time":
             out = g.agg(F.max_by("value", "time").alias("value"),
                         F.first("tags").alias("labels"))
+        elif node.fn == "deriv":
+            out = self._deriv(g)
+        elif node.fn in ("changes", "resets"):
+            out = self._fold_count(g, node.fn)
         else:
             out = self._rate_family(g, node)
         drop = node.fn not in ("last_over_time",)
         labels = _drop_name(F.col("labels")) if drop else F.col("labels")
         return out.select(labels.alias("labels"),
                           _grid_time(self.start, self.step), "value")
+
+    def _deriv(self, grouped) -> DataFrame:
+        """deriv(): per-window least-squares slope (upstream
+        promql/functions.go linearRegression). x is centered on the query
+        start so the sums stay in exact double range (epoch-squared sums
+        would not)."""
+        x = (F.col("time") - F.lit(self.start)).cast("double")
+        y = F.col("value")
+        agg = grouped.agg(
+            F.count("*").alias("n"),
+            F.sum(x).alias("sx"),
+            F.sum(y).alias("sy"),
+            F.sum(x * y).alias("sxy"),
+            F.sum(x * x).alias("sxx"),
+            F.first("tags").alias("labels"),
+        ).filter(F.col("n") >= 2)
+        n = F.col("n").cast("double")
+        denom = n * F.col("sxx") - F.col("sx") * F.col("sx")
+        slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / denom
+        return agg.filter(denom != 0).select(
+            "path", "j", "labels", slope.alias("value")
+        )
+
+    def _fold_count(self, grouped, fn: str) -> DataFrame:
+        """changes() / resets(): ordered fold counting value transitions
+        (single-sample windows yield 0, as upstream)."""
+        cond = "x.value < st.prev" if fn == "resets" else "x.value != st.prev"
+        base = grouped.agg(
+            F.sort_array(F.collect_list(F.struct("time", "value"))).alias("samples"),
+            F.first("tags").alias("labels"),
+        )
+        count = F.expr(
+            "aggregate(slice(samples, 2, size(samples) - 1), "
+            "named_struct('acc', cast(0.0 as double), 'prev', samples[0].value), "
+            f"(st, x) -> named_struct('acc', st.acc + IF({cond}, 1.0, 0.0), "
+            "'prev', x.value), st -> st.acc)"
+        )
+        return base.select("path", "j", "labels", count.alias("value"))
 
     def _rate_family(self, grouped, node: RangeFn) -> DataFrame:
         """rate / increase / delta / idelta with upstream extrapolation
@@ -626,6 +715,25 @@ class Evaluator:
             .select("labels", "t", "value")
         )
 
+    # -- absent()
+
+    def _eval_absent(self, node: AbsentFn) -> DataFrame:
+        """1 at every eval step where the selector matches nothing; the
+        anti-join runs grid-vs-aggregated-steps (both <= n_evals rows)."""
+        present = self._eval_selector(node.selector).select("t").distinct()
+        spark = self.tagged.sparkSession
+        grid = spark.range(self.n_evals).select(
+            (F.lit(self.start) + F.col("id") * F.lit(self.step))
+            .cast("long").alias("t")
+        )
+        return (
+            grid.join(present, "t", "left_anti")
+            .select(
+                _absent_labels(node.selector.matchers).alias("labels"),
+                "t", F.lit(1.0).alias("value"),
+            )
+        )
+
     # -- vector <op> scalar
 
     def _eval_bin(self, node: BinOp) -> DataFrame:
@@ -642,6 +750,18 @@ class Evaluator:
             _drop_name(F.col("labels")).alias("labels"), "t",
             value.alias("value"),
         )
+
+
+def _absent_labels(matchers: list[LabelMatcher]) -> F.Column:
+    """Upstream absent(): the result carries the selector's non-regex
+    equality labels (minus __name__)."""
+    kv = []
+    for m in matchers:
+        if m.op == "=" and m.name != "__name__":
+            kv += [F.lit(m.name), F.lit(m.value)]
+    if not kv:
+        return F.expr("cast(map() as map<string,string>)")
+    return F.create_map(*kv)
 
 
 def eval_promql(tagged: DataFrame, expr: str, start: int, end: int,

@@ -84,7 +84,7 @@ class TestParser:
             parse_duration("-5m")
 
     @pytest.mark.parametrize("bad", [
-        "rate(m)", "m[5m]", "foo(m[5m])", "sum(m) by", "m offset 5m",
+        "rate(m)", "m[5m]", "foo(m[5m])", "sum(m) by", "m offset x",
         "m{k=v}", "", "1 + 2",
     ])
     def test_rejects(self, bad):
@@ -246,3 +246,48 @@ class TestParamAggs:
     def test_quantile_phi_range(self, tagged):
         with pytest.raises(PromQLError):
             eval_promql(tagged, "quantile(2, m)", 300, 300, 1)
+
+
+class TestExtendedFns:
+    def test_offset_selector(self, tagged):
+        # t=380 with offset 100s reads the window ending at 280
+        got = rows(eval_promql(tagged, 'm{k="a"} offset 1m40s', 380, 380, 1))
+        assert got == {("__name__=m,k=a", 380): 2.0}
+
+    def test_offset_negative(self, tagged):
+        got = rows(eval_promql(tagged, 'm{k="a"} offset -1m40s', 180, 180, 1))
+        assert got == {("__name__=m,k=a", 180): 2.0}
+
+    def test_offset_in_range_fn(self, tagged):
+        shifted = rows(eval_promql(
+            tagged, 'rate(m{k="a"}[200s] offset 1m40s)', 400, 400, 1))
+        plain = rows(eval_promql(tagged, 'rate(m{k="a"}[200s])', 300, 300, 1))
+        assert shifted[("k=a", 400)] == pytest.approx(plain[("k=a", 300)])
+
+    def test_changes_and_resets(self, tagged):
+        # a: 1 -> 3 -> 1 -> 2 : three transitions, one decrease
+        got = rows(eval_promql(tagged, 'changes(m{k="a"}[300s])', 300, 300, 1))
+        assert got[("k=a", 300)] == 3.0
+        got = rows(eval_promql(tagged, 'resets(m{k="a"}[300s])', 300, 300, 1))
+        assert got[("k=a", 300)] == 1.0
+
+    def test_changes_single_sample_zero(self, tagged):
+        # only the t=100 sample of b falls in (0, 150] -> 0 changes
+        got = rows(eval_promql(tagged, 'changes(m{k="b"}[150s])', 150, 150, 1))
+        assert got[("k=b", 150)] == 0.0
+
+    def test_deriv_least_squares(self, tagged):
+        # b: (100, 10) and (220, 25) -> slope 15/120
+        got = rows(eval_promql(tagged, 'deriv(m{k="b"}[300s])', 300, 300, 1))
+        assert got[("k=b", 300)] == pytest.approx(0.125)
+
+    def test_absent(self, tagged):
+        got = rows(eval_promql(tagged, 'absent(nomatch{job="x"})', 300, 300, 1))
+        assert got == {("job=x", 300): 1.0}
+        assert rows(eval_promql(tagged, "absent(m)", 300, 300, 1)) == {}
+
+    def test_absent_partial_grid(self, tagged):
+        # m{k="b"} has samples only near 100/220: present at t=100..500
+        # (lookback 300), absent at t=600
+        got = rows(eval_promql(tagged, 'absent(m{k="b"})', 500, 600, 100))
+        assert got == {("k=b", 600): 1.0}
