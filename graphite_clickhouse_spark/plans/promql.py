@@ -15,7 +15,7 @@ DataFrame plans:
   `sel[window]`;
 - aggregation operators sum / avg / min / max / count and parameterized
   topk / bottomk / quantile with `by (...)` / `without (...)` grouping;
-- absent();
+- absent(); histogram_quantile() over `le`-labeled cumulative buckets;
 - vector-scalar arithmetic (+ - * /) in either operand order.
 
 Evaluation strategy (Spark-first, no Python in the hot path): instead of
@@ -112,6 +112,12 @@ class RangeFn:
 @dataclass
 class AbsentFn:
     selector: VectorSelector
+
+
+@dataclass
+class HistogramQuantile:
+    phi: float
+    expr: object
 
 
 @dataclass
@@ -243,6 +249,17 @@ class _Parser:
             sel.offset = self._offset_opt()
             self._expect(")")
             return AbsentFn(sel)
+        if name == "histogram_quantile":
+            self._expect("(")
+            phi = self._number()
+            if phi is None:
+                raise PromQLError(
+                    "histogram_quantile expects a scalar first argument"
+                )
+            self._expect(",")
+            inner = self._expr()
+            self._expect(")")
+            return HistogramQuantile(phi, inner)
         # plain selector starting with a metric name
         if self._peek() == "(":
             raise PromQLError(f"unsupported function: {name}")
@@ -490,6 +507,8 @@ class Evaluator:
             return self._eval_bin(node)
         if isinstance(node, AbsentFn):
             return self._eval_absent(node)
+        if isinstance(node, HistogramQuantile):
+            return self._eval_histogram_quantile(node)
         raise PromQLError(f"unsupported expression node: {node!r}")
 
     # -- selector: newest sample in (t - lookback, t]
@@ -714,6 +733,73 @@ class Evaluator:
             .agg(agg.alias("value"), F.first("labels").alias("labels"))
             .select("labels", "t", "value")
         )
+
+    # -- histogram_quantile()
+
+    def _eval_histogram_quantile(self, node: HistogramQuantile) -> DataFrame:
+        """Upstream promql/quantile.go bucketQuantile over `le`-labeled
+        cumulative buckets: group series by labels-minus-le per step, sort
+        buckets by upper bound, locate the rank bucket, linear-interpolate
+        inside it. The +Inf bucket must be present (else NaN), phi outside
+        [0,1] saturates to ±Inf — all as Column expressions over one
+        sorted collect_list (no Python in the eval).
+
+        Monotonicity repair of buggy client buckets is not reproduced."""
+        child = self.eval(node.expr)
+        phi = float(node.phi)
+        inf = float("inf")
+        if phi < 0 or phi > 1:
+            sat = F.lit(-inf if phi < 0 else inf)
+            return (
+                child
+                .withColumn("labels", F.map_filter(F.col("labels"),
+                                                   lambda k, _: k != "le"))
+                .withColumn("gkey", _canon(F.col("labels")))
+                .groupBy("gkey", "t")
+                .agg(F.first("labels").alias("labels"))
+                .select("labels", "t", sat.alias("value"))
+            )
+        le_str = F.col("labels").getItem("le")
+        le = F.when(le_str == "+Inf", F.lit(inf)).otherwise(
+            le_str.cast("double")
+        )
+        keep = F.map_filter(F.col("labels"), lambda k, _: k != "le")
+        g = (
+            child.filter(le_str.isNotNull())
+            .withColumn("le", le)
+            .withColumn("labels", keep)
+            .withColumn("gkey", _canon(F.col("labels")))
+            .groupBy("gkey", "t")
+            .agg(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("le"),
+                                            F.col("value").alias("c")))
+                ).alias("arr"),
+                F.first("labels").alias("labels"),
+            )
+        )
+        arr = F.col("arr")
+        n = F.size(arr)
+        at = lambda i: F.element_at(arr, i)  # 1-based; i may be a Column
+        total = at(n).getField("c")
+        rank = F.lit(phi) * total
+        # 0-based index of the first bucket with cumulative count >= rank
+        b = F.size(F.filter(arr, lambda x: x.getField("c") < rank))
+        prev_le = F.when(b > 0, at(b).getField("le")).otherwise(F.lit(0.0))
+        prev_c = F.when(b > 0, at(b).getField("c")).otherwise(F.lit(0.0))
+        cur = at(b + 1)
+        interp = prev_le + (cur.getField("le") - prev_le) * (
+            (rank - prev_c) / (cur.getField("c") - prev_c)
+        )
+        nan = F.lit(float("nan"))
+        value = (
+            F.when((n < 2) | (at(n).getField("le") != F.lit(inf)), nan)
+            .when(total <= 0, nan)
+            .when(b >= n - 1, at(n - 1).getField("le"))
+            .when((b == 0) & (at(1).getField("le") <= 0), at(1).getField("le"))
+            .otherwise(interp)
+        )
+        return g.select("labels", "t", value.alias("value"))
 
     # -- absent()
 

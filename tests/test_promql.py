@@ -291,3 +291,51 @@ class TestExtendedFns:
         # (lookback 300), absent at t=600
         got = rows(eval_promql(tagged, 'absent(m{k="b"})', 500, 600, 100))
         assert got == {("k=b", 600): 1.0}
+
+
+class TestHistogramQuantile:
+    @pytest.fixture(scope="class")
+    def hist(self, spark):
+        rows = []
+        for inst, counts in (("a", [10.0, 40.0, 90.0, 100.0]),
+                             ("b", [0.0, 0.0, 0.0, 50.0])):
+            for le, c in zip(["0.1", "0.5", "1", "+Inf"], counts):
+                rows.append((f"h?inst={inst}&le={le}",
+                             {"__name__": "h", "inst": inst, "le": le},
+                             100, c, 1))
+        return spark.createDataFrame(
+            rows,
+            "path string, tags map<string,string>, time long, value double, version long",
+        )
+
+    def test_interpolation(self, hist):
+        # a: rank 50 lands in (0.5, 1] holding counts 40->90:
+        # 0.5 + 0.5 * (50-40)/(90-40) = 0.6
+        got = rows(eval_promql(hist, "histogram_quantile(0.5, h)", 100, 100, 1))
+        assert got[("__name__=h,inst=a", 100)] == pytest.approx(0.6)
+
+    def test_all_mass_in_inf_returns_last_finite_le(self, hist):
+        got = rows(eval_promql(hist, "histogram_quantile(0.5, h)", 100, 100, 1))
+        assert got[("__name__=h,inst=b", 100)] == pytest.approx(1.0)
+
+    def test_first_bucket_interpolates_from_zero(self, hist):
+        got = rows(eval_promql(
+            hist, 'histogram_quantile(0.05, h{inst="a"})', 100, 100, 1))
+        assert got[("__name__=h,inst=a", 100)] == pytest.approx(0.05)
+
+    def test_phi_saturation(self, hist):
+        got = rows(eval_promql(
+            hist, 'histogram_quantile(2, h{inst="a"})', 100, 100, 1))
+        assert got[("__name__=h,inst=a", 100)] == float("inf")
+
+    def test_missing_inf_bucket_is_nan(self, spark):
+        import math
+
+        rows_ = [(f"h?le={le}", {"__name__": "h", "le": le}, 100, c, 1)
+                 for le, c in [("0.1", 10.0), ("1", 50.0)]]
+        df = spark.createDataFrame(
+            rows_,
+            "path string, tags map<string,string>, time long, value double, version long",
+        )
+        got = rows(eval_promql(df, "histogram_quantile(0.5, h)", 100, 100, 1))
+        assert math.isnan(got[("__name__=h", 100)])
