@@ -92,6 +92,9 @@ class Settings:
     user_limits: dict[str, dict[str, int]] = field(default_factory=dict)
     rules: Rules = field(default_factory=Rules.default)
     data_tables: list[dict[str, Any]] = field(default_factory=list)
+    #: [prometheus] lookback-delta (config.go Prometheus section; the
+    #: staleness window promql.NewEngine is built with, prometheus/run.go)
+    prometheus_lookback_delta: float = 300.0
     #: sections/keys present in the file that have no Spark-side meaning
     ignored: list[str] = field(default_factory=list)
 
@@ -221,9 +224,17 @@ def load_settings(toml_text: str) -> Settings:
     s.data_tables = list(raw.get("data-table", []))
     s.rules = _read_rollup(ch, s.data_tables, s.ignored)
 
-    for section in ("logging", "debug", "prometheus", "carbonlink", "sd", "metrics"):
+    prom = raw.get("prometheus", {}) or {}
+    s.prometheus_lookback_delta = parse_go_duration(
+        prom.get("lookback-delta", "5m")
+    )
+    for section in ("logging", "debug", "carbonlink", "sd", "metrics"):
         if section in raw:
             s.ignored.append(section)
+    for key in ("listen", "external-url", "page-title",
+                "remote-read-concurrency-limit"):
+        if key in prom:
+            s.ignored.append(f"prometheus.{key}")
     for key in ("listen", "pprof-listen", "max-cpu", "memory-return-interval"):
         if key in common:
             s.ignored.append(f"common.{key}")

@@ -287,6 +287,16 @@ class GraphiteHandler(BaseHTTPRequestHandler):
             raise ValueError("no tagged table configured")
         return self.engine.tagged_points
 
+    def _prom_lookback(self) -> int:
+        """[prometheus] lookback-delta (the engine's staleness window,
+        prometheus/run.go:43-48)."""
+        s = getattr(self, "settings", None)
+        if s is None:
+            from .plans.promql import DEFAULT_LOOKBACK
+
+            return DEFAULT_LOOKBACK
+        return int(s.prometheus_lookback_delta)
+
     def _prom_err(self, msg: str, status: int = 400):
         self._send(
             json.dumps(
@@ -307,7 +317,8 @@ class GraphiteHandler(BaseHTTPRequestHandler):
             start = self._prom_ts(q.get("start"), "start")
             end = self._prom_ts(q.get("end"), "end")
             step = parse_duration(q.get("step", ""))
-            df = eval_promql(tagged, expr, start, end, step)
+            df = eval_promql(tagged, expr, start, end, step,
+                             lookback=self._prom_lookback())
         except ValueError as exc:
             self._prom_err(str(exc), getattr(exc, "http_status", 400))
             return
@@ -324,7 +335,8 @@ class GraphiteHandler(BaseHTTPRequestHandler):
             if not expr:
                 raise ValueError("missing parameter 'query'")
             ts = self._prom_ts(q.get("time", str(int(_time.time()))), "time")
-            df = eval_promql(tagged, expr, ts, ts, 1)
+            df = eval_promql(tagged, expr, ts, ts, 1,
+                             lookback=self._prom_lookback())
         except ValueError as exc:
             self._prom_err(str(exc), getattr(exc, "http_status", 400))
             return

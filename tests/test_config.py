@@ -102,7 +102,9 @@ class TestParse:
         assert s.limiters["tags"] == {"max": 100, "concurrent": 6}
         # rollup-conf = "none" -> single default rule
         assert s.rules.lookup("any.metric", age=0) == (120, "max")
-        assert "logging" in s.ignored and "prometheus" in s.ignored
+        # [prometheus] is consumed now (lookback-delta feeds the evaluator);
+        # only its infra keys land in ignored
+        assert "logging" in s.ignored and "prometheus.listen" in s.ignored
         assert "clickhouse.url" in s.ignored
 
     def test_empty_conf_defaults(self):

@@ -339,3 +339,50 @@ class TestHistogramQuantile:
         )
         got = rows(eval_promql(df, "histogram_quantile(0.5, h)", 100, 100, 1))
         assert math.isnan(got[("__name__=h", 100)])
+
+
+class TestLookbackConfig:
+    def test_config_parses_prometheus_section(self):
+        from graphite_clickhouse_spark.config import load_settings
+
+        s = load_settings("""
+[prometheus]
+listen = ":9092"
+lookback-delta = "1m"
+""")
+        assert s.prometheus_lookback_delta == 60
+        assert "prometheus.listen" in s.ignored
+
+    def test_default_lookback(self):
+        from graphite_clickhouse_spark.config import load_settings
+
+        assert load_settings("").prometheus_lookback_delta == 300
+
+    def test_server_uses_configured_lookback(self, spark, tagged):
+        import urllib.request as rq
+
+        from graphite_clickhouse_spark.config import load_settings
+        from graphite_clickhouse_spark.render.pipeline import Engine
+        from graphite_clickhouse_spark.server import serve_background
+
+        settings = load_settings('[prometheus]\nlookback-delta = "10s"\n')
+        engine = Engine(
+            spark=spark,
+            points=tagged.select("path", "time", "value", "version"),
+            path_index=None,
+            tagged_points=tagged,
+        )
+        srv, url = serve_background(engine, settings=settings)
+        try:
+            # newest sample of b is at 220; with a 10 s lookback t=300
+            # sees nothing, t=225 sees it
+            q = urllib.parse.urlencode({"query": 'm{k="b"}', "time": 300})
+            with rq.urlopen(f"{url}/api/v1/query?{q}", timeout=120) as r:
+                got = json.loads(r.read())
+            assert got["data"]["result"] == []
+            q = urllib.parse.urlencode({"query": 'm{k="b"}', "time": 225})
+            with rq.urlopen(f"{url}/api/v1/query?{q}", timeout=120) as r:
+                got = json.loads(r.read())
+            assert got["data"]["result"][0]["value"] == [225, "25.0"]
+        finally:
+            srv.shutdown()
