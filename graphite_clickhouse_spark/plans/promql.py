@@ -16,6 +16,8 @@ DataFrame plans:
 - aggregation operators sum / avg / min / max / count and parameterized
   topk / bottomk / quantile with `by (...)` / `without (...)` grouping;
 - absent(); histogram_quantile() over `le`-labeled cumulative buckets;
+- math functions abs/ceil/floor/round/exp/ln/log2/log10/sqrt/clamp_min/
+  clamp_max; label_replace / label_join;
 - vector-scalar arithmetic (+ - * /) in either operand order.
 
 Evaluation strategy (Spark-first, no Python in the hot path): instead of
@@ -57,6 +59,13 @@ RANGE_FNS = {
     "avg_over_time", "sum_over_time", "min_over_time", "max_over_time",
     "count_over_time", "last_over_time",
 }
+#: instant-vector math functions: value -> value, metric name dropped
+MATH_FNS = {
+    "abs", "ceil", "floor", "exp", "ln", "log2", "log10", "sqrt",
+    "clamp_min", "clamp_max", "round",
+}
+#: math functions taking a trailing scalar argument (round's is optional)
+MATH_FNS_SCALAR = {"clamp_min", "clamp_max"}
 
 _DURATION_RE = re.compile(r"(\d+)(ms|s|m|h|d|w|y)")
 _DURATION_UNIT = {
@@ -118,6 +127,21 @@ class AbsentFn:
 class HistogramQuantile:
     phi: float
     expr: object
+
+
+@dataclass
+class MathFn:
+    fn: str
+    expr: object
+    scalar: float | None = None  # clamp bound / round nearest
+
+
+@dataclass
+class LabelFn:
+    fn: str  # label_replace | label_join
+    expr: object
+    dst: str = ""
+    args: tuple = ()  # replace: (replacement, src, regex); join: (sep, *srcs)
 
 
 @dataclass
@@ -260,6 +284,38 @@ class _Parser:
             inner = self._expr()
             self._expect(")")
             return HistogramQuantile(phi, inner)
+        if name in MATH_FNS:
+            self._expect("(")
+            inner = self._expr()
+            scalar = None
+            if self._peek() == ",":
+                self.i += 1
+                scalar = self._number()
+                if scalar is None:
+                    raise PromQLError(f"{name} expects a scalar argument")
+            if name in MATH_FNS_SCALAR and scalar is None:
+                raise PromQLError(f"{name} expects a scalar second argument")
+            self._expect(")")
+            return MathFn(name, inner, scalar)
+        if name in ("label_replace", "label_join"):
+            self._expect("(")
+            inner = self._expr()
+            strs = []
+            while self._peek() == ",":
+                self.i += 1
+                strs.append(self._string())
+            self._expect(")")
+            if name == "label_replace" and len(strs) != 4:
+                raise PromQLError(
+                    "label_replace expects (v, dst, replacement, src, regex)"
+                )
+            if name == "label_join" and len(strs) < 2:
+                raise PromQLError(
+                    "label_join expects (v, dst, separator, src...)"
+                )
+            if not _LABEL_RE.fullmatch(strs[0]):
+                raise PromQLError(f"invalid destination label: {strs[0]!r}")
+            return LabelFn(name, inner, strs[0], tuple(strs[1:]))
         # plain selector starting with a metric name
         if self._peek() == "(":
             raise PromQLError(f"unsupported function: {name}")
@@ -293,6 +349,16 @@ class _Parser:
             else:
                 self.i = save
         return Aggregate(op, inner, grouping or [], without, param)
+
+    _STRING_RE = re.compile(r'"((?:[^"\\]|\\.)*)"')
+
+    def _string(self) -> str:
+        self._ws()
+        m = self._STRING_RE.match(self.s, self.i)
+        if m is None:
+            raise PromQLError(f"expected string literal at {self.i}")
+        self.i = m.end()
+        return m.group(1).encode().decode("unicode_escape")
 
     _DUR_TOKEN = re.compile(r"-?[0-9][0-9a-z.]*")
 
@@ -509,6 +575,10 @@ class Evaluator:
             return self._eval_absent(node)
         if isinstance(node, HistogramQuantile):
             return self._eval_histogram_quantile(node)
+        if isinstance(node, MathFn):
+            return self._eval_math(node)
+        if isinstance(node, LabelFn):
+            return self._eval_label(node)
         raise PromQLError(f"unsupported expression node: {node!r}")
 
     # -- selector: newest sample in (t - lookback, t]
@@ -819,6 +889,69 @@ class Evaluator:
                 "t", F.lit(1.0).alias("value"),
             )
         )
+
+    # -- instant-vector math functions
+
+    def _eval_math(self, node: MathFn) -> DataFrame:
+        child = self.eval(node.expr)
+        v = F.col("value")
+        if node.fn == "round":
+            # round to the nearest multiple of `to_nearest` (default 1),
+            # ties rounding up — upstream promql/functions.go funcRound
+            n = F.lit(float(node.scalar if node.scalar is not None else 1.0))
+            value = F.floor(v / n + F.lit(0.5)) * n
+        elif node.fn == "clamp_min":
+            value = F.greatest(v, F.lit(float(node.scalar)))
+        elif node.fn == "clamp_max":
+            value = F.least(v, F.lit(float(node.scalar)))
+        else:
+            value = {
+                "abs": F.abs(v),
+                "ceil": F.ceil(v).cast("double"),
+                "floor": F.floor(v).cast("double"),
+                "exp": F.exp(v),
+                "ln": F.log(v),
+                "log2": F.log2(v),
+                "log10": F.log10(v),
+                "sqrt": F.sqrt(v),
+            }[node.fn]
+        return child.select(
+            _drop_name(F.col("labels")).alias("labels"), "t",
+            value.cast("double").alias("value"),
+        )
+
+    # -- label_replace / label_join
+
+    def _eval_label(self, node: LabelFn) -> DataFrame:
+        child = self.eval(node.expr)
+        labels = F.col("labels")
+        dst = node.dst
+        base = F.map_filter(labels, lambda k, _: k != dst)
+        if node.fn == "label_replace":
+            replacement, src, regex = node.args
+            # upstream: the regex must match the ENTIRE source value
+            # (missing label == ""); $1-style group refs in the replacement
+            anchored = f"^(?:{regex})$"
+            try:
+                re.compile(regex)
+            except re.error as exc:
+                raise PromQLError(f"invalid regex {regex!r}: {exc}")
+            src_val = F.coalesce(labels.getItem(src), F.lit(""))
+            matches = src_val.rlike(anchored)
+            new_val = F.regexp_replace(src_val, anchored, replacement)
+        else:
+            sep, *srcs = node.args
+            matches = F.lit(True)
+            new_val = F.concat_ws(
+                sep, *[F.coalesce(labels.getItem(s), F.lit("")) for s in srcs]
+            )
+        with_dst = F.map_concat(base, F.create_map(F.lit(dst), new_val))
+        out_labels = (
+            F.when(~matches, labels)
+            .when(new_val == "", base)
+            .otherwise(with_dst)
+        )
+        return child.select(out_labels.alias("labels"), "t", "value")
 
     # -- vector <op> scalar
 

@@ -386,3 +386,58 @@ lookback-delta = "1m"
             assert got["data"]["result"][0]["value"] == [225, "25.0"]
         finally:
             srv.shutdown()
+
+
+class TestMathAndLabelFns:
+    def test_math_family(self, tagged):
+        got = rows(eval_promql(tagged, 'sqrt(m{k="b"})', 300, 300, 1))
+        assert got[("k=b", 300)] == pytest.approx(5.0)
+        got = rows(eval_promql(tagged, 'clamp_max(m{k="b"}, 20)', 300, 300, 1))
+        assert got[("k=b", 300)] == 20.0
+        got = rows(eval_promql(tagged, 'clamp_min(m{k="a"}, 5)', 300, 300, 1))
+        assert got[("k=a", 300)] == 5.0
+        got = rows(eval_promql(tagged, 'ln(exp(m{k="a"}))', 300, 300, 1))
+        assert got[("k=a", 300)] == pytest.approx(2.0)
+
+    def test_round_to_nearest(self, spark):
+        df = spark.createDataFrame(
+            [("m?k=a", {"__name__": "m", "k": "a"}, 100, 12.5, 1)],
+            "path string, tags map<string,string>, time long, value double, version long",
+        )
+        got = rows(eval_promql(df, "round(m, 5)", 100, 100, 1))
+        assert got[("k=a", 100)] == 15.0  # ties round up
+        got = rows(eval_promql(df, "round(m)", 100, 100, 1))
+        assert got[("k=a", 100)] == 13.0
+
+    def test_clamp_requires_scalar(self):
+        with pytest.raises(PromQLError):
+            parse_promql("clamp_min(m)")
+
+    def test_label_replace(self, tagged):
+        got = eval_promql(
+            tagged,
+            'label_replace(m{k="a"}, "kk", "$1x", "k", "(a)")',
+            300, 300, 1,
+        ).collect()
+        assert dict(got[0].labels) == {"__name__": "m", "k": "a", "kk": "ax"}
+        # non-matching regex leaves the vector untouched
+        got = eval_promql(
+            tagged,
+            'label_replace(m{k="a"}, "kk", "$1", "k", "zzz")',
+            300, 300, 1,
+        ).collect()
+        assert dict(got[0].labels) == {"__name__": "m", "k": "a"}
+
+    def test_label_replace_empty_removes_dst(self, tagged):
+        got = eval_promql(
+            tagged, 'label_replace(m{k="a"}, "k", "", "k", "a")', 300, 300, 1
+        ).collect()
+        assert dict(got[0].labels) == {"__name__": "m"}
+
+    def test_label_join(self, tagged):
+        got = eval_promql(
+            tagged,
+            'label_join(m{k="a"}, "joined", "-", "__name__", "k")',
+            300, 300, 1,
+        ).collect()
+        assert dict(got[0].labels)["joined"] == "m-a"
