@@ -18,7 +18,8 @@ DataFrame plans:
 - absent(); histogram_quantile() over `le`-labeled cumulative buckets;
 - math functions abs/ceil/floor/round/exp/ln/log2/log10/sqrt/clamp_min/
   clamp_max; label_replace / label_join;
-- vector-scalar arithmetic (+ - * /) in either operand order.
+- vector-scalar arithmetic (+ - * /) in either operand order, and
+  vector-vector arithmetic with default one-to-one label matching.
 
 Evaluation strategy (Spark-first, no Python in the hot path): instead of
 a theta-join between points and the eval-step grid, every sample computes
@@ -161,6 +162,17 @@ class BinOp:
     scalar_on_left: bool = False
 
 
+@dataclass
+class VecBinOp:
+    """vector <op> vector with one-to-one matching on identical label
+    sets (minus __name__). Upstream on()/ignoring()/group_* modifiers are
+    not implemented — the default matching rule only."""
+
+    op: str  # + - * /
+    left: object
+    right: object
+
+
 # ---- parser -------------------------------------------------------------
 
 _IDENT_RE = re.compile(r"[a-zA-Z_:][a-zA-Z0-9_:]*")
@@ -237,11 +249,10 @@ class _Parser:
             self.i += 1
             num = self._number()
             if num is None:
-                raise PromQLError(
-                    "only vector-scalar arithmetic is supported "
-                    f"(at {self.i} in {self.s!r})"
-                )
-            node = BinOp(op, node, num)
+                # vector <op> vector (one-to-one matching)
+                node = VecBinOp(op, node, self._primary())
+            else:
+                node = BinOp(op, node, num)
         return node
 
     def _primary(self):
@@ -579,6 +590,8 @@ class Evaluator:
             return self._eval_math(node)
         if isinstance(node, LabelFn):
             return self._eval_label(node)
+        if isinstance(node, VecBinOp):
+            return self._eval_vec_bin(node)
         raise PromQLError(f"unsupported expression node: {node!r}")
 
     # -- selector: newest sample in (t - lookback, t]
@@ -952,6 +965,32 @@ class Evaluator:
             .otherwise(with_dst)
         )
         return child.select(out_labels.alias("labels"), "t", "value")
+
+    # -- vector <op> vector (one-to-one)
+
+    def _eval_vec_bin(self, node: VecBinOp) -> DataFrame:
+        """Default one-to-one matching: samples pair up when their label
+        sets (minus __name__) are identical at the same step; unmatched
+        samples drop (inner join on the canonical key). Series counts per
+        key are small post-aggregation, and both sides are keyed the same
+        way, so this is an ordinary equi-join Catalyst can broadcast or
+        shuffle on (series-key, t)."""
+        l = self.eval(node.left).select(
+            _drop_name(F.col("labels")).alias("labels"), "t",
+            F.col("value").alias("lv"),
+        ).withColumn("mkey", _canon(F.col("labels")))
+        r = self.eval(node.right).select(
+            _drop_name(F.col("labels")).alias("labels"), "t",
+            F.col("value").alias("rv"),
+        ).withColumn("mkey", _canon(F.col("labels"))).drop("labels")
+        lv, rv = F.col("lv"), F.col("rv")
+        value = {
+            "+": lv + rv, "-": lv - rv, "*": lv * rv, "/": lv / rv,
+        }[node.op]
+        return (
+            l.join(r, ["mkey", "t"])
+            .select("labels", "t", value.alias("value"))
+        )
 
     # -- vector <op> scalar
 

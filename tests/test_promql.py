@@ -441,3 +441,29 @@ class TestMathAndLabelFns:
             300, 300, 1,
         ).collect()
         assert dict(got[0].labels)["joined"] == "m-a"
+
+
+class TestVectorVectorArith:
+    def test_ratio(self, tagged):
+        # m{k}/m{k} == 1 for each series present at t
+        got = rows(eval_promql(tagged, "m / m", 300, 300, 1))
+        assert got == {("k=a", 300): 1.0, ("k=b", 300): 1.0}
+
+    def test_matching_drops_name_and_requires_same_labels(self, spark):
+        rows_ = [
+            ("a?k=x", {"__name__": "a", "k": "x"}, 100, 10.0, 1),
+            ("b?k=x", {"__name__": "b", "k": "x"}, 100, 4.0, 2),
+            ("b?k=y", {"__name__": "b", "k": "y"}, 100, 7.0, 3),  # unmatched
+        ]
+        df = spark.createDataFrame(
+            rows_,
+            "path string, tags map<string,string>, time long, value double, version long",
+        )
+        got = rows(eval_promql(df, "a - b", 100, 100, 1))
+        assert got == {("k=x", 100): 6.0}
+
+    def test_composes_with_functions(self, tagged):
+        # (sum(m) by (k)) / (count(m) by (k)) == avg per series
+        got = rows(eval_promql(
+            tagged, "sum by (k) (m) / count by (k) (m)", 300, 300, 1))
+        assert got == {("k=a", 300): 2.0, ("k=b", 300): 25.0}
