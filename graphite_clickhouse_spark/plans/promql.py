@@ -19,7 +19,9 @@ DataFrame plans:
 - math functions abs/ceil/floor/round/exp/ln/log2/log10/sqrt/clamp_min/
   clamp_max; label_replace / label_join;
 - vector-scalar arithmetic (+ - * /) in either operand order, and
-  vector-vector arithmetic with default one-to-one label matching.
+  vector-vector arithmetic with default one-to-one label matching;
+- comparison operators (> < >= <= == !=) in filter and `bool` modes, for
+  both vector-scalar and matched vector-vector operands.
 
 Evaluation strategy (Spark-first, no Python in the hot path): instead of
 a theta-join between points and the eval-step grid, every sample computes
@@ -77,6 +79,18 @@ _DURATION_UNIT = {
 
 class PromQLError(ValueError):
     http_status = 400
+
+
+#: comparison operators -> Column predicate builders (filter semantics by
+#: default; 0/1 with the `bool` modifier)
+_COMPARE_COLS = {
+    "==": lambda a, b: a == b,
+    "!=": lambda a, b: a != b,
+    ">": lambda a, b: a > b,
+    "<": lambda a, b: a < b,
+    ">=": lambda a, b: a >= b,
+    "<=": lambda a, b: a <= b,
+}
 
 
 def parse_duration(s: str) -> int:
@@ -156,10 +170,11 @@ class Aggregate:
 
 @dataclass
 class BinOp:
-    op: str  # + - * /
+    op: str  # + - * / or a comparison (> < >= <= == !=)
     expr: object
     scalar: float
     scalar_on_left: bool = False
+    bool_mode: bool = False  # comparison with the `bool` modifier -> 0/1
 
 
 @dataclass
@@ -168,9 +183,10 @@ class VecBinOp:
     sets (minus __name__). Upstream on()/ignoring()/group_* modifiers are
     not implemented — the default matching rule only."""
 
-    op: str  # + - * /
+    op: str  # + - * / or a comparison (> < >= <= == !=)
     left: object
     right: object
+    bool_mode: bool = False
 
 
 # ---- parser -------------------------------------------------------------
@@ -229,30 +245,52 @@ class _Parser:
             )
         return node
 
+    _BINOP_RE = re.compile(r"==|!=|>=|<=|[+\-*/><]")
+    _COMPARISONS = {"==", "!=", ">", "<", ">=", "<="}
+
+    def _binop_token(self) -> str | None:
+        self._ws()
+        m = self._BINOP_RE.match(self.s, self.i)
+        if m is None:
+            return None
+        self.i = m.end()
+        return m.group(0)
+
+    def _bool_opt(self, op: str) -> bool:
+        save = self.i
+        if self._ident() == "bool":
+            if op not in self._COMPARISONS:
+                raise PromQLError("bool modifier only allowed on comparisons")
+            return True
+        self.i = save
+        return False
+
     def _expr(self):
         # scalar-on-left binop: `2 * expr`
         save = self.i
         num = self._number()
         if num is not None:
-            op = self._peek()
-            if op and op in "+-*/":
-                self.i += 1
+            op = self._binop_token()
+            if op is not None:
+                bool_mode = self._bool_opt(op)
                 rhs = self._expr()
-                return BinOp(op, rhs, num, scalar_on_left=True)
+                return BinOp(op, rhs, num, scalar_on_left=True,
+                             bool_mode=bool_mode)
             self.i = save
             raise PromQLError("expression does not produce an instant vector")
         node = self._primary()
         while True:
-            op = self._peek()
-            if not op or op not in "+-*/":
+            save = self.i
+            op = self._binop_token()
+            if op is None:
                 break
-            self.i += 1
+            bool_mode = self._bool_opt(op)
             num = self._number()
             if num is None:
                 # vector <op> vector (one-to-one matching)
-                node = VecBinOp(op, node, self._primary())
+                node = VecBinOp(op, node, self._primary(), bool_mode=bool_mode)
             else:
-                node = BinOp(op, node, num)
+                node = BinOp(op, node, num, bool_mode=bool_mode)
         return node
 
     def _primary(self):
@@ -975,21 +1013,35 @@ class Evaluator:
         key are small post-aggregation, and both sides are keyed the same
         way, so this is an ordinary equi-join Catalyst can broadcast or
         shuffle on (series-key, t)."""
-        l = self.eval(node.left).select(
-            _drop_name(F.col("labels")).alias("labels"), "t",
-            F.col("value").alias("lv"),
-        ).withColumn("mkey", _canon(F.col("labels")))
+        l = (
+            self.eval(node.left)
+            .withColumn("mkey", _canon(_drop_name(F.col("labels"))))
+            .withColumnRenamed("value", "lv")
+        )
         r = self.eval(node.right).select(
-            _drop_name(F.col("labels")).alias("labels"), "t",
-            F.col("value").alias("rv"),
-        ).withColumn("mkey", _canon(F.col("labels"))).drop("labels")
+            F.col("t"), F.col("value").alias("rv"),
+            _canon(_drop_name(F.col("labels"))).alias("mkey"),
+        )
+        joined = l.join(r, ["mkey", "t"])
         lv, rv = F.col("lv"), F.col("rv")
+        if node.op in _COMPARE_COLS:
+            cond = _COMPARE_COLS[node.op](lv, rv)
+            if node.bool_mode:
+                # bool: 0/1 per matched pair, metric name dropped
+                return joined.select(
+                    _drop_name(F.col("labels")).alias("labels"), "t",
+                    F.when(cond, 1.0).otherwise(0.0).alias("value"),
+                )
+            # filter: surviving LEFT samples keep their full label set
+            return joined.filter(cond).select(
+                "labels", "t", lv.alias("value")
+            )
         value = {
             "+": lv + rv, "-": lv - rv, "*": lv * rv, "/": lv / rv,
         }[node.op]
-        return (
-            l.join(r, ["mkey", "t"])
-            .select("labels", "t", value.alias("value"))
+        return joined.select(
+            _drop_name(F.col("labels")).alias("labels"), "t",
+            value.alias("value"),
         )
 
     # -- vector <op> scalar
@@ -998,6 +1050,15 @@ class Evaluator:
         child = self.eval(node.expr)
         v, c = F.col("value"), F.lit(node.scalar)
         left, right = (c, v) if node.scalar_on_left else (v, c)
+        if node.op in _COMPARE_COLS:
+            cond = _COMPARE_COLS[node.op](left, right)
+            if node.bool_mode:
+                return child.select(
+                    _drop_name(F.col("labels")).alias("labels"), "t",
+                    F.when(cond, 1.0).otherwise(0.0).alias("value"),
+                )
+            # filter mode keeps the sample (and its metric name) intact
+            return child.filter(cond).select("labels", "t", "value")
         value = {
             "+": left + right,
             "-": left - right,

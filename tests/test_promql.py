@@ -467,3 +467,46 @@ class TestVectorVectorArith:
         got = rows(eval_promql(
             tagged, "sum by (k) (m) / count by (k) (m)", 300, 300, 1))
         assert got == {("k=a", 300): 2.0, ("k=b", 300): 25.0}
+
+
+class TestComparisons:
+    def test_filter_mode_keeps_name(self, tagged):
+        # at t=300: a=2.0, b=25.0; m > 10 keeps only b WITH __name__
+        got = rows(eval_promql(tagged, "m > 10", 300, 300, 1))
+        assert got == {("__name__=m,k=b", 300): 25.0}
+
+    def test_bool_mode(self, tagged):
+        got = rows(eval_promql(tagged, "m > bool 10", 300, 300, 1))
+        assert got == {("k=a", 300): 0.0, ("k=b", 300): 1.0}
+
+    def test_scalar_on_left(self, tagged):
+        # 10 >= m keeps samples where 10 >= value -> only a (2.0)
+        got = rows(eval_promql(tagged, "10 >= m", 300, 300, 1))
+        assert got == {("__name__=m,k=a", 300): 2.0}
+
+    def test_eq_and_ne(self, tagged):
+        got = rows(eval_promql(tagged, "m == 25", 300, 300, 1))
+        assert got == {("__name__=m,k=b", 300): 25.0}
+        got = rows(eval_promql(tagged, "m != 25", 300, 300, 1))
+        assert got == {("__name__=m,k=a", 300): 2.0}
+
+    def test_vector_vector_filter(self, spark):
+        rows_ = [
+            ("a?k=x", {"__name__": "a", "k": "x"}, 100, 10.0, 1),
+            ("a?k=y", {"__name__": "a", "k": "y"}, 100, 3.0, 2),
+            ("b?k=x", {"__name__": "b", "k": "x"}, 100, 4.0, 3),
+            ("b?k=y", {"__name__": "b", "k": "y"}, 100, 7.0, 4),
+        ]
+        df = spark.createDataFrame(
+            rows_,
+            "path string, tags map<string,string>, time long, value double, version long",
+        )
+        # a > b keeps left samples where the matched pair satisfies it
+        got = rows(eval_promql(df, "a > b", 100, 100, 1))
+        assert got == {("__name__=a,k=x", 100): 10.0}
+        got = rows(eval_promql(df, "a >= bool b", 100, 100, 1))
+        assert got == {("k=x", 100): 1.0, ("k=y", 100): 0.0}
+
+    def test_bool_only_on_comparisons(self):
+        with pytest.raises(PromQLError):
+            parse_promql("m + bool 5")
