@@ -670,6 +670,97 @@ FROM r GROUP BY series, t
 """
 
 
+def q_promql_hist_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """histogram_quantile(0.9, count_over_time(evb[1d])): the composed
+    PromQL pipeline — observation explosion into cumulative `le` bucket
+    series, per-window bucket counts, then upstream bucketQuantile
+    interpolation (plans/promql.py). Buckets le in {10, 100, +Inf} over
+    event values; count_over_time dedups (series, second) first, so a
+    bucket's count is the number of distinct seconds with >= 1
+    observation."""
+    from graphite_clickhouse_spark.plans.promql import eval_promql
+    from graphite_clickhouse_spark.sources.tables import (
+        events_ts_seconds,
+        load_table,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    les = F.array(F.lit("10"), F.lit("100"), F.lit("+Inf"))
+    evb = (
+        ev.select(
+            F.col("event_type"),
+            events_ts_seconds(ev).alias("time"),
+            F.col("value"),
+            F.col("event_id").alias("version"),
+        )
+        .withColumn("le", F.explode(les))
+        .filter(
+            (F.col("le") == "+Inf")
+            | (F.col("value") <= F.col("le").cast("double"))
+        )
+        .select(
+            F.concat(
+                F.lit("evb?le="), F.col("le"), F.lit("&type="), F.col("event_type")
+            ).alias("path"),
+            F.create_map(
+                F.lit("__name__"), F.lit("evb"),
+                F.lit("le"), F.col("le"),
+                F.lit("type"), F.col("event_type"),
+            ).alias("tags"),
+            "time",
+            F.lit(1.0).alias("value"),
+            "version",
+        )
+    )
+    out = eval_promql(
+        evb, "histogram_quantile(0.9, count_over_time(evb[1d]))",
+        _PQ_START + 86400, _PQ_START + 4 * 86400, 86400,
+    )
+    return out.select("series", "t", F.round("value", 6).alias("value"))
+
+
+SQL_PROMQL_HIST_QUANTILE = f"""
+WITH grid AS (
+    SELECT g AS t
+    FROM generate_series({_PQ_START + 86400}, {_PQ_START + 4 * 86400}, 86400) s(g)
+),
+pts AS (
+    SELECT event_type AS type,
+           CAST(floor(epoch(ts)) AS BIGINT) AS time, value
+    FROM events
+),
+j AS (
+    SELECT p.type, g.t, p.time, p.value
+    FROM grid g JOIN pts p ON p.time <= g.t AND p.time > g.t - 86400
+),
+c AS (
+    SELECT type, t,
+           COUNT(DISTINCT CASE WHEN value <= 10 THEN time END) AS c1,
+           COUNT(DISTINCT CASE WHEN value <= 100 THEN time END) AS c2,
+           COUNT(DISTINCT time) AS cinf
+    FROM j GROUP BY type, t
+),
+q AS (
+    SELECT type, t,
+           0.9 * cinf AS rank, c1, c2, cinf
+    FROM c
+)
+SELECT 'type=' || type AS series, t,
+       round(CASE
+           -- only the +Inf bucket present: upstream returns NaN (n < 2)
+           WHEN c2 = 0 THEN CAST('nan' AS DOUBLE)
+           -- rank in the first PRESENT bucket: interpolate from 0
+           WHEN c1 > 0 AND rank <= c1 THEN 0 + (10 - 0) * (rank / c1)
+           WHEN c1 = 0 AND rank <= c2 THEN 0 + (100 - 0) * (rank / c2)
+           -- rank in the (10, 100] bucket
+           WHEN rank <= c2 THEN 10 + (100 - 10) * ((rank - c1) / (c2 - c1))
+           -- rank lands in +Inf: highest finite upper bound
+           ELSE 100
+       END, 6) AS value
+FROM q
+"""
+
+
 def q_tagger_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S13: tagger batch job — TOML rules (prefix/contains/regexp) applied
     to the metric namespace as pure Column predicates; tags of ALL matching
@@ -1277,6 +1368,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "prom_plain_bridge": (q_prom_plain_bridge, SQL_PROM_PLAIN_BRIDGE),
     "promql_range_select": (q_promql_range_select, SQL_PROMQL_RANGE_SELECT),
     "promql_rate_sum": (q_promql_rate_sum, SQL_PROMQL_RATE_SUM),
+    "promql_hist_quantile": (q_promql_hist_quantile, SQL_PROMQL_HIST_QUANTILE),
     "tagger_rules": (q_tagger_rules, SQL_TAGGER_RULES),
     "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
     "semi_join_urgent": (q_semi_join_urgent, SQL_SEMI_JOIN_URGENT),

@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "prom_plain_bridge",
     "promql_range_select",
     "promql_rate_sum",
+    "promql_hist_quantile",
     "tpch_q1",
     "semi_join_urgent",
     "topk_orders_per_segment",
