@@ -635,7 +635,10 @@ class Evaluator:
     # -- selector: newest sample in (t - lookback, t]
 
     def _eval_selector(self, node: VectorSelector) -> DataFrame:
-        pts = self._points(node, self.lookback)
+        # repartition on path BEFORE the grid explode: hash clustering on
+        # `path` satisfies the (path, j) aggregation, so the one shuffle
+        # ships RAW samples (1x), not exploded rows (lookback/step x)
+        pts = self._points(node, self.lookback).repartition("path")
         ex = _explode_to_grid(pts, self.start, self.step, self.lookback,
                               self.n_evals)
         # newest sample wins; version breaks exact-time ties (write-version
@@ -660,7 +663,12 @@ class Evaluator:
     }
 
     def _eval_range_fn(self, node: RangeFn) -> DataFrame:
-        pts = self._dedup(self._points(node.selector, node.window))
+        # one shuffle total: hash clustering on `path` satisfies BOTH the
+        # (path, time) dedup and the (path, j) window aggregation, and it
+        # ships raw samples instead of exploded grid rows
+        pts = self._dedup(
+            self._points(node.selector, node.window).repartition("path")
+        )
         ex = _explode_to_grid(pts, self.start, self.step, node.window,
                               self.n_evals)
         g = ex.groupBy("path", "j")

@@ -263,8 +263,10 @@ class TestPromQLPlanShape:
         plan = plan_of(eval_promql(tagged, "sum by (k) (rate(m[5m]))", 0, 3600, 60))
         assert "Join" not in plan, plan
         assert "CartesianProduct" not in plan
-        # dedup, per-(series, step) rate, by-label agg, output sort
-        assert plan.count("Exchange") <= 4
+        # ONE path repartition serves both the dedup and the window agg
+        # (raw samples shipped once, not exploded rows), then the by-label
+        # agg and the output sort
+        assert plan.count("Exchange") <= 3
 
     def test_selector_single_agg_exchange(self, spark):
         from graphite_clickhouse_spark.plans.promql import eval_promql
@@ -275,5 +277,5 @@ class TestPromQLPlanShape:
         )
         plan = plan_of(eval_promql(tagged, "m", 0, 3600, 60))
         assert "Join" not in plan
-        # one agg shuffle + the output sort
+        # the path repartition (pre-explode, raw rows) + the output sort
         assert plan.count("Exchange") <= 2
