@@ -1021,6 +1021,40 @@ FROM documents
 """
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms (smoothed sklearn idf): one token
+    explode, tf + df as two aggregations of the same term-keyed frame,
+    deterministic (rounded-score, term) ranking."""
+    from graphite_clickhouse_spark.pipeline.text import tfidf_top_terms
+    from graphite_clickhouse_spark.sources.tables import load_table
+
+    return tfidf_top_terms(load_table(spark, sf_dir, "documents"), k=3)
+
+
+SQL_TFIDF_TOP_TERMS = """
+WITH toks AS (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+    FROM documents WHERE trim(text) <> ''
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n FROM documents),
+s AS (
+    SELECT tf.doc_id, tf.term, tf.tf,
+           tf.tf * (ln(CAST(n.n + 1 AS DOUBLE) / (df.df + 1)) + 1) AS score
+    FROM tf JOIN df USING (term) CROSS JOIN n
+),
+r AS (
+    SELECT doc_id, term, tf, round(score, 6) AS score,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY round(score, 9) DESC, term ASC) AS rank
+    FROM s
+)
+SELECT doc_id, term, tf, score, rank FROM r WHERE rank <= 3
+"""
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: raw + normalized md5."""
     from graphite_clickhouse_spark.pipeline.text import fingerprint
@@ -1378,6 +1412,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
+    "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
     "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),

@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "text_quality",
     "lang_id",
     "token_count",
+    "tfidf_top_terms",
     "fingerprint",
     "ngram_jaccard",
     "ann_cosine_topk",

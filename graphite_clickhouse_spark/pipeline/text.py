@@ -104,3 +104,45 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         F.md5(text).alias("fp_raw"),
         F.md5(normalized).alias("fp_norm"),
     )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document top-k TF-IDF terms over lowercased whitespace tokens.
+
+    tf = raw term count in the document; idf = ln((N+1)/(df+1)) + 1 (the
+    smoothed sklearn formulation, so unseen-term idf stays finite);
+    score = tf * idf. Ranking is (rounded score desc, term asc) — rounding
+    to 9 dp absorbs last-ulp ln() differences across engines so the top-k
+    cut is deterministic and oracle-comparable.
+
+    Scale shape: one explode pass; tf and df are two aggregations of the
+    same term-keyed frame (the df join shuffles on term, the vocabulary
+    key — no driver-side vocabulary, no collect besides the N count).
+    """
+    from pyspark.sql import Window
+
+    n_docs = docs.count()
+    tf = (
+        docs.select(F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    score = F.col("tf") * (
+        F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + 1
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.round(score, 9).desc(), F.col("term").asc()
+    )
+    return (
+        tf.join(df_, "term")
+        .withColumn("score", F.round(score, 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "score", "rank")
+    )
