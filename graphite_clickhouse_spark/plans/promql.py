@@ -12,7 +12,8 @@ DataFrame plans:
   the `offset <dur>` modifier;
 - range-vector functions rate / increase / delta / idelta / deriv /
   changes / resets / {avg,sum,min,max,count,last}_over_time over
-  `sel[window]`;
+  `sel[window]`, and subqueries `expr[window:resolution]` (inner
+  expression evaluated on its own absolute-aligned grid);
 - aggregation operators sum / avg / min / max / count and parameterized
   topk / bottomk / quantile with `by (...)` / `without (...)` grouping;
 - absent(); histogram_quantile() over `le`-labeled cumulative buckets;
@@ -127,9 +128,20 @@ class VectorSelector:
 
 
 @dataclass
+class Subquery:
+    """`expr[window:resolution]` — the inner expression evaluated on its
+    own grid (multiples of `resolution` in absolute time, upstream
+    alignment), whose output samples feed the enclosing range function."""
+
+    expr: object
+    resolution: int | None = None  # None -> the outer query's step
+    offset: int = 0
+
+
+@dataclass
 class RangeFn:
     fn: str
-    selector: VectorSelector
+    selector: object  # VectorSelector | Subquery
     window: int  # seconds
 
 
@@ -309,11 +321,26 @@ class _Parser:
             return self._agg(name)
         if name in RANGE_FNS:
             self._expect("(")
-            sel = self._selector()
+            inner = self._expr()
             self._expect("[")
-            node = RangeFn(name, sel, self._duration_token())
-            self._expect("]")
-            sel.offset = self._offset_opt()
+            window = self._duration_token()
+            if self._peek() == ":":
+                self.i += 1
+                res = None
+                if self._peek() != "]":
+                    res = self._duration_token()
+                self._expect("]")
+                sel = Subquery(inner, res, self._offset_opt())
+            else:
+                self._expect("]")
+                if not isinstance(inner, VectorSelector):
+                    raise PromQLError(
+                        "range selector needs a plain vector selector; "
+                        "use a subquery `expr[w:r]` for expressions"
+                    )
+                inner.offset = self._offset_opt()
+                sel = inner
+            node = RangeFn(name, sel, window)
             self._expect(")")
             return node
         if name == "absent":
@@ -485,7 +512,7 @@ class _Parser:
     def _duration_token(self) -> int:
         self._ws()
         j = self.i
-        while j < len(self.s) and self.s[j] not in "]":
+        while j < len(self.s) and self.s[j] not in "]:":
             j += 1
         dur = parse_duration(self.s[self.i:j])
         self.i = j
@@ -662,13 +689,42 @@ class Evaluator:
         "count_over_time": lambda: F.count("value").cast("double"),
     }
 
-    def _eval_range_fn(self, node: RangeFn) -> DataFrame:
-        # one shuffle total: hash clustering on `path` satisfies BOTH the
-        # (path, time) dedup and the (path, j) window aggregation, and it
-        # ships raw samples instead of exploded grid rows
-        pts = self._dedup(
-            self._points(node.selector, node.window).repartition("path")
+    def _subquery_samples(self, sub: Subquery, window: int) -> DataFrame:
+        """Inner expression evaluated at multiples of its resolution
+        (absolute-time alignment, upstream subquery semantics); the
+        result rows become the samples the enclosing range function
+        consumes. Already deduped by construction — one row per
+        (series, inner step)."""
+        res = int(sub.resolution or self.step)
+        o = int(sub.offset)
+        lo = self.start - window - o
+        t0 = (lo // res) * res + res  # smallest multiple of res > lo
+        t1 = ((self.end - o) // res) * res
+        if t1 < t0:
+            return self.tagged.sparkSession.range(0).select(
+                F.lit("").alias("path"),
+                F.expr("cast(map() as map<string,string>)").alias("tags"),
+                F.lit(0).cast("long").alias("time"),
+                F.lit(0.0).alias("value"),
+            )
+        inner = Evaluator(self.tagged, t0, t1, res, self.lookback).eval(sub.expr)
+        return inner.select(
+            F.array_join(_canon(F.col("labels")), ",").alias("path"),
+            F.col("labels").alias("tags"),
+            (F.col("t") + F.lit(o)).alias("time"),
+            "value",
         )
+
+    def _eval_range_fn(self, node: RangeFn) -> DataFrame:
+        if isinstance(node.selector, Subquery):
+            pts = self._subquery_samples(node.selector, node.window)
+        else:
+            # one shuffle total: hash clustering on `path` satisfies BOTH
+            # the (path, time) dedup and the (path, j) window aggregation,
+            # and it ships raw samples instead of exploded grid rows
+            pts = self._dedup(
+                self._points(node.selector, node.window).repartition("path")
+            )
         ex = _explode_to_grid(pts, self.start, self.step, node.window,
                               self.n_evals)
         g = ex.groupBy("path", "j")

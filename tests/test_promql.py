@@ -510,3 +510,38 @@ class TestComparisons:
     def test_bool_only_on_comparisons(self):
         with pytest.raises(PromQLError):
             parse_promql("m + bool 5")
+
+
+class TestSubqueries:
+    def test_max_over_time_subquery(self, tagged):
+        # inner selector evaluated at multiples of 50 in (100, 300]:
+        # 150->1.0, 200->3.0, 250->25.0? (b excluded by matcher) ...
+        got = rows(eval_promql(
+            tagged, 'max_over_time(m{k="a"}[200s:50s])', 300, 300, 1))
+        assert got[("k=a", 300)] == 3.0
+
+    def test_subquery_over_expression(self, tagged):
+        got = rows(eval_promql(
+            tagged, 'max_over_time((m{k="a"} * 10)[200s:50s])', 300, 300, 1))
+        assert got[("k=a", 300)] == 30.0
+
+    def test_default_resolution_is_outer_step(self, tagged):
+        # res omitted -> 100 s: inner evals at 200 (3.0) and 300 (2.0)
+        got = rows(eval_promql(
+            tagged, 'avg_over_time(m{k="a"}[200s:])', 300, 300, 100))
+        assert got[("k=a", 300)] == pytest.approx(2.5)
+
+    def test_rate_over_subquery(self, tagged):
+        # subquery materializes a dense 50s-grid counter; rate over it
+        got = rows(eval_promql(
+            tagged, 'rate(m{k="a"}[200s:50s])', 300, 300, 1))
+        assert ("k=a", 300) in got
+
+    def test_range_selector_still_requires_selector(self):
+        with pytest.raises(PromQLError, match="subquery"):
+            parse_promql("rate((m * 2)[5m])")
+
+    def test_agg_of_subquery_fn(self, tagged):
+        got = rows(eval_promql(
+            tagged, 'sum by (k) (max_over_time(m[200s:50s]))', 300, 300, 1))
+        assert got[("k=a", 300)] == 3.0
