@@ -22,7 +22,8 @@ DataFrame plans:
 - vector-scalar arithmetic (+ - * /) in either operand order, and
   vector-vector arithmetic with default one-to-one label matching;
 - comparison operators (> < >= <= == !=) in filter and `bool` modes, for
-  both vector-scalar and matched vector-vector operands.
+  both vector-scalar and matched vector-vector operands;
+- time() as a per-step scalar in arithmetic and comparisons.
 
 Evaluation strategy (Spark-first, no Python in the hot path): instead of
 a theta-join between points and the eval-step grid, every sample computes
@@ -125,6 +126,12 @@ def parse_duration(s: str) -> int:
 class VectorSelector:
     matchers: list[LabelMatcher]
     offset: int = 0  # seconds; shifts the evaluated window into the past
+
+
+@dataclass
+class TimeFn:
+    """time(): the eval-step timestamp as a scalar (upstream returns the
+    evaluation time, not the sample time)."""
 
 
 @dataclass
@@ -343,6 +350,10 @@ class _Parser:
             node = RangeFn(name, sel, window)
             self._expect(")")
             return node
+        if name == "time":
+            self._expect("(")
+            self._expect(")")
+            return TimeFn()
         if name == "absent":
             self._expect("(")
             sel = self._selector()
@@ -1077,6 +1088,8 @@ class Evaluator:
         key are small post-aggregation, and both sides are keyed the same
         way, so this is an ordinary equi-join Catalyst can broadcast or
         shuffle on (series-key, t)."""
+        if isinstance(node.left, TimeFn) or isinstance(node.right, TimeFn):
+            return self._eval_time_bin(node)
         l = (
             self.eval(node.left)
             .withColumn("mkey", _canon(_drop_name(F.col("labels"))))
@@ -1104,6 +1117,33 @@ class Evaluator:
             "+": lv + rv, "-": lv - rv, "*": lv * rv, "/": lv / rv,
         }[node.op]
         return joined.select(
+            _drop_name(F.col("labels")).alias("labels"), "t",
+            value.alias("value"),
+        )
+
+    def _eval_time_bin(self, node: VecBinOp) -> DataFrame:
+        """`time() <op> vector` / `vector <op> time()`: time() behaves as
+        a per-step scalar (the eval timestamp)."""
+        if isinstance(node.left, TimeFn) and isinstance(node.right, TimeFn):
+            raise PromQLError("time() on both sides of a binary operator")
+        time_on_left = isinstance(node.left, TimeFn)
+        child = self.eval(node.right if time_on_left else node.left)
+        tcol = F.col("t").cast("double")
+        v = F.col("value")
+        left, right = (tcol, v) if time_on_left else (v, tcol)
+        if node.op in _COMPARE_COLS:
+            cond = _COMPARE_COLS[node.op](left, right)
+            if node.bool_mode:
+                return child.select(
+                    _drop_name(F.col("labels")).alias("labels"), "t",
+                    F.when(cond, 1.0).otherwise(0.0).alias("value"),
+                )
+            return child.filter(cond).select("labels", "t", "value")
+        value = {
+            "+": left + right, "-": left - right,
+            "*": left * right, "/": left / right,
+        }[node.op]
+        return child.select(
             _drop_name(F.col("labels")).alias("labels"), "t",
             value.alias("value"),
         )

@@ -249,9 +249,19 @@ class GraphiteHandler(BaseHTTPRequestHandler):
 
     @staticmethod
     def _prom_ts(s: str, what: str) -> int:
+        """Unix seconds (float) or RFC3339 — both accepted upstream."""
         try:
             return int(float(s))
         except (TypeError, ValueError):
+            pass
+        try:
+            from datetime import datetime, timezone
+
+            dt = datetime.fromisoformat(s.replace("Z", "+00:00"))
+            if dt.tzinfo is None:
+                dt = dt.replace(tzinfo=timezone.utc)
+            return int(dt.timestamp())
+        except (TypeError, ValueError, AttributeError):
             raise ValueError(f"invalid parameter {what!r}: {s!r}")
 
     def _prom_result(self, df, result_type: str):

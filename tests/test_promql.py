@@ -545,3 +545,29 @@ class TestSubqueries:
         got = rows(eval_promql(
             tagged, 'sum by (k) (max_over_time(m[200s:50s]))', 300, 300, 1))
         assert got[("k=a", 300)] == 3.0
+
+
+class TestTimeFn:
+    def test_time_minus_vector(self, tagged):
+        # freshness: time() - last sample time proxy; b at t=300 is 25.0
+        got = rows(eval_promql(tagged, 'time() - m{k="b"}', 300, 300, 1))
+        assert got == {("k=b", 300): 275.0}
+
+    def test_vector_div_time(self, tagged):
+        got = rows(eval_promql(tagged, 'm{k="b"} / time()', 300, 300, 1))
+        assert got[("k=b", 300)] == pytest.approx(25.0 / 300)
+
+    def test_time_comparison_filter(self, tagged):
+        # m < time() keeps everything at t=300 (2.0, 25.0 < 300)
+        got = rows(eval_promql(tagged, "m < time()", 300, 300, 1))
+        assert set(got) == {("__name__=m,k=a", 300), ("__name__=m,k=b", 300)}
+
+    def test_rfc3339_api(self, prom_url):
+        q = urllib.parse.urlencode({
+            "query": 'm{k="b"}', "start": "1970-01-01T00:01:40Z",
+            "end": "1970-01-01T00:05:00Z", "step": "100",
+        })
+        with urllib.request.urlopen(f"{prom_url}/api/v1/query_range?{q}", timeout=120) as r:
+            got = json.loads(r.read())
+        (series,) = got["data"]["result"]
+        assert series["values"][0] == [100, "10.0"]
