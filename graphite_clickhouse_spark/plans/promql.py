@@ -20,7 +20,8 @@ DataFrame plans:
 - math functions abs/ceil/floor/round/exp/ln/log2/log10/sqrt/clamp_min/
   clamp_max; label_replace / label_join;
 - vector-scalar arithmetic (+ - * /) in either operand order, and
-  vector-vector arithmetic with default one-to-one label matching;
+  vector-vector arithmetic with one-to-one label matching (default key or
+  on(...) / ignoring(...) modifiers);
 - comparison operators (> < >= <= == !=) in filter and `bool` modes, for
   both vector-scalar and matched vector-vector operands;
 - time() as a per-step scalar in arithmetic and comparisons.
@@ -206,6 +207,10 @@ class VecBinOp:
     left: object
     right: object
     bool_mode: bool = False
+    #: on(...) restricts the match key to these labels; ignoring(...)
+    #: removes them from it. None = default (all labels minus __name__).
+    match_on: tuple | None = None
+    match_ignoring: tuple | None = None
 
 
 # ---- parser -------------------------------------------------------------
@@ -304,11 +309,28 @@ class _Parser:
             if op is None:
                 break
             bool_mode = self._bool_opt(op)
+            match_on = match_ignoring = None
+            save2 = self.i
+            word = self._ident()
+            if word in ("on", "ignoring"):
+                labels_ = tuple(self._label_list())
+                if word == "on":
+                    match_on = labels_
+                else:
+                    match_ignoring = labels_
+            else:
+                self.i = save2
             num = self._number()
             if num is None:
                 # vector <op> vector (one-to-one matching)
-                node = VecBinOp(op, node, self._primary(), bool_mode=bool_mode)
+                node = VecBinOp(op, node, self._primary(),
+                                bool_mode=bool_mode, match_on=match_on,
+                                match_ignoring=match_ignoring)
             else:
+                if match_on is not None or match_ignoring is not None:
+                    raise PromQLError(
+                        "on/ignoring modifiers need vector operands"
+                    )
                 node = BinOp(op, node, num, bool_mode=bool_mode)
         return node
 
@@ -1090,14 +1112,28 @@ class Evaluator:
         shuffle on (series-key, t)."""
         if isinstance(node.left, TimeFn) or isinstance(node.right, TimeFn):
             return self._eval_time_bin(node)
+
+        def mkey(labels):
+            if node.match_on is not None:
+                keys = F.array([F.lit(k) for k in node.match_on])
+                return _canon(F.map_filter(
+                    labels, lambda k, _: F.array_contains(keys, k)))
+            if node.match_ignoring is not None:
+                keys = F.array([F.lit(k) for k in node.match_ignoring])
+                return _canon(F.map_filter(
+                    labels,
+                    lambda k, _: ~F.array_contains(keys, k) & (k != "__name__"),
+                ))
+            return _canon(_drop_name(labels))
+
         l = (
             self.eval(node.left)
-            .withColumn("mkey", _canon(_drop_name(F.col("labels"))))
+            .withColumn("mkey", mkey(F.col("labels")))
             .withColumnRenamed("value", "lv")
         )
         r = self.eval(node.right).select(
             F.col("t"), F.col("value").alias("rv"),
-            _canon(_drop_name(F.col("labels"))).alias("mkey"),
+            mkey(F.col("labels")).alias("mkey"),
         )
         joined = l.join(r, ["mkey", "t"])
         lv, rv = F.col("lv"), F.col("rv")

@@ -571,3 +571,42 @@ class TestTimeFn:
             got = json.loads(r.read())
         (series,) = got["data"]["result"]
         assert series["values"][0] == [100, "10.0"]
+
+
+class TestMatchingModifiers:
+    @pytest.fixture(scope="class")
+    def two_metrics(self, spark):
+        rows_ = [
+            ("err?inst=1&job=api", {"__name__": "err", "inst": "1", "job": "api"}, 100, 2.0, 1),
+            ("err?inst=2&job=api", {"__name__": "err", "inst": "2", "job": "api"}, 100, 4.0, 2),
+            ("tot?inst=1", {"__name__": "tot", "inst": "1"}, 100, 10.0, 3),
+            ("tot?inst=2", {"__name__": "tot", "inst": "2"}, 100, 8.0, 4),
+        ]
+        return spark.createDataFrame(
+            rows_,
+            "path string, tags map<string,string>, time long, value double, version long",
+        )
+
+    def test_default_matching_fails_on_extra_label(self, two_metrics):
+        # err carries job=api, tot does not -> no pairs by default
+        assert rows(eval_promql(two_metrics, "err / tot", 100, 100, 1)) == {}
+
+    def test_on_restricts_match_key(self, two_metrics):
+        got = rows(eval_promql(two_metrics, "err / on(inst) tot", 100, 100, 1))
+        assert got == {
+            ("inst=1,job=api", 100): 0.2,
+            ("inst=2,job=api", 100): 0.5,
+        }
+
+    def test_ignoring_removes_labels(self, two_metrics):
+        got = rows(eval_promql(two_metrics, "err / ignoring(job) tot", 100, 100, 1))
+        assert got[("inst=1,job=api", 100)] == pytest.approx(0.2)
+
+    def test_on_with_comparison(self, two_metrics):
+        got = rows(eval_promql(
+            two_metrics, "err > bool on(inst) tot", 100, 100, 1))
+        assert got == {("inst=1,job=api", 100): 0.0, ("inst=2,job=api", 100): 0.0}
+
+    def test_on_rejected_for_scalar(self):
+        with pytest.raises(PromQLError):
+            parse_promql("err / on(inst) 5")
