@@ -20,8 +20,9 @@ DataFrame plans:
 - math functions abs/ceil/floor/round/exp/ln/log2/log10/sqrt/clamp_min/
   clamp_max; label_replace / label_join;
 - vector-scalar arithmetic (+ - * /) in either operand order, and
-  vector-vector arithmetic with one-to-one label matching (default key or
-  on(...) / ignoring(...) modifiers);
+  vector-vector arithmetic with label matching (default one-to-one key,
+  on(...) / ignoring(...) modifiers, group_left / group_right
+  many-to-one with label copying); predict_linear;
 - comparison operators (> < >= <= == !=) in filter and `bool` modes, for
   both vector-scalar and matched vector-vector operands;
 - time() as a per-step scalar in arithmetic and comparisons.
@@ -63,8 +64,10 @@ PARAM_AGG_OPS = {"topk", "bottomk", "quantile"}
 RANGE_FNS = {
     "rate", "increase", "delta", "idelta", "deriv", "changes", "resets",
     "avg_over_time", "sum_over_time", "min_over_time", "max_over_time",
-    "count_over_time", "last_over_time",
+    "count_over_time", "last_over_time", "predict_linear",
 }
+#: range functions taking a trailing scalar argument
+RANGE_FNS_SCALAR = {"predict_linear"}
 #: instant-vector math functions: value -> value, metric name dropped
 MATH_FNS = {
     "abs", "ceil", "floor", "exp", "ln", "log2", "log10", "sqrt",
@@ -151,6 +154,7 @@ class RangeFn:
     fn: str
     selector: object  # VectorSelector | Subquery
     window: int  # seconds
+    param: float | None = None  # predict_linear horizon seconds
 
 
 @dataclass
@@ -211,6 +215,11 @@ class VecBinOp:
     #: removes them from it. None = default (all labels minus __name__).
     match_on: tuple | None = None
     match_ignoring: tuple | None = None
+    #: many-to-one matching: 'left' (group_left) means the LEFT side is
+    #: the many side; group_labels are copied from the one side. No
+    #: many-to-many detection (upstream errors; here extra pairs join).
+    group_side: str | None = None
+    group_labels: tuple = ()
 
 
 # ---- parser -------------------------------------------------------------
@@ -312,12 +321,21 @@ class _Parser:
             match_on = match_ignoring = None
             save2 = self.i
             word = self._ident()
+            group_side, group_labels = None, ()
             if word in ("on", "ignoring"):
                 labels_ = tuple(self._label_list())
                 if word == "on":
                     match_on = labels_
                 else:
                     match_ignoring = labels_
+                save3 = self.i
+                word2 = self._ident()
+                if word2 in ("group_left", "group_right"):
+                    group_side = "left" if word2 == "group_left" else "right"
+                    if self._peek() == "(":
+                        group_labels = tuple(self._label_list())
+                else:
+                    self.i = save3
             else:
                 self.i = save2
             num = self._number()
@@ -325,7 +343,9 @@ class _Parser:
                 # vector <op> vector (one-to-one matching)
                 node = VecBinOp(op, node, self._primary(),
                                 bool_mode=bool_mode, match_on=match_on,
-                                match_ignoring=match_ignoring)
+                                match_ignoring=match_ignoring,
+                                group_side=group_side,
+                                group_labels=group_labels)
             else:
                 if match_on is not None or match_ignoring is not None:
                     raise PromQLError(
@@ -369,7 +389,15 @@ class _Parser:
                     )
                 inner.offset = self._offset_opt()
                 sel = inner
-            node = RangeFn(name, sel, window)
+            param = None
+            if self._peek() == ",":
+                self.i += 1
+                param = self._number()
+                if param is None:
+                    raise PromQLError(f"{name} expects a scalar argument")
+            if name in RANGE_FNS_SCALAR and param is None:
+                raise PromQLError(f"{name} expects a scalar second argument")
+            node = RangeFn(name, sel, window, param)
             self._expect(")")
             return node
         if name == "time":
@@ -769,8 +797,8 @@ class Evaluator:
         elif node.fn == "last_over_time":
             out = g.agg(F.max_by("value", "time").alias("value"),
                         F.first("tags").alias("labels"))
-        elif node.fn == "deriv":
-            out = self._deriv(g)
+        elif node.fn in ("deriv", "predict_linear"):
+            out = self._deriv(g, node)
         elif node.fn in ("changes", "resets"):
             out = self._fold_count(g, node.fn)
         else:
@@ -780,11 +808,12 @@ class Evaluator:
         return out.select(labels.alias("labels"),
                           _grid_time(self.start, self.step), "value")
 
-    def _deriv(self, grouped) -> DataFrame:
-        """deriv(): per-window least-squares slope (upstream
-        promql/functions.go linearRegression). x is centered on the query
-        start so the sums stay in exact double range (epoch-squared sums
-        would not)."""
+    def _deriv(self, grouped, node: RangeFn) -> DataFrame:
+        """deriv() / predict_linear(): per-window least-squares fit
+        (upstream promql/functions.go linearRegression). x is centered on
+        the query start so the sums stay in exact double range
+        (epoch-squared sums would not). predict_linear extrapolates the
+        fit `param` seconds past each eval timestamp."""
         x = (F.col("time") - F.lit(self.start)).cast("double")
         y = F.col("value")
         agg = grouped.agg(
@@ -798,8 +827,17 @@ class Evaluator:
         n = F.col("n").cast("double")
         denom = n * F.col("sxx") - F.col("sx") * F.col("sx")
         slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / denom
+        value = slope
+        if node.fn == "predict_linear":
+            # predicted value at (eval time + horizon):
+            # y_bar + slope * (x_pred - x_bar), in start-centered x space
+            x_pred = (
+                (F.col("j").cast("long") * F.lit(self.step)).cast("double")
+                + F.lit(float(node.param or 0.0))
+            )
+            value = (F.col("sy") / n) + slope * (x_pred - F.col("sx") / n)
         return agg.filter(denom != 0).select(
-            "path", "j", "labels", slope.alias("value")
+            "path", "j", "labels", value.alias("value")
         )
 
     def _fold_count(self, grouped, fn: str) -> DataFrame:
@@ -1130,12 +1168,29 @@ class Evaluator:
             self.eval(node.left)
             .withColumn("mkey", mkey(F.col("labels")))
             .withColumnRenamed("value", "lv")
+            .withColumnRenamed("labels", "llabels")
         )
         r = self.eval(node.right).select(
             F.col("t"), F.col("value").alias("rv"),
             mkey(F.col("labels")).alias("mkey"),
+            F.col("labels").alias("rlabels"),
         )
         joined = l.join(r, ["mkey", "t"])
+        # output label set: the many side under group_left/group_right
+        # (listed labels copied over from the one side), else the left
+        many, one = (
+            (F.col("rlabels"), F.col("llabels"))
+            if node.group_side == "right"
+            else (F.col("llabels"), F.col("rlabels"))
+        )
+        out_labels = many
+        if node.group_labels:
+            gl = F.array([F.lit(k) for k in node.group_labels])
+            out_labels = F.map_concat(
+                F.map_filter(many, lambda k, _: ~F.array_contains(gl, k)),
+                F.map_filter(one, lambda k, _: F.array_contains(gl, k)),
+            )
+        joined = joined.withColumn("labels", out_labels)
         lv, rv = F.col("lv"), F.col("rv")
         if node.op in _COMPARE_COLS:
             cond = _COMPARE_COLS[node.op](lv, rv)

@@ -610,3 +610,51 @@ class TestMatchingModifiers:
     def test_on_rejected_for_scalar(self):
         with pytest.raises(PromQLError):
             parse_promql("err / on(inst) 5")
+
+
+class TestGroupModifiersAndPredict:
+    @pytest.fixture(scope="class")
+    def err_tot(self, spark):
+        rows_ = [
+            ("err?code=500&inst=1", {"__name__": "err", "code": "500", "inst": "1"}, 100, 2.0, 1),
+            ("err?code=404&inst=1", {"__name__": "err", "code": "404", "inst": "1"}, 100, 6.0, 2),
+            ("tot?inst=1", {"__name__": "tot", "inst": "1"}, 100, 10.0, 3),
+        ]
+        return spark.createDataFrame(
+            rows_,
+            "path string, tags map<string,string>, time long, value double, version long",
+        )
+
+    def test_group_left_many_to_one(self, err_tot):
+        got = rows(eval_promql(
+            err_tot, "err / on(inst) group_left tot", 100, 100, 1))
+        assert got == {
+            ("code=404,inst=1", 100): 0.6,
+            ("code=500,inst=1", 100): 0.2,
+        }
+
+    def test_group_right_mirror(self, err_tot):
+        got = rows(eval_promql(
+            err_tot, "tot / on(inst) group_right err", 100, 100, 1))
+        assert got == {
+            ("code=404,inst=1", 100): pytest.approx(10 / 6),
+            ("code=500,inst=1", 100): 5.0,
+        }
+
+    def test_predict_linear(self, spark):
+        rows_ = [
+            ("m?k=a", {"__name__": "m", "k": "a"}, 0, 0.0, 1),
+            ("m?k=a", {"__name__": "m", "k": "a"}, 100, 10.0, 2),
+        ]
+        df = spark.createDataFrame(
+            rows_,
+            "path string, tags map<string,string>, time long, value double, version long",
+        )
+        got = rows(eval_promql(df, "predict_linear(m[200s], 100)", 100, 100, 1))
+        assert got[("k=a", 100)] == pytest.approx(20.0)
+        got = rows(eval_promql(df, "predict_linear(m[200s], 0)", 100, 100, 1))
+        assert got[("k=a", 100)] == pytest.approx(10.0)
+
+    def test_predict_requires_scalar(self):
+        with pytest.raises(PromQLError):
+            parse_promql("predict_linear(m[5m])")
