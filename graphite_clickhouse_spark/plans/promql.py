@@ -11,11 +11,13 @@ DataFrame plans:
   (sample picked per eval step = newest sample in (t - lookback, t]) and
   the `offset <dur>` modifier;
 - range-vector functions rate / increase / delta / idelta / deriv /
-  changes / resets / {avg,sum,min,max,count,last}_over_time over
+  changes / resets / holt_winters / quantile_over_time /
+  {avg,sum,min,max,count,last,stddev,stdvar}_over_time over
   `sel[window]`, and subqueries `expr[window:resolution]` (inner
   expression evaluated on its own absolute-aligned grid);
-- aggregation operators sum / avg / min / max / count and parameterized
-  topk / bottomk / quantile with `by (...)` / `without (...)` grouping;
+- aggregation operators sum / avg / min / max / count / stddev / stdvar
+  and parameterized topk / bottomk / quantile with `by (...)` /
+  `without (...)` grouping;
 - absent(); histogram_quantile() over `le`-labeled cumulative buckets;
 - math functions abs/ceil/floor/round/exp/ln/log2/log10/sqrt/clamp_min/
   clamp_max; label_replace / label_join;
@@ -58,16 +60,21 @@ DEFAULT_LOOKBACK = 300
 #: resolution of 11,000 points per timeseries").
 MAX_RESOLUTION = 11000
 
-AGG_OPS = {"sum", "avg", "min", "max", "count", "topk", "bottomk", "quantile"}
+AGG_OPS = {"sum", "avg", "min", "max", "count", "stddev", "stdvar",
+           "topk", "bottomk", "quantile"}
 #: aggregation operators taking a leading scalar parameter
 PARAM_AGG_OPS = {"topk", "bottomk", "quantile"}
 RANGE_FNS = {
     "rate", "increase", "delta", "idelta", "deriv", "changes", "resets",
     "avg_over_time", "sum_over_time", "min_over_time", "max_over_time",
     "count_over_time", "last_over_time", "predict_linear",
+    "stddev_over_time", "stdvar_over_time", "quantile_over_time",
+    "holt_winters",
 }
-#: range functions taking a trailing scalar argument
-RANGE_FNS_SCALAR = {"predict_linear"}
+#: range functions taking trailing scalar argument(s)
+RANGE_FNS_SCALAR = {"predict_linear", "holt_winters"}
+#: range functions taking a LEADING scalar argument
+RANGE_FNS_LEADING_SCALAR = {"quantile_over_time"}
 #: instant-vector math functions: value -> value, metric name dropped
 MATH_FNS = {
     "abs", "ceil", "floor", "exp", "ln", "log2", "log10", "sqrt",
@@ -154,7 +161,8 @@ class RangeFn:
     fn: str
     selector: object  # VectorSelector | Subquery
     window: int  # seconds
-    param: float | None = None  # predict_linear horizon seconds
+    param: float | None = None  # predict_linear horizon / phi / sf
+    param2: float | None = None  # holt_winters tf
 
 
 @dataclass
@@ -370,6 +378,12 @@ class _Parser:
             return self._agg(name)
         if name in RANGE_FNS:
             self._expect("(")
+            lead = None
+            if name in RANGE_FNS_LEADING_SCALAR:
+                lead = self._number()
+                if lead is None:
+                    raise PromQLError(f"{name} expects a scalar first argument")
+                self._expect(",")
             inner = self._expr()
             self._expect("[")
             window = self._duration_token()
@@ -389,15 +403,22 @@ class _Parser:
                     )
                 inner.offset = self._offset_opt()
                 sel = inner
-            param = None
-            if self._peek() == ",":
+            params = []
+            while self._peek() == ",":
                 self.i += 1
-                param = self._number()
-                if param is None:
+                pnum = self._number()
+                if pnum is None:
                     raise PromQLError(f"{name} expects a scalar argument")
-            if name in RANGE_FNS_SCALAR and param is None:
+                params.append(pnum)
+            if name in RANGE_FNS_SCALAR and not params:
                 raise PromQLError(f"{name} expects a scalar second argument")
-            node = RangeFn(name, sel, window, param)
+            if name == "holt_winters" and len(params) != 2:
+                raise PromQLError(
+                    "holt_winters expects (v, smoothing_factor, trend_factor)"
+                )
+            param = lead if lead is not None else (params[0] if params else None)
+            param2 = params[1] if len(params) > 1 else None
+            node = RangeFn(name, sel, window, param, param2)
             self._expect(")")
             return node
         if name == "time":
@@ -748,6 +769,8 @@ class Evaluator:
         "min_over_time": lambda: F.min("value"),
         "max_over_time": lambda: F.max("value"),
         "count_over_time": lambda: F.count("value").cast("double"),
+        "stddev_over_time": lambda: F.stddev_pop("value"),
+        "stdvar_over_time": lambda: F.var_pop("value"),
     }
 
     def _subquery_samples(self, sub: Subquery, window: int) -> DataFrame:
@@ -797,6 +820,16 @@ class Evaluator:
         elif node.fn == "last_over_time":
             out = g.agg(F.max_by("value", "time").alias("value"),
                         F.first("tags").alias("labels"))
+        elif node.fn == "quantile_over_time":
+            phi = float(node.param if node.param is not None else 0.0)
+            if phi < 0 or phi > 1:
+                raise PromQLError("quantile phi must be in [0, 1]")
+            out = g.agg(
+                F.percentile("value", F.lit(phi)).alias("value"),
+                F.first("tags").alias("labels"),
+            )
+        elif node.fn == "holt_winters":
+            out = self._holt_winters(g, node)
         elif node.fn in ("deriv", "predict_linear"):
             out = self._deriv(g, node)
         elif node.fn in ("changes", "resets"):
@@ -839,6 +872,44 @@ class Evaluator:
         return agg.filter(denom != 0).select(
             "path", "j", "labels", value.alias("value")
         )
+
+    def _holt_winters(self, grouped, node: RangeFn) -> DataFrame:
+        """holt_winters (double exponential smoothing, upstream
+        promql/functions.go funcHoltWinters): s0 = x0, b0 = x1 - x0;
+        s' = sf*x + (1-sf)*(s + b); b' = tf*(s' - s) + (1-tf)*b; the
+        smoothed level after the last sample is returned. Needs >= 2
+        samples. Ordered fold over the sorted window — JVM-side."""
+        sf = float(node.param)
+        tf = float(node.param2)
+        if not (0 < sf < 1) or not (0 < tf < 1):
+            raise PromQLError(
+                "holt_winters smoothing factors must be in (0, 1)"
+            )
+        base = grouped.agg(
+            F.sort_array(
+                F.collect_list(F.struct("time", "value"))
+            ).alias("samples"),
+            F.first("tags").alias("labels"),
+        ).filter(F.size("samples") >= 2)
+        # state after upstream's i=1 iteration (trend b untouched there):
+        #   s0 = x0; b = x1 - x0; s1 = sf*x1 + (1-sf)*(x0 + b)
+        # each further sample updates b from the two previous levels FIRST
+        # (calcTrendValue), then the level from the updated trend
+        value = F.expr(
+            "aggregate(slice(samples, 3, size(samples) - 2), "
+            "named_struct("
+            "  's0', samples[0].value, "
+            f" 's1', {sf} * samples[1].value + (1 - {sf}) * "
+            "        (samples[0].value + (samples[1].value - samples[0].value)), "
+            "  'b', samples[1].value - samples[0].value), "
+            f"(st, x) -> named_struct("
+            "  's0', st.s1, "
+            f" 's1', {sf} * x.value + (1 - {sf}) * (st.s1 + "
+            f"       ({tf} * (st.s1 - st.s0) + (1 - {tf}) * st.b)), "
+            f" 'b', {tf} * (st.s1 - st.s0) + (1 - {tf}) * st.b), "
+            "st -> st.s1)"
+        )
+        return base.select("path", "j", "labels", value.alias("value"))
 
     def _fold_count(self, grouped, fn: str) -> DataFrame:
         """changes() / resets(): ordered fold counting value transitions
@@ -973,6 +1044,8 @@ class Evaluator:
             "min": F.min("value"),
             "max": F.max("value"),
             "count": F.count("value").cast("double"),
+            "stddev": F.stddev_pop("value"),
+            "stdvar": F.var_pop("value"),
             "quantile": None,  # built below (needs phi)
         }[node.op]
         if node.op == "quantile":

@@ -658,3 +658,47 @@ class TestGroupModifiersAndPredict:
     def test_predict_requires_scalar(self):
         with pytest.raises(PromQLError):
             parse_promql("predict_linear(m[5m])")
+
+
+class TestStatsFns:
+    @pytest.fixture(scope="class")
+    def series5(self, spark):
+        vals = [10.0, 12.0, 11.0, 14.0, 16.0]
+        rows_ = [("m?k=a", {"__name__": "m", "k": "a"}, 60 * i, v, i)
+                 for i, v in enumerate(vals)]
+        return spark.createDataFrame(
+            rows_,
+            "path string, tags map<string,string>, time long, value double, version long",
+        )
+
+    def test_stddev_stdvar_over_time(self, series5):
+        # pop variance of [10,12,11,14,16] = 4.64
+        got = rows(eval_promql(series5, "stdvar_over_time(m[300s])", 280, 280, 1))
+        assert got[("k=a", 280)] == pytest.approx(4.64)
+        got = rows(eval_promql(series5, "stddev_over_time(m[300s])", 280, 280, 1))
+        assert got[("k=a", 280)] == pytest.approx(4.64 ** 0.5)
+
+    def test_quantile_over_time(self, series5):
+        got = rows(eval_promql(
+            series5, "quantile_over_time(0.5, m[300s])", 280, 280, 1))
+        assert got[("k=a", 280)] == 12.0
+
+    def test_holt_winters_matches_reference_algo(self, series5):
+        vals = [10.0, 12.0, 11.0, 14.0, 16.0]
+        sf_, tf_ = 0.5, 0.3
+        s0, s1, b = 0.0, vals[0], vals[1] - vals[0]
+        for i in range(1, len(vals)):
+            b2 = b if i - 1 == 0 else tf_ * (s1 - s0) + (1 - tf_) * b
+            s0, s1, b = s1, sf_ * vals[i] + (1 - sf_) * (s1 + b2), b2
+        got = rows(eval_promql(
+            series5, "holt_winters(m[300s], 0.5, 0.3)", 280, 280, 1))
+        assert got[("k=a", 280)] == pytest.approx(s1, rel=1e-12)
+
+    def test_holt_winters_factor_range(self, series5):
+        with pytest.raises(PromQLError):
+            eval_promql(series5, "holt_winters(m[300s], 1.5, 0.3)", 280, 280, 1)
+
+    def test_stddev_agg(self, tagged):
+        # two series at t=300: 2.0 and 25.0 -> pop stddev = 11.5
+        got = rows(eval_promql(tagged, "stddev(m)", 300, 300, 1))
+        assert got[("", 300)] == pytest.approx(11.5)
