@@ -24,7 +24,8 @@ DataFrame plans:
 - vector-scalar arithmetic (+ - * /) in either operand order, and
   vector-vector arithmetic with label matching (default one-to-one key,
   on(...) / ignoring(...) modifiers, group_left / group_right
-  many-to-one with label copying); predict_linear;
+  many-to-one with label copying); and / or / unless set operators;
+  predict_linear;
 - comparison operators (> < >= <= == !=) in filter and `bool` modes, for
   both vector-scalar and matched vector-vector operands;
 - time() as a per-step scalar in arithmetic and comparisons.
@@ -322,6 +323,24 @@ class _Parser:
         node = self._primary()
         while True:
             save = self.i
+            word = self._ident()
+            if word in ("and", "or", "unless"):
+                match_on = match_ignoring = None
+                save2 = self.i
+                mod = self._ident()
+                if mod in ("on", "ignoring"):
+                    labels_ = tuple(self._label_list())
+                    if mod == "on":
+                        match_on = labels_
+                    else:
+                        match_ignoring = labels_
+                else:
+                    self.i = save2
+                node = VecBinOp(word, node, self._primary(),
+                                match_on=match_on,
+                                match_ignoring=match_ignoring)
+                continue
+            self.i = save
             op = self._binop_token()
             if op is None:
                 break
@@ -1248,6 +1267,29 @@ class Evaluator:
             mkey(F.col("labels")).alias("mkey"),
             F.col("labels").alias("rlabels"),
         )
+        if node.op in ("and", "unless"):
+            # left samples whose match key (does not) appear(s) on the
+            # right at the same step — semi/anti join, labels untouched
+            how = "left_semi" if node.op == "and" else "left_anti"
+            keys = r.select("mkey", "t")
+            return (
+                l.join(keys, ["mkey", "t"], how)
+                .select(F.col("llabels").alias("labels"), "t",
+                        F.col("lv").alias("value"))
+            )
+        if node.op == "or":
+            # all left samples, plus right samples whose key has no left
+            # sample at that step
+            right_only = (
+                r.join(l.select("mkey", "t"), ["mkey", "t"], "left_anti")
+                .select(F.col("rlabels").alias("labels"), "t",
+                        F.col("rv").alias("value"))
+            )
+            return (
+                l.select(F.col("llabels").alias("labels"), "t",
+                         F.col("lv").alias("value"))
+                .unionByName(right_only)
+            )
         joined = l.join(r, ["mkey", "t"])
         # output label set: the many side under group_left/group_right
         # (listed labels copied over from the one side), else the left

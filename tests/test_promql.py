@@ -702,3 +702,39 @@ class TestStatsFns:
         # two series at t=300: 2.0 and 25.0 -> pop stddev = 11.5
         got = rows(eval_promql(tagged, "stddev(m)", 300, 300, 1))
         assert got[("", 300)] == pytest.approx(11.5)
+
+
+class TestSetOperators:
+    @pytest.fixture(scope="class")
+    def ab(self, spark):
+        rows_ = [
+            ("a?k=x", {"__name__": "a", "k": "x"}, 100, 1.0, 1),
+            ("a?k=y", {"__name__": "a", "k": "y"}, 100, 2.0, 2),
+            ("b?k=y", {"__name__": "b", "k": "y"}, 100, 9.0, 3),
+            ("b?k=z", {"__name__": "b", "k": "z"}, 100, 8.0, 4),
+        ]
+        return spark.createDataFrame(
+            rows_,
+            "path string, tags map<string,string>, time long, value double, version long",
+        )
+
+    def test_and(self, ab):
+        got = rows(eval_promql(ab, "a and b", 100, 100, 1))
+        assert got == {("__name__=a,k=y", 100): 2.0}
+
+    def test_unless(self, ab):
+        got = rows(eval_promql(ab, "a unless b", 100, 100, 1))
+        assert got == {("__name__=a,k=x", 100): 1.0}
+
+    def test_or(self, ab):
+        got = rows(eval_promql(ab, "a or b", 100, 100, 1))
+        assert got == {
+            ("__name__=a,k=x", 100): 1.0,
+            ("__name__=a,k=y", 100): 2.0,
+            ("__name__=b,k=z", 100): 8.0,
+        }
+
+    def test_and_composes_with_comparison(self, ab):
+        # alert shape: series above a threshold AND present in b
+        got = rows(eval_promql(ab, "(a > 1.5) and b", 100, 100, 1))
+        assert got == {("__name__=a,k=y", 100): 2.0}
