@@ -19,8 +19,8 @@ DataFrame plans:
   and parameterized topk / bottomk / quantile with `by (...)` /
   `without (...)` grouping;
 - absent(); histogram_quantile() over `le`-labeled cumulative buckets;
-- math functions abs/ceil/floor/round/exp/ln/log2/log10/sqrt/clamp_min/
-  clamp_max; label_replace / label_join;
+- math functions abs/ceil/floor/round/exp/ln/log2/log10/sqrt/sgn/
+  clamp/clamp_min/clamp_max; label_replace / label_join;
 - vector-scalar arithmetic (+ - * /) in either operand order, and
   vector-vector arithmetic with label matching (default one-to-one key,
   on(...) / ignoring(...) modifiers, group_left / group_right
@@ -78,8 +78,8 @@ RANGE_FNS_SCALAR = {"predict_linear", "holt_winters"}
 RANGE_FNS_LEADING_SCALAR = {"quantile_over_time"}
 #: instant-vector math functions: value -> value, metric name dropped
 MATH_FNS = {
-    "abs", "ceil", "floor", "exp", "ln", "log2", "log10", "sqrt",
-    "clamp_min", "clamp_max", "round",
+    "abs", "ceil", "floor", "exp", "ln", "log2", "log10", "sqrt", "sgn",
+    "clamp_min", "clamp_max", "clamp", "round",
 }
 #: math functions taking a trailing scalar argument (round's is optional)
 MATH_FNS_SCALAR = {"clamp_min", "clamp_max"}
@@ -182,6 +182,7 @@ class MathFn:
     fn: str
     expr: object
     scalar: float | None = None  # clamp bound / round nearest
+    scalar2: float | None = None  # clamp upper bound
 
 
 @dataclass
@@ -464,16 +465,19 @@ class _Parser:
         if name in MATH_FNS:
             self._expect("(")
             inner = self._expr()
-            scalar = None
-            if self._peek() == ",":
+            scalars = []
+            while self._peek() == ",":
                 self.i += 1
-                scalar = self._number()
-                if scalar is None:
+                sc = self._number()
+                if sc is None:
                     raise PromQLError(f"{name} expects a scalar argument")
-            if name in MATH_FNS_SCALAR and scalar is None:
+                scalars.append(sc)
+            if name in MATH_FNS_SCALAR and not scalars:
                 raise PromQLError(f"{name} expects a scalar second argument")
+            if name == "clamp" and len(scalars) != 2:
+                raise PromQLError("clamp expects (v, min, max)")
             self._expect(")")
-            return MathFn(name, inner, scalar)
+            return MathFn(name, inner, *scalars[:2])
         if name in ("label_replace", "label_join"):
             self._expect("(")
             inner = self._expr()
@@ -1182,6 +1186,16 @@ class Evaluator:
             value = F.greatest(v, F.lit(float(node.scalar)))
         elif node.fn == "clamp_max":
             value = F.least(v, F.lit(float(node.scalar)))
+        elif node.fn == "clamp":
+            lo, hi = float(node.scalar), float(node.scalar2)
+            # upstream: empty vector when min > max
+            if lo > hi:
+                return child.filter(F.lit(False)).select(
+                    _drop_name(F.col("labels")).alias("labels"), "t", "value"
+                )
+            value = F.least(F.greatest(v, F.lit(lo)), F.lit(hi))
+        elif node.fn == "sgn":
+            value = F.signum(v)
         else:
             value = {
                 "abs": F.abs(v),

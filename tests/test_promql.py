@@ -738,3 +738,20 @@ class TestSetOperators:
         # alert shape: series above a threshold AND present in b
         got = rows(eval_promql(ab, "(a > 1.5) and b", 100, 100, 1))
         assert got == {("__name__=a,k=y", 100): 2.0}
+
+
+class TestClampSgn:
+    def test_clamp(self, tagged):
+        got = rows(eval_promql(tagged, "clamp(m, 3, 20)", 300, 300, 1))
+        assert got == {("k=a", 300): 3.0, ("k=b", 300): 20.0}
+
+    def test_clamp_min_gt_max_empty(self, tagged):
+        assert rows(eval_promql(tagged, "clamp(m, 5, 1)", 300, 300, 1)) == {}
+
+    def test_sgn(self, tagged):
+        got = rows(eval_promql(tagged, "sgn(m - 10)", 300, 300, 1))
+        assert got == {("k=a", 300): -1.0, ("k=b", 300): 1.0}
+
+    def test_clamp_arity(self):
+        with pytest.raises(PromQLError):
+            parse_promql("clamp(m, 1)")
