@@ -10,7 +10,8 @@ DataFrame plans:
 - instant-vector selectors `name{k="v",k2=~"re"}` with staleness lookback
   (sample picked per eval step = newest sample in (t - lookback, t]) and
   the `offset <dur>` modifier;
-- range-vector functions rate / increase / delta / idelta / deriv /
+- range-vector functions rate / increase / delta / idelta / irate /
+  deriv /
   changes / resets / holt_winters / quantile_over_time /
   {avg,sum,min,max,count,last,stddev,stdvar}_over_time over
   `sel[window]`, and subqueries `expr[window:resolution]` (inner
@@ -66,7 +67,8 @@ AGG_OPS = {"sum", "avg", "min", "max", "count", "stddev", "stdvar",
 #: aggregation operators taking a leading scalar parameter
 PARAM_AGG_OPS = {"topk", "bottomk", "quantile"}
 RANGE_FNS = {
-    "rate", "increase", "delta", "idelta", "deriv", "changes", "resets",
+    "rate", "increase", "delta", "idelta", "irate", "deriv", "changes",
+    "resets",
     "avg_over_time", "sum_over_time", "min_over_time", "max_over_time",
     "count_over_time", "last_over_time", "predict_linear",
     "stddev_over_time", "stdvar_over_time", "quantile_over_time",
@@ -980,6 +982,16 @@ class Evaluator:
             prev_v = F.element_at(s, -2).getField("value")
             return base.select(
                 "path", "j", "labels", (last_v - prev_v).alias("value")
+            )
+        if node.fn == "irate":
+            # instant rate over the last two samples, counter-reset aware
+            # (promql/functions.go instantValue)
+            prev_v = F.element_at(s, -2).getField("value")
+            prev_t = F.element_at(s, -2).getField("time")
+            inc = F.when(last_v < prev_v, last_v).otherwise(last_v - prev_v)
+            return base.select(
+                "path", "j", "labels",
+                (inc / (last_t - prev_t).cast("double")).alias("value"),
             )
         if node.fn == "delta":
             raw = (last_v - first_v).alias("raw")

@@ -755,3 +755,15 @@ class TestClampSgn:
     def test_clamp_arity(self):
         with pytest.raises(PromQLError):
             parse_promql("clamp(m, 1)")
+
+
+class TestIrate:
+    def test_irate_last_two_samples(self, tagged):
+        # a: last two in (0,300] are (220,1.0),(280,2.0) -> 1/60
+        got = rows(eval_promql(tagged, 'irate(m{k="a"}[300s])', 300, 300, 1))
+        assert got[("k=a", 300)] == pytest.approx(1.0 / 60)
+
+    def test_irate_counter_reset(self, tagged):
+        # window (100,220]: samples (160,3.0),(220,1.0) -> reset: 1.0/60
+        got = rows(eval_promql(tagged, 'irate(m{k="a"}[120s])', 220, 220, 1))
+        assert got[("k=a", 220)] == pytest.approx(1.0 / 60)
