@@ -22,9 +22,10 @@ TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # testdata events.parquet stores TIMESTAMP(NANOS) which Spark cannot map
-    # to TimestampType; read it as long nanoseconds instead (works when set
-    # dynamically on an existing session).
+    # some testdata generations store events.ts as TIMESTAMP(NANOS), which
+    # Spark can only read as long nanoseconds; the setting is a no-op for
+    # micros-typed data (current generation) and safe to set dynamically.
+    # events_ts_seconds() adapts to whichever type comes back.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
