@@ -279,3 +279,15 @@ class TestPromQLPlanShape:
         assert "Join" not in plan
         # the path repartition (pre-explode, raw rows) + the output sort
         assert plan.count("Exchange") <= 2
+
+    def test_set_operators_are_hash_joins(self, spark):
+        from graphite_clickhouse_spark.plans.promql import eval_promql
+
+        tagged = spark.createDataFrame(
+            [("m?k=a", {"__name__": "m", "k": "a"}, 100, 1.0, 1)],
+            "path string, tags map<string,string>, time long, value double, version long",
+        )
+        for expr, frag in [("m and m", "LeftSemi"), ("m unless m", "LeftAnti")]:
+            plan = plan_of(eval_promql(tagged, expr, 0, 600, 60))
+            assert "CartesianProduct" not in plan, expr
+            assert frag in plan, f"{expr}: expected {frag} join\n{plan[:500]}"
