@@ -134,3 +134,48 @@ class TestTimeSpecs:
         s = str(ts)
         if len(s) != 8:
             assert date_param_to_epoch(s, 0) == ts
+
+
+class TestPromQLParserRobustness:
+    """The /api/v1/query* surface maps PromQLError to a clean 400; any
+    other exception type from the parser would surface as a 500. Fuzz the
+    parser: arbitrary input must either parse or raise PromQLError."""
+
+    @given(st.text(max_size=80))
+    @settings(max_examples=300, deadline=None)
+    def test_parser_never_crashes(self, s):
+        from graphite_clickhouse_spark.plans.promql import (
+            PromQLError,
+            parse_promql,
+        )
+
+        try:
+            parse_promql(s)
+        except PromQLError:
+            pass
+
+    @given(st.text(alphabet='mk{}()[]"=~!<>+-*/: 0123456789absdh', max_size=40))
+    @settings(max_examples=300, deadline=None)
+    def test_parser_never_crashes_querylike(self, s):
+        from graphite_clickhouse_spark.plans.promql import (
+            PromQLError,
+            parse_promql,
+        )
+
+        try:
+            parse_promql(s)
+        except PromQLError:
+            pass
+
+    @given(st.text(max_size=30))
+    @settings(max_examples=200, deadline=None)
+    def test_duration_parser_never_crashes(self, s):
+        from graphite_clickhouse_spark.plans.promql import (
+            PromQLError,
+            parse_duration,
+        )
+
+        try:
+            parse_duration(s)
+        except PromQLError:
+            pass
