@@ -74,6 +74,24 @@ class GraphiteHandler(BaseHTTPRequestHandler):
         url = urlparse(self.path)
         q = {k: v[0] for k, v in parse_qs(url.query).items()}
         qlist = parse_qs(url.query)
+        # Prometheus clients (Grafana included) POST form-encoded bodies
+        # to /api/v1/*; merge body params under URL params (URL wins, as
+        # upstream's Request.FormValue does after ParseForm)
+        if (
+            self.command == "POST"
+            and "application/x-www-form-urlencoded"
+            in self.headers.get("Content-Type", "")
+            # clients that default the content-type (urllib!) may still be
+            # sending a protobuf body — the URL format param is the truth
+            and q.get("format") != "carbonapi_v3_pb"
+        ):
+            length = int(self.headers.get("Content-Length", 0) or 0)
+            if length > 0:
+                self._body_consumed = True
+                body = parse_qs(self.rfile.read(length).decode("utf-8", "replace"))
+                for k, v in body.items():
+                    qlist.setdefault(k, []).extend(v)
+                    q.setdefault(k, v[0])
         try:
             if url.path in ("/", "/alive"):
                 self._send(b"Graphite-clickhouse-spark is alive.\n", "text/plain")
@@ -400,6 +418,8 @@ class GraphiteHandler(BaseHTTPRequestHandler):
         # POST body with a carbonapi_v3_pb MultiFetchRequest (the carbonapi
         # request path, render/reply/v3_pb.go:25-62)
         clen = int(self.headers.get("Content-Length") or 0)
+        if clen and getattr(self, "_body_consumed", False):
+            clen = 0  # form-encoded body already drained in do_POST
         if clen and q.get("format") == "carbonapi_v3_pb":
             from .render.request import parse_multi_fetch_request
 

@@ -767,3 +767,34 @@ class TestIrate:
         # window (100,220]: samples (160,3.0),(220,1.0) -> reset: 1.0/60
         got = rows(eval_promql(tagged, 'irate(m{k="a"}[120s])', 220, 220, 1))
         assert got[("k=a", 220)] == pytest.approx(1.0 / 60)
+
+
+class TestFormPost:
+    def test_form_encoded_post_query(self, prom_url):
+        import urllib.request as rq
+
+        data = urllib.parse.urlencode({
+            "query": 'm{k="b"}', "time": 300,
+        }).encode()
+        req = rq.Request(
+            f"{prom_url}/api/v1/query", data=data,
+            headers={"Content-Type": "application/x-www-form-urlencoded"},
+        )
+        with rq.urlopen(req, timeout=120) as r:
+            got = json.loads(r.read())
+        assert got["status"] == "success"
+        assert got["data"]["result"][0]["value"] == [300, "25.0"]
+
+    def test_url_param_wins_over_body(self, prom_url):
+        import urllib.request as rq
+
+        data = urllib.parse.urlencode({"query": 'm{k="a"}', "time": 300}).encode()
+        req = rq.Request(
+            f"{prom_url}/api/v1/query?query=" + urllib.parse.quote('m{k="b"}'),
+            data=data,
+            headers={"Content-Type": "application/x-www-form-urlencoded"},
+        )
+        with rq.urlopen(req, timeout=120) as r:
+            got = json.loads(r.read())
+        (res,) = got["data"]["result"]
+        assert res["metric"]["k"] == "b"
