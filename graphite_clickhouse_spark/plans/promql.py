@@ -17,7 +17,7 @@ DataFrame plans:
   `sel[window]`, and subqueries `expr[window:resolution]` (inner
   expression evaluated on its own absolute-aligned grid);
 - aggregation operators sum / avg / min / max / count / stddev / stdvar
-  and parameterized topk / bottomk / quantile with `by (...)` /
+  / count_values and parameterized topk / bottomk / quantile with `by (...)` /
   `without (...)` grouping;
 - absent(); histogram_quantile() over `le`-labeled cumulative buckets;
 - math functions abs/ceil/floor/round/exp/ln/log2/log10/sqrt/sgn/
@@ -63,7 +63,7 @@ DEFAULT_LOOKBACK = 300
 MAX_RESOLUTION = 11000
 
 AGG_OPS = {"sum", "avg", "min", "max", "count", "stddev", "stdvar",
-           "topk", "bottomk", "quantile"}
+           "topk", "bottomk", "quantile", "count_values"}
 #: aggregation operators taking a leading scalar parameter
 PARAM_AGG_OPS = {"topk", "bottomk", "quantile"}
 RANGE_FNS = {
@@ -202,6 +202,7 @@ class Aggregate:
     grouping: list[str] = field(default_factory=list)
     without: bool = False
     param: float | None = None  # topk/bottomk k, quantile phi
+    str_param: str | None = None  # count_values destination label
 
 
 @dataclass
@@ -517,10 +518,16 @@ class _Parser:
             grouping, without = self._label_list(), mod == "without"
         self._expect("(")
         param = None
+        str_param = None
         if op in PARAM_AGG_OPS:
             param = self._number()
             if param is None:
                 raise PromQLError(f"{op} expects a scalar first argument")
+            self._expect(",")
+        elif op == "count_values":
+            str_param = self._string()
+            if not _LABEL_RE.fullmatch(str_param):
+                raise PromQLError(f"invalid label name: {str_param!r}")
             self._expect(",")
         inner = self._expr()
         self._expect(")")
@@ -531,7 +538,7 @@ class _Parser:
                 grouping, without = self._label_list(), word == "without"
             else:
                 self.i = save
-        return Aggregate(op, inner, grouping or [], without, param)
+        return Aggregate(op, inner, grouping or [], without, param, str_param)
 
     _STRING_RE = re.compile(r'"((?:[^"\\]|\\.)*)"')
 
@@ -1051,6 +1058,27 @@ class Evaluator:
             )
         else:
             keep = F.expr("cast(map() as map<string,string>)")
+        if node.op == "count_values":
+            # group additionally by the sample value rendered as a label
+            # (integral values without a trailing .0, as FormatFloat 'f' -1)
+            dst = node.str_param or "value"
+            v = F.col("value")
+            vstr = F.when(
+                (v == F.floor(v)) & (F.abs(v) < 1e15),
+                v.cast("long").cast("string"),
+            ).otherwise(v.cast("string"))
+            keep2 = F.map_concat(
+                F.map_filter(keep, lambda k, _: k != dst),
+                F.create_map(F.lit(dst), vstr),
+            )
+            return (
+                child.withColumn("labels", keep2)
+                .withColumn("gkey", _canon(F.col("labels")))
+                .groupBy("gkey", "t")
+                .agg(F.count("*").cast("double").alias("value"),
+                     F.first("labels").alias("labels"))
+                .select("labels", "t", "value")
+            )
         if node.op in ("topk", "bottomk"):
             # selects k series per (group, step) but KEEPS the original
             # label sets (upstream topk/bottomk semantics); deterministic

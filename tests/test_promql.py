@@ -798,3 +798,34 @@ class TestFormPost:
             got = json.loads(r.read())
         (res,) = got["data"]["result"]
         assert res["metric"]["k"] == "b"
+
+
+class TestCountValues:
+    def test_count_values(self, spark):
+        rows_ = [
+            ("m?k=a", {"__name__": "m", "k": "a"}, 100, 2.0, 1),
+            ("m?k=b", {"__name__": "m", "k": "b"}, 100, 2.0, 2),
+            ("m?k=c", {"__name__": "m", "k": "c"}, 100, 0.5, 3),
+        ]
+        df = spark.createDataFrame(
+            rows_,
+            "path string, tags map<string,string>, time long, value double, version long",
+        )
+        got = rows(eval_promql(df, 'count_values("val", m)', 100, 100, 1))
+        assert got == {("val=2", 100): 2.0, ("val=0.5", 100): 1.0}
+
+    def test_count_values_by(self, spark):
+        rows_ = [
+            ("m?k=a", {"__name__": "m", "k": "a"}, 100, 7.0, 1),
+            ("m?k=b", {"__name__": "m", "k": "b"}, 100, 7.0, 2),
+        ]
+        df = spark.createDataFrame(
+            rows_,
+            "path string, tags map<string,string>, time long, value double, version long",
+        )
+        got = rows(eval_promql(df, 'count_values("v", m) by (k)', 100, 100, 1))
+        assert got == {("k=a,v=7", 100): 1.0, ("k=b,v=7", 100): 1.0}
+
+    def test_invalid_dst_label(self):
+        with pytest.raises(PromQLError):
+            parse_promql('count_values("not a label!", m)')
