@@ -1321,32 +1321,111 @@ SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank FROM (
 
 
 # ---------------------------------------------------------------------------
-# non-SQL-expressible ops (rows-only checks: xxhash64 has no DuckDB twin)
+# near-dup flagships — ORACLE-VERIFIED portable modes. The production
+# default stays xxhash64 (cheaper at 100 TB; pipeline/dedup.py minhash_dedup
+# / simhash); the contract queries run the md5-derived hash60 modes so the
+# DuckDB oracle reproduces the exact answer set end-to-end: signatures,
+# LSH banding, candidate join and verification.
 # ---------------------------------------------------------------------------
 
 
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup: signature -> banded buckets -> verified
-    Jaccard. xxhash64-based, no SQL oracle (rows-only check)."""
-    from graphite_clickhouse_spark.pipeline.dedup import minhash_dedup
+    """MinHash+LSH near-dup: 32 md5-lane signatures -> 16 banded buckets
+    -> exact-Jaccard verification of candidates only (portable mode:
+    hash60(lane || ':' || shingle), band key = joined signature slice)."""
+    from graphite_clickhouse_spark.pipeline.dedup import minhash_dedup_portable
     from graphite_clickhouse_spark.sources.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_dedup(docs, n=3, num_hashes=32, bands=16, threshold=0.5)
+    pairs = minhash_dedup_portable(
+        docs, n=3, num_hashes=32, bands=16, threshold=0.5
+    )
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
-def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash fingerprints + Hamming-bucket near-pairs (rows-only).
+SQL_MINHASH_DEDUP = """
+WITH toks AS (
+    SELECT doc_id AS id, regexp_split_to_array(trim(text), '\\s+') AS t
+    FROM documents
+), grams AS (
+    SELECT id, list_distinct(
+        list_transform(generate_series(1, len(t) - 2),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+    FROM toks WHERE len(t) >= 3
+), shing AS (
+    SELECT id, unnest(sh) AS s FROM grams
+), lane_min AS (
+    SELECT sh.id, l.lane,
+           min(('0x' || substr(md5(l.lane || ':' || sh.s), 1, 15))::BIGINT) AS minv
+    FROM shing sh CROSS JOIN (SELECT unnest(range(0, 32)) AS lane) l
+    GROUP BY sh.id, l.lane
+), sig AS (
+    SELECT id, array_agg(minv ORDER BY lane) AS sig FROM lane_min GROUP BY id
+), banded AS (
+    SELECT id, b.band,
+           array_to_string(list_transform(sig[b.band*2+1 : b.band*2+2],
+                                          x -> x::VARCHAR), ',') AS bkey
+    FROM sig CROSS JOIN (SELECT unnest(range(0, 16)) AS band) b
+), cand AS (
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b
+    FROM banded a
+    JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id
+), verified AS (
+    SELECT c.id_a, c.id_b,
+           len(list_intersect(ga.sh, gb.sh))
+             / (len(ga.sh) + len(gb.sh) - len(list_intersect(ga.sh, gb.sh)))
+             AS jaccard
+    FROM cand c
+    JOIN grams ga ON ga.id = c.id_a
+    JOIN grams gb ON gb.id = c.id_b
+)
+SELECT id_a, id_b, round(jaccard, 6) AS jaccard
+FROM verified WHERE jaccard >= 0.5
+"""
 
-    max_hamming=3 is the lossless regime for the 4x16-bit chunk LSH
-    (pigeonhole: <=3 flipped bits leave >=1 chunk intact), i.e. the
-    result is EXACTLY all pairs within Hamming distance 3."""
-    from graphite_clickhouse_spark.pipeline.dedup import simhash, simhash_near_pairs
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints + Hamming-bucket near-pairs (portable mode:
+    60-bit md5-derived token hashes, 4x15-bit chunk LSH).
+
+    max_hamming=3 is the lossless regime for the 4-chunk LSH (pigeonhole:
+    <=3 flipped bits leave >=1 chunk intact), i.e. the result is EXACTLY
+    all pairs within Hamming distance 3."""
+    from graphite_clickhouse_spark.pipeline.dedup import (
+        simhash_near_pairs,
+        simhash_portable,
+    )
     from graphite_clickhouse_spark.sources.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_near_pairs(simhash(docs), max_hamming=3)
+    out = simhash_near_pairs(simhash_portable(docs), max_hamming=3, bits=60)
+    return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+SQL_SIMHASH_PAIRS = """
+WITH toks AS (
+    SELECT doc_id AS id, regexp_split_to_array(trim(text), '\\s+') AS t
+    FROM documents
+), th AS (
+    SELECT id, len(t) AS n_tok,
+           list_transform(t, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS hs
+    FROM toks
+), bits AS (
+    SELECT id, j.j,
+           CASE WHEN 2 * list_sum(list_transform(hs, h -> (h >> j.j) & 1)) > n_tok
+                THEN (1::BIGINT << j.j) ELSE 0 END AS bitval
+    FROM th CROSS JOIN (SELECT unnest(range(0, 60)) AS j) j
+), fp AS (
+    SELECT id, sum(bitval)::BIGINT AS simhash FROM bits GROUP BY id
+), ck AS (
+    SELECT id, simhash, c.c AS chunk, (simhash >> (c.c * 15)) & 32767 AS key
+    FROM fp CROSS JOIN (SELECT unnest(range(0, 4)) AS c) c
+)
+SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM ck a JOIN ck b ON a.chunk = b.chunk AND a.key = b.key AND a.id < b.id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1420,8 +1499,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
     "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
-    "minhash_dedup": (q_minhash_dedup, None),
-    "simhash_pairs": (q_simhash_pairs, None),
+    "minhash_dedup": (q_minhash_dedup, SQL_MINHASH_DEDUP),
+    "simhash_pairs": (q_simhash_pairs, SQL_SIMHASH_PAIRS),
 }
 
 

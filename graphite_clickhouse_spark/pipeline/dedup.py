@@ -43,9 +43,8 @@ def exact_dedup(
 
 # ------------------------------------------------------------- shingles
 
-def word_ngrams(text: Column, n: int) -> Column:
-    """Distinct word n-gram shingles as array<string> (space-joined)."""
-    toks = F.split(F.trim(text), r"\s+")
+def word_ngrams_from_tokens(toks: Column, n: int) -> Column:
+    """Distinct word n-gram shingles (space-joined) from a token array."""
     count = F.size(toks) - F.lit(n - 1)
     grams = F.when(count <= 0, F.array().cast("array<string>")).otherwise(
         F.transform(
@@ -54,6 +53,11 @@ def word_ngrams(text: Column, n: int) -> Column:
         )
     )
     return F.array_distinct(grams)
+
+
+def word_ngrams(text: Column, n: int) -> Column:
+    """Distinct word n-gram shingles as array<string> (space-joined)."""
+    return word_ngrams_from_tokens(F.split(F.trim(text), r"\s+"), n)
 
 
 def shingle_table(
@@ -360,6 +364,126 @@ def minhash_dedup(
     ).filter(F.col("jaccard") >= threshold)
 
 
+def hash60_portable(col: Column) -> Column:
+    """60-bit hash both Spark and DuckDB can compute bit-identically:
+    the first 15 hex chars of md5, parsed as an integer.
+
+    Spark:  conv(substr(md5(x), 1, 15), 16, 10)::long
+    DuckDB: ('0x' || substr(md5(x), 1, 15))::BIGINT
+
+    Used by the *portable* near-dup modes so the DuckDB oracle can verify
+    the full MinHash/SimHash pipelines end-to-end (xxhash64, the
+    production default, has no DuckDB twin). md5 costs ~3x xxhash64 but
+    stays JVM-side and codegen'd; at 100 TB prefer the xxhash64 mode."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def minhash_dedup_portable(
+    df: DataFrame,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash+LSH near-dup with an ORACLE-VERIFIABLE hash family.
+
+    Same algorithm as `minhash_dedup` (signature -> banded buckets ->
+    exact-Jaccard verification of candidates only) but every hash is
+    md5-derived (hash60_portable), lane i's hash of shingle s being
+    h_i(s) = hash60(str(i) || ':' || s), and the band key is the
+    comma-joined signature slice — all reproducible in ANSI-ish SQL, so
+    DuckDB can verify the exact answer set. Plan shape is identical to
+    the production mode: shingle work map-side, one high-cardinality
+    (band, key) self-join for candidates, broadcast verification joins.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold,
+    Jaccard computed over distinct shingle *strings* (== over their
+    hashes, collisions aside).
+    """
+    rows_per_band = num_hashes // bands
+    assert rows_per_band * bands == num_hashes, "bands must divide num_hashes"
+    sets = (
+        tokens_projection(df, text_col, id_col)
+        .filter(F.size("toks") >= n)
+        .select(
+            "id",
+            F.array_sort(word_ngrams_from_tokens(F.col("toks"), n)).alias("sh"),
+        )
+        .cache()
+    )
+    sets.count()  # EAGER: sig branch + both broadcast verify branches reuse it
+    lanes = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    sig = F.transform(
+        lanes,
+        lambda lane: F.array_min(
+            F.transform(
+                F.col("sh"),
+                lambda s: hash60_portable(
+                    F.concat(lane.cast("string"), F.lit(":"), s)
+                ),
+            )
+        ),
+    )
+    # cached: the banded explode and both sides of the candidate self-join
+    # would otherwise re-evaluate the k x |sh| md5 lanes per plan branch
+    sigs = sets.select("id", sig.alias("sig")).cache()
+    sigs.count()
+    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.transform(
+                band_idx,
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.array_join(
+                        F.transform(
+                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                            lambda x: x.cast("string"),
+                        ),
+                        ",",
+                    ).alias("bkey"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    pairs = cands.join(
+        F.broadcast(sets.withColumnsRenamed({"id": "id_a", "sh": "sh_a"})), "id_a"
+    ).join(F.broadcast(sets.withColumnsRenamed({"id": "id_b", "sh": "sh_b"})), "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return pairs.select(
+        "id_a", "id_b", (inter / union).alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
+
+
+def simhash_portable(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """60-bit SimHash with md5-derived token hashes (hash60_portable) so a
+    SQL oracle can reproduce the fingerprints bit-for-bit. Same sign-sum
+    construction as `simhash`; the bit-count kernel is identical (it only
+    sees hash values, so the engines agree exactly)."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    hashes = F.transform(toks, lambda t: hash60_portable(t))
+    fp = F.pandas_udf(_make_simhash_kernel(60), "long")(hashes)
+    return df.select(F.col(id_col).alias("id"), fp.alias("simhash"))
+
+
 def _sorted_intersect_size_kernel(a_arrays, b_arrays):
     import numpy as np
     import pandas as pd
@@ -396,14 +520,27 @@ def simhash(
     pandas UDF — ~6x faster than a 64-fold codegen expression tree, and
     the only Python in the dedup family.
     """
-    assert bits == 64, "simhash kernel is fixed at 64 bits"
+    assert bits == 64, "xxhash64 simhash is fixed at 64 bits"
+    # explicit returnType form: postponed annotations (PEP 563) break the
+    # type-hint variant of pandas_udf
+    _fp_from_hashes = F.pandas_udf(_make_simhash_kernel(bits), "long")
+
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    return df.select(
+        F.col(id_col).alias("id"), _fp_from_hashes(hashes).alias("simhash")
+    )
+
+
+def _make_simhash_kernel(bits: int):
+    """Vectorized sign-sum fingerprint over pre-hashed token arrays."""
     import pandas as pd
 
     def _fp_kernel(hash_arrays):
         import numpy as np
 
         out = np.zeros(len(hash_arrays), dtype=np.int64)
-        shifts = np.arange(64, dtype=np.uint64)
+        shifts = np.arange(bits, dtype=np.uint64)
         masks = (np.uint64(1) << shifts).astype(np.uint64)
         for row, arr in enumerate(hash_arrays):
             if arr is None or len(arr) == 0:
@@ -415,27 +552,24 @@ def simhash(
             out[row] = np.uint64(fp).astype(np.int64)
         return pd.Series(out)
 
-    # explicit returnType form: postponed annotations (PEP 563) break the
-    # type-hint variant of pandas_udf
-    _fp_from_hashes = F.pandas_udf(_fp_kernel, "long")
-
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    return df.select(
-        F.col(id_col).alias("id"), _fp_from_hashes(hashes).alias("simhash")
-    )
+    return _fp_kernel
 
 
-def simhash_near_pairs(fps: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance, LSH-bucketed on 16-bit
-    chunks (a pair within Hamming<=3 of 64 bits shares at least one of the
-    4 chunks exactly — pigeonhole)."""
+def simhash_near_pairs(
+    fps: DataFrame, max_hamming: int = 3, bits: int = 64
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, LSH-bucketed on
+    (bits/4)-wide chunks (a pair within Hamming<=3 of the fingerprint
+    shares at least one of the 4 chunks exactly — pigeonhole)."""
+    chunk_bits = bits // 4
+    assert chunk_bits * 4 == bits, "bits must be divisible by 4"
+    chunk_mask = (1 << chunk_bits) - 1
     chunk_structs = F.array(
         *[
             F.struct(
                 F.lit(c).alias("chunk"),
-                F.shiftrightunsigned(F.col("simhash"), c * 16)
-                .bitwiseAND(F.lit(0xFFFF))
+                F.shiftrightunsigned(F.col("simhash"), c * chunk_bits)
+                .bitwiseAND(F.lit(chunk_mask))
                 .alias("key"),
             )
             for c in range(4)

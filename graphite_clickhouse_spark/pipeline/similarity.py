@@ -15,8 +15,14 @@ paths trade recall for a bucket-pruned scan.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+# exact all-pairs mode driver-collect bound (~1M x 64 doubles ~ 512 MB)
+EXACT_NEARDUP_MAX_VECTORS = 1_000_000
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -195,6 +201,17 @@ def embedding_neardup_pairs(
 
     import numpy as np
 
+    # exact mode collects the corpus to the driver: enforce the documented
+    # ~10^6-vector envelope instead of letting a 100 TB caller OOM the
+    # driver. count() here is a cheap metadata/scan action vs the collect.
+    n_vec = corpus.select(id_col).limit(EXACT_NEARDUP_MAX_VECTORS + 1).count()
+    if n_vec > EXACT_NEARDUP_MAX_VECTORS:
+        raise ValueError(
+            f"embedding_neardup_pairs exact mode (num_planes=0) is bounded "
+            f"to {EXACT_NEARDUP_MAX_VECTORS} vectors (driver-collected); "
+            f"corpus has more - use the LSH mode (num_planes>0), which "
+            f"scales via sign-sketch bucketing"
+        )
     pdf = corpus.select(id_col, vec_col).toPandas()
     ids_all = pdf[id_col].to_numpy()
     M = np.array(pdf[vec_col].tolist(), dtype=np.float64)
@@ -288,24 +305,53 @@ def ivf_assign(
     centroid_id: str = "centroid_id",
     centroid_vec: str = "centroid",
 ) -> DataFrame:
-    """Assign each vector to its nearest centroid (broadcast centroid
-    table; one scan). The assignment becomes the IVF partition key —
-    write the corpus partitioned by it and ANN probes read only the
-    nearest cells."""
-    c = centroids.select(
-        F.col(centroid_id).alias("cid"), F.col(centroid_vec).alias("cvec")
+    """Assign each vector to its nearest centroid — MAP-ONLY (zero
+    Exchange in the plan). The centroid table is small by construction
+    (the IVF cell count), so it is collected once and embedded as a
+    literal array<struct<cid, unit-normalized cvec>>; each row folds an
+    argmax over it inside the scan's projection. The previous
+    crossJoin+window formulation inflated the scan n x k and shuffled all
+    of it to pick a per-row max — at 100 TB that is a ~k x data-moving
+    shuffle for a per-row reduction.
+
+    Tie/NaN semantics match the old (sim desc, cid asc) row_number pick:
+    the argmax runs over struct(sim, -cid) with array_max, whose struct
+    ordering treats NaN as greatest (same as the old desc sort) and
+    prefers the smallest cid on equal sims.
+
+    The assignment becomes the IVF partition key — write the corpus
+    partitioned by it and ANN probes read only the nearest cells."""
+    rows = centroids.select(centroid_id, centroid_vec).limit(100_001).collect()
+    if len(rows) > 100_000:
+        raise ValueError(
+            "ivf_assign: centroid table exceeds 100k rows - not an IVF "
+            "cell table; train fewer centroids (train_centroids(k=...))"
+        )
+    rows.sort(key=lambda r: r[0])
+    cents = []
+    for r in rows:
+        cid, vec = int(r[0]), [float(x) for x in r[1]]
+        nrm = math.sqrt(sum(x * x for x in vec))
+        unit = [x / nrm for x in vec] if nrm > 0.0 else vec
+        cents.append(
+            F.struct(
+                F.lit(cid).alias("cid"),
+                F.array(*[F.lit(x) for x in unit]).alias("cvec"),
+            )
+        )
+    cent_lit = F.array(*cents)
+    v = F.col(vec_col)
+    # dot against unit centroids: argmax-equivalent to cosine (the 1/|v|
+    # factor is a constant positive scale per row)
+    scored = F.transform(
+        cent_lit,
+        lambda c: F.struct(
+            dot(v, c["cvec"]).alias("sim"), (-c["cid"]).alias("negcid")
+        ),
     )
-    scored = corpus.crossJoin(F.broadcast(c)).select(
-        id_col,
-        vec_col,
-        "cid",
-        cosine(F.col(vec_col), F.col("cvec")).alias("sim"),
-    )
-    w = Window.partitionBy(id_col).orderBy(F.col("sim").desc(), F.col("cid"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(id_col, vec_col, F.col("cid").alias(centroid_id))
+    best = F.array_max(scored)
+    return corpus.select(
+        id_col, vec_col, (-best["negcid"]).alias(centroid_id)
     )
 
 

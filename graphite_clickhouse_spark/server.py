@@ -89,9 +89,12 @@ class GraphiteHandler(BaseHTTPRequestHandler):
             if length > 0:
                 self._body_consumed = True
                 body = parse_qs(self.rfile.read(length).decode("utf-8", "replace"))
+                # Go's Request.FormValue semantics (the upstream behavior):
+                # ParseForm puts POST body values BEFORE the URL query's,
+                # so body wins for single-value reads
                 for k, v in body.items():
-                    qlist.setdefault(k, []).extend(v)
-                    q.setdefault(k, v[0])
+                    qlist[k] = list(v) + qlist.get(k, [])
+                    q[k] = v[0]
         try:
             if url.path in ("/", "/alive"):
                 self._send(b"Graphite-clickhouse-spark is alive.\n", "text/plain")
@@ -536,11 +539,17 @@ class GraphiteHandler(BaseHTTPRequestHandler):
             raise ValueError(f"unsupported format: {fmt}")
 
     def _index(self):
+        # /metrics/index.json serves ONLY from the path index, mirroring
+        # the reference (index/index.go:23-120 reads only the index
+        # table). A fallback distinct() over the points table would be a
+        # full-corpus scan collected to the driver at 100 TB.
         src = self.engine.path_index
-        if src is not None:
-            paths = [r.path for r in src.filter(F.col("is_leaf")).select("path").collect()]
-        else:
-            paths = [r.path for r in self.engine.points.select("path").distinct().collect()]
+        if src is None:
+            raise ValueError(
+                "/metrics/index.json requires a path index table "
+                "(build_path_index); refusing to scan the points table"
+            )
+        paths = [r.path for r in src.filter(F.col("is_leaf")).select("path").collect()]
         self._send(R.index_json(paths), "application/json")
 
     def _tags_autocomplete(self, q: dict, qlist: dict):

@@ -221,3 +221,116 @@ def test_tfidf_top_terms(docs, spark):
     # with the same tf (idf monotonicity): verified implicitly by the
     # oracle; here just sanity-check scores are positive
     assert all(r.score > 0 for r in rows)
+
+
+# ---------------------------------------------------------------- round 2
+
+
+def test_ivf_assign_plan_is_map_only(emb, spark):
+    """ivf_assign must have ZERO Exchange: the argmax folds over a literal
+    centroid array inside the scan projection (the old crossJoin+window
+    formulation shuffled n x k rows at 100 TB)."""
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid")
+    )
+    assigned = ivf_assign(emb, cents)
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_ivf_assign_matches_brute_force_argmax(emb, spark):
+    """Map-only assignment must equal per-row argmax of cosine(v, c)
+    with smallest-cid tie-break (old window semantics)."""
+    import numpy as np
+
+    cents = emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid")
+    )
+    sub = emb.limit(200)
+    got = {r.vec_id: r.centroid_id for r in ivf_assign(sub, cents).collect()}
+    C = np.array([list(r.centroid) for r in cents.orderBy("centroid_id").collect()],
+                 dtype=np.float64)
+    Cn = C / np.linalg.norm(C, axis=1)[:, None]
+    for r in sub.collect():
+        v = np.array(list(r.embedding), dtype=np.float64)
+        sims = Cn @ v
+        assert got[r.vec_id] == int(np.argmax(sims)), r.vec_id
+
+
+def test_minhash_portable_finds_near_dups(spark):
+    from graphite_clickhouse_spark.pipeline.dedup import minhash_dedup_portable
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base.replace("today", "tomorrow")),
+            (3, "unrelated words describing a graphite time series backend engine"),
+        ],
+        "doc_id long, text string",
+    )
+    got = [(r.id_a, r.id_b) for r in
+           minhash_dedup_portable(df, n=2, num_hashes=32, bands=16,
+                                  threshold=0.5).collect()]
+    assert got == [(1, 2)]
+
+
+def test_simhash_portable_matches_manual_fingerprint(spark):
+    """Portable 60-bit simhash must equal a hand-computed sign-sum over
+    the same md5-derived token hashes."""
+    import hashlib
+
+    texts = {1: "alpha beta gamma delta", 2: "alpha beta gamma deltas"}
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    from graphite_clickhouse_spark.pipeline.dedup import simhash_portable
+
+    got = {r.id: r.simhash for r in simhash_portable(df).collect()}
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    for did, text in texts.items():
+        toks = text.split()
+        fp = 0
+        for j in range(60):
+            ones = sum((h60(t) >> j) & 1 for t in toks)
+            if 2 * ones > len(toks):
+                fp |= 1 << j
+        assert got[did] == fp, did
+
+
+def test_simhash_portable_pairs_lossless(spark):
+    """4x15-bit chunk LSH at max_hamming=3 returns EXACTLY the pairs
+    within Hamming distance 3 (pigeonhole losslessness at 60 bits)."""
+    from graphite_clickhouse_spark.pipeline.dedup import (
+        simhash_near_pairs,
+        simhash_portable,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "one two three four five six seven eight"),
+            (2, "one two three four five six seven eights"),
+            (3, "totally different content about spark engines"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = {r.id: r.simhash for r in simhash_portable(df).collect()}
+    expect = {
+        (a, b)
+        for a in fps for b in fps
+        if a < b and bin(fps[a] ^ fps[b]).count("1") <= 3
+    }
+    got = {(r.id_a, r.id_b)
+           for r in simhash_near_pairs(simhash_portable(df), max_hamming=3,
+                                       bits=60).collect()}
+    assert got == expect
+
+
+def test_embedding_neardup_exact_mode_guard(emb, monkeypatch):
+    from graphite_clickhouse_spark.pipeline import similarity
+
+    monkeypatch.setattr(similarity, "EXACT_NEARDUP_MAX_VECTORS", 10)
+    with pytest.raises(ValueError, match="num_planes>0"):
+        similarity.embedding_neardup_pairs(emb, threshold=0.9, num_planes=0)

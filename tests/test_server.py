@@ -422,3 +422,42 @@ class TestUserLimits:
             assert ei.value.code == 503
             # ...but anonymous requests use the (unlimited) class limiter
             assert json.loads(get(url))["metrics"]
+
+
+class TestRound2Fixes:
+    def test_post_body_overrides_url_param(self, base_url):
+        """Go's Request.FormValue gives POST body values precedence over
+        the URL query string — a form-POSTed query must win."""
+        import urllib.request
+
+        data = b"query=ev.purchase.u1&format=json"
+        req = urllib.request.Request(
+            f"{base_url}/metrics/find/?query=ev.nomatch.zzz",
+            data=data, method="POST",
+            headers={"Content-Type": "application/x-www-form-urlencoded"},
+        )
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            got = resp.read().decode()
+        assert '{path="ev.purchase.u1",leaf=1}' in got
+        assert "nomatch" not in got
+
+    def test_index_json_requires_path_index(self, spark):
+        """/metrics/index.json must refuse to serve without a path index
+        (never fall back to a full points-table distinct scan), mirroring
+        index/index.go:23-120 which only reads the index table."""
+        import urllib.error
+        import urllib.request
+
+        from graphite_clickhouse_spark.render.pipeline import Engine
+        from graphite_clickhouse_spark.server import serve_background
+
+        points = points_from_events(spark, SF)
+        engine = Engine(spark=spark, points=points, path_index=None)
+        srv, base = serve_background(engine)
+        try:
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                urllib.request.urlopen(f"{base}/metrics/index.json", timeout=120)
+            assert ei.value.code == 400
+            assert b"path index" in ei.value.read()
+        finally:
+            srv.shutdown()
