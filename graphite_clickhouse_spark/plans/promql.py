@@ -46,10 +46,11 @@ sort_array + aggregate() fold, still JVM-side.
 
 from __future__ import annotations
 
+import math
 import re
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .prometheus import LabelMatcher, terms_from_matchers
@@ -109,13 +110,103 @@ _COMPARE_COLS = {
 }
 
 
+_ESCAPES = {
+    "n": "\n", "t": "\t", "r": "\r", "a": "\a", "b": "\b", "f": "\f",
+    "v": "\v", "\\": "\\", '"': '"', "'": "'", "`": "`",
+}
+
+
+def _unquote(s: str) -> str:
+    """Process backslash escapes in a PromQL string/matcher literal,
+    leaving non-ASCII text intact (Go strconv.Unquote semantics; a
+    unicode_escape round-trip would mojibake UTF-8 like 'café' through
+    latin-1). Handles \\n-style escapes plus \\xHH, \\uHHHH, \\UHHHHHHHH
+    and octal \\NNN."""
+    if "\\" not in s:
+        return s
+    out: list[str] = []
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c != "\\":
+            out.append(c)
+            i += 1
+            continue
+        if i + 1 >= n:
+            raise PromQLError(f"trailing backslash in string literal: {s!r}")
+        e = s[i + 1]
+        if e in _ESCAPES:
+            out.append(_ESCAPES[e])
+            i += 2
+            continue
+        if e in ("x", "u", "U"):
+            width = {"x": 2, "u": 4, "U": 8}[e]
+            hexs = s[i + 2 : i + 2 + width]
+            if len(hexs) != width or any(
+                ch not in "0123456789abcdefABCDEF" for ch in hexs
+            ):
+                raise PromQLError(f"invalid escape sequence in {s!r}")
+            out.append(chr(int(hexs, 16)))
+            i += 2 + width
+            continue
+        if e in "01234567":
+            octs = s[i + 1 : i + 4]
+            if len(octs) == 3 and all(ch in "01234567" for ch in octs):
+                out.append(chr(int(octs, 8)))
+                i += 4
+                continue
+            raise PromQLError(f"invalid escape sequence in {s!r}")
+        raise PromQLError(f"unknown escape \\{e} in string literal {s!r}")
+    return "".join(out)
+
+
+def _scalar_fold(op: str, a: float, b: float, bool_mode: bool) -> float:
+    """scalar <op> scalar, following Go float semantics (div by zero ->
+    +/-Inf or NaN, % is math.Mod, ^ is math.Pow). Comparisons between
+    scalars require the bool modifier, as upstream."""
+    if op in _Parser._COMPARISONS:
+        if not bool_mode:
+            raise PromQLError(
+                "comparisons between scalars must use BOOL modifier"
+            )
+        ok = {"==": a == b, "!=": a != b, ">": a > b, "<": a < b,
+              ">=": a >= b, "<=": a <= b}[op]
+        return 1.0 if ok else 0.0
+    if op == "/":
+        if b == 0.0:
+            return math.nan if (a == 0.0 or math.isnan(a)) else math.copysign(math.inf, a) * math.copysign(1.0, b)
+        return a / b
+    if op == "%":
+        return math.fmod(a, b) if b != 0.0 else math.nan
+    if op == "^":
+        return math.pow(a, b)
+    return {"+": a + b, "-": a - b, "*": a * b}[op]
+
+
+def _arith_col(op: str, left, right):
+    """Arithmetic Column for + - * / % ^ (Spark double % matches Go
+    math.Mod — remainder with the dividend's sign; ^ is pow)."""
+    if op == "^":
+        return F.pow(left, right)
+    return {
+        "+": left + right, "-": left - right,
+        "*": left * right, "/": left / right, "%": left % right,
+    }[op]
+
+
 def parse_duration(s: str) -> int:
     """`1h30m` -> seconds (multi-unit Prometheus duration grammar; a bare
     number is accepted as seconds — the /api/v1/query_range `step`
     parameter allows that form)."""
     s = s.strip()
     if re.fullmatch(r"[0-9]+(\.[0-9]+)?", s):
-        sec = int(float(s))
+        val = float(s)
+        if val != int(val):
+            raise PromQLError(
+                f"sub-second durations are not supported by this engine "
+                f"(whole-second evaluation grid): {s!r}"
+            )
+        sec = int(val)
         if sec <= 0:
             raise PromQLError(f"duration must be positive: {s!r}")
         return sec
@@ -127,6 +218,14 @@ def parse_duration(s: str) -> int:
         pos = m.end()
     if pos != len(s) or pos == 0:
         raise PromQLError(f"invalid duration: {s!r}")
+    # upstream tracks durations at millisecond resolution; this engine
+    # evaluates on a whole-second grid — REFUSE a lossy truncation
+    # ('1500ms' must not silently become 1s)
+    if total != int(total):
+        raise PromQLError(
+            f"sub-second durations are not supported by this engine "
+            f"(whole-second evaluation grid): {s!r}"
+        )
     sec = int(total)
     if sec <= 0:
         raise PromQLError(f"duration must be positive: {s!r}")
@@ -291,8 +390,16 @@ class _Parser:
             )
         return node
 
-    _BINOP_RE = re.compile(r"==|!=|>=|<=|[+\-*/><]")
+    _BINOP_RE = re.compile(r"==|!=|>=|<=|[+\-*/%^><]")
     _COMPARISONS = {"==", "!=", ">", "<", ">=", "<="}
+    #: upstream operator precedence (promql docs: ^ > * / % > + - >
+    #: comparisons > and/unless > or); higher binds tighter
+    _PREC = {
+        "or": 1, "and": 2, "unless": 2,
+        "==": 3, "!=": 3, "<=": 3, "<": 3, ">=": 3, ">": 3,
+        "+": 4, "-": 4, "*": 5, "/": 5, "%": 5, "^": 6,
+    }
+    _SET_OPS = ("and", "or", "unless")
 
     def _binop_token(self) -> str | None:
         self._ws()
@@ -312,78 +419,107 @@ class _Parser:
         return False
 
     def _expr(self):
-        # scalar-on-left binop: `2 * expr`
-        save = self.i
-        num = self._number()
-        if num is not None:
-            op = self._binop_token()
-            if op is not None:
-                bool_mode = self._bool_opt(op)
-                rhs = self._expr()
-                return BinOp(op, rhs, num, scalar_on_left=True,
-                             bool_mode=bool_mode)
-            self.i = save
+        node = self._binary(1)
+        if isinstance(node, float):
             raise PromQLError("expression does not produce an instant vector")
-        node = self._primary()
+        return node
+
+    def _binary(self, min_prec: int):
+        """Precedence-climbing binary-expression parser. Scalar literals
+        flow through as plain floats (folded on the spot when both sides
+        are scalar); everything else is an AST node."""
+        node = self._operand()
         while True:
             save = self.i
             word = self._ident()
-            if word in ("and", "or", "unless"):
-                match_on = match_ignoring = None
-                save2 = self.i
-                mod = self._ident()
-                if mod in ("on", "ignoring"):
-                    labels_ = tuple(self._label_list())
-                    if mod == "on":
-                        match_on = labels_
-                    else:
-                        match_ignoring = labels_
-                else:
-                    self.i = save2
-                node = VecBinOp(word, node, self._primary(),
-                                match_on=match_on,
-                                match_ignoring=match_ignoring)
-                continue
-            self.i = save
-            op = self._binop_token()
-            if op is None:
+            if word in self._SET_OPS:
+                op = word
+            else:
+                self.i = save
+                op = self._binop_token()
+            if op is None or self._PREC[op] < min_prec:
+                self.i = save
                 break
-            bool_mode = self._bool_opt(op)
-            match_on = match_ignoring = None
-            save2 = self.i
-            word = self._ident()
-            group_side, group_labels = None, ()
-            if word in ("on", "ignoring"):
-                labels_ = tuple(self._label_list())
-                if word == "on":
-                    match_on = labels_
-                else:
-                    match_ignoring = labels_
-                save3 = self.i
+            node = self._binop_rhs(op, node)
+        return node
+
+    def _operand(self):
+        self._ws()
+        ch = self._peek()
+        if ch and ch in "+-":
+            # unary sign: scalar -> folded; vector -> (+-1) * v (upstream
+            # unary minus semantics: values negated, metric name dropped)
+            self.i += 1
+            inner = self._operand()
+            if ch == "+":
+                return inner
+            if isinstance(inner, float):
+                return -inner
+            return BinOp("*", inner, -1.0, scalar_on_left=True)
+        num = self._number()
+        if num is not None:
+            return num
+        if ch == "(":
+            self.i += 1
+            node = self._binary(1)
+            self._expect(")")
+            return node
+        return self._primary()
+
+    def _binop_rhs(self, op: str, left):
+        is_set = op in self._SET_OPS
+        bool_mode = False if is_set else self._bool_opt(op)
+        match_on = match_ignoring = None
+        group_side, group_labels = None, ()
+        save = self.i
+        word = self._ident()
+        if word in ("on", "ignoring"):
+            labels_ = tuple(self._label_list())
+            if word == "on":
+                match_on = labels_
+            else:
+                match_ignoring = labels_
+            if not is_set:
+                save2 = self.i
                 word2 = self._ident()
                 if word2 in ("group_left", "group_right"):
                     group_side = "left" if word2 == "group_left" else "right"
                     if self._peek() == "(":
                         group_labels = tuple(self._label_list())
                 else:
-                    self.i = save3
-            else:
-                self.i = save2
-            num = self._number()
-            if num is None:
-                # vector <op> vector (one-to-one matching)
-                node = VecBinOp(op, node, self._primary(),
-                                bool_mode=bool_mode, match_on=match_on,
-                                match_ignoring=match_ignoring,
-                                group_side=group_side,
-                                group_labels=group_labels)
-            else:
-                if match_on is not None or match_ignoring is not None:
-                    raise PromQLError(
-                        "on/ignoring modifiers need vector operands"
-                    )
-                node = BinOp(op, node, num, bool_mode=bool_mode)
-        return node
+                    self.i = save2
+        else:
+            self.i = save
+        prec = self._PREC[op]
+        # ^ is right-associative upstream; all others left
+        right = self._binary(prec if op == "^" else prec + 1)
+        return self._combine(op, left, right, bool_mode, match_on,
+                             match_ignoring, group_side, group_labels)
+
+    def _combine(self, op, left, right, bool_mode, match_on,
+                 match_ignoring, group_side, group_labels):
+        lnum = isinstance(left, float)
+        rnum = isinstance(right, float)
+        if op in self._SET_OPS:
+            if lnum or rnum:
+                raise PromQLError(
+                    f'set operator "{op}" not allowed in binary scalar '
+                    f"expression"
+                )
+            return VecBinOp(op, left, right, match_on=match_on,
+                            match_ignoring=match_ignoring)
+        if (lnum or rnum) and (match_on is not None or match_ignoring is not None):
+            raise PromQLError("on/ignoring modifiers need vector operands")
+        if lnum and rnum:
+            return _scalar_fold(op, left, right, bool_mode)
+        if lnum:
+            return BinOp(op, right, left, scalar_on_left=True,
+                         bool_mode=bool_mode)
+        if rnum:
+            return BinOp(op, left, right, bool_mode=bool_mode)
+        return VecBinOp(op, left, right, bool_mode=bool_mode,
+                        match_on=match_on, match_ignoring=match_ignoring,
+                        group_side=group_side, group_labels=group_labels)
 
     def _primary(self):
         ch = self._peek()
@@ -548,7 +684,7 @@ class _Parser:
         if m is None:
             raise PromQLError(f"expected string literal at {self.i}")
         self.i = m.end()
-        return m.group(1).encode().decode("unicode_escape")
+        return _unquote(m.group(1))
 
     _DUR_TOKEN = re.compile(r"-?[0-9][0-9a-z.]*")
 
@@ -613,8 +749,7 @@ class _Parser:
                             f"invalid matcher at {self.i} in {self.s!r}"
                         )
                     out.append(LabelMatcher(
-                        m.group(1), m.group(2),
-                        m.group(3).encode().decode("unicode_escape"),
+                        m.group(1), m.group(2), _unquote(m.group(3)),
                     ))
                     self.i = m.end()
                     if m.group(4) == "}":
@@ -1287,6 +1422,8 @@ class Evaluator:
 
     # -- vector <op> vector (one-to-one)
 
+    DUPLICATE_SERIES_MSG = "found duplicate series for the match group"
+
     def _eval_vec_bin(self, node: VecBinOp) -> DataFrame:
         """Default one-to-one matching: samples pair up when their label
         sets (minus __name__) are identical at the same step; unmatched
@@ -1344,6 +1481,18 @@ class Evaluator:
                          F.col("lv").alias("value"))
                 .unionByName(right_only)
             )
+        # upstream cardinality errors: one-to-one requires BOTH sides
+        # unique per (match group, step); group_left/right requires the
+        # 'one' side unique. Without the check every duplicate silently
+        # multiplies rows through the join (upstream raises 'found
+        # duplicate series for the match group' instead).
+        if node.group_side is None:
+            l = _unique_match_guard(l, "left")
+            r = _unique_match_guard(r, "right")
+        elif node.group_side == "left":  # many=left, one=right
+            r = _unique_match_guard(r, "right")
+        else:  # group_right: many=right, one=left
+            l = _unique_match_guard(l, "left")
         joined = l.join(r, ["mkey", "t"])
         # output label set: the many side under group_left/group_right
         # (listed labels copied over from the one side), else the left
@@ -1373,9 +1522,7 @@ class Evaluator:
             return joined.filter(cond).select(
                 "labels", "t", lv.alias("value")
             )
-        value = {
-            "+": lv + rv, "-": lv - rv, "*": lv * rv, "/": lv / rv,
-        }[node.op]
+        value = _arith_col(node.op, lv, rv)
         return joined.select(
             _drop_name(F.col("labels")).alias("labels"), "t",
             value.alias("value"),
@@ -1399,10 +1546,7 @@ class Evaluator:
                     F.when(cond, 1.0).otherwise(0.0).alias("value"),
                 )
             return child.filter(cond).select("labels", "t", "value")
-        value = {
-            "+": left + right, "-": left - right,
-            "*": left * right, "/": left / right,
-        }[node.op]
+        value = _arith_col(node.op, left, right)
         return child.select(
             _drop_name(F.col("labels")).alias("labels"), "t",
             value.alias("value"),
@@ -1423,16 +1567,31 @@ class Evaluator:
                 )
             # filter mode keeps the sample (and its metric name) intact
             return child.filter(cond).select("labels", "t", "value")
-        value = {
-            "+": left + right,
-            "-": left - right,
-            "*": left * right,
-            "/": left / right,
-        }[node.op]
+        value = _arith_col(node.op, left, right)
         return child.select(
             _drop_name(F.col("labels")).alias("labels"), "t",
             value.alias("value"),
         )
+
+
+def _unique_match_guard(df: DataFrame, side: str) -> DataFrame:
+    """In-plan assertion that each (mkey, t) holds exactly one sample —
+    the upstream vector-matching cardinality error, raised at action time
+    from the executors (assert_true), translated to a PromQLError/400 by
+    the API layer. The window partitions on the same (mkey, t) key the
+    subsequent join shuffles on, so the exchange is shared."""
+    w = Window.partitionBy("mkey", "t")
+    chk = F.assert_true(
+        F.count(F.lit(1)).over(w) == 1,
+        F.concat(
+            F.lit("found duplicate series for the match group {"),
+            F.col("mkey").cast("string"),
+            F.lit(f"}} on the {side} hand-side of the operation"),
+        ),
+    )
+    # assert_true yields NULL when it passes; keeping it inside a filter
+    # stops column pruning from dropping the check
+    return df.withColumn("__chk", chk).filter(F.col("__chk").isNull()).drop("__chk")
 
 
 def _absent_labels(matchers: list[LabelMatcher]) -> F.Column:

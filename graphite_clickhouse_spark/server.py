@@ -298,8 +298,22 @@ class GraphiteHandler(BaseHTTPRequestHandler):
                 return "+Inf" if v > 0 else "-Inf"
             return repr(v)  # shortest round-trip decimal
 
+        from .plans.promql import PromQLError
+
+        try:
+            rows = df.collect()
+        except Exception as exc:
+            # vector-matching cardinality assertion raised executor-side
+            # (plans/promql._unique_match_guard) -> upstream's 400
+            msg = str(exc)
+            marker = "found duplicate series for the match group"
+            if marker in msg:
+                start = msg.index(marker)
+                raise PromQLError(msg[start:].split("\n")[0].strip())
+            raise
+
         series: dict[str, dict] = {}
-        for r in df.collect():
+        for r in rows:
             entry = series.setdefault(
                 r.series, {"metric": dict(r.labels), "values": []}
             )

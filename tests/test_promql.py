@@ -785,7 +785,9 @@ class TestFormPost:
         assert got["status"] == "success"
         assert got["data"]["result"][0]["value"] == [300, "25.0"]
 
-    def test_url_param_wins_over_body(self, prom_url):
+    def test_body_param_wins_over_url(self, prom_url):
+        """Go's Request.FormValue reads POST body values before the URL
+        query string, so a form-POSTed query overrides the URL's."""
         import urllib.request as rq
 
         data = urllib.parse.urlencode({"query": 'm{k="a"}', "time": 300}).encode()
@@ -797,7 +799,7 @@ class TestFormPost:
         with rq.urlopen(req, timeout=120) as r:
             got = json.loads(r.read())
         (res,) = got["data"]["result"]
-        assert res["metric"]["k"] == "b"
+        assert res["metric"]["k"] == "a"
 
 
 class TestCountValues:
@@ -829,3 +831,116 @@ class TestCountValues:
     def test_invalid_dst_label(self):
         with pytest.raises(PromQLError):
             parse_promql('count_values("not a label!", m)')
+
+
+class TestPrecedence:
+    """Upstream operator precedence: ^ > */% > +- > comparisons >
+    and/unless > or; ^ right-associative (promql docs)."""
+
+    def test_mul_binds_tighter_than_add(self):
+        node = parse_promql("m + 2 * 3")  # rhs folds scalar-side
+        assert isinstance(node, BinOp) and node.op == "+" and node.scalar == 6.0
+        node = parse_promql("m * 2 + 3")
+        assert node.op == "+" and node.scalar == 3.0
+        inner = node.expr
+        assert isinstance(inner, BinOp) and inner.op == "*" and inner.scalar == 2.0
+
+    def test_vector_vector_precedence(self):
+        from graphite_clickhouse_spark.plans.promql import VecBinOp
+
+        node = parse_promql("a - b / c")
+        assert isinstance(node, VecBinOp) and node.op == "-"
+        assert isinstance(node.right, VecBinOp) and node.right.op == "/"
+
+    def test_comparison_binds_looser_than_arith(self):
+        node = parse_promql("m > 1 + 1")
+        assert isinstance(node, BinOp) and node.op == ">" and node.scalar == 2.0
+
+    def test_and_binds_tighter_than_or(self):
+        from graphite_clickhouse_spark.plans.promql import VecBinOp
+
+        node = parse_promql("a or b and c")
+        assert isinstance(node, VecBinOp) and node.op == "or"
+        assert isinstance(node.right, VecBinOp) and node.right.op == "and"
+
+    def test_pow_right_assoc(self):
+        node = parse_promql("m ^ 2 ^ 3")
+        assert isinstance(node, BinOp) and node.op == "^" and node.scalar == 8.0
+
+    def test_parenthesized_scalar_subexpr(self):
+        node = parse_promql("m * (2 + 3)")
+        assert isinstance(node, BinOp) and node.scalar == 5.0
+
+    def test_scalar_comparison_requires_bool(self):
+        with pytest.raises(PromQLError, match="BOOL"):
+            parse_promql("m * (2 > 1)")
+        node = parse_promql("m * (2 > bool 1)")
+        assert node.scalar == 1.0
+
+    def test_set_op_rejects_scalar(self):
+        with pytest.raises(PromQLError, match="set operator"):
+            parse_promql("m and 2")
+
+    def test_unary_minus(self):
+        node = parse_promql("-m")
+        assert isinstance(node, BinOp) and node.op == "*"
+        assert node.scalar == -1.0 and node.scalar_on_left
+        node = parse_promql("m * -2")
+        assert node.op == "*" and node.scalar == -2.0
+
+    def test_mod_and_pow_eval(self, tagged):
+        got = rows(eval_promql(tagged, "m % 3", 100, 100, 1))
+        assert got[("k=a", 100)] == 1.0  # 1 % 3
+        assert got[("k=b", 100)] == 1.0  # 10 % 3
+        got = rows(eval_promql(tagged, "m ^ 2", 100, 100, 1))
+        assert got[("k=b", 100)] == 100.0
+
+    def test_precedence_eval_end_to_end(self, tagged):
+        # (m * 2 + 3) at t=100: a=1 -> 5, b=10 -> 23 ; flat-left parse
+        # would have computed (m+3)*2 = 8 / 26
+        got = rows(eval_promql(tagged, "m * 2 + 3", 100, 100, 1))
+        assert got[("k=a", 100)] == 5.0
+        assert got[("k=b", 100)] == 23.0
+
+
+class TestStringUnquote:
+    def test_non_ascii_matcher_survives(self):
+        node = parse_promql('m{k="café"}')
+        assert node.matchers[1].value == "café"
+
+    def test_escapes(self):
+        node = parse_promql(r'm{k="a\nb\t\"c\\d"}')
+        assert node.matchers[1].value == 'a\nb\t"c\\d'
+        node = parse_promql(r'm{k="\x41é"}')
+        assert node.matchers[1].value == "Aé"
+
+    def test_bad_escape_rejected(self):
+        with pytest.raises(PromQLError):
+            parse_promql(r'm{k="\q"}')
+
+
+class TestSubSecondDurations:
+    def test_ms_multiple_of_second_ok(self):
+        assert parse_duration("2000ms") == 2
+
+    def test_fractional_ms_rejected(self):
+        with pytest.raises(PromQLError, match="sub-second"):
+            parse_duration("1500ms")
+
+    def test_fractional_bare_step_rejected(self):
+        with pytest.raises(PromQLError, match="sub-second"):
+            parse_duration("0.5")
+
+
+class TestDuplicateSeriesError:
+    def test_one_to_one_duplicate_match_group_errors(self, tagged):
+        # on(j): neither series has label j -> both collapse to the same
+        # match group; upstream raises instead of multiplying pairs
+        df = eval_promql(tagged, "m + on(j) m", 100, 100, 1)
+        with pytest.raises(Exception, match="found duplicate series"):
+            df.collect()
+
+    def test_unique_match_groups_still_join(self, tagged):
+        got = rows(eval_promql(tagged, "m + on(k) m", 100, 100, 1))
+        assert got[("k=a", 100)] == 2.0
+        assert got[("k=b", 100)] == 20.0
