@@ -130,6 +130,9 @@ class GraphiteHandler(BaseHTTPRequestHandler):
             elif url.path == "/api/v1/series":
                 with self._limit("tags"):
                     self._prom_series(qlist)
+            elif url.path == "/api/v1/read":
+                with self._limit("render"):
+                    self._prom_remote_read()
             elif url.path == "/api/v1/query_range":
                 with self._limit("render"):
                     self._prom_query_range(q)
@@ -267,6 +270,42 @@ class GraphiteHandler(BaseHTTPRequestHandler):
     # ---- prometheus query evaluation (the /api/v1/query{,_range} routes
     # the reference gets from embedding promql.NewEngine,
     # prometheus/run.go:43-63; evaluated by plans.promql) --------------
+
+    def _prom_remote_read(self):
+        """POST /api/v1/read — Prometheus remote read: snappy-framed
+        prompb ReadRequest in, ReadResponse (SAMPLES) out. The reference
+        serves this via the embedded Prometheus web handler
+        (prometheus/run.go:63-87 -> querier_select.go:95-147); here each
+        Query becomes a matcher-filtered, time-bounded, version-deduped
+        scan of the tagged table (render/remote_read.py)."""
+        from .functions.snappy import SnappyError, compress, decompress
+        from .render import remote_read as RR
+
+        tagged = self._prom_tagged()
+        clen = int(self.headers.get("Content-Length") or 0)
+        if clen <= 0:
+            raise ValueError("remote read expects a snappy-compressed POST body")
+        raw = self.rfile.read(clen)
+        self._body_consumed = True
+        try:
+            body = decompress(raw)
+        except SnappyError as exc:
+            raise ValueError(f"snappy: {exc}")
+        results = []
+        for rq in RR.parse_read_request(body):
+            # ms -> s: widen outward so boundary samples stay included
+            df = RR.remote_read_frame(
+                tagged, rq.matchers, rq.start_ms // 1000,
+                -(-rq.end_ms // 1000),
+            )
+            results.append(RR.series_from_rows(df.collect()))
+        payload = compress(RR.encode_read_response(results))
+        self.send_response(200)
+        self.send_header("Content-Type", "application/x-protobuf")
+        self.send_header("Content-Encoding", "snappy")
+        self.send_header("Content-Length", str(len(payload)))
+        self.end_headers()
+        self.wfile.write(payload)
 
     @staticmethod
     def _prom_ts(s: str, what: str) -> int:

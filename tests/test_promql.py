@@ -944,3 +944,156 @@ class TestDuplicateSeriesError:
         got = rows(eval_promql(tagged, "m + on(k) m", 100, 100, 1))
         assert got[("k=a", 100)] == 2.0
         assert got[("k=b", 100)] == 20.0
+
+
+class TestSnappyCodec:
+    def test_roundtrip_shapes(self):
+        import random
+
+        from graphite_clickhouse_spark.functions.snappy import (
+            compress,
+            decompress,
+        )
+
+        random.seed(7)
+        cases = [
+            b"", b"x", b"abcd" * 4, b"y" * 200000,
+            bytes(random.randrange(256) for _ in range(70000)),
+            b"prometheus remote read body " * 3000,
+        ]
+        for c in cases:
+            assert decompress(compress(c)) == c
+
+    def test_spec_vectors(self):
+        from graphite_clickhouse_spark.functions.snappy import (
+            SnappyError,
+            decompress,
+        )
+
+        # literal-only stream: len=3, literal tag (len-1)<<2, payload
+        assert decompress(b"\x03\x08abc") == b"abc"
+        # overlapping copy1 (RLE): 'a' literal then copy off=1 len=4
+        assert decompress(bytes([5, 0, ord("a"), 0b001, 1])) == b"aaaaa"
+        with pytest.raises(SnappyError):
+            decompress(b"\x05\x08abc")  # declared 5, produces 3
+        with pytest.raises(SnappyError):
+            decompress(b"")
+
+
+class TestRemoteRead:
+    @staticmethod
+    def _read_request(queries):
+        """Hand-encode a prompb ReadRequest: [(start_ms, end_ms,
+        [(type,name,value)...])...]."""
+        import struct as st
+
+        def uv(v):
+            out = b""
+            while True:
+                b = v & 0x7F
+                v >>= 7
+                if v:
+                    out += bytes([b | 0x80])
+                else:
+                    return out + bytes([b])
+
+        def ld(f, payload):
+            return bytes([(f << 3) | 2]) + uv(len(payload)) + payload
+
+        def s(f, txt):
+            return ld(f, txt.encode())
+
+        body = b""
+        for start_ms, end_ms, matchers in queries:
+            q = bytes([1 << 3]) + uv(start_ms) + bytes([2 << 3]) + uv(end_ms)
+            for mtype, name, value in matchers:
+                m = (bytes([1 << 3]) + uv(mtype)) + s(2, name) + s(3, value)
+                q += ld(3, m)
+            body += ld(1, q)
+        return body
+
+    @staticmethod
+    def _parse_response(body):
+        from graphite_clickhouse_spark.render.request import _decode_fields
+
+        results = []
+        for f, _w, qr in _decode_fields(body):
+            assert f == 1
+            series = []
+            for f2, _w2, ts in _decode_fields(qr):
+                assert f2 == 1
+                labels, samples = {}, []
+                for f3, _w3, v3 in _decode_fields(ts):
+                    if f3 == 1:
+                        parts = {ff: vv for ff, _ww, vv in _decode_fields(v3)}
+                        labels[parts[1].decode()] = parts[2].decode()
+                    else:
+                        parts = {ff: (vv) for ff, _ww, vv in _decode_fields(v3)}
+                        samples.append((parts.get(2, 0), parts[1]))
+                series.append((labels, samples))
+            results.append(series)
+        return results
+
+    def test_remote_read_roundtrip(self, prom_url):
+        import urllib.request as rq
+
+        from graphite_clickhouse_spark.functions.snappy import (
+            compress,
+            decompress,
+        )
+
+        body = compress(self._read_request([
+            (100_000, 300_000, [(0, "__name__", "m"), (2, "k", "a|b")]),
+        ]))
+        req = rq.Request(
+            f"{prom_url}/api/v1/read", data=body,
+            headers={
+                "Content-Type": "application/x-protobuf",
+                "Content-Encoding": "snappy",
+            },
+        )
+        with rq.urlopen(req, timeout=120) as r:
+            assert r.headers["Content-Encoding"] == "snappy"
+            raw = decompress(r.read())
+        (series,) = self._parse_response(raw)
+        assert len(series) == 2
+        by_k = {s[0]["k"]: s for s in series}
+        assert by_k["a"][0] == {"__name__": "m", "k": "a"}
+        # all 4 samples of series a in [100s, 300s], ms timestamps, sorted
+        assert by_k["a"][1] == [
+            (100000, 1.0), (160000, 3.0), (220000, 1.0), (280000, 2.0)
+        ]
+        # series b: version dedup keeps 25.0 at t=220
+        assert by_k["b"][1] == [(100000, 10.0), (220000, 25.0)]
+
+    def test_remote_read_matcher_ops(self, prom_url):
+        import urllib.request as rq
+
+        from graphite_clickhouse_spark.functions.snappy import (
+            compress,
+            decompress,
+        )
+
+        # NEQ: k != a  -> only series b
+        body = compress(self._read_request([
+            (0, 400_000, [(0, "__name__", "m"), (1, "k", "a")]),
+        ]))
+        req = rq.Request(f"{prom_url}/api/v1/read", data=body,
+                         headers={"Content-Type": "application/x-protobuf"})
+        with rq.urlopen(req, timeout=120) as r:
+            raw = decompress(r.read())
+        (series,) = self._parse_response(raw)
+        assert [s[0]["k"] for s in series] == ["b"]
+
+    def test_remote_read_plan_pushes_filters(self, tagged):
+        from graphite_clickhouse_spark.plans.prometheus import LabelMatcher
+        from graphite_clickhouse_spark.render.remote_read import (
+            remote_read_frame,
+        )
+
+        df = remote_read_frame(
+            tagged, [LabelMatcher("__name__", "=", "m")], 100, 300
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # one aggregate (version dedup), no join, no sort
+        assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
