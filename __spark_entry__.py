@@ -1168,6 +1168,78 @@ FROM documents
 """
 
 
+def q_multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode: solid-color BMPs synthesized per doc_id
+    (dimensions/colors are functions of the id), decoded by the pure
+    BMP parser, features extracted in mapInPandas Arrow batches. The
+    oracle recomputes the expected decoded dimensions and channel means
+    directly — any mis-parse (stride padding, BGR order, bottom-up rows)
+    mismatches."""
+    from graphite_clickhouse_spark.pipeline.multimodal import (
+        extract_features,
+        synthetic_bmp_assets,
+    )
+    from graphite_clickhouse_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = extract_features(synthetic_bmp_assets(docs))
+    return feats.select(
+        "asset_id", "width", "height",
+        F.element_at("feature", 1).cast("double").alias("mean_r"),
+        F.element_at("feature", 2).cast("double").alias("mean_g"),
+        F.element_at("feature", 3).cast("double").alias("mean_b"),
+    )
+
+
+SQL_MULTIMODAL_BMP_DECODE = """
+SELECT doc_id AS asset_id,
+       CAST(16 + doc_id % 32 AS INTEGER) AS width,
+       CAST(8 + doc_id % 16 AS INTEGER) AS height,
+       CAST(doc_id % 256 AS DOUBLE) AS mean_r,
+       CAST((3 * doc_id) % 256 AS DOUBLE) AS mean_g,
+       CAST((7 * doc_id) % 256 AS DOUBLE) AS mean_b
+FROM documents
+"""
+
+
+def q_multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode: per-doc PCM WAVs carrying a ramp signal whose
+    every sample is SQL-computable; the oracle verifies the decoded
+    sample count, rate, min, max and mean."""
+    from graphite_clickhouse_spark.pipeline.multimodal import (
+        extract_features,
+        synthetic_wav_assets,
+    )
+    from graphite_clickhouse_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = extract_features(synthetic_wav_assets(docs))
+    return feats.select(
+        "asset_id",
+        F.element_at("feature", 1).cast("double").alias("n_samples"),
+        F.element_at("feature", 2).cast("double").alias("sample_rate"),
+        F.element_at("feature", 3).cast("double").alias("s_min"),
+        F.element_at("feature", 4).cast("double").alias("s_max"),
+        F.element_at("feature", 5).cast("double").alias("s_mean"),
+    )
+
+
+SQL_MULTIMODAL_WAV_DECODE = """
+WITH s AS (
+    SELECT d.doc_id, (g.i * (d.doc_id % 7 + 1)) % 2048 - 1024 AS v
+    FROM documents d
+    CROSS JOIN (SELECT unnest(range(0, 2000)) AS i) g
+)
+SELECT doc_id AS asset_id,
+       CAST(2000 AS DOUBLE) AS n_samples,
+       CAST(8000 AS DOUBLE) AS sample_rate,
+       CAST(min(v) AS DOUBLE) AS s_min,
+       CAST(max(v) AS DOUBLE) AS s_max,
+       sum(v) / 2000.0 AS s_mean
+FROM s GROUP BY doc_id
+"""
+
+
 def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF cell assignment (the scale path for ANN): nearest of 8 centroids
     per vector; the assignment becomes the partition key the corpus is
@@ -1499,6 +1571,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
     "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
+    "multimodal_bmp_decode": (q_multimodal_bmp_decode, SQL_MULTIMODAL_BMP_DECODE),
+    "multimodal_wav_decode": (q_multimodal_wav_decode, SQL_MULTIMODAL_WAV_DECODE),
     "minhash_dedup": (q_minhash_dedup, SQL_MINHASH_DEDUP),
     "simhash_pairs": (q_simhash_pairs, SQL_SIMHASH_PAIRS),
 }

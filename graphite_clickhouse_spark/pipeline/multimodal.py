@@ -1,10 +1,12 @@
 """Multimodal column plumbing — image/audio/video as opaque binary columns
 with typed metadata, processed in Arrow batches via mapInPandas.
 
-The container has no image/audio codecs, so the decode kernels are STUBS
-(deterministic fakes clearly marked); everything Spark-side — schemas,
-batch iteration, partition sizing, UDF signatures — is real and tested.
-Swapping the stub for PIL/libsndfile is a one-function change.
+Decode is REAL for the formats the stdlib + numpy can handle — BMP,
+8-bit PNG, PCM WAV (pipeline/codecs.py) — dispatched by magic bytes.
+Formats that genuinely need a native codec (JPEG etc.) fall back to the
+clearly-marked deterministic fake so the plumbing — schemas, batch
+iteration, partition sizing, UDF signatures — stays exercised either
+way. Swapping the fallback for PIL/turbojpeg is a one-function change.
 """
 
 from __future__ import annotations
@@ -27,18 +29,18 @@ ASSET_SCHEMA = T.StructType(
     ]
 )
 
+#: feature is double-precision: audio stats (exact sums / sample counts)
+#: must survive the oracle comparison bit-exactly; float32 would round
 FEATURE_SCHEMA = (
     "asset_id long, modality string, n_bytes int, sha_prefix string, "
-    "width int, height int, feature array<float>"
+    "width int, height int, feature array<double>"
 )
 
 
 def _decode_image_stub(payload: bytes) -> tuple[int, int, list[float]]:
-    """STUB decode: real implementation would be PIL/turbojpeg.
-
-    Deterministic fake: dimensions derived from payload length, an 8-dim
-    byte-histogram "feature". Raises for empty payloads like a real
-    decoder would.
+    """FALLBACK fake for formats with no in-container codec (JPEG &c.):
+    dimensions derived from payload length, an 8-dim byte-histogram
+    "feature". Raises for empty payloads like a real decoder would.
     """
     if not payload:
         raise ValueError("empty payload")
@@ -49,6 +51,30 @@ def _decode_image_stub(payload: bytes) -> tuple[int, int, list[float]]:
         hist[b >> 5] += 1.0
     s = sum(hist) or 1.0
     return width, height, [h / s for h in hist]
+
+
+def _decode_any(modality: str, payload: bytes) -> tuple[int, int, list[float]]:
+    """Magic-byte dispatch to the REAL decoders (codecs.py); deterministic
+    fake only for unrecognized formats. Returns (width, height, feature);
+    audio reports (0, 0, audio_features)."""
+    from . import codecs
+
+    try:
+        if payload[:2] == b"BM":
+            w, h, px = codecs.decode_bmp(payload)
+            return w, h, codecs.image_features(px)
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            w, h, px = codecs.decode_png(payload)
+            return w, h, codecs.image_features(px)
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            rate, samples = codecs.decode_wav(payload)
+            return 0, 0, codecs.audio_features(samples, rate)
+    except codecs.CodecError:
+        pass  # corrupt container: fall through to the fake, like a
+        # tolerant pipeline would quarantine rather than abort the batch
+    if modality == "image" and payload:
+        return _decode_image_stub(payload)
+    return 0, 0, []
 
 
 def extract_features(assets: DataFrame, batch_hint: int = 1024) -> DataFrame:
@@ -80,10 +106,7 @@ def extract_features(assets: DataFrame, batch_hint: int = 1024) -> DataFrame:
                 out["modality"].append(modality)
                 out["n_bytes"].append(len(payload))
                 out["sha_prefix"].append(hashlib.sha256(payload).hexdigest()[:16])
-                if modality == "image" and payload:
-                    w, h, feat = _decode_image_stub(payload)
-                else:
-                    w, h, feat = 0, 0, []
+                w, h, feat = _decode_any(modality, payload)
                 out["width"].append(w)
                 out["height"].append(h)
                 out["feature"].append(feat)
@@ -106,6 +129,66 @@ def frame_sample_plan(assets: DataFrame, every_n: int = 30) -> DataFrame:
         assets.filter(F.col("modality") == "video")
         .select("asset_id", F.explode(idx).alias("frame_idx"))
     )
+
+
+def synthetic_bmp_assets(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """One solid-color BMP per id: width = 16 + id%32, height = 8 + id%16,
+    RGB = (id%256, 3*id%256, 7*id%256). Deterministic by construction so
+    an SQL oracle can verify the DECODED dimensions and channel means —
+    i.e. the real decode path end-to-end. Encoded in the same Arrow-batch
+    kernel shape the decode uses."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from graphite_clickhouse_spark.pipeline import codecs
+
+        for pdf in batches:
+            out = {"asset_id": [], "modality": [], "mime": [], "payload": [],
+                   "meta": []}
+            for i in pdf[id_col]:
+                i = int(i)
+                w, h = 16 + i % 32, 8 + i % 16
+                px = np.zeros((h, w, 3), np.uint8)
+                px[:] = (i % 256, (3 * i) % 256, (7 * i) % 256)
+                out["asset_id"].append(i)
+                out["modality"].append("image")
+                out["mime"].append("image/bmp")
+                out["payload"].append(codecs.encode_bmp(px))
+                out["meta"].append({})
+            yield pd.DataFrame(out)
+
+    return ids.select(id_col).mapInPandas(kernel, ASSET_SCHEMA)
+
+
+def synthetic_wav_assets(
+    ids: DataFrame, id_col: str = "doc_id", n_samples: int = 2000,
+    rate: int = 8000,
+) -> DataFrame:
+    """One PCM WAV per id: a ramp signal s[i] = (i * k) % 2048 - 1024 with
+    k = id%7 + 1 — every sample value is SQL-computable, so the oracle
+    verifies the real WAV decode (sample count, rate, min/max/mean)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from graphite_clickhouse_spark.pipeline import codecs
+
+        idx = np.arange(n_samples, dtype=np.int64)
+        for pdf in batches:
+            out = {"asset_id": [], "modality": [], "mime": [], "payload": [],
+                   "meta": []}
+            for i in pdf[id_col]:
+                i = int(i)
+                samples = ((idx * (i % 7 + 1)) % 2048 - 1024).astype(np.int16)
+                out["asset_id"].append(i)
+                out["modality"].append("audio")
+                out["mime"].append("audio/wav")
+                out["payload"].append(codecs.encode_wav(samples, rate))
+                out["meta"].append({})
+            yield pd.DataFrame(out)
+
+    return ids.select(id_col).mapInPandas(kernel, ASSET_SCHEMA)
 
 
 def synthetic_assets(spark, n: int = 64) -> DataFrame:

@@ -334,3 +334,128 @@ def test_embedding_neardup_exact_mode_guard(emb, monkeypatch):
     monkeypatch.setattr(similarity, "EXACT_NEARDUP_MAX_VECTORS", 10)
     with pytest.raises(ValueError, match="num_planes>0"):
         similarity.embedding_neardup_pairs(emb, threshold=0.9, num_planes=0)
+
+
+class TestCodecs:
+    def test_bmp_roundtrip_with_row_padding(self):
+        import numpy as np
+
+        from graphite_clickhouse_spark.pipeline.codecs import (
+            decode_bmp,
+            encode_bmp,
+        )
+
+        # width 3 -> 9-byte rows padded to 12: exercises stride handling
+        rng = np.random.default_rng(1)
+        px = rng.integers(0, 256, (5, 3, 3), dtype=np.uint8)
+        w, h, out = decode_bmp(encode_bmp(px))
+        assert (w, h) == (3, 5)
+        assert np.array_equal(out, px)
+
+    def test_png_all_filter_types(self):
+        import numpy as np
+        import struct
+        import zlib
+
+        from graphite_clickhouse_spark.pipeline.codecs import decode_png
+
+        # hand-build a PNG whose 5 rows use filters 0..4 and verify the
+        # unfiltering reproduces the raw pixels
+        rng = np.random.default_rng(2)
+        px = rng.integers(0, 256, (5, 4, 3), dtype=np.uint8)
+        stride = 4 * 3
+        rows = []
+        prev = np.zeros(stride, np.int64)
+        for y, ft in enumerate([0, 1, 2, 3, 4]):
+            cur = px[y].reshape(-1).astype(np.int64)
+            if ft == 0:
+                enc = cur
+            elif ft == 1:
+                left = np.concatenate([np.zeros(3, np.int64), cur[:-3]])
+                enc = (cur - left) % 256
+            elif ft == 2:
+                enc = (cur - prev) % 256
+            elif ft == 3:
+                left = np.concatenate([np.zeros(3, np.int64), cur[:-3]])
+                enc = (cur - (left + prev) // 2) % 256
+            else:
+                left = np.concatenate([np.zeros(3, np.int64), cur[:-3]])
+                ul = np.concatenate([np.zeros(3, np.int64), prev[:-3]])
+                p = left + prev - ul
+                pa, pb, pc = abs(p - left), abs(p - prev), abs(p - ul)
+                pred = np.where((pa <= pb) & (pa <= pc), left,
+                                np.where(pb <= pc, prev, ul))
+                enc = (cur - pred) % 256
+            rows.append(bytes([ft]) + bytes(enc.astype(np.uint8)))
+            prev = cur
+
+        def chunk(typ, payload):
+            return (len(payload).to_bytes(4, "big") + typ + payload
+                    + zlib.crc32(typ + payload).to_bytes(4, "big"))
+
+        ihdr = struct.pack(">IIBBBBB", 4, 5, 8, 2, 0, 0, 0)
+        png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+               + chunk(b"IDAT", zlib.compress(b"".join(rows)))
+               + chunk(b"IEND", b""))
+        w, h, out = decode_png(png)
+        assert (w, h) == (4, 5)
+        assert np.array_equal(out, px)
+
+    def test_png_encode_decode_roundtrip(self):
+        import numpy as np
+
+        from graphite_clickhouse_spark.pipeline.codecs import (
+            decode_png,
+            encode_png,
+        )
+
+        rng = np.random.default_rng(3)
+        for ch in (1, 3, 4):
+            px = rng.integers(0, 256, (7, 6, ch), dtype=np.uint8)
+            w, h, out = decode_png(encode_png(px))
+            assert (w, h) == (6, 7) and np.array_equal(out, px)
+
+    def test_wav_8_and_16_bit(self):
+        import numpy as np
+
+        from graphite_clickhouse_spark.pipeline.codecs import (
+            decode_wav,
+            encode_wav,
+        )
+
+        samples = np.array([-1024, 0, 512, 1022], np.int16)
+        rate, out = decode_wav(encode_wav(samples, 8000))
+        assert rate == 8000
+        assert np.array_equal(out, samples.astype(np.float64))
+
+    def test_extract_features_real_decoders(self, spark):
+        import numpy as np
+
+        from graphite_clickhouse_spark.pipeline.codecs import (
+            encode_bmp,
+            encode_png,
+            encode_wav,
+        )
+        from graphite_clickhouse_spark.pipeline.multimodal import (
+            ASSET_SCHEMA,
+            extract_features,
+        )
+
+        px = np.zeros((4, 8, 3), np.uint8)
+        px[:] = (10, 20, 30)
+        wav = encode_wav(np.array([-5, 5, -5, 5], np.int16), 16000)
+        rows_ = [
+            (1, "image", "image/bmp", bytearray(encode_bmp(px)), {}),
+            (2, "image", "image/png", bytearray(encode_png(px)), {}),
+            (3, "audio", "audio/wav", bytearray(wav), {}),
+            (4, "image", "application/x-unknown", bytearray(b"\xff" * 100), {}),
+        ]
+        df = spark.createDataFrame(rows_, ASSET_SCHEMA)
+        got = {r.asset_id: r for r in extract_features(df).collect()}
+        assert (got[1].width, got[1].height) == (8, 4)
+        assert got[1].feature[:3] == [10.0, 20.0, 30.0]
+        assert (got[2].width, got[2].height) == (8, 4)
+        assert got[2].feature[:3] == [10.0, 20.0, 30.0]
+        assert got[3].feature[0] == 4.0 and got[3].feature[1] == 16000.0
+        # unknown format falls back to the deterministic fake
+        assert got[4].width == 16 + 100 % 64
