@@ -171,6 +171,10 @@ def load_settings(toml_text: str) -> Settings:
             short_duration_sec=int(parse_go_duration(fc.get("short-duration", "0s")))
             or 3 * 3600,
             short_until_offset_sec=int(fc.get("short-offset", 0) or 120),
+            # "mem" or "memcached" (+ servers), matching the reference's
+            # [common] find-cache section (cache.go:22-41, doc/config.md)
+            cache_type=str(fc.get("type", "mem")),
+            memcached_servers=tuple(fc.get("memcached-servers", [])),
         )
 
     ff = raw.get("feature-flags", {})

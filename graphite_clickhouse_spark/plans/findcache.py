@@ -19,9 +19,7 @@ bounded.
 
 from __future__ import annotations
 
-import threading
 import time as _time
-from collections import OrderedDict
 from dataclasses import dataclass
 from datetime import datetime, timezone
 
@@ -35,6 +33,10 @@ class CacheConfig:
     short_duration_sec: int = 3 * 3600  # ranges up to this use the short class
     short_until_offset_sec: int = 120  # 'until' within this of now = live query
     max_entries: int = 65536
+    #: backend: "mem" (in-process) or "memcached" (shared across
+    #: replicas — the reference's MemcachedCache, cache.go:43-85)
+    cache_type: str = "mem"
+    memcached_servers: tuple = ()
 
 
 def get_cache_timeout(
@@ -59,35 +61,41 @@ def target_key(from_ts: int, until_ts: int, target: str, ttl: str) -> str:
 
 
 class FindCache:
-    """Bounded TTL+LRU map: key -> list of resolved paths."""
+    """Find-result cache over a pluggable byte backend (mem/memcached,
+    plans/cachebackend.py). Values are JSON-encoded path lists; key
+    shape and TTL classes live here, storage there — same split as
+    the reference's BytesCache interface (cache.go:10-20)."""
 
-    def __init__(self, cfg: CacheConfig | None = None):
+    def __init__(self, cfg: CacheConfig | None = None, backend=None):
+        from .cachebackend import make_backend
+
         self.cfg = cfg or CacheConfig()
-        self._data: OrderedDict[str, tuple[float, list[str]]] = OrderedDict()
-        self._lock = threading.Lock()
+        self.backend = backend if backend is not None else make_backend(
+            self.cfg.cache_type, tuple(self.cfg.memcached_servers),
+            self.cfg.max_entries,
+        )
         self.hits = 0
         self.misses = 0
 
     def get(self, key: str, now: float | None = None) -> list[str] | None:
-        now = _time.time() if now is None else now
-        with self._lock:
-            item = self._data.get(key)
-            if item is None or item[0] <= now:
-                if item is not None:
-                    del self._data[key]
-                self.misses += 1
-                return None
-            self._data.move_to_end(key)
-            self.hits += 1
-            return item[1]
+        import json
+
+        raw = self.backend.get(key, now)
+        if raw is None:
+            self.misses += 1
+            return None
+        try:
+            paths = json.loads(raw)
+        except ValueError:
+            self.misses += 1
+            return None
+        self.hits += 1
+        return paths
 
     def set(self, key: str, paths: list[str], ttl_sec: int, now: float | None = None) -> None:
-        now = _time.time() if now is None else now
-        with self._lock:
-            self._data[key] = (now + ttl_sec, list(paths))
-            self._data.move_to_end(key)
-            while len(self._data) > self.cfg.max_entries:
-                self._data.popitem(last=False)
+        import json
+
+        self.backend.set(key, json.dumps(list(paths)).encode(), ttl_sec, now)
 
     def find_cached(
         self, from_ts: int, until_ts: int, target: str, now: float | None = None

@@ -47,6 +47,7 @@ class GraphiteHandler(BaseHTTPRequestHandler):
     max_find_answer: int = 0  # max-metrics-in-find-answer (L2)
     limiters = None  # plans.limiter.ClassLimiters | None (set by make_server)
     user_limiters: dict = {}  # per X-Forwarded-User overrides
+    telemetry = None  # metrics.Registry (set by make_server)
 
     # ---- plumbing -------------------------------------------------------
 
@@ -54,6 +55,7 @@ class GraphiteHandler(BaseHTTPRequestHandler):
         pass
 
     def _send(self, body: bytes, ctype: str = "application/json", status: int = 200):
+        self._last_status = status
         self.send_response(status)
         self.send_header("Content-Type", ctype)
         self.send_header("Content-Length", str(len(body)))
@@ -69,14 +71,31 @@ class GraphiteHandler(BaseHTTPRequestHandler):
         self.do_POST()
 
     def do_POST(self):
+        import time as _time
+
+        from .metrics import handler_class
+
+        t0 = _time.monotonic()
+        self._last_status = 200
+        try:
+            self._dispatch()
+        finally:
+            if self.telemetry is not None:
+                self.telemetry.observe_request(
+                    handler_class(urlparse(self.path).path),
+                    getattr(self, "_last_status", 200),
+                    _time.monotonic() - t0,
+                )
+
+    def _dispatch(self):
         from .plans.limiter import LimitExceeded
 
         url = urlparse(self.path)
         q = {k: v[0] for k, v in parse_qs(url.query).items()}
         qlist = parse_qs(url.query)
         # Prometheus clients (Grafana included) POST form-encoded bodies
-        # to /api/v1/*; merge body params under URL params (URL wins, as
-        # upstream's Request.FormValue does after ParseForm)
+        # to /api/v1/*; body params take precedence over URL params
+        # (upstream Request.FormValue reads body values first)
         if (
             self.command == "POST"
             and "application/x-www-form-urlencoded"
@@ -119,6 +138,8 @@ class GraphiteHandler(BaseHTTPRequestHandler):
                     self._values_autocomplete(q, qlist)
             elif url.path == "/debug/config":
                 self._debug_config()
+            elif url.path == "/metrics":
+                self._telemetry_scrape()
             elif url.path == "/api/v1/labels":
                 with self._limit("tags"):
                     self._prom_labels(qlist)
@@ -591,6 +612,26 @@ class GraphiteHandler(BaseHTTPRequestHandler):
         else:
             raise ValueError(f"unsupported format: {fmt}")
 
+    def _telemetry_scrape(self):
+        """/metrics — Prometheus exposition of the request counters and
+        duration histograms (the reference's metrics/ package signals,
+        scrape-shaped instead of push-to-graphite/statsd)."""
+        if self.telemetry is None:
+            raise ValueError("telemetry registry not configured")
+        cache = self.engine.find_cache
+        if cache is not None:
+            body = self.telemetry.render().decode()
+            body += (
+                "# TYPE gchs_find_cache_hits_total counter\n"
+                f"gchs_find_cache_hits_total {cache.hits}\n"
+                "# TYPE gchs_find_cache_misses_total counter\n"
+                f"gchs_find_cache_misses_total {cache.misses}\n"
+            )
+            payload = body.encode()
+        else:
+            payload = self.telemetry.render()
+        self._send(payload, "text/plain; version=0.0.4")
+
     def _index(self):
         # /metrics/index.json serves ONLY from the path index, mirroring
         # the reference (index/index.go:23-120 reads only the index
@@ -644,7 +685,9 @@ def make_server(
     """Bind (port=0 -> ephemeral). Caller runs serve_forever (or use
     serve_background). `settings` (config.Settings) wires the per-class
     request limiters and find-answer cap."""
-    attrs = {"engine": engine}
+    from .metrics import Registry
+
+    attrs = {"engine": engine, "telemetry": Registry()}
     if settings is not None:
         attrs["settings"] = settings
         attrs["max_find_answer"] = settings.max_metrics_in_find_answer

@@ -3,6 +3,8 @@
 import os
 import time
 
+import pytest
+
 from graphite_clickhouse_spark.functions.date import (
     date_bounds,
     date_default,
@@ -90,3 +92,115 @@ class TestDateModes:
         ts = 1700000000
         assert date_bounds(ts, ts, "utc") == (date_utc(ts), date_utc(ts))
         assert date_bounds(ts, ts, "default") == (date_default(ts), date_default(ts))
+
+
+# -------------------------------------------------- pluggable backends
+
+
+class _FakeMemcached:
+    """Tiny in-test memcached TEXT-protocol server (get/set only)."""
+
+    def __init__(self):
+        import socket
+        import threading
+
+        self.store = {}
+        self.sock = socket.socket()
+        self.sock.bind(("127.0.0.1", 0))
+        self.sock.listen(4)
+        self.port = self.sock.getsockname()[1]
+        self._stop = False
+        self.thread = threading.Thread(target=self._serve, daemon=True)
+        self.thread.start()
+
+    def _serve(self):
+        import time
+
+        while not self._stop:
+            try:
+                conn, _ = self.sock.accept()
+            except OSError:
+                return
+            f = conn.makefile("rb")
+            while True:
+                line = f.readline()
+                if not line:
+                    break
+                parts = line.strip().split()
+                if parts and parts[0] == b"set":
+                    key, _fl, exp, n = parts[1], parts[2], int(parts[3]), int(parts[4])
+                    data = f.read(n)
+                    f.read(2)
+                    self.store[key] = (time.time() + exp, data)
+                    conn.sendall(b"STORED\r\n")
+                elif parts and parts[0] == b"get":
+                    key = parts[1]
+                    item = self.store.get(key)
+                    if item and item[0] > time.time():
+                        conn.sendall(
+                            b"VALUE " + key + b" 0 " + str(len(item[1])).encode()
+                            + b"\r\n" + item[1] + b"\r\nEND\r\n"
+                        )
+                    else:
+                        conn.sendall(b"END\r\n")
+            conn.close()
+
+    def close(self):
+        self._stop = True
+        self.sock.close()
+
+
+@pytest.fixture(params=["mem", "memcached"])
+def backend(request):
+    from graphite_clickhouse_spark.plans.cachebackend import (
+        MemBackend,
+        MemcachedBackend,
+    )
+
+    if request.param == "mem":
+        yield MemBackend(64)
+    else:
+        srv = _FakeMemcached()
+        yield MemcachedBackend((f"127.0.0.1:{srv.port}",))
+        srv.close()
+
+
+class TestBackends:
+    def test_findcache_roundtrip_over_backend(self, backend):
+        c = FindCache(CacheConfig(), backend=backend)
+        c.set("k1", ["a.b", "a.c"], ttl_sec=60)
+        assert c.get("k1") == ["a.b", "a.c"]
+        assert c.get("nope") is None
+        assert c.hits == 1 and c.misses == 1
+
+    def test_bytes_roundtrip(self, backend):
+        backend.set("key with spaces and ünïcode", b"\x00\xffbin", 60)
+        assert backend.get("key with spaces and ünïcode") == b"\x00\xffbin"
+        assert backend.get("missing") is None
+
+    def test_config_wires_backend_type(self):
+        from graphite_clickhouse_spark.config import load_settings
+        from graphite_clickhouse_spark.plans.cachebackend import MemBackend
+
+        conf = (
+            '[common.find-cache]\ntype = "mem"\ndefault-timeout = 600\n'
+        )
+        s = load_settings(conf)
+        assert s.find_cache.cache_type == "mem"
+        assert isinstance(FindCache(s.find_cache).backend, MemBackend)
+        conf2 = (
+            '[common.find-cache]\ntype = "memcached"\n'
+            'memcached-servers = ["127.0.0.1:11211"]\ndefault-timeout = 600\n'
+        )
+        s2 = load_settings(conf2)
+        assert s2.find_cache.cache_type == "memcached"
+        assert s2.find_cache.memcached_servers == ("127.0.0.1:11211",)
+
+    def test_memcached_down_is_soft_miss(self):
+        from graphite_clickhouse_spark.plans.cachebackend import (
+            MemcachedBackend,
+        )
+
+        b = MemcachedBackend(("127.0.0.1:1",), timeout_sec=0.2)
+        b.set("k", b"v", 60)  # must not raise
+        assert b.get("k") is None

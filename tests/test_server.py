@@ -461,3 +461,45 @@ class TestRound2Fixes:
             assert b"path index" in ei.value.read()
         finally:
             srv.shutdown()
+
+
+class TestTelemetry:
+    def test_metrics_scrape(self, base_url):
+        # generate some traffic first
+        get(f"{base_url}/metrics/find/?query=ev.purchase.u1&format=json")
+        get(f"{base_url}/render?target=ev.purchase.u1&from={FROM_TS}"
+            f"&until={UNTIL_TS}&maxDataPoints=24&format=json")
+        body = get(f"{base_url}/metrics").decode()
+        assert "# TYPE gchs_http_requests_total counter" in body
+        assert 'gchs_http_requests_total{handler="find",status="200"}' in body
+        assert 'gchs_http_requests_total{handler="render",status="200"}' in body
+        assert "# TYPE gchs_http_request_duration_seconds histogram" in body
+        assert 'le="+Inf"' in body
+
+    def test_metrics_counts_errors_by_status(self, base_url):
+        import urllib.error
+
+        with pytest.raises(urllib.error.HTTPError):
+            urllib.request.urlopen(
+                f"{base_url}/render?target=x&from=0&until=1&format=nope",
+                timeout=60,
+            )
+        body = get(f"{base_url}/metrics").decode()
+        assert 'gchs_http_requests_total{handler="render",status="400"}' in body
+
+    def test_histogram_counts_are_cumulative(self, base_url):
+        import re
+
+        get(f"{base_url}/alive")
+        body = get(f"{base_url}/metrics").decode()
+        rows_ = [
+            (float(m.group(1)) if m.group(1) != "+Inf" else float("inf"),
+             int(m.group(2)))
+            for m in re.finditer(
+                r'duration_seconds_bucket\{handler="health",le="([^"]+)"\} (\d+)',
+                body,
+            )
+        ]
+        assert rows_ == sorted(rows_)  # cumulative & ordered
+        counts = [c for _ub, c in rows_]
+        assert counts == sorted(counts)
