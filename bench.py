@@ -64,6 +64,8 @@ BENCH_QUERIES = [
     "minhash_dedup",
     "simhash_pairs",
     "multimodal_features",
+    "multimodal_bmp_decode",
+    "multimodal_wav_decode",
 ]
 
 
@@ -84,17 +86,17 @@ def main() -> None:
 
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     failures: dict[str, str] = {}
     for name in BENCH_QUERIES:
         fn = qs[name]
-        best = None
+        times: list[float] = []
         for _ in range(reps):
             t0 = time.monotonic()
             try:
                 df = fn(spark, SF_DIR)
                 n = len(df.collect())
-                dt = time.monotonic() - t0
-                best = dt if best is None else min(best, dt)
+                times.append(time.monotonic() - t0)
             except Exception as exc:  # keep benching even if one query breaks
                 failures[name] = f"{type(exc).__name__}: {exc}"[:200]
                 print(f"# {name}: FAILED {failures[name]}", file=sys.stderr)
@@ -102,17 +104,25 @@ def main() -> None:
             # queries are independent requests: drop any caches a query
             # built so one rep's memory doesn't skew the next timing
             spark.catalog.clearCache()
-        if best is not None:
-            timings[name] = round(best, 3)
-            print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+        if times:
+            timings[name] = round(min(times), 3)
+            # spread = max-min across reps: how much ambient noise this
+            # box added; large spread means read the min, not the mean
+            spreads[name] = round(max(times) - min(times), 3)
+            print(
+                f"# {name}: {timings[name]}s (+{spreads[name]}s spread, "
+                f"{n} rows)", file=sys.stderr,
+            )
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     result = {
-        "metric": "headline-query wall time, sum over suite",
+        "metric": "headline-query wall time, sum over suite (min of reps)",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "spread": spreads,
+        "reps": reps,
         "sf": sf,
     }
     if failures:

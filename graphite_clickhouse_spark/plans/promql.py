@@ -239,6 +239,9 @@ def parse_duration(s: str) -> int:
 class VectorSelector:
     matchers: list[LabelMatcher]
     offset: int = 0  # seconds; shifts the evaluated window into the past
+    #: `@` modifier: pin the evaluation timestamp — epoch seconds, or
+    #: "start"/"end" (resolved against the query range at eval time)
+    at_ts: int | str | None = None
 
 
 @dataclass
@@ -256,6 +259,7 @@ class Subquery:
     expr: object
     resolution: int | None = None  # None -> the outer query's step
     offset: int = 0
+    at_ts: int | str | None = None  # `@` modifier (see VectorSelector)
 
 
 @dataclass
@@ -529,7 +533,9 @@ class _Parser:
             self._expect(")")
             return node
         if ch == "{":
-            return VectorSelector(self._matchers(None), self._offset_opt())
+            sel = VectorSelector(self._matchers(None))
+            sel.offset, sel.at_ts = self._mods_opt()
+            return sel
         name = self._ident()
         if name is None:
             raise PromQLError(f"parse error at {self.i} in {self.s!r}")
@@ -552,7 +558,8 @@ class _Parser:
                 if self._peek() != "]":
                     res = self._duration_token()
                 self._expect("]")
-                sel = Subquery(inner, res, self._offset_opt())
+                sel = Subquery(inner, res)
+                sel.offset, sel.at_ts = self._mods_opt()
             else:
                 self._expect("]")
                 if not isinstance(inner, VectorSelector):
@@ -560,7 +567,7 @@ class _Parser:
                         "range selector needs a plain vector selector; "
                         "use a subquery `expr[w:r]` for expressions"
                     )
-                inner.offset = self._offset_opt()
+                inner.offset, inner.at_ts = self._mods_opt()
                 sel = inner
             params = []
             while self._peek() == ",":
@@ -587,7 +594,7 @@ class _Parser:
         if name == "absent":
             self._expect("(")
             sel = self._selector()
-            sel.offset = self._offset_opt()
+            sel.offset, sel.at_ts = self._mods_opt()
             self._expect(")")
             return AbsentFn(sel)
         if name == "histogram_quantile":
@@ -639,7 +646,9 @@ class _Parser:
         # plain selector starting with a metric name
         if self._peek() == "(":
             raise PromQLError(f"unsupported function: {name}")
-        return VectorSelector(self._matchers(name), self._offset_opt())
+        sel = VectorSelector(self._matchers(name))
+        sel.offset, sel.at_ts = self._mods_opt()
+        return sel
 
     def _agg(self, op: str):
         grouping, without = None, False
@@ -705,6 +714,45 @@ class _Parser:
         if tok.startswith("-"):
             return -parse_duration(tok[1:])
         return parse_duration(tok)
+
+    def _at_opt(self) -> int | str | None:
+        """Optional `@ <unix-ts>` / `@ start()` / `@ end()` modifier."""
+        if self._peek() != "@":
+            return None
+        self.i += 1
+        save = self.i
+        word = self._ident()
+        if word in ("start", "end"):
+            self._expect("(")
+            self._expect(")")
+            return word
+        self.i = save
+        self._ws()
+        m = re.match(r"-?[0-9]+(\.[0-9]+)?", self.s[self.i:])
+        if m is None:
+            raise PromQLError(f"@ expects a timestamp at {self.i}")
+        self.i += m.end()
+        return int(float(m.group(0)))
+
+    def _mods_opt(self) -> tuple[int, int | str | None]:
+        """`offset` and `@` selector modifiers, any order (upstream
+        allows both orderings); at most one of each."""
+        offset, at_ts = 0, None
+        saw_offset = saw_at = False
+        while True:
+            save = self.i
+            if self._peek() == "@" and not saw_at:
+                at_ts = self._at_opt()
+                saw_at = True
+                continue
+            word = self._ident()
+            self.i = save
+            if word == "offset" and not saw_offset:
+                offset = self._offset_opt()
+                saw_offset = True
+                continue
+            break
+        return offset, at_ts
 
     def _label_list(self) -> list[str]:
         self._expect("(")
@@ -910,7 +958,41 @@ class Evaluator:
 
     # -- selector: newest sample in (t - lookback, t]
 
+    def _resolve_at(self, at_ts: int | str) -> int:
+        """`@` timestamp: literal epoch seconds, or start()/end() of the
+        query range (upstream preprocessExpr semantics)."""
+        if at_ts == "start":
+            return self.start
+        if at_ts == "end":
+            return self.end
+        return int(at_ts)
+
+    def _fan_out(self, single: DataFrame) -> DataFrame:
+        """Replicate a single pinned evaluation across this grid: an `@`
+        selector's value is the same at every output step. One explode of
+        an n_evals-element sequence per series — no shuffle."""
+        grid_end = self.start + (self.n_evals - 1) * self.step
+        steps = F.explode(
+            F.sequence(
+                F.lit(int(self.start)), F.lit(int(grid_end)),
+                F.lit(int(self.step)),
+            )
+        ).alias("t")
+        return single.select("labels", steps, "value")
+
+    def _pinned(self, at_ts: int | str):
+        """Single-step evaluator at the resolved @ timestamp."""
+        T = self._resolve_at(at_ts)
+        return Evaluator(self.tagged, T, T, self.step, self.lookback)
+
     def _eval_selector(self, node: VectorSelector) -> DataFrame:
+        if node.at_ts is not None:
+            from dataclasses import replace as _dc_replace
+
+            pinned = self._pinned(node.at_ts)
+            return self._fan_out(
+                pinned._eval_selector(_dc_replace(node, at_ts=None))
+            )
         # repartition on path BEFORE the grid explode: hash clustering on
         # `path` satisfies the (path, j) aggregation, so the one shuffle
         # ships RAW samples (1x), not exploded rows (lookback/step x)
@@ -967,6 +1049,17 @@ class Evaluator:
         )
 
     def _eval_range_fn(self, node: RangeFn) -> DataFrame:
+        at_ts = getattr(node.selector, "at_ts", None)
+        if at_ts is not None:
+            # `rate(m[5m] @ T)`: every step's window anchors at T — one
+            # pinned evaluation fanned out across the grid
+            from dataclasses import replace as _dc_replace
+
+            pinned = self._pinned(at_ts)
+            sel = _dc_replace(node.selector, at_ts=None)
+            return self._fan_out(
+                pinned._eval_range_fn(_dc_replace(node, selector=sel))
+            )
         if isinstance(node.selector, Subquery):
             pts = self._subquery_samples(node.selector, node.window)
         else:

@@ -1097,3 +1097,50 @@ class TestRemoteRead:
         plan = df._jdf.queryExecution().executedPlan().toString()
         # one aggregate (version dedup), no join, no sort
         assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+class TestAtModifier:
+    def test_parse_at_forms(self):
+        node = parse_promql("m @ 300")
+        assert node.at_ts == 300
+        node = parse_promql("m @ start()")
+        assert node.at_ts == "start"
+        node = parse_promql("m offset 1m @ 300")
+        assert node.offset == 60 and node.at_ts == 300
+        node = parse_promql("m @ 300 offset 1m")
+        assert node.offset == 60 and node.at_ts == 300
+        node = parse_promql("rate(m[5m] @ end())")
+        assert node.selector.at_ts == "end"
+        with pytest.raises(PromQLError):
+            parse_promql("m @ x")
+
+    def test_instant_selector_pinned(self, tagged):
+        # m @ 300 is constant across the whole grid: the value at t=300
+        # (a: 2.0 via staleness, b: 25.0 after version dedup)
+        got = rows(eval_promql(tagged, "m @ 300", 100, 300, 100))
+        for t in (100, 200, 300):
+            assert got[("__name__=m,k=a", t)] == 2.0
+            assert got[("__name__=m,k=b", t)] == 25.0
+
+    def test_at_end_matches_literal(self, tagged):
+        lit = rows(eval_promql(tagged, "m @ 300", 100, 300, 100))
+        sym = rows(eval_promql(tagged, "m @ end()", 100, 300, 100))
+        assert lit == sym
+
+    def test_range_fn_pinned(self, tagged):
+        # rate over a window anchored at 300 equals the instant rate at
+        # t=300, replicated at every step
+        pinned = rows(eval_promql(tagged, "rate(m{k=\"a\"}[200s] @ 300)",
+                                  100, 300, 100))
+        instant = rows(eval_promql(tagged, "rate(m{k=\"a\"}[200s])",
+                                  300, 300, 1))
+        expect = instant[("k=a", 300)]
+        assert pinned[("k=a", 100)] == pytest.approx(expect)
+        assert pinned[("k=a", 300)] == pytest.approx(expect)
+
+    def test_at_with_offset(self, tagged):
+        # @300 offset 100s == evaluated at 200
+        got = rows(eval_promql(tagged, 'm{k="b"} @ 300 offset 100s',
+                               100, 300, 100))
+        ref = rows(eval_promql(tagged, 'm{k="b"}', 200, 200, 1))
+        assert got[("__name__=m,k=b", 100)] == ref[("__name__=m,k=b", 200)]
