@@ -67,6 +67,12 @@ class Settings:
     """Parsed, engine-ready view of a graphite-clickhouse.conf."""
 
     max_metrics_in_find_answer: int = 0  # 0 = unlimited
+    #: server TLS termination: (cert, key, ca-or-None). The reference's
+    #: [clickhouse.tls] is a CLIENT config for the ClickHouse hop — a
+    #: process boundary the Spark build doesn't have; terminating TLS on
+    #: the serving side (tests/tls/ posture) is the surviving analog.
+    #: ca set -> mTLS: client certificates are required and verified.
+    server_tls: tuple | None = None
     max_metrics_per_target: int = 15000
     append_empty_series: bool = False
     blacklist: Blacklist | None = None
@@ -107,12 +113,25 @@ class Settings:
             v = self.limiters.get(c, {}).get(key, 0)
             return v if v > 0 else default
 
-        return ClassLimiters(
+        cls = ClassLimiters(
             render=cap("render", "concurrent", 1 << 20),
             find=cap("find", "concurrent", 1 << 20),
             tags=cap("tags", "concurrent", 1 << 20),
             queue_timeout_sec=self.index_timeout_sec or 60.0,
         )
+        # adaptive-queries > 0 upgrades the class to the load-avg
+        # limiter (config.go:749-766 builds ALimiter for every class;
+        # with n<=0 it degrades to the plain one, alimiter.go:55-60)
+        from .plans.limiter import AdaptiveLimiter
+
+        for c in ("render", "find", "tags"):
+            n = self.limiters.get(c, {}).get("adaptive", 0)
+            if n > 0:
+                setattr(cls, c, AdaptiveLimiter(
+                    cap(c, "concurrent", 1 << 20), n,
+                    queue_timeout_sec=self.index_timeout_sec or 60.0,
+                ))
+        return cls
 
     def user_limiters(self) -> dict:
         """Per-user limiter overrides (render/data/multi_target.go:95-125:
@@ -163,6 +182,12 @@ def load_settings(toml_text: str) -> Settings:
     s.append_empty_series = bool(common.get("append-empty-series", False))
     bl = common.get("target-blacklist", [])
     s.blacklist = Blacklist(list(bl)) if bl else None
+    tls = common.get("tls", {})
+    if tls.get("cert"):
+        s.server_tls = (
+            str(tls["cert"]), str(tls.get("key", "")),
+            str(tls.get("ca-cert", "")) or None,
+        )
     fc = common.get("find-cache", {})
     if fc and fc.get("type", "null") != "null":
         s.find_cache = CacheConfig(
@@ -219,6 +244,9 @@ def load_settings(toml_text: str) -> Settings:
                 ch.get(f"{cls}-concurrent-queries", 0)
                 or ch.get(f"{cls}-max-concurrent", 0)
             ),
+            # load-avg adaptive slot reserve (NewALimiter's n,
+            # config.go FindAdaptiveQueries &c.)
+            "adaptive": int(ch.get(f"{cls}-adaptive-queries", 0)),
         }
 
     s.user_limits = {

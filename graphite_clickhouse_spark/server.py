@@ -694,7 +694,19 @@ def make_server(
         attrs["limiters"] = settings.class_limiters()
         attrs["user_limiters"] = settings.user_limiters()
     handler = type("BoundHandler", (GraphiteHandler,), attrs)
-    return ThreadingHTTPServer((host, port), handler)
+    srv = ThreadingHTTPServer((host, port), handler)
+    tls = getattr(settings, "server_tls", None) if settings is not None else None
+    if tls:
+        import ssl
+
+        cert, key, ca = tls
+        ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+        ctx.load_cert_chain(cert, key or None)
+        if ca:  # mTLS: require and verify client certificates
+            ctx.load_verify_locations(ca)
+            ctx.verify_mode = ssl.CERT_REQUIRED
+        srv.socket = ctx.wrap_socket(srv.socket, server_side=True)
+    return srv
 
 
 def serve_background(engine: Engine, host: str = "127.0.0.1", port: int = 0, settings=None):

@@ -107,3 +107,64 @@ class TestLimiter:
         cl = ClassLimiters(render=2, find=3, tags=4)
         with cl.render.enter(), cl.find.enter(), cl.tags.enter():
             pass
+
+
+class TestAdaptiveLimiter:
+    """limiter/alimiter.go ALimiter + getWeighted truth table."""
+
+    def test_get_weighted_reference_table(self):
+        from graphite_clickhouse_spark.plans.limiter import get_weighted
+
+        # below the 0.6 threshold: nothing reserved
+        assert get_weighted(10, 16, 0.0) == 0
+        assert get_weighted(10, 16, 0.59) == 0
+        # n <= 0: disabled
+        assert get_weighted(0, 16, 2.0) == 0
+        # normal band: int(n * load)
+        assert get_weighted(10, 16, 0.6) == 6
+        assert get_weighted(10, 16, 1.0) == 10
+        # saturation: never reserve every slot
+        assert get_weighted(10, 8, 1.0) == 7
+        assert get_weighted(10, 1, 5.0) == 1
+
+    def test_capacity_shrinks_under_load(self):
+        from graphite_clickhouse_spark.plans.limiter import (
+            AdaptiveLimiter,
+            LimitExceeded,
+        )
+
+        load = [0.0]
+        lim = AdaptiveLimiter(
+            concurrent=4, adaptive_n=3, max_queue=0,
+            queue_timeout_sec=0.1, loadavg_fn=lambda: load[0],
+            check_delay_sec=0.0,
+        )
+        # idle box: all 4 slots usable
+        with lim.enter(), lim.enter(), lim.enter(), lim.enter():
+            pass
+        # loaded box: int(3 * 1.0) = 3 reserved -> 1 effective slot
+        load[0] = 1.0
+        with lim.enter():
+            with pytest.raises(LimitExceeded):
+                with lim.enter():
+                    pass
+        # load drops: capacity recovers
+        load[0] = 0.1
+        with lim.enter(), lim.enter():
+            pass
+
+    def test_config_wires_adaptive(self):
+        from graphite_clickhouse_spark.config import load_settings
+        from graphite_clickhouse_spark.plans.limiter import (
+            AdaptiveLimiter,
+            RequestLimiter,
+        )
+
+        s = load_settings(
+            "[clickhouse]\nrender-concurrent-queries = 4\n"
+            "render-adaptive-queries = 2\nfind-concurrent-queries = 8\n"
+        )
+        cls = s.class_limiters()
+        assert isinstance(cls.render, AdaptiveLimiter)
+        assert cls.render.concurrent == 4 and cls.render.adaptive_n == 2
+        assert isinstance(cls.find, RequestLimiter)

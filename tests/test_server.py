@@ -503,3 +503,68 @@ class TestTelemetry:
         assert rows_ == sorted(rows_)  # cumulative & ordered
         counts = [c for _ub, c in rows_]
         assert counts == sorted(counts)
+
+
+class TestTLS:
+    """Server-side TLS/mTLS termination ([common.tls]); the reference's
+    tests/tls posture with the serving side terminating."""
+
+    @pytest.fixture(scope="class")
+    def certs(self, tmp_path_factory):
+        import subprocess
+
+        d = tmp_path_factory.mktemp("tls")
+
+        def ossl(*args):
+            subprocess.run(["openssl", *args], check=True, cwd=d,
+                           capture_output=True)
+
+        ossl("req", "-x509", "-newkey", "rsa:2048", "-nodes", "-keyout",
+             "ca.key", "-out", "ca.crt", "-days", "1", "-subj", "/CN=test-ca")
+        for name, cn in (("server", "localhost"), ("client", "test-client")):
+            ossl("req", "-newkey", "rsa:2048", "-nodes",
+                 "-keyout", f"{name}.key", "-out", f"{name}.csr",
+                 "-subj", f"/CN={cn}")
+            ossl("x509", "-req", "-in", f"{name}.csr", "-CA", "ca.crt",
+                 "-CAkey", "ca.key", "-CAcreateserial", "-out",
+                 f"{name}.crt", "-days", "1")
+        return d
+
+    @pytest.fixture(scope="class")
+    def tls_url(self, spark, certs):
+        from graphite_clickhouse_spark.config import load_settings
+
+        conf = (
+            f'[common.tls]\ncert = "{certs}/server.crt"\n'
+            f'key = "{certs}/server.key"\nca-cert = "{certs}/ca.crt"\n'
+        )
+        settings = load_settings(conf)
+        assert settings.server_tls is not None
+        points = points_from_events(spark, SF)
+        engine = Engine(
+            spark=spark, points=points,
+            path_index=build_path_index(points.select("path")),
+        )
+        srv, url = serve_background(engine, settings=settings)
+        yield url.replace("http://", "https://"), certs
+        srv.shutdown()
+
+    def test_mtls_roundtrip(self, tls_url):
+        import ssl
+
+        url, certs = tls_url
+        ctx = ssl.create_default_context(cafile=f"{certs}/ca.crt")
+        ctx.check_hostname = False  # cert CN is localhost; host is 127.0.0.1
+        ctx.load_cert_chain(f"{certs}/client.crt", f"{certs}/client.key")
+        with urllib.request.urlopen(f"{url}/alive", timeout=60,
+                                    context=ctx) as r:
+            assert b"alive" in r.read()
+
+    def test_client_without_cert_rejected(self, tls_url):
+        import ssl
+
+        url, certs = tls_url
+        ctx = ssl.create_default_context(cafile=f"{certs}/ca.crt")
+        ctx.check_hostname = False
+        with pytest.raises((ssl.SSLError, urllib.error.URLError, OSError)):
+            urllib.request.urlopen(f"{url}/alive", timeout=60, context=ctx)
