@@ -1442,14 +1442,18 @@ WITH toks AS (
     SELECT DISTINCT a.id AS id_a, b.id AS id_b
     FROM banded a
     JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id
+), hsets AS (
+    SELECT id, list_distinct(list_transform(
+        sh, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS hs
+    FROM grams
 ), verified AS (
     SELECT c.id_a, c.id_b,
-           len(list_intersect(ga.sh, gb.sh))
-             / (len(ga.sh) + len(gb.sh) - len(list_intersect(ga.sh, gb.sh)))
+           len(list_intersect(ha.hs, hb.hs))
+             / (len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs)))
              AS jaccard
     FROM cand c
-    JOIN grams ga ON ga.id = c.id_a
-    JOIN grams gb ON gb.id = c.id_b
+    JOIN hsets ha ON ha.id = c.id_a
+    JOIN hsets hb ON hb.id = c.id_b
 )
 SELECT id_a, id_b, round(jaccard, 6) AS jaccard
 FROM verified WHERE jaccard >= 0.5

@@ -407,13 +407,20 @@ def minhash_dedup_portable(
     sets = (
         tokens_projection(df, text_col, id_col)
         .filter(F.size("toks") >= n)
-        .select(
-            "id",
-            F.array_sort(word_ngrams_from_tokens(F.col("toks"), n)).alias("sh"),
-        )
+        .select("id", word_ngrams_from_tokens(F.col("toks"), n).alias("sh"))
         .cache()
     )
     sets.count()  # EAGER: sig branch + both broadcast verify branches reuse it
+    # verification sets as sorted 60-bit hashes: 8-byte elements instead
+    # of shingle strings keep the broadcast and the intersect cheap; the
+    # oracle hashes identically, so both engines see the same (negligible)
+    # collision behavior
+    hsets = sets.select(
+        "id",
+        F.array_sort(
+            F.array_distinct(F.transform(F.col("sh"), hash60_portable))
+        ).alias("hs"),
+    )
     lanes = F.sequence(F.lit(0), F.lit(num_hashes - 1))
     sig = F.transform(
         lanes,
@@ -462,10 +469,10 @@ def minhash_dedup_portable(
         .distinct()
     )
     pairs = cands.join(
-        F.broadcast(sets.withColumnsRenamed({"id": "id_a", "sh": "sh_a"})), "id_a"
-    ).join(F.broadcast(sets.withColumnsRenamed({"id": "id_b", "sh": "sh_b"})), "id_b")
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
+        F.broadcast(hsets.withColumnsRenamed({"id": "id_a", "hs": "hs_a"})), "id_a"
+    ).join(F.broadcast(hsets.withColumnsRenamed({"id": "id_b", "hs": "hs_b"})), "id_b")
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    union = F.size("hs_a") + F.size("hs_b") - inter
     return pairs.select(
         "id_a", "id_b", (inter / union).alias("jaccard")
     ).filter(F.col("jaccard") >= threshold)
