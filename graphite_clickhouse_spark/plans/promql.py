@@ -64,28 +64,38 @@ DEFAULT_LOOKBACK = 300
 MAX_RESOLUTION = 11000
 
 AGG_OPS = {"sum", "avg", "min", "max", "count", "stddev", "stdvar",
-           "topk", "bottomk", "quantile", "count_values"}
+           "topk", "bottomk", "quantile", "count_values", "group"}
 #: aggregation operators taking a leading scalar parameter
 PARAM_AGG_OPS = {"topk", "bottomk", "quantile"}
 RANGE_FNS = {
     "rate", "increase", "delta", "idelta", "irate", "deriv", "changes",
     "resets",
     "avg_over_time", "sum_over_time", "min_over_time", "max_over_time",
-    "count_over_time", "last_over_time", "predict_linear",
+    "count_over_time", "last_over_time", "present_over_time",
+    "predict_linear",
     "stddev_over_time", "stdvar_over_time", "quantile_over_time",
-    "holt_winters",
+    "holt_winters", "double_exponential_smoothing",
 }
 #: range functions taking trailing scalar argument(s)
-RANGE_FNS_SCALAR = {"predict_linear", "holt_winters"}
+RANGE_FNS_SCALAR = {"predict_linear", "holt_winters",
+                    "double_exponential_smoothing"}
 #: range functions taking a LEADING scalar argument
 RANGE_FNS_LEADING_SCALAR = {"quantile_over_time"}
 #: instant-vector math functions: value -> value, metric name dropped
 MATH_FNS = {
     "abs", "ceil", "floor", "exp", "ln", "log2", "log10", "sqrt", "sgn",
     "clamp_min", "clamp_max", "clamp", "round",
+    "sin", "cos", "tan", "asin", "acos", "atan",
+    "sinh", "cosh", "tanh", "deg", "rad",
 }
 #: math functions taking a trailing scalar argument (round's is optional)
 MATH_FNS_SCALAR = {"clamp_min", "clamp_max"}
+#: calendar-component functions over sample values as UTC epoch seconds
+#: (0-arg form applies to the evaluation timestamp, upstream functions.go)
+TIME_COMPONENT_FNS = {
+    "minute", "hour", "day_of_week", "day_of_month", "day_of_year",
+    "days_in_month", "month", "year",
+}
 
 _DURATION_RE = re.compile(r"(\d+)(ms|s|m|h|d|w|y)")
 _DURATION_UNIT = {
@@ -251,6 +261,40 @@ class TimeFn:
 
 
 @dataclass
+class TimeComponentFn:
+    """minute/hour/day_of_*/month/year(v): calendar component of the
+    sample VALUES read as UTC epoch seconds; 0-arg form = component of
+    the evaluation timestamp (upstream functions.go dateWrapper)."""
+
+    fn: str
+    expr: object | None = None  # None -> time()
+
+
+@dataclass
+class ScalarFn:
+    """scalar(v): the single sample's value per step, NaN when the
+    vector has != 1 series (upstream funcScalar). Joined on t only."""
+
+    expr: object
+
+
+@dataclass
+class VectorFn:
+    """vector(s): scalar literal lifted to a labelless one-series vector
+    (the `... or vector(0)` idiom)."""
+
+    value: float
+
+
+@dataclass
+class TimestampFn:
+    """timestamp(v): the newest sample's own timestamp as the value
+    (upstream funcTimestamp); metric name dropped."""
+
+    selector: object
+
+
+@dataclass
 class Subquery:
     """`expr[window:resolution]` — the inner expression evaluated on its
     own grid (multiples of `resolution` in absolute time, upstream
@@ -274,6 +318,9 @@ class RangeFn:
 @dataclass
 class AbsentFn:
     selector: VectorSelector
+    #: absent_over_time window in seconds; None = instant absent()
+    #: with the lookback-delta staleness window
+    window: int | None = None
 
 
 @dataclass
@@ -578,6 +625,8 @@ class _Parser:
                 params.append(pnum)
             if name in RANGE_FNS_SCALAR and not params:
                 raise PromQLError(f"{name} expects a scalar second argument")
+            if name == "double_exponential_smoothing":
+                name = "holt_winters"  # upstream 3.x rename, same eval
             if name == "holt_winters" and len(params) != 2:
                 raise PromQLError(
                     "holt_winters expects (v, smoothing_factor, trend_factor)"
@@ -597,6 +646,56 @@ class _Parser:
             sel.offset, sel.at_ts = self._mods_opt()
             self._expect(")")
             return AbsentFn(sel)
+        if name == "absent_over_time":
+            self._expect("(")
+            sel = self._selector()
+            self._expect("[")
+            window = self._duration_token()
+            self._expect("]")
+            sel.offset, sel.at_ts = self._mods_opt()
+            self._expect(")")
+            return AbsentFn(sel, window)
+        if name == "timestamp":
+            self._expect("(")
+            sel = self._selector()
+            sel.offset, sel.at_ts = self._mods_opt()
+            self._expect(")")
+            return TimestampFn(sel)
+        if name == "scalar":
+            self._expect("(")
+            inner = self._expr()
+            self._expect(")")
+            return ScalarFn(inner)
+        if name == "vector":
+            self._expect("(")
+            self._ws()
+            m = _NUMBER_RE.match(self.s, self.i)
+            neg = False
+            if m is None and self._peek() == "-":
+                self.i += 1
+                self._ws()
+                m = _NUMBER_RE.match(self.s, self.i)
+                neg = True
+            if m is None:
+                raise PromQLError(
+                    "vector() supports scalar literal arguments only"
+                )
+            self.i = m.end()
+            self._expect(")")
+            v = float(m.group(0))
+            return VectorFn(-v if neg else v)
+        if name in TIME_COMPONENT_FNS:
+            self._expect("(")
+            if self._peek() == ")":
+                self.i += 1
+                return TimeComponentFn(name)
+            inner = self._expr()
+            self._expect(")")
+            return TimeComponentFn(name, inner)
+        if name == "pi":
+            self._expect("(")
+            self._expect(")")
+            return math.pi  # scalar literal: folds through _combine
         if name == "histogram_quantile":
             self._expect("(")
             phi = self._number()
@@ -954,7 +1053,78 @@ class Evaluator:
             return self._eval_label(node)
         if isinstance(node, VecBinOp):
             return self._eval_vec_bin(node)
+        if isinstance(node, TimeComponentFn):
+            return self._eval_time_component(node)
+        if isinstance(node, ScalarFn):
+            return self._eval_scalar_fn(node)
+        if isinstance(node, VectorFn):
+            return self._grid_frame(F.lit(float(node.value)))
+        if isinstance(node, TimestampFn):
+            return self._eval_timestamp(node)
         raise PromQLError(f"unsupported expression node: {node!r}")
+
+    def _grid_frame(self, value) -> DataFrame:
+        """One labelless row per eval step with the given value Column
+        (`value` may reference the step column `t`)."""
+        spark = self.tagged.sparkSession
+        return spark.range(self.n_evals).select(
+            F.expr("cast(map() as map<string,string>)").alias("labels"),
+            (F.lit(self.start) + F.col("id") * F.lit(self.step))
+            .cast("long").alias("t"),
+        ).select("labels", "t", value.cast("double").alias("value"))
+
+    def _eval_time_component(self, node: TimeComponentFn) -> DataFrame:
+        comp = _time_component_col(node.fn)
+        if node.expr is None:
+            return self._grid_frame(comp(F.col("t").cast("double")))
+        child = self.eval(node.expr)
+        return child.select(
+            _drop_name(F.col("labels")).alias("labels"), "t",
+            comp(F.col("value")).alias("value"),
+        )
+
+    def _eval_scalar_fn(self, node: ScalarFn) -> DataFrame:
+        """Per step: the single sample's value, NaN when the vector has
+        any other cardinality (funcScalar). Labelless rows on the full
+        grid so downstream t-joins see every step."""
+        child = self.eval(node.expr)
+        per_t = child.groupBy("t").agg(
+            F.count("*").alias("__n"), F.max("value").alias("__v")
+        )
+        return (
+            self._grid_frame(F.lit(0.0)).select("labels", "t")
+            .join(per_t, "t", "left")
+            .select(
+                "labels", "t",
+                F.when(F.col("__n") == 1, F.col("__v"))
+                .otherwise(F.lit(float("nan"))).alias("value"),
+            )
+        )
+
+    def _eval_timestamp(self, node: TimestampFn) -> DataFrame:
+        """Newest-sample timestamp as the value (funcTimestamp); same
+        plan as the selector with the aggregate reading `time`."""
+        sel = node.selector
+        if sel.at_ts is not None:
+            from dataclasses import replace as _dc_replace
+
+            pinned = self._pinned(sel.at_ts)
+            return self._fan_out(pinned._eval_timestamp(
+                TimestampFn(_dc_replace(sel, at_ts=None))
+            ))
+        pts = self._points(sel, self.lookback).repartition("path")
+        ex = _explode_to_grid(pts, self.start, self.step, self.lookback,
+                              self.n_evals)
+        w = F.struct("time", "version", F.col("value").alias("x"))
+        return (
+            ex.groupBy("path", "j")
+            .agg(F.max(w).getField("time").cast("double").alias("value"),
+                 F.first("tags").alias("labels"))
+            .select(
+                _drop_name(F.col("labels")).alias("labels"),
+                _grid_time(self.start, self.step), F.col("value"),
+            )
+        )
 
     # -- selector: newest sample in (t - lookback, t]
 
@@ -1020,6 +1190,8 @@ class Evaluator:
         "count_over_time": lambda: F.count("value").cast("double"),
         "stddev_over_time": lambda: F.stddev_pop("value"),
         "stdvar_over_time": lambda: F.var_pop("value"),
+        # groups only exist where >= 1 sample landed in the window
+        "present_over_time": lambda: F.max(F.lit(1.0)),
     }
 
     def _subquery_samples(self, sub: Subquery, window: int) -> DataFrame:
@@ -1337,6 +1509,8 @@ class Evaluator:
             "count": F.count("value").cast("double"),
             "stddev": F.stddev_pop("value"),
             "stdvar": F.var_pop("value"),
+            # group: constant 1 per populated group (upstream 2.32+)
+            "group": F.max(F.lit(1.0)),
             "quantile": None,  # built below (needs phi)
         }[node.op]
         if node.op == "quantile":
@@ -1425,8 +1599,16 @@ class Evaluator:
 
     def _eval_absent(self, node: AbsentFn) -> DataFrame:
         """1 at every eval step where the selector matches nothing; the
-        anti-join runs grid-vs-aggregated-steps (both <= n_evals rows)."""
-        present = self._eval_selector(node.selector).select("t").distinct()
+        anti-join runs grid-vs-aggregated-steps (both <= n_evals rows).
+        With a window (absent_over_time) presence means >= 1 sample in
+        (t - window, t] instead of the lookback staleness rule."""
+        if node.window is not None:
+            pts = self._points(node.selector, node.window)
+            present = _explode_to_grid(
+                pts, self.start, self.step, node.window, self.n_evals
+            ).select(_grid_time(self.start, self.step)).distinct()
+        else:
+            present = self._eval_selector(node.selector).select("t").distinct()
         spark = self.tagged.sparkSession
         grid = spark.range(self.n_evals).select(
             (F.lit(self.start) + F.col("id") * F.lit(self.step))
@@ -1474,6 +1656,10 @@ class Evaluator:
                 "log2": F.log2(v),
                 "log10": F.log10(v),
                 "sqrt": F.sqrt(v),
+                "sin": F.sin(v), "cos": F.cos(v), "tan": F.tan(v),
+                "asin": F.asin(v), "acos": F.acos(v), "atan": F.atan(v),
+                "sinh": F.sinh(v), "cosh": F.cosh(v), "tanh": F.tanh(v),
+                "deg": F.degrees(v), "rad": F.radians(v),
             }[node.fn]
         return child.select(
             _drop_name(F.col("labels")).alias("labels"), "t",
@@ -1526,6 +1712,8 @@ class Evaluator:
         shuffle on (series-key, t)."""
         if isinstance(node.left, TimeFn) or isinstance(node.right, TimeFn):
             return self._eval_time_bin(node)
+        if isinstance(node.left, ScalarFn) or isinstance(node.right, ScalarFn):
+            return self._eval_scalar_bin(node)
 
         def mkey(labels):
             if node.match_on is not None:
@@ -1645,6 +1833,44 @@ class Evaluator:
             value.alias("value"),
         )
 
+    def _eval_scalar_bin(self, node: VecBinOp) -> DataFrame:
+        """vector <op> scalar(v): the scalar side supplies one value per
+        step and joins on t only (like time()), not on label match keys."""
+        sc_on_left = isinstance(node.left, ScalarFn)
+        sc = node.left if sc_on_left else node.right
+        other = node.right if sc_on_left else node.left
+        if node.op in self._SET_OPS_EVAL:
+            raise PromQLError(
+                f'set operator "{node.op}" not allowed in binary scalar '
+                f"expression"
+            )
+        if isinstance(other, ScalarFn) and node.op in _COMPARE_COLS \
+                and not node.bool_mode:
+            raise PromQLError(
+                "comparisons between scalars must use BOOL modifier"
+            )
+        svals = self._eval_scalar_fn(sc).select(
+            "t", F.col("value").alias("__sv")
+        )
+        child = self.eval(other).join(svals, "t")
+        v, s = F.col("value"), F.col("__sv")
+        left, right = (s, v) if sc_on_left else (v, s)
+        if node.op in _COMPARE_COLS:
+            cond = _COMPARE_COLS[node.op](left, right)
+            if node.bool_mode:
+                return child.select(
+                    _drop_name(F.col("labels")).alias("labels"), "t",
+                    F.when(cond, 1.0).otherwise(0.0).alias("value"),
+                )
+            return child.filter(cond).select("labels", "t", "value")
+        value = _arith_col(node.op, left, right)
+        return child.select(
+            _drop_name(F.col("labels")).alias("labels"), "t",
+            value.alias("value"),
+        )
+
+    _SET_OPS_EVAL = ("and", "or", "unless")
+
     # -- vector <op> scalar
 
     def _eval_bin(self, node: BinOp) -> DataFrame:
@@ -1665,6 +1891,28 @@ class Evaluator:
             _drop_name(F.col("labels")).alias("labels"), "t",
             value.alias("value"),
         )
+
+
+def _time_component_col(fn: str):
+    """Calendar component of a double epoch-seconds Column, UTC
+    (sessions pin spark.sql.session.timeZone=UTC). Spark's dayofweek is
+    1=Sunday; upstream day_of_week is 0=Sunday."""
+
+    def comp(c):
+        ts = F.timestamp_seconds(c)
+        out = {
+            "minute": F.minute(ts),
+            "hour": F.hour(ts),
+            "day_of_week": F.dayofweek(ts) - 1,
+            "day_of_month": F.dayofmonth(ts),
+            "day_of_year": F.dayofyear(ts),
+            "days_in_month": F.dayofmonth(F.last_day(ts)),
+            "month": F.month(ts),
+            "year": F.year(ts),
+        }[fn]
+        return out.cast("double")
+
+    return comp
 
 
 def _unique_match_guard(df: DataFrame, side: str) -> DataFrame:

@@ -1144,3 +1144,91 @@ class TestAtModifier:
                                100, 300, 100))
         ref = rows(eval_promql(tagged, 'm{k="b"}', 200, 200, 1))
         assert got[("__name__=m,k=b", 100)] == ref[("__name__=m,k=b", 200)]
+
+
+class TestFunctionSurface2:
+    """Round-2 upstream function additions."""
+
+    def test_trig_and_deg_rad(self, tagged):
+        import math as m
+
+        got = rows(eval_promql(tagged, 'sin(m{k="a"})', 100, 100, 1))
+        assert got[("k=a", 100)] == pytest.approx(m.sin(1.0))
+        got = rows(eval_promql(tagged, 'deg(m{k="a"})', 100, 100, 1))
+        assert got[("k=a", 100)] == pytest.approx(m.degrees(1.0))
+        got = rows(eval_promql(tagged, 'rad(deg(m{k="a"}))', 100, 100, 1))
+        assert got[("k=a", 100)] == pytest.approx(1.0)
+
+    def test_pi_folds_as_scalar(self, tagged):
+        import math as m
+
+        got = rows(eval_promql(tagged, 'm{k="a"} * pi()', 100, 100, 1))
+        assert got[("k=a", 100)] == pytest.approx(m.pi)
+
+    def test_time_components_on_values(self, tagged):
+        # m{k=b} value at t=100 is 10.0 -> 1970-01-01T00:00:10Z
+        got = rows(eval_promql(tagged, 'hour(m{k="b"})', 100, 100, 1))
+        assert got[("k=b", 100)] == 0.0
+        got = rows(eval_promql(tagged, 'year(m{k="b"})', 100, 100, 1))
+        assert got[("k=b", 100)] == 1970.0
+
+    def test_time_components_zero_arg(self, tagged):
+        # hour() at eval time t: t=100 -> hour 0 of 1970-01-01
+        got = {r.t: r.value for r in
+               eval_promql(tagged, "hour()", 100, 300, 100).collect()}
+        assert got == {100: 0.0, 200: 0.0, 300: 0.0}
+        got = {r.t: r.value for r in
+               eval_promql(tagged, "day_of_week()", 100, 100, 1).collect()}
+        assert got[100] == 4.0  # 1970-01-01 was a Thursday
+
+    def test_group_aggregator(self, tagged):
+        got = rows(eval_promql(tagged, "group by (k) (m)", 100, 100, 1))
+        assert got == {("k=a", 100): 1.0, ("k=b", 100): 1.0}
+
+    def test_present_over_time(self, tagged):
+        got = rows(eval_promql(tagged, "present_over_time(m[100s])",
+                               300, 300, 1))
+        assert got == {("k=a", 300): 1.0, ("k=b", 300): 1.0}
+
+    def test_absent_over_time(self, tagged):
+        # no samples after t=280: absent_over_time over a 50s window is
+        # 1 from t=350 onward, absent (no rows) where samples exist
+        got = {r.t: r.value for r in
+               eval_promql(tagged, 'absent_over_time(m{k="a"}[50s])',
+                           250, 450, 100).collect()}
+        assert 250 not in got  # sample at 220 < 250 <= in (200, 250]? 220 yes
+        assert got.get(450) == 1.0
+
+    def test_scalar_fn(self, tagged):
+        # scalar of a 1-series vector: usable in arithmetic against a
+        # differently-labeled vector (t-only join)
+        got = rows(eval_promql(tagged, 'm{k="a"} + scalar(m{k="b"})',
+                               100, 100, 1))
+        assert got[("k=a", 100)] == 11.0
+        # >1 series -> NaN propagates
+        import math as m
+
+        got = rows(eval_promql(tagged, 'm{k="a"} + scalar(m)', 100, 100, 1))
+        assert m.isnan(got[("k=a", 100)])
+
+    def test_vector_fn_or_idiom(self, tagged):
+        got = rows(eval_promql(tagged, 'sum(m{k="zzz"}) or vector(0)',
+                               100, 100, 1))
+        assert got == {("", 100): 0.0}
+        got = rows(eval_promql(tagged, 'sum(m) or vector(0)', 100, 100, 1))
+        assert got == {("", 100): 11.0}
+
+    def test_timestamp_fn(self, tagged):
+        # newest sample time within lookback at t=300: a->280, b->220
+        got = rows(eval_promql(tagged, "timestamp(m)", 300, 300, 1))
+        assert got[("k=a", 300)] == 280.0
+        assert got[("k=b", 300)] == 220.0
+
+    def test_double_exponential_smoothing_alias(self, tagged):
+        a = rows(eval_promql(
+            tagged, 'holt_winters(m{k="a"}[200s], 0.5, 0.5)', 300, 300, 1))
+        b = rows(eval_promql(
+            tagged,
+            'double_exponential_smoothing(m{k="a"}[200s], 0.5, 0.5)',
+            300, 300, 1))
+        assert a == b
