@@ -196,6 +196,7 @@ def load_settings(toml_text: str) -> Settings:
             short_duration_sec=int(parse_go_duration(fc.get("short-duration", "0s")))
             or 3 * 3600,
             short_until_offset_sec=int(fc.get("short-offset", 0) or 120),
+            find_timeout_sec=int(parse_go_duration(fc.get("find-timeout", 0))),
             # "mem" or "memcached" (+ servers), matching the reference's
             # [common] find-cache section (cache.go:22-41, doc/config.md)
             cache_type=str(fc.get("type", "mem")),

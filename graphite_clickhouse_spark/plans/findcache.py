@@ -33,6 +33,9 @@ class CacheConfig:
     short_duration_sec: int = 3 * 3600  # ranges up to this use the short class
     short_until_offset_sec: int = 120  # 'until' within this of now = live query
     max_entries: int = 65536
+    #: TTL for /metrics/find and autocomplete requests (the reference's
+    #: separate find-timeout class, find/handler.go:149); 0 -> default
+    find_timeout_sec: int = 0
     #: backend: "mem" (in-process) or "memcached" (shared across
     #: replicas — the reference's MemcachedCache, cache.go:43-85)
     cache_type: str = "mem"
@@ -106,3 +109,18 @@ class FindCache:
         ttl_sec, klass = get_cache_timeout(now_ts, from_ts, until_ts, self.cfg)
         key = target_key(from_ts, until_ts, target, klass)
         return self.get(key, now), key, ttl_sec
+
+    def find_request_cached(
+        self, from_ts: int, until_ts: int, key_base: str,
+        now: float | None = None,
+    ) -> tuple[list[str] | None, str, int]:
+        """Probe for /metrics/find and autocomplete requests, which use
+        the dedicated find-timeout TTL class (find/handler.go:136-149,
+        autocomplete.go:315-321) instead of the range-based classes."""
+        ttl_sec = self.cfg.find_timeout_sec or self.cfg.default_timeout_sec
+        key = target_key(from_ts, until_ts, key_base, "find")
+        return self.get(key, now), key, ttl_sec
+
+    @property
+    def find_timeout_sec(self) -> int:
+        return self.cfg.find_timeout_sec or self.cfg.default_timeout_sec

@@ -57,6 +57,10 @@ class RenderRequest:
     #: False = ?noCache=1: bypass the find-cache read AND write
     #: (render/handler.go:334)
     use_cache: bool = True
+    #: set by the engine after path resolution: the cache TTL when the
+    #: find step was served from cache, else None — drives the
+    #: X-Cached-Find response header (render/handler.go:360-368)
+    cache_hit_ttl: int | None = None
 
 
 @dataclass
@@ -220,6 +224,7 @@ class Engine:
             cached = cache_key = cache_ttl = None
         if cached is not None:
             paths = list(cached)
+            req.cache_hit_ttl = cache_ttl
         else:
             paths_df = self.find_paths(req.target, req.from_ts, req.until_ts)
             paths = [r.path for r in paths_df.collect()]  # resolved list is small

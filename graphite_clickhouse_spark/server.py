@@ -54,11 +54,14 @@ class GraphiteHandler(BaseHTTPRequestHandler):
     def log_message(self, *args):  # quiet
         pass
 
-    def _send(self, body: bytes, ctype: str = "application/json", status: int = 200):
+    def _send(self, body: bytes, ctype: str = "application/json", status: int = 200,
+              headers: dict | None = None):
         self._last_status = status
         self.send_response(status)
         self.send_header("Content-Type", ctype)
         self.send_header("Content-Length", str(len(body)))
+        for k, v in (headers or {}).items():
+            self.send_header(k, v)
         self.end_headers()
         self.wfile.write(body)
 
@@ -531,22 +534,25 @@ class GraphiteHandler(BaseHTTPRequestHandler):
         if fmt not in RENDER_CONTENT_TYPES:
             raise ValueError(f"unsupported format: {fmt}")
         use_cache = not _truthy(q.get("noCache", ""))
-        series = self._render_series(
-            [
-                RenderRequest(
-                    target, from_ts, until_ts, max_data_points=mdp,
-                    use_cache=use_cache,
-                )
-                for target in targets
-            ]
-        )
+        reqs = [
+            RenderRequest(
+                target, from_ts, until_ts, max_data_points=mdp,
+                use_cache=use_cache,
+            )
+            for target in targets
+        ]
+        series = self._render_series(reqs)
         enc = {
             "json": R.encode_render_json,
             "pickle": R.encode_pickle,
             "protobuf": R.encode_v2_pb,
             "carbonapi_v3_pb": R.encode_v3_pb,
         }[fmt]
-        self._send(enc(series), RENDER_CONTENT_TYPES[fmt])
+        # X-Cached-Find: max cache TTL across targets whose find step was
+        # served from cache (render/handler.go:360-368)
+        hit_ttls = [r.cache_hit_ttl for r in reqs if r.cache_hit_ttl]
+        hdrs = {"X-Cached-Find": str(max(hit_ttls))} if hit_ttls else None
+        self._send(enc(series), RENDER_CONTENT_TYPES[fmt], headers=hdrs)
 
     def _render_series(self, reqs):
         """One target -> single plan; several -> render_multi's unioned
@@ -587,14 +593,19 @@ class GraphiteHandler(BaseHTTPRequestHandler):
                 )
             query = metrics[0]
             from_ts, until_ts = g_start or from_ts, g_stop or until_ts
-        # find-cache probe, bypassed by ?noCache=1 (find/handler.go:136)
+        # find-cache probe, bypassed by ?noCache=1 (find/handler.go:136);
+        # hits announce themselves via X-Cached-Find: <ttl>
+        # (find/handler.go:149, asserted by the reference e2e harness)
         cache = self.engine.find_cache
         use_cache = cache is not None and not _truthy(q.get("noCache", ""))
         rows = cache_key = cache_ttl = None
+        hdrs: dict = {}
         if use_cache:
-            rows, cache_key, cache_ttl = cache.find_cached(
+            rows, cache_key, cache_ttl = cache.find_request_cached(
                 from_ts, until_ts, "find:" + query
             )
+            if rows is not None:
+                hdrs["X-Cached-Find"] = str(cache.find_timeout_sec)
         if rows is None:
             rows = self._find_rows(query, from_ts, until_ts)
             if use_cache:
@@ -602,13 +613,15 @@ class GraphiteHandler(BaseHTTPRequestHandler):
         rows = [tuple(r) for r in rows]
         limit = self.max_find_answer
         if fmt == "json":
-            self._send(R.find_json(rows, limit), "application/json")
+            self._send(R.find_json(rows, limit), "application/json", headers=hdrs)
         elif fmt == "pickle":
-            self._send(R.find_pickle(rows, limit), "application/pickle")
+            self._send(R.find_pickle(rows, limit), "application/pickle", headers=hdrs)
         elif fmt == "protobuf":
-            self._send(R.find_v2_pb(query, rows, limit), "application/x-protobuf")
+            self._send(R.find_v2_pb(query, rows, limit),
+                       "application/x-protobuf", headers=hdrs)
         elif fmt == "carbonapi_v3_pb":
-            self._send(R.find_v3_pb(query, rows, limit), "application/x-protobuf")
+            self._send(R.find_v3_pb(query, rows, limit),
+                       "application/x-protobuf", headers=hdrs)
         else:
             raise ValueError(f"unsupported format: {fmt}")
 
@@ -646,6 +659,16 @@ class GraphiteHandler(BaseHTTPRequestHandler):
         paths = [r.path for r in src.filter(F.col("is_leaf")).select("path").collect()]
         self._send(R.index_json(paths), "application/json")
 
+    def _autocomplete_cache_probe(self, q: dict, key: str):
+        """Autocomplete responses share the find-cache under the find TTL
+        (autocomplete.go:306-321): (values-or-None, key, ttl, headers)."""
+        cache = self.engine.find_cache
+        if cache is None or _truthy(q.get("noCache", "")):
+            return None, None, None, {}
+        vals, cache_key, ttl = cache.find_request_cached(0, 0, key)
+        hdrs = {"X-Cached-Find": str(cache.find_timeout_sec)} if vals is not None else {}
+        return vals, cache_key, ttl, hdrs
+
     def _tags_autocomplete(self, q: dict, qlist: dict):
         import time
 
@@ -653,12 +676,17 @@ class GraphiteHandler(BaseHTTPRequestHandler):
             raise ValueError("no tagged table configured")
         exprs = qlist.get("expr", [])
         limit = int(q.get("limit", 10000))
-        tags = autocomplete_tags(
-            self.engine.tagged_points, exprs or None, q.get("tagPrefix", ""), limit,
-            days=self.engine.tagged_autocomplete_days, now_ts=int(time.time()),
-            date_mode=self.engine.date_mode,
-        )
-        self._send(json.dumps(tags).encode(), "application/json")
+        ck = f"tags:{';'.join(sorted(exprs))}:{q.get('tagPrefix', '')}:{limit}"
+        tags, cache_key, ttl, hdrs = self._autocomplete_cache_probe(q, ck)
+        if tags is None:
+            tags = autocomplete_tags(
+                self.engine.tagged_points, exprs or None, q.get("tagPrefix", ""), limit,
+                days=self.engine.tagged_autocomplete_days, now_ts=int(time.time()),
+                date_mode=self.engine.date_mode,
+            )
+            if cache_key is not None:
+                self.engine.find_cache.set(cache_key, tags, ttl)
+        self._send(json.dumps(tags).encode(), "application/json", headers=hdrs)
 
     def _values_autocomplete(self, q: dict, qlist: dict):
         import time
@@ -670,13 +698,20 @@ class GraphiteHandler(BaseHTTPRequestHandler):
             raise ValueError("tag parameter required")
         exprs = qlist.get("expr", [])
         limit = int(q.get("limit", 10000))
-        df = tag_values_df(
-            self.engine.tagged_points, tag, exprs or None, q.get("valuePrefix", ""), limit,
-            days=self.engine.tagged_autocomplete_days, now_ts=int(time.time()),
-            date_mode=self.engine.date_mode,
-        )
-        vals = [r.value for r in df.collect()]
-        self._send(json.dumps(vals).encode(), "application/json")
+        ck = (f"values:{tag}:{';'.join(sorted(exprs))}:"
+              f"{q.get('valuePrefix', '')}:{limit}")
+        vals, cache_key, ttl, hdrs = self._autocomplete_cache_probe(q, ck)
+        if vals is None:
+            df = tag_values_df(
+                self.engine.tagged_points, tag, exprs or None,
+                q.get("valuePrefix", ""), limit,
+                days=self.engine.tagged_autocomplete_days, now_ts=int(time.time()),
+                date_mode=self.engine.date_mode,
+            )
+            vals = [r.value for r in df.collect()]
+            if cache_key is not None:
+                self.engine.find_cache.set(cache_key, vals, ttl)
+        self._send(json.dumps(vals).encode(), "application/json", headers=hdrs)
 
 
 def make_server(

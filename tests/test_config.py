@@ -98,8 +98,8 @@ class TestParse:
         assert s.max_data_points == 4096
         assert s.data_timeout_sec == 90
         assert s.index_timeout_sec == 45
-        assert s.limiters["render"] == {"max": 500, "concurrent": 10}
-        assert s.limiters["tags"] == {"max": 100, "concurrent": 6}
+        assert s.limiters["render"] == {"max": 500, "concurrent": 10, "adaptive": 0}
+        assert s.limiters["tags"] == {"max": 100, "concurrent": 6, "adaptive": 0}
         # rollup-conf = "none" -> single default rule
         assert s.rules.lookup("any.metric", age=0) == (120, "max")
         # [prometheus] is consumed now (lookback-delta feeds the evaluator);

@@ -568,3 +568,57 @@ class TestTLS:
         ctx.check_hostname = False
         with pytest.raises((ssl.SSLError, urllib.error.URLError, OSError)):
             urllib.request.urlopen(f"{url}/alive", timeout=60, context=ctx)
+
+
+class TestCachedFindHeader:
+    """X-Cached-Find response header parity (find/handler.go:149,
+    render/handler.go:360-368, autocomplete.go:321): cache hits announce
+    the find TTL; misses and noCache requests carry no header."""
+
+    @pytest.fixture(scope="class")
+    def cached_base(self, spark):
+        from graphite_clickhouse_spark.config import (
+            engine_from_settings,
+            load_settings,
+        )
+
+        settings = load_settings(
+            '[common.find-cache]\ntype = "mem"\ndefault-timeout = 600\n'
+            'find-timeout = 120\n'
+        )
+        points = points_from_events(spark, SF)
+        engine = engine_from_settings(
+            spark, settings, points,
+            path_index=build_path_index(points.select("path")),
+            tagged_points=tagged_points_from_events(spark, SF),
+        )
+        srv, url = serve_background(engine, settings=settings)
+        yield url
+        srv.shutdown()
+
+    @staticmethod
+    def _hdr(url):
+        with urllib.request.urlopen(url, timeout=120) as r:
+            r.read()
+            return r.headers.get("X-Cached-Find")
+
+    def test_find_hit_sets_header(self, cached_base):
+        url = f"{cached_base}/metrics/find?query=ev.*.u2&format=json"
+        assert self._hdr(url) is None  # miss populates
+        assert self._hdr(url) == "120"  # hit announces find TTL
+        assert self._hdr(url + "&noCache=1") is None
+
+    def test_render_hit_sets_header(self, cached_base):
+        url = (f"{cached_base}/render?target=ev.purchase.u2&from={FROM_TS}"
+               f"&until={UNTIL_TS}&maxDataPoints=24&format=json")
+        assert self._hdr(url) is None
+        got = self._hdr(url)
+        assert got is not None and int(got) > 0  # range-classed TTL
+
+    def test_autocomplete_hit_sets_header(self, cached_base):
+        url = f"{cached_base}/tags/autoComplete/tags?expr=type%3Dpurchase"
+        assert self._hdr(url) is None
+        assert self._hdr(url) == "120"
+        url2 = f"{cached_base}/tags/autoComplete/values?tag=user&valuePrefix=u3"
+        assert self._hdr(url2) is None
+        assert self._hdr(url2) == "120"
