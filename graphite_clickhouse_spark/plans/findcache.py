@@ -69,7 +69,8 @@ class FindCache:
     shape and TTL classes live here, storage there — same split as
     the reference's BytesCache interface (cache.go:10-20)."""
 
-    def __init__(self, cfg: CacheConfig | None = None, backend=None):
+    def __init__(self, cfg: CacheConfig | None = None, backend=None,
+                 now_fn=None):
         from .cachebackend import make_backend
 
         self.cfg = cfg or CacheConfig()
@@ -77,13 +78,16 @@ class FindCache:
             self.cfg.cache_type, tuple(self.cfg.memcached_servers),
             self.cfg.max_entries,
         )
+        #: clock used for TTL classing and expiry when callers pass no
+        #: explicit now (overridable for harnesses pinned to a fixed now)
+        self._now = now_fn or _time.time
         self.hits = 0
         self.misses = 0
 
     def get(self, key: str, now: float | None = None) -> list[str] | None:
         import json
 
-        raw = self.backend.get(key, now)
+        raw = self.backend.get(key, self._now() if now is None else now)
         if raw is None:
             self.misses += 1
             return None
@@ -98,14 +102,17 @@ class FindCache:
     def set(self, key: str, paths: list[str], ttl_sec: int, now: float | None = None) -> None:
         import json
 
-        self.backend.set(key, json.dumps(list(paths)).encode(), ttl_sec, now)
+        self.backend.set(
+            key, json.dumps(list(paths)).encode(), ttl_sec,
+            self._now() if now is None else now,
+        )
 
     def find_cached(
         self, from_ts: int, until_ts: int, target: str, now: float | None = None
     ) -> tuple[list[str] | None, str, int]:
         """One-shot probe: (paths-or-None, key, ttl) for a render/find
         request — the caller runs the real find on miss and `set`s."""
-        now_ts = int(_time.time() if now is None else now)
+        now_ts = int(self._now() if now is None else now)
         ttl_sec, klass = get_cache_timeout(now_ts, from_ts, until_ts, self.cfg)
         key = target_key(from_ts, until_ts, target, klass)
         return self.get(key, now), key, ttl_sec

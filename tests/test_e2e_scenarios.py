@@ -4,9 +4,11 @@ combination below executes ALL of the scenario's find/tags/render checks
 against our ingest + merge + Engine pipeline.
 
 Excluded scenario dirs and why: one_table (hand-ported in
-test_e2e_one_table.py), find_cache + limiter* (cache/limiter infra has
-dedicated unit tests; checks are timing-based), tls / error_handling
-(transport-level proxy fault injection).
+test_e2e_one_table.py), find_cache (runs over HTTP in
+test_e2e_find_cache.py — its checks assert X-Cached-Find headers),
+limiter* (limiter infra has dedicated unit tests; checks are
+timing-based), tls (mTLS termination unit-tested in test_server.py) /
+error_handling (transport-level proxy fault injection).
 """
 
 from __future__ import annotations
