@@ -42,6 +42,46 @@ def _truthy(s: str) -> bool:
     return s.lower() in ("1", "true", "t", "yes", "y")
 
 
+class DataTimeout(RuntimeError):
+    """Fetch exceeded [clickhouse] data-timeout — mapped to 504, like the
+    reference maps ClickHouse query timeouts (clickhouse.go:123,156)."""
+
+
+def run_with_data_timeout(spark, fn, timeout_sec: float, what: str):
+    """Run `fn` (a driver action) in a worker thread under its own Spark
+    job group; on timeout CANCEL the group's jobs (interrupt executors)
+    and raise DataTimeout. This is the data-timeout semantics of the
+    reference (config.go DataTimeout, default 1m): a runaway fetch dies
+    instead of holding a request slot forever."""
+    import uuid
+
+    group = f"data-timeout-{uuid.uuid4().hex[:12]}"
+    out: list = []
+    err: list = []
+
+    def work():
+        sc = spark.sparkContext
+        sc.setJobGroup(group, what, interruptOnCancel=True)
+        try:
+            out.append(fn())
+        except Exception as exc:  # surfaced to the caller thread
+            err.append(exc)
+        finally:
+            sc.setJobGroup("", "")
+
+    t = threading.Thread(target=work, daemon=True)
+    t.start()
+    t.join(timeout_sec)
+    if t.is_alive():
+        spark.sparkContext.cancelJobGroup(group)
+        raise DataTimeout(
+            f"{what}: data fetch exceeded data-timeout ({timeout_sec:g}s)"
+        )
+    if err:
+        raise err[0]
+    return out[0]
+
+
 class GraphiteHandler(BaseHTTPRequestHandler):
     engine: Engine  # set by make_server
     max_find_answer: int = 0  # max-metrics-in-find-answer (L2)
@@ -169,6 +209,10 @@ class GraphiteHandler(BaseHTTPRequestHandler):
             # the reference maps limiter rejections to 503
             # (find/handler.go:176, autocomplete.go:390)
             self._error(503, str(exc))
+        except DataTimeout as exc:
+            # the reference maps fetch timeouts to 504 Gateway Timeout
+            # (helper/clickhouse/clickhouse.go:123,156)
+            self._error(504, str(exc))
         except ValueError as exc:
             # guard errors carry their reference HTTP code (GlobError 400,
             # CostlySeriesByTagError 403, finder/tagged.go:23); the
@@ -177,6 +221,15 @@ class GraphiteHandler(BaseHTTPRequestHandler):
                 self._error(403, str(exc))
             else:
                 self._error(getattr(exc, "http_status", 400), str(exc))
+
+    def _fetch_with_timeout(self, fn, what: str):
+        """Apply [clickhouse] data-timeout to a fetch action (0 = off)."""
+        timeout = float(
+            getattr(getattr(self, "settings", None), "data_timeout_sec", 0) or 0
+        )
+        if timeout <= 0:
+            return fn()
+        return run_with_data_timeout(self.engine.spark, fn, timeout, what)
 
     def _limit(self, cls: str):
         import contextlib
@@ -364,7 +417,9 @@ class GraphiteHandler(BaseHTTPRequestHandler):
         from .plans.promql import PromQLError
 
         try:
-            rows = df.collect()
+            rows = self._fetch_with_timeout(df.collect, "promql")
+        except DataTimeout:
+            raise
         except Exception as exc:
             # vector-matching cardinality assertion raised executor-side
             # (plans/promql._unique_match_guard) -> upstream's 400
@@ -541,7 +596,9 @@ class GraphiteHandler(BaseHTTPRequestHandler):
             )
             for target in targets
         ]
-        series = self._render_series(reqs)
+        series = self._fetch_with_timeout(
+            lambda: self._render_series(reqs), "render"
+        )
         enc = {
             "json": R.encode_render_json,
             "pickle": R.encode_pickle,

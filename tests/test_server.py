@@ -622,3 +622,70 @@ class TestCachedFindHeader:
         url2 = f"{cached_base}/tags/autoComplete/values?tag=user&valuePrefix=u3"
         assert self._hdr(url2) is None
         assert self._hdr(url2) == "120"
+
+
+class TestDataTimeout:
+    """[clickhouse] data-timeout: a runaway fetch is cancelled (Spark job
+    group interrupt) and the request returns 504 Gateway Timeout, the
+    status the reference maps ClickHouse query timeouts to
+    (clickhouse.go:123,156)."""
+
+    def test_slow_render_times_out_504(self, spark):
+        import urllib.error
+
+        from graphite_clickhouse_spark.config import (
+            engine_from_settings,
+            load_settings,
+        )
+        from pyspark.sql import functions as F
+
+        settings = load_settings('[clickhouse]\ndata-timeout = "2s"\n')
+        points = points_from_events(spark, SF)
+
+        @F.pandas_udf("double")
+        def crawl(v):
+            import time
+
+            time.sleep(30)
+            return v
+
+        slow = points.withColumn("value", crawl("value"))
+        engine = engine_from_settings(
+            spark, settings, slow,
+            path_index=build_path_index(points.select("path")),
+        )
+        srv, base = serve_background(engine, settings=settings)
+        try:
+            url = (f"{base}/render?target=ev.purchase.u1&from={FROM_TS}"
+                   f"&until={UNTIL_TS}&maxDataPoints=24&format=json")
+            import time as _t
+
+            t0 = _t.monotonic()
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                urllib.request.urlopen(url, timeout=120)
+            assert ei.value.code == 504
+            assert b"data-timeout" in ei.value.read()
+            assert _t.monotonic() - t0 < 20  # cancelled, not run to completion
+        finally:
+            srv.shutdown()
+
+    def test_fast_render_unaffected(self, spark):
+        from graphite_clickhouse_spark.config import (
+            engine_from_settings,
+            load_settings,
+        )
+
+        settings = load_settings('[clickhouse]\ndata-timeout = "60s"\n')
+        points = points_from_events(spark, SF)
+        engine = engine_from_settings(
+            spark, settings, points,
+            path_index=build_path_index(points.select("path")),
+        )
+        srv, base = serve_background(engine, settings=settings)
+        try:
+            url = (f"{base}/render?target=ev.purchase.u1&from={FROM_TS}"
+                   f"&until={UNTIL_TS}&maxDataPoints=24&format=json")
+            got = json.loads(get(url))
+            assert got["metrics"][0]["name"] == "ev.purchase.u1"
+        finally:
+            srv.shutdown()
