@@ -284,13 +284,34 @@ def load_settings_file(path: str) -> Settings:
 
 
 def engine_from_settings(spark, settings: Settings, points, path_index=None,
-                         tagged_points=None):
-    """Wire Settings into a render Engine (plus FindCache when enabled)."""
+                         tagged_points=None, table_frames=None):
+    """Wire Settings into a render Engine (plus FindCache when enabled).
+
+    `table_frames` maps [[data-table]] `table` names to DataFrames; each
+    configured data-table entry with a frame becomes a DataTableRoute
+    (selectDataTable routing, targets.go:75-132). Entries without a
+    frame are skipped (they name ClickHouse tables this deployment does
+    not materialize)."""
     from .plans.findcache import FindCache
-    from .render.pipeline import Engine
+    from .render.pipeline import DataTableRoute, Engine
 
     cache = FindCache(settings.find_cache) if settings.find_cache else None
+    routes = []
+    for t in settings.data_tables:
+        frame = (table_frames or {}).get(t.get("table", ""))
+        if frame is None:
+            continue
+        routes.append(DataTableRoute(
+            points=frame,
+            max_interval=int(parse_go_duration(t.get("max-interval", 0))),
+            min_interval=int(parse_go_duration(t.get("min-interval", 0))),
+            max_age=int(parse_go_duration(t.get("max-age", 0))),
+            min_age=int(parse_go_duration(t.get("min-age", 0))),
+            target_match_any=t.get("target-match-any") or None,
+            target_match_all=t.get("target-match-all") or None,
+        ))
     return Engine(
+        data_tables=tuple(routes),
         spark=spark,
         points=points,
         path_index=path_index,

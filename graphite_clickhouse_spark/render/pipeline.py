@@ -64,6 +64,48 @@ class RenderRequest:
 
 
 @dataclass
+class DataTableRoute:
+    """One [[data-table]] routing rule (render/data/targets.go:75-132
+    selectDataTable): requests route to the FIRST table whose constraints
+    all pass — age bounds against now, interval bounds against the
+    requested range, and target regexes. In the reference this picks a
+    ClickHouse table (e.g. a short-retention high-res table vs a
+    long-retention rollup table); here it picks a points DataFrame and
+    optionally that table's own rollup rules."""
+
+    points: object  # DataFrame
+    rules: object | None = None  # per-table rollup rules; None -> engine's
+    max_interval: int = 0  # seconds; 0 = unbounded
+    min_interval: int = 0
+    max_age: int = 0  # from must be within this age of now
+    min_age: int = 0  # until must be older than this
+    target_match_any: str | None = None
+    target_match_all: str | None = None
+
+    def matches(self, targets: list[str], from_ts: int, until_ts: int,
+                now: int) -> bool:
+        import re as _re
+
+        if self.max_interval and (until_ts - from_ts) > self.max_interval:
+            return False
+        if self.min_interval and (until_ts - from_ts) < self.min_interval:
+            return False
+        if self.max_age and from_ts < now - self.max_age:
+            return False
+        if self.min_age and until_ts > now - self.min_age:
+            return False
+        if self.target_match_all is not None:
+            pat = _re.compile(self.target_match_all)
+            if not all(pat.search(t) for t in targets):
+                return False
+        if self.target_match_any is not None:
+            pat = _re.compile(self.target_match_any)
+            if not any(pat.search(t) for t in targets):
+                return False
+        return True
+
+
+@dataclass
 class Engine:
     """Binds the storage tables; one per SparkSession/dataset."""
 
@@ -77,6 +119,9 @@ class Engine:
     #: optional plans.findcache.FindCache — caches resolved path lists per
     #: (day-span, target, ttl-class), as the reference's find-cache (SO3)
     find_cache: object | None = None
+    #: [[data-table]] routing rules; empty = serve everything from
+    #: `points` (the single-table deployment)
+    data_tables: tuple = ()
     #: tag-matching feature flags (doc/config.md:35-63)
     flags: FeatureFlags = field(default_factory=FeatureFlags)
     #: target blacklist (P12): matching queries yield empty results
@@ -255,12 +300,33 @@ class Engine:
             else ""
         )
 
+    def select_data_table(self, targets: list[str], from_ts: int,
+                          until_ts: int, now: int | None = None):
+        """(points, rules) for the request — selectDataTable
+        (targets.go:75-132): first matching [[data-table]] rule wins;
+        with no rules configured, the single-table default. Errors like
+        the reference when rules exist but none match."""
+        if not self.data_tables:
+            return self.points, self.rules
+        import time as _time
+
+        now = int(_time.time()) if now is None else int(now)
+        for route in self.data_tables:
+            if route.matches(list(targets), from_ts, until_ts, now):
+                return route.points, (route.rules or self.rules)
+        raise ValueError(f"data tables is not specified for {targets[0]}")
+
     def render(self, req: RenderRequest) -> DataFrame:
         """-> (path, function, start, stop, step, values array<double>)."""
         paths = self._resolve_paths(req)
         if not paths:
             return self._empty_series_df()
         tagged = req.target.lstrip().startswith("seriesByTag")
+        source = rules = None
+        if not tagged:
+            source, rules = self.select_data_table(
+                [req.target], req.from_ts, req.until_ts
+            )
         return self._fetch_series(
             paths,
             req.from_ts,
@@ -269,6 +335,8 @@ class Engine:
             req.consolidate_by,
             tagged,
             label=req.target,
+            source=source,
+            rules=rules,
         )
 
     def _fetch_series(
@@ -281,13 +349,17 @@ class Engine:
         tagged: bool,
         label: str = "",
         barrier_base: int = 0,
+        source: DataFrame | None = None,
+        rules=None,
     ) -> DataFrame:
         """The DATA FETCH stage of §3.1 over an already-resolved path set
         (shared by render() and the multi-target shared fetch): rollup
-        binding, common-step math, one-scan grouped resample, gap fill."""
+        binding, common-step math, one-scan grouped resample, gap fill.
+        `source`/`rules` carry a [[data-table]] route when configured."""
         prefix_dot = self._prefix_dot
         import time as _time
 
+        rules = rules if rules is not None else self.rules
         age = max(0, int(_time.time()) - from_ts)
         override = None
         if consolidate_by:
@@ -300,7 +372,7 @@ class Engine:
                     f"'{consolidate_by}'"
                 )
             override = {p: fn for p in paths}
-        groups = self.rules.lookup_many(paths, age, override)
+        groups = rules.lookup_many(paths, age, override)
 
         steps = [precision for (precision, _fn) in groups]
         if self.internal_aggregation:
@@ -313,11 +385,10 @@ class Engine:
             step = max_step(steps)
         from_al, until_al = align_from_until(from_ts, until_ts, step)
 
-        source = (
-            self.tagged_points
-            if tagged and self.tagged_points is not None
-            else self.points
-        )
+        if tagged and self.tagged_points is not None:
+            source = self.tagged_points
+        elif source is None:
+            source = self.points
 
         # Single-pass plan: every function group shares the common step, so
         # instead of one scan per (precision, function) group (the
@@ -447,9 +518,17 @@ class Engine:
             if not alias_pairs:
                 continue
             distinct_paths = sorted({p for p, _t in alias_pairs})
+            source = rules = None
+            if not tagged:
+                # the reference routes the whole timeframe's target list
+                # through selectDataTable together (targets.go:75)
+                source, rules = self.select_data_table(
+                    [req.target for req, _ps in members], from_ts, until_ts
+                )
             series = self._fetch_series(
                 distinct_paths, from_ts, until_ts, mdp, consolidate, tagged,
                 label=members[0][0].target, barrier_base=barrier,
+                source=source, rules=rules,
             )
             if prefix_dot:
                 # fetch re-attached the prefix; alias pairs carry stripped

@@ -247,3 +247,31 @@ def test_try_split_query_config():
     )
     assert s.try_split_query is True
     assert s.max_node_to_split_index == 2
+
+
+class TestDataTableConfig:
+    def test_routes_built_from_table_frames(self, spark):
+        from graphite_clickhouse_spark.config import (
+            engine_from_settings,
+            load_settings,
+        )
+
+        conf = (
+            '[[data-table]]\ntable = "hires"\nmax-age = "1h"\n'
+            'target-match-all = "^app"\n'
+            '[[data-table]]\ntable = "rollup"\nmin-age = "1h"\n'
+            '[[data-table]]\ntable = "unmaterialized"\n'
+        )
+        settings = load_settings(conf)
+        pts = spark.createDataFrame(
+            [], "path string, value double, time long, version long")
+        hires, roll = pts.limit(0), pts.limit(0)
+        engine = engine_from_settings(
+            spark, settings, pts,
+            table_frames={"hires": hires, "rollup": roll},
+        )
+        assert len(engine.data_tables) == 2
+        assert engine.data_tables[0].points is hires
+        assert engine.data_tables[0].max_age == 3600
+        assert engine.data_tables[0].target_match_all == "^app"
+        assert engine.data_tables[1].min_age == 3600

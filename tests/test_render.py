@@ -370,3 +370,84 @@ class TestTrySplitQuery:
             r.path for r in eng.find_paths("*.some.metric.{a,c}").collect()
         )
         assert got == ["first.some.metric.a", "second.some.metric.c"]
+
+
+class TestDataTableRouting:
+    """[[data-table]] selection (render/data/targets.go:75-132
+    selectDataTable): age/interval bounds + target regexes route a
+    request to a table; first match wins; no match = error."""
+
+    @pytest.fixture(scope="class")
+    def routed(self, spark):
+        import time
+
+        from graphite_clickhouse_spark.render.pipeline import DataTableRoute
+
+        now = int(time.time())
+        recent_rows = [("app.cpu", float(i), now - 300 + i * 60, 1)
+                       for i in range(5)]
+        old_rows = [("app.cpu", 100.0 + i, now - 86400 * 30 + i * 3600, 1)
+                    for i in range(5)]
+        mk = lambda rows: spark.createDataFrame(
+            rows, "path string, value double, time long, version long")
+        recent, old = mk(recent_rows), mk(old_rows)
+        engine = Engine(
+            spark=spark,
+            points=recent.limit(0),  # default table empty: routing must pick
+            path_index=build_path_index(mk(recent_rows + old_rows).select("path")),
+            rules=Rules([Pattern(regexp="", function="avg",
+                                 retention=[Retention(0, 60)])]),
+            data_tables=(
+                DataTableRoute(points=recent, max_age=3600),
+                DataTableRoute(points=old, min_age=3600),
+            ),
+        )
+        return engine, now, recent, old
+
+    def test_recent_range_routes_to_first_table(self, routed):
+        engine, now, recent, old = routed
+        src, _rules = engine.select_data_table(["app.cpu"], now - 600, now)
+        assert src is recent
+
+    def test_old_range_routes_to_second_table(self, routed):
+        engine, now, recent, old = routed
+        src, _rules = engine.select_data_table(
+            ["app.cpu"], now - 86400 * 31, now - 86400 * 29)
+        assert src is old
+
+    def test_unmatched_errors_like_reference(self, routed):
+        engine, now, _r, _o = routed
+        # from older than max_age AND until newer than min_age: no table
+        with pytest.raises(ValueError, match="data tables is not specified"):
+            engine.select_data_table(["app.cpu"], now - 86400, now)
+
+    def test_render_serves_from_routed_table(self, routed):
+        engine, now, _r, _o = routed
+        out = engine.render(
+            RenderRequest("app.cpu", now - 600, now, max_data_points=100)
+        ).collect()
+        assert out and any(
+            not math.isnan(v) for r in out for v in r.values
+        )  # data came from `recent`, not the empty default table
+
+    def test_target_regex_routing(self, spark):
+        import time
+
+        from graphite_clickhouse_spark.render.pipeline import DataTableRoute
+
+        now = int(time.time())
+        mk = lambda tag: spark.createDataFrame(
+            [(f"x.{tag}", 1.0, now - 60, 1)],
+            "path string, value double, time long, version long")
+        a, b = mk("a"), mk("b")
+        engine = Engine(
+            spark=spark, points=a.limit(0),
+            data_tables=(
+                DataTableRoute(points=a, target_match_all=r"^x\.a"),
+                DataTableRoute(points=b, target_match_any=r"\.b"),
+            ),
+        )
+        assert engine.select_data_table(["x.a"], 0, now)[0] is a
+        assert engine.select_data_table(["x.b"], 0, now)[0] is b
+        # match_all fails when ANY target misses; falls to the any-rule
+        assert engine.select_data_table(["x.a", "x.b"], 0, now)[0] is b
