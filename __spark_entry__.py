@@ -1392,6 +1392,124 @@ SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank FROM (
 """
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document (top 2-gram fraction,
+    duplicate 2-gram fraction) — map-only fold over sorted n-gram
+    arrays, no explode/shuffle."""
+    from graphite_clickhouse_spark.pipeline.text import repetition_stats
+    from graphite_clickhouse_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = repetition_stats(docs, n=2)
+    return out.select(
+        "id", "n_grams",
+        F.round("top_ngram_frac", 6).alias("top_ngram_frac"),
+        F.round("dup_ngram_frac", 6).alias("dup_ngram_frac"),
+    )
+
+
+SQL_REPETITION_STATS = """
+WITH toks AS (
+    SELECT doc_id AS id,
+           CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                ELSE regexp_split_to_array(trim(text), '\\s+') END AS t
+    FROM documents
+), grams AS (
+    SELECT id,
+           CASE WHEN len(t) < 2 THEN CAST([] AS VARCHAR[])
+                ELSE list_transform(generate_series(1, len(t) - 1),
+                                    i -> t[i] || ' ' || t[i+1]) END AS g
+    FROM toks
+), ex AS (
+    SELECT id, unnest(g) AS gram FROM grams
+), counts AS (
+    SELECT id, gram, count(*) AS c FROM ex GROUP BY id, gram
+), agg AS (
+    SELECT id, sum(c) AS total, max(c) AS top, sum(c) - count(*) AS dups
+    FROM counts GROUP BY id
+)
+SELECT g.id,
+       CAST(COALESCE(a.total, 0) AS INTEGER) AS n_grams,
+       round(COALESCE(a.top / a.total, 0.0), 6) AS top_ngram_frac,
+       round(COALESCE(a.dups / a.total, 0.0), 6) AS dup_ngram_frac
+FROM grams g LEFT JOIN agg a ON a.id = g.id
+"""
+
+
+def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule quality filter (Rae et al. 2021 A1.1): word-count and
+    mean-word-length bands, repetition caps, stopword-ratio floor —
+    expression-only, composes with dedup on the same scan."""
+    from graphite_clickhouse_spark.pipeline.text import gopher_quality_filter
+    from graphite_clickhouse_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = gopher_quality_filter(docs)
+    return out.select(
+        "id", "n_words",
+        F.round("mean_word_len", 6).alias("mean_word_len"),
+        F.round("top_2gram_frac", 6).alias("top_2gram_frac"),
+        F.round("dup_3gram_frac", 6).alias("dup_3gram_frac"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        "keep",
+    )
+
+
+def _gopher_sql() -> str:
+    from graphite_clickhouse_spark.pipeline.text import STOPWORDS
+
+    sw = ", ".join(
+        f"'{w}'" for lst in STOPWORDS.values() for w in lst
+    )
+    return f"""
+WITH toks AS (
+    SELECT doc_id AS id,
+           CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                ELSE regexp_split_to_array(trim(text), '\\s+') END AS t
+    FROM documents
+), base AS (
+    SELECT id, t, len(t) AS n_words,
+           CASE WHEN len(t) > 0
+                THEN list_sum(list_transform(t, x -> length(x))) / len(t)
+                ELSE 0.0 END AS mean_word_len,
+           CASE WHEN len(t) > 0
+                THEN len(list_filter(t, x -> list_contains([{sw}], lower(x))))
+                     / len(t)
+                ELSE 0.0 END AS stopword_ratio
+    FROM toks
+), g2 AS (
+    SELECT id, unnest(list_transform(generate_series(1, len(t) - 1),
+                                     i -> t[i] || ' ' || t[i+1])) AS gram
+    FROM toks WHERE len(t) >= 2
+), c2 AS (
+    SELECT id, max(c) / sum(c) AS top2
+    FROM (SELECT id, gram, count(*) AS c FROM g2 GROUP BY id, gram)
+    GROUP BY id
+), g3 AS (
+    SELECT id, unnest(list_transform(generate_series(1, len(t) - 2),
+                                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+    FROM toks WHERE len(t) >= 3
+), c3 AS (
+    SELECT id, (sum(c) - count(*)) / sum(c) AS dup3
+    FROM (SELECT id, gram, count(*) AS c FROM g3 GROUP BY id, gram)
+    GROUP BY id
+)
+SELECT b.id, CAST(b.n_words AS INTEGER) AS n_words,
+       round(b.mean_word_len, 6) AS mean_word_len,
+       round(COALESCE(c2.top2, 0.0), 6) AS top_2gram_frac,
+       round(COALESCE(c3.dup3, 0.0), 6) AS dup_3gram_frac,
+       round(b.stopword_ratio, 6) AS stopword_ratio,
+       (b.n_words BETWEEN 50 AND 100000)
+         AND (b.mean_word_len BETWEEN 3.0 AND 10.0)
+         AND (COALESCE(c2.top2, 0.0) <= 0.20)
+         AND (COALESCE(c3.dup3, 0.0) <= 0.18)
+         AND (b.stopword_ratio >= 0.01) AS keep
+FROM base b
+LEFT JOIN c2 ON c2.id = b.id
+LEFT JOIN c3 ON c3.id = b.id
+"""
+
+
 # ---------------------------------------------------------------------------
 # near-dup flagships — ORACLE-VERIFIED portable modes. The production
 # default stays xxhash64 (cheaper at 100 TB; pipeline/dedup.py minhash_dedup
@@ -1569,6 +1687,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
+    "gopher_filter": (q_gopher_filter, _gopher_sql()),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
     "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
     "ivf_assign": (q_ivf_assign, SQL_IVF_ASSIGN),

@@ -53,6 +53,8 @@ BENCH_QUERIES = [
     "lang_id",
     "token_count",
     "tfidf_top_terms",
+    "repetition_stats",
+    "gopher_filter",
     "fingerprint",
     "ngram_jaccard",
     "ann_cosine_topk",

@@ -146,3 +146,118 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select(id_col, "term", "tf", "score", "rank")
     )
+
+
+def _word_ngrams_all(toks: Column, n: int) -> Column:
+    """ALL word n-grams (duplicates kept — repetition is the signal)."""
+    count = F.size(toks) - F.lit(n - 1)
+    return F.when(count <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), count),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+    )
+
+
+def repetition_features(n: int, toks: Column) -> dict[str, Column]:
+    """Gopher-style repetition signals (Rae et al. 2021, 'Scaling
+    Language Models', appendix A1.1 — public) over word n-grams:
+
+    - top_frac: fraction of n-gram occurrences taken by the single most
+      frequent n-gram (boilerplate/templating detector)
+    - dup_frac: fraction of n-gram occurrences that are repeats of an
+      earlier occurrence
+
+    Computed PER ROW with a fold over the sorted n-gram array — the most
+    frequent element of a sorted array is its longest equal run — so the
+    operator is map-only: no explode, no shuffle, scan-shaped at 100 TB.
+    """
+    grams = F.array_sort(_word_ngrams_all(toks, n))
+    total = F.size(grams)
+    run_state = F.aggregate(
+        grams,
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, g: F.struct(
+            g.alias("prev"),
+            F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    top_frac = F.when(total > 0, run_state / total).otherwise(F.lit(0.0))
+    dup_frac = F.when(
+        total > 0, (total - F.size(F.array_distinct(grams))) / total
+    ).otherwise(F.lit(0.0))
+    return {"total": total, "top_frac": top_frac, "dup_frac": dup_frac}
+
+
+def repetition_stats(
+    df: DataFrame, n: int = 2, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, n_grams, top_ngram_frac, dup_ngram_frac) per document."""
+    toks = tokens(F.col(text_col))
+    feats = repetition_features(n, toks)
+    return df.select(
+        F.col(id_col).alias("id"),
+        feats["total"].alias("n_grams"),
+        feats["top_frac"].cast("double").alias("top_ngram_frac"),
+        feats["dup_frac"].cast("double").alias("dup_ngram_frac"),
+    )
+
+
+def gopher_quality_filter(
+    df: DataFrame,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_top_2gram_frac: float = 0.20,
+    max_dup_3gram_frac: float = 0.18,
+    min_stopword_ratio: float = 0.01,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gopher-rule document filter (Rae et al. 2021 A1.1 thresholds,
+    C4/MassiveText-style): word-count bounds, mean-word-length band,
+    top-2-gram and duplicate-3-gram caps, minimum stopword ratio.
+
+    -> (id, n_words, mean_word_len, top_2gram_frac, dup_3gram_frac,
+        stopword_ratio, keep). Pure expressions; composes with
+    exact/MinHash dedup on the same scan at 100 TB.
+    """
+    toks = tokens(F.col(text_col))
+    n_words = F.size(toks)
+    mean_len = F.when(
+        n_words > 0,
+        F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t))
+        / n_words,
+    ).otherwise(F.lit(0.0))
+    rep2 = repetition_features(2, toks)
+    rep3 = repetition_features(3, toks)
+    sw = F.array(*[F.lit(w) for lst in STOPWORDS.values() for w in lst])
+    sw_hits = F.size(
+        F.filter(F.transform(toks, F.lower), lambda t: F.array_contains(sw, t))
+    )
+    sw_ratio = F.when(n_words > 0, sw_hits / n_words).otherwise(F.lit(0.0))
+    keep = (
+        n_words.between(min_words, max_words)
+        & mean_len.between(min_mean_word_len, max_mean_word_len)
+        & (rep2["top_frac"] <= max_top_2gram_frac)
+        & (rep3["dup_frac"] <= max_dup_3gram_frac)
+        & (sw_ratio >= min_stopword_ratio)
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_words.alias("n_words"),
+        mean_len.cast("double").alias("mean_word_len"),
+        rep2["top_frac"].cast("double").alias("top_2gram_frac"),
+        rep3["dup_frac"].cast("double").alias("dup_3gram_frac"),
+        sw_ratio.cast("double").alias("stopword_ratio"),
+        keep.alias("keep"),
+    )

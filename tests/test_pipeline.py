@@ -459,3 +459,47 @@ class TestCodecs:
         assert got[3].feature[0] == 4.0 and got[3].feature[1] == 16000.0
         # unknown format falls back to the deterministic fake
         assert got[4].width == 16 + 100 % 64
+
+
+class TestGopherQuality:
+    def test_repetition_stats_hand_computed(self, spark):
+        from graphite_clickhouse_spark.pipeline.text import repetition_stats
+
+        df = spark.createDataFrame(
+            [
+                (1, "a b a b a b"),        # 2-grams: ab ba ab ba ab -> top 3/5
+                (2, "one two three four"), # all distinct -> top 1/3, dup 0
+                (3, "x"),                  # no 2-grams
+            ],
+            "doc_id long, text string",
+        )
+        got = {r.id: r for r in repetition_stats(df, n=2).collect()}
+        assert got[1].n_grams == 5
+        assert got[1].top_ngram_frac == pytest.approx(3 / 5)
+        assert got[1].dup_ngram_frac == pytest.approx(3 / 5)  # 5 - 2 distinct
+        assert got[2].top_ngram_frac == pytest.approx(1 / 3)
+        assert got[2].dup_ngram_frac == 0.0
+        assert got[3].n_grams == 0 and got[3].top_ngram_frac == 0.0
+
+    def test_gopher_filter_rules(self, spark):
+        from graphite_clickhouse_spark.pipeline.text import gopher_quality_filter
+
+        # varied text: distinct content words with stopwords sprinkled in
+        good = " ".join(f"the word{i:03d} item{i:03d}" for i in range(30))
+        short = "too short"
+        repeated = "spam ham " * 60
+        df = spark.createDataFrame(
+            [(1, good.strip()), (2, short), (3, repeated.strip())],
+            "doc_id long, text string",
+        )
+        got = {r.id: r for r in gopher_quality_filter(df).collect()}
+        assert got[1].keep is True
+        assert got[2].keep is False  # n_words < 50
+        assert got[3].keep is False  # top-2-gram fraction ~0.5
+        assert got[3].top_2gram_frac > 0.4
+
+    def test_repetition_plan_is_map_only(self, docs):
+        from graphite_clickhouse_spark.pipeline.text import repetition_stats
+
+        plan = repetition_stats(docs)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
