@@ -122,6 +122,9 @@ class Engine:
     #: [[data-table]] routing rules; empty = serve everything from
     #: `points` (the single-table deployment)
     data_tables: tuple = ()
+    #: optional streaming/ingest.IngestJob — enables POST /api/v1/write
+    #: (Prometheus remote write into the engine's own storage layout)
+    ingest: object | None = None
     #: tag-matching feature flags (doc/config.md:35-63)
     flags: FeatureFlags = field(default_factory=FeatureFlags)
     #: target blacklist (P12): matching queries yield empty results

@@ -134,6 +134,57 @@ def encode_read_response(
     return out
 
 
+def parse_write_request(body: bytes) -> list[tuple[dict[str, str], list[tuple[int, float]]]]:
+    """prompb.WriteRequest (remote.proto: repeated TimeSeries = 1,
+    already snappy-decompressed) -> [(labels, [(ts_ms, value)...])].
+
+    Remote WRITE is additive surface: the reference is a read-only query
+    backend (ingest belongs to carbon-clickhouse), but this engine owns
+    its ingest (streaming/ingest.py), so accepting Prometheus
+    remote_write completes the federation story."""
+    out = []
+    for f, w, v in _decode_fields(body):
+        if f == 1 and w == 2:
+            labels: dict[str, str] = {}
+            samples: list[tuple[int, float]] = []
+            for f2, _w2, v2 in _decode_fields(v):
+                if f2 == 1:
+                    parts = {ff: vv for ff, _ww, vv in _decode_fields(v2)}
+                    labels[parts[1].decode()] = parts[2].decode()
+                elif f2 == 2:
+                    parts = {ff: vv for ff, _ww, vv in _decode_fields(v2)}
+                    samples.append((int(parts.get(2, 0)), float(parts.get(1, 0.0))))
+            out.append((labels, samples))
+    return out
+
+
+def write_request_to_points(spark, serieses, version: int | None = None) -> DataFrame:
+    """WriteRequest series -> ingest-schema rows (path, value, time,
+    date, version). Labels collapse to the canonical tagged path
+    `name?k=v&...` with sorted tags (the carbon-clickhouse canonical
+    form this engine stores, streaming/ingest.py _normalize_tagged);
+    series without __name__ are dropped, like invalid carbon lines."""
+    import time as _time
+
+    ver = int(_time.time()) if version is None else int(version)
+    rows = []
+    for labels, samples in serieses:
+        name = labels.get("__name__")
+        if not name:
+            continue
+        tags = "&".join(
+            f"{k}={labels[k]}" for k in sorted(labels) if k != "__name__"
+        )
+        path = f"{name}?{tags}" if tags else name
+        for ts_ms, value in samples:
+            rows.append((path, float(value), int(ts_ms // 1000)))
+    df = spark.createDataFrame(rows, "path string, value double, time long")
+    return (
+        df.withColumn("date", F.to_date(F.timestamp_seconds(F.col("time"))))
+        .withColumn("version", F.lit(ver).cast("long"))
+    )
+
+
 def series_from_rows(rows) -> list[tuple[dict[str, str], list[tuple[int, float]]]]:
     """(path, tags, time, value) rows -> per-series (labels, samples),
     series ordered by path, samples by timestamp (ms)."""

@@ -197,6 +197,9 @@ class GraphiteHandler(BaseHTTPRequestHandler):
             elif url.path == "/api/v1/read":
                 with self._limit("render"):
                     self._prom_remote_read()
+            elif url.path == "/api/v1/write":
+                with self._limit("render"):
+                    self._prom_remote_write()
             elif url.path == "/api/v1/query_range":
                 with self._limit("render"):
                     self._prom_query_range(q)
@@ -383,6 +386,39 @@ class GraphiteHandler(BaseHTTPRequestHandler):
         self.send_header("Content-Length", str(len(payload)))
         self.end_headers()
         self.wfile.write(payload)
+
+    def _prom_remote_write(self):
+        """POST /api/v1/write — Prometheus remote write into the engine's
+        ingest sink (additive surface: the reference is read-only; this
+        engine owns ingest). Snappy-framed prompb WriteRequest in, 204
+        out; samples land as canonical tagged points through the same
+        write path carbon ingest uses (version-max dedup on read)."""
+        from .functions.snappy import SnappyError, decompress
+        from .render.remote_read import (
+            parse_write_request,
+            write_request_to_points,
+        )
+
+        job = getattr(self.engine, "ingest", None)
+        if job is None:
+            raise ValueError(
+                "remote write requires an ingest sink (Engine.ingest)"
+            )
+        clen = int(self.headers.get("Content-Length") or 0)
+        if clen <= 0:
+            raise ValueError("remote write expects a snappy-compressed POST body")
+        raw = self.rfile.read(clen)
+        self._body_consumed = True
+        try:
+            body = decompress(raw)
+        except SnappyError as exc:
+            raise ValueError(f"snappy: {exc}")
+        serieses = parse_write_request(body)
+        if serieses:
+            job.write_batch(
+                write_request_to_points(self.engine.spark, serieses)
+            )
+        self._send(b"", "text/plain", status=204)
 
     @staticmethod
     def _prom_ts(s: str, what: str) -> int:

@@ -1232,3 +1232,88 @@ class TestFunctionSurface2:
             'double_exponential_smoothing(m{k="a"}[200s], 0.5, 0.5)',
             300, 300, 1))
         assert a == b
+
+
+class TestRemoteWrite:
+    @staticmethod
+    def _write_request(serieses):
+        """[(labels dict, [(ts_ms, value)])] -> prompb.WriteRequest."""
+        import struct as st
+
+        def uv(v):
+            out = b""
+            while True:
+                b = v & 0x7F
+                v >>= 7
+                if v:
+                    out += bytes([b | 0x80])
+                else:
+                    return out + bytes([b])
+
+        def ld(f, payload):
+            return bytes([(f << 3) | 2]) + uv(len(payload)) + payload
+
+        body = b""
+        for labels, samples in serieses:
+            ts = b""
+            for k, v in labels.items():
+                ts += ld(1, ld(1, k.encode()) + ld(2, v.encode()))
+            for t_ms, val in samples:
+                ts += ld(2, b"\x09" + st.pack("<d", val) + bytes([2 << 3]) + uv(t_ms))
+            body += ld(1, ts)
+        return body
+
+    def test_write_then_query_roundtrip(self, spark, tmp_path):
+        import urllib.request as rq
+
+        from graphite_clickhouse_spark.functions.snappy import compress
+        from graphite_clickhouse_spark.render.pipeline import Engine
+        from graphite_clickhouse_spark.server import serve_background
+        from graphite_clickhouse_spark.streaming.ingest import (
+            IngestJob,
+            tags_map_from_path,
+        )
+
+        job = IngestJob(str(tmp_path / "rw"), version=7)
+        engine = Engine(
+            spark=spark,
+            points=spark.createDataFrame(
+                [], "path string, value double, time long, version long"),
+            ingest=job,
+        )
+        srv, base = serve_background(engine)
+        try:
+            body = compress(self._write_request([
+                ({"__name__": "wm", "k": "a"}, [(100_000, 1.5), (160_000, 2.5)]),
+                ({"__name__": "wm", "k": "b"}, [(100_000, 9.0)]),
+                ({"k": "nameless"}, [(100_000, 0.0)]),  # dropped
+            ]))
+            req = rq.Request(f"{base}/api/v1/write", data=body,
+                             headers={"Content-Type": "application/x-protobuf",
+                                      "Content-Encoding": "snappy"})
+            with rq.urlopen(req, timeout=120) as r:
+                assert r.status == 204
+        finally:
+            srv.shutdown()
+
+        pts = job.read_points(spark)
+        rows_ = {(r.path, r.time): r.value for r in pts.collect()}
+        assert rows_ == {
+            ("wm?k=a", 100): 1.5, ("wm?k=a", 160): 2.5, ("wm?k=b", 100): 9.0,
+        }
+        # written samples are queryable through the PromQL surface
+        tagged = pts.withColumn("tags", tags_map_from_path("path"))
+        got = rows(eval_promql(tagged, 'wm{k="a"}', 160, 160, 1))
+        assert got[("__name__=wm,k=a", 160)] == 2.5
+
+    def test_write_without_sink_400(self, prom_url):
+        import urllib.error
+        import urllib.request as rq
+
+        from graphite_clickhouse_spark.functions.snappy import compress
+
+        req = rq.Request(f"{prom_url}/api/v1/write", data=compress(b"\x0a\x00"))
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            rq.urlopen(req, timeout=60)
+        assert ei.value.code == 400
+        assert b"ingest" in ei.value.read()
