@@ -159,55 +159,81 @@ def _word_ngrams_all(toks: Column, n: int) -> Column:
     )
 
 
-def repetition_features(n: int, toks: Column) -> dict[str, Column]:
-    """Gopher-style repetition signals (Rae et al. 2021, 'Scaling
-    Language Models', appendix A1.1 — public) over word n-grams:
+def _gram_stats_kernel(ns: tuple[int, ...]):
+    """Arrow-batched per-doc n-gram statistics: for each n in `ns`,
+    (total grams, top count, distinct count) via one Counter pass.
 
-    - top_frac: fraction of n-gram occurrences taken by the single most
-      frequent n-gram (boilerplate/templating detector)
-    - dup_frac: fraction of n-gram occurrences that are repeats of an
-      earlier occurrence
+    Expression-tree formulations of this (sorted-array folds) are the
+    measured recomputation trap: CollapseProject inlines the gram
+    construction into every referencing expression and the fold is
+    interpreted per element — 59 s for gopher_filter at sf0.1, still
+    7 s with an explode-of-one Generate barrier forcing single
+    evaluation. This kernel (the same Arrow escape hatch the dedup
+    family uses) does it in 0.9 s."""
+    import pandas as pd
 
-    Computed PER ROW with a fold over the sorted n-gram array — the most
-    frequent element of a sorted array is its longest equal run — so the
-    operator is map-only: no explode, no shuffle, scan-shaped at 100 TB.
-    """
-    grams = F.array_sort(_word_ngrams_all(toks, n))
-    total = F.size(grams)
-    run_state = F.aggregate(
-        grams,
-        F.struct(
-            F.lit("").alias("prev"), F.lit(0).alias("run"),
-            F.lit(0).alias("best"),
-        ),
-        lambda acc, g: F.struct(
-            g.alias("prev"),
-            F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
-            F.greatest(
-                acc["best"],
-                F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
-            ).alias("best"),
-        ),
-        lambda acc: acc["best"],
+    fields = ", ".join(
+        f"total{n} int, best{n} int, distinct{n} int" for n in ns
     )
-    top_frac = F.when(total > 0, run_state / total).otherwise(F.lit(0.0))
-    dup_frac = F.when(
-        total > 0, (total - F.size(F.array_distinct(grams))) / total
-    ).otherwise(F.lit(0.0))
-    return {"total": total, "top_frac": top_frac, "dup_frac": dup_frac}
+
+    def kern(tok_arrays):
+        from collections import Counter
+
+        cols: dict[str, list] = {}
+        for n in ns:
+            cols[f"total{n}"] = []
+            cols[f"best{n}"] = []
+            cols[f"distinct{n}"] = []
+        for toks in tok_arrays:
+            toks = list(toks) if toks is not None else []
+            for n in ns:
+                if len(toks) >= n:
+                    grams = [
+                        " ".join(toks[i : i + n])
+                        for i in range(len(toks) - n + 1)
+                    ]
+                    c = Counter(grams)
+                    cols[f"total{n}"].append(len(grams))
+                    cols[f"best{n}"].append(max(c.values()))
+                    cols[f"distinct{n}"].append(len(c))
+                else:
+                    cols[f"total{n}"].append(0)
+                    cols[f"best{n}"].append(0)
+                    cols[f"distinct{n}"].append(0)
+        return pd.DataFrame(cols)
+
+    return F.pandas_udf(kern, fields)
 
 
 def repetition_stats(
     df: DataFrame, n: int = 2, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """(id, n_grams, top_ngram_frac, dup_ngram_frac) per document."""
-    toks = tokens(F.col(text_col))
-    feats = repetition_features(n, toks)
-    return df.select(
-        F.col(id_col).alias("id"),
-        feats["total"].alias("n_grams"),
-        feats["top_frac"].cast("double").alias("top_ngram_frac"),
-        feats["dup_frac"].cast("double").alias("dup_ngram_frac"),
+    """Gopher-style repetition signals (Rae et al. 2021, 'Scaling
+    Language Models', appendix A1.1 — public) per document:
+
+    - top_ngram_frac: fraction of n-gram occurrences taken by the single
+      most frequent n-gram (boilerplate/templating detector)
+    - dup_ngram_frac: fraction of n-gram occurrences that repeat an
+      earlier occurrence
+
+    One Arrow-batched Counter pass per partition (no explode-per-gram,
+    no aggregation shuffle — the repartition only spreads a few-file
+    corpus across cores; at 100 TB the file count already does)."""
+    from graphite_clickhouse_spark.pipeline.dedup import tokens_projection
+
+    base = tokens_projection(df, text_col, id_col).select(
+        "id", F.filter(F.col("toks"), lambda t: t != "").alias("toks")
+    )
+    st = _gram_stats_kernel((n,))(F.col("toks")).alias("st")
+    base = base.select("id", st)
+    total = F.col(f"st.total{n}")
+    return base.select(
+        "id",
+        total.alias("n_grams"),
+        F.when(total > 0, F.col(f"st.best{n}") / total)
+        .otherwise(F.lit(0.0)).cast("double").alias("top_ngram_frac"),
+        F.when(total > 0, (total - F.col(f"st.distinct{n}")) / total)
+        .otherwise(F.lit(0.0)).cast("double").alias("dup_ngram_frac"),
     )
 
 
@@ -228,18 +254,33 @@ def gopher_quality_filter(
     top-2-gram and duplicate-3-gram caps, minimum stopword ratio.
 
     -> (id, n_words, mean_word_len, top_2gram_frac, dup_3gram_frac,
-        stopword_ratio, keep). Pure expressions; composes with
-    exact/MinHash dedup on the same scan at 100 TB.
+        stopword_ratio, keep). Word stats stay JVM expressions over the
+    hoisted token array; both n-gram stats come from ONE Arrow Counter
+    pass (ns=(2,3)); composes with exact/MinHash dedup on the same scan
+    at 100 TB.
     """
-    toks = tokens(F.col(text_col))
+    from graphite_clickhouse_spark.pipeline.dedup import tokens_projection
+
+    base = tokens_projection(df, text_col, id_col).select(
+        "id", F.filter(F.col("toks"), lambda t: t != "").alias("toks")
+    )
+    base = base.select(
+        "id", "toks", _gram_stats_kernel((2, 3))(F.col("toks")).alias("st")
+    )
+    toks = F.col("toks")
     n_words = F.size(toks)
     mean_len = F.when(
         n_words > 0,
         F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t))
         / n_words,
     ).otherwise(F.lit(0.0))
-    rep2 = repetition_features(2, toks)
-    rep3 = repetition_features(3, toks)
+    top2 = F.when(
+        F.col("st.total2") > 0, F.col("st.best2") / F.col("st.total2")
+    ).otherwise(F.lit(0.0))
+    dup3 = F.when(
+        F.col("st.total3") > 0,
+        (F.col("st.total3") - F.col("st.distinct3")) / F.col("st.total3"),
+    ).otherwise(F.lit(0.0))
     sw = F.array(*[F.lit(w) for lst in STOPWORDS.values() for w in lst])
     sw_hits = F.size(
         F.filter(F.transform(toks, F.lower), lambda t: F.array_contains(sw, t))
@@ -248,16 +289,16 @@ def gopher_quality_filter(
     keep = (
         n_words.between(min_words, max_words)
         & mean_len.between(min_mean_word_len, max_mean_word_len)
-        & (rep2["top_frac"] <= max_top_2gram_frac)
-        & (rep3["dup_frac"] <= max_dup_3gram_frac)
+        & (top2 <= max_top_2gram_frac)
+        & (dup3 <= max_dup_3gram_frac)
         & (sw_ratio >= min_stopword_ratio)
     )
-    return df.select(
-        F.col(id_col).alias("id"),
+    return base.select(
+        F.col("id"),
         n_words.alias("n_words"),
         mean_len.cast("double").alias("mean_word_len"),
-        rep2["top_frac"].cast("double").alias("top_2gram_frac"),
-        rep3["dup_frac"].cast("double").alias("dup_3gram_frac"),
+        top2.cast("double").alias("top_2gram_frac"),
+        dup3.cast("double").alias("dup_3gram_frac"),
         sw_ratio.cast("double").alias("stopword_ratio"),
         keep.alias("keep"),
     )
