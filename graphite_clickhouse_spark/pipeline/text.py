@@ -1,15 +1,20 @@
 """Text analysis operators for large-scale training-data pipelines.
 
-All hot-path expressions are built-in `pyspark.sql.functions` (JVM-side,
-whole-stage codegen) — no Python UDFs. Each operator is oracle-checkable
-in DuckDB (same computation in ANSI-ish SQL).
+Hot paths are built-in `pyspark.sql.functions` (JVM-side, whole-stage
+codegen); the one exception is the n-gram statistics kernel, which is an
+Arrow-batched Counter pass because the expression-tree formulation is a
+measured recomputation trap (see _gram_stats_kernel). Each operator is
+oracle-checkable in DuckDB (same computation in ANSI-ish SQL).
 
 Operators:
-- token_count      whitespace tokenization count
-- bpe_ish_tokens   BPE-like regex token count (words / digits / punct runs)
-- quality_score    length / punctuation / stopword-ratio heuristics
-- lang_id          n-gram/stopword-hit language heuristic
-- fingerprint      md5 document fingerprint + simhash-style rolling hash
+- token_count        whitespace tokenization count
+- bpe_ish_tokens     BPE-like regex token count (words / digits / punct runs)
+- quality_score      length / punctuation / stopword-ratio heuristics
+- lang_id            n-gram/stopword-hit language heuristic
+- fingerprint        md5 document fingerprint + simhash-style rolling hash
+- tfidf_top_terms    per-doc top-k TF-IDF terms
+- repetition_stats   Gopher repetition signals (top/dup n-gram fractions)
+- gopher_quality_filter  Gopher-rule keep/drop document filter
 """
 
 from __future__ import annotations
