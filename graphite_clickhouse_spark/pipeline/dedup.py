@@ -481,14 +481,43 @@ def minhash_dedup_portable(
 def simhash_portable(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """60-bit SimHash with md5-derived token hashes (hash60_portable) so a
-    SQL oracle can reproduce the fingerprints bit-for-bit. Same sign-sum
-    construction as `simhash`; the bit-count kernel is identical (it only
-    sees hash values, so the engines agree exactly)."""
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    hashes = F.transform(toks, lambda t: hash60_portable(t))
-    fp = F.pandas_udf(_make_simhash_kernel(60), "long")(hashes)
-    return df.select(F.col(id_col).alias("id"), fp.alias("simhash"))
+    """60-bit SimHash with md5-derived token hashes (hash60_portable
+    semantics: first 15 hex chars of md5 as an integer) so a SQL oracle
+    can reproduce the fingerprints bit-for-bit. Same sign-sum
+    construction as `simhash`.
+
+    The md5 runs INSIDE the Arrow kernel (hashlib over the hoisted token
+    arrays): a per-token conv(substr(md5)) expression lambda evaluates
+    interpreted per element on however few partitions the corpus has —
+    measured 2.6 s vs 0.6 s at sf0.1 — while the kernel output is
+    bit-identical."""
+
+    def _kernel(tok_arrays):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        shifts = np.arange(60, dtype=np.uint64)
+        masks = (np.uint64(1) << shifts).astype(np.uint64)
+        out = np.zeros(len(tok_arrays), dtype=np.int64)
+        for row, toks in enumerate(tok_arrays):
+            if toks is None or len(toks) == 0:
+                continue
+            h = np.array(
+                [int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+                 for t in toks],
+                dtype=np.uint64,
+            )
+            bit = ((h[:, None] >> shifts) & np.uint64(1)).astype(np.int32)
+            sums = (bit * 2 - 1).sum(axis=0)
+            fp = masks[sums > 0].sum(dtype=np.uint64)
+            out[row] = np.uint64(fp).astype(np.int64)
+        return pd.Series(out)
+
+    base = tokens_projection(df, text_col, id_col)
+    fp = F.pandas_udf(_kernel, "long")(F.col("toks"))
+    return base.select(F.col("id"), fp.alias("simhash"))
 
 
 def _sorted_intersect_size_kernel(a_arrays, b_arrays):
