@@ -287,6 +287,17 @@ class VectorFn:
 
 
 @dataclass
+class SortFn:
+    """sort(v) / sort_desc(v): presentation-level ordering of an instant
+    vector by sample value (upstream funcSort/funcSortDesc). Evaluation
+    passes through; the API layer orders the serialized result —
+    DataFrames are unordered sets, so ordering belongs at the edge."""
+
+    expr: object
+    desc: bool = False
+
+
+@dataclass
 class TimestampFn:
     """timestamp(v): the newest sample's own timestamp as the value
     (upstream funcTimestamp); metric name dropped."""
@@ -666,6 +677,11 @@ class _Parser:
             inner = self._expr()
             self._expect(")")
             return ScalarFn(inner)
+        if name in ("sort", "sort_desc"):
+            self._expect("(")
+            inner = self._expr()
+            self._expect(")")
+            return SortFn(inner, desc=name == "sort_desc")
         if name == "vector":
             self._expect("(")
             self._ws()
@@ -1061,6 +1077,8 @@ class Evaluator:
             return self._grid_frame(F.lit(float(node.value)))
         if isinstance(node, TimestampFn):
             return self._eval_timestamp(node)
+        if isinstance(node, SortFn):
+            return self.eval(node.expr)  # ordering applied at the API edge
         raise PromQLError(f"unsupported expression node: {node!r}")
 
     def _grid_frame(self, value) -> DataFrame:

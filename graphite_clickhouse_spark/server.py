@@ -437,7 +437,7 @@ class GraphiteHandler(BaseHTTPRequestHandler):
         except (TypeError, ValueError, AttributeError):
             raise ValueError(f"invalid parameter {what!r}: {s!r}")
 
-    def _prom_result(self, df, result_type: str):
+    def _prom_result(self, df, result_type: str, value_order: str | None = None):
         """(labels, series, t, value) rows -> Prometheus API payload.
         Sample values are strings in the wire format; NaN stays out of
         JSON via the string encoding."""
@@ -479,6 +479,20 @@ class GraphiteHandler(BaseHTTPRequestHandler):
                 result.append({"metric": e["metric"], "value": e["values"][-1]})
             else:
                 result.append(e)
+        if value_order and result_type == "vector":
+            # sort()/sort_desc(): order the instant vector by sample value
+            # (upstream funcSort); NaN sorts last either way
+            def keyf(entry):
+                v = float(entry["value"][1]) if entry["value"][1] not in (
+                    "NaN", "+Inf", "-Inf"
+                ) else {"NaN": math.nan, "+Inf": math.inf, "-Inf": -math.inf}[
+                    entry["value"][1]
+                ]
+                if math.isnan(v):
+                    return (1, 0.0)
+                return (0, -v if value_order == "desc" else v)
+
+            result.sort(key=keyf)
         self._prom_ok({"resultType": result_type, "result": result})
 
     def _prom_tagged(self):
@@ -528,18 +542,24 @@ class GraphiteHandler(BaseHTTPRequestHandler):
 
         from .plans.promql import eval_promql
 
+        from .plans.promql import SortFn, parse_promql
+
         try:
             tagged = self._prom_tagged()
             expr = q.get("query")
             if not expr:
                 raise ValueError("missing parameter 'query'")
             ts = self._prom_ts(q.get("time", str(int(_time.time()))), "time")
+            node = parse_promql(expr)
+            order = None
+            if isinstance(node, SortFn):  # top-level sort orders the API reply
+                order = "desc" if node.desc else "asc"
             df = eval_promql(tagged, expr, ts, ts, 1,
                              lookback=self._prom_lookback())
         except ValueError as exc:
             self._prom_err(str(exc), getattr(exc, "http_status", 400))
             return
-        self._prom_result(df, "vector")
+        self._prom_result(df, "vector", value_order=order)
 
     def _debug_config(self):
         """/debug/config (graphite-clickhouse.go:574-593): dump the active

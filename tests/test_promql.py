@@ -1317,3 +1317,61 @@ class TestRemoteWrite:
             rq.urlopen(req, timeout=60)
         assert ei.value.code == 400
         assert b"ingest" in ei.value.read()
+
+
+class TestSortFns:
+    def test_parse_and_passthrough(self, tagged):
+        from graphite_clickhouse_spark.plans.promql import SortFn
+
+        node = parse_promql("sort_desc(m)")
+        assert isinstance(node, SortFn) and node.desc
+        # evaluation is a passthrough (ordering is presentation-level)
+        got = rows(eval_promql(tagged, "sort(m)", 300, 300, 1))
+        assert got == rows(eval_promql(tagged, "m", 300, 300, 1))
+
+    def test_instant_api_orders_by_value(self, prom_url):
+        for fn, expect in (("sort", [2.0, 25.0]), ("sort_desc", [25.0, 2.0])):
+            q = urllib.parse.urlencode({"query": f"{fn}(m)", "time": 300})
+            with urllib.request.urlopen(
+                f"{prom_url}/api/v1/query?{q}", timeout=120
+            ) as r:
+                got = json.loads(r.read())
+            vals = [float(e["value"][1]) for e in got["data"]["result"]]
+            assert vals == expect, (fn, vals)
+
+
+class TestSnappyFuzz:
+    def test_roundtrip_property(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from graphite_clickhouse_spark.functions.snappy import (
+            compress,
+            decompress,
+        )
+
+        @settings(max_examples=200, deadline=None)
+        @given(st.binary(max_size=300_000))
+        def roundtrip(data):
+            assert decompress(compress(data)) == data
+
+        roundtrip()
+
+    def test_decompress_never_crashes_on_garbage(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from graphite_clickhouse_spark.functions.snappy import (
+            SnappyError,
+            decompress,
+        )
+
+        @settings(max_examples=300, deadline=None)
+        @given(st.binary(max_size=4096))
+        def fuzz(data):
+            try:
+                decompress(data)
+            except SnappyError:
+                pass  # the only allowed failure mode
+
+        fuzz()
