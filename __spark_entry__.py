@@ -1392,6 +1392,40 @@ SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank FROM (
 """
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing any word 8-gram
+    with a 'benchmark' slice (doc_id % 97 == 0) get flagged; the
+    benchmark gram set broadcasts, the corpus never shuffles."""
+    from graphite_clickhouse_spark.pipeline.dedup import decontaminate
+    from graphite_clickhouse_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    benchmark = docs.filter(F.col("doc_id") % 97 == 0)
+    return decontaminate(docs, benchmark, n=8)
+
+
+SQL_DECONTAMINATE = """
+WITH toks AS (
+    SELECT doc_id AS id, regexp_split_to_array(trim(text), '\\s+') AS t
+    FROM documents
+), dg AS (
+    SELECT id, unnest(list_distinct(list_transform(
+        generate_series(1, len(t) - 7),
+        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' '
+             || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7]
+    ))) AS gram
+    FROM toks WHERE len(t) >= 8
+), bg AS (
+    SELECT DISTINCT gram FROM dg WHERE id % 97 = 0
+), hits AS (
+    SELECT dg.id, count(*) AS n FROM dg JOIN bg USING (gram) GROUP BY dg.id
+)
+SELECT t.id, CAST(COALESCE(h.n, 0) AS INTEGER) AS n_gram_hits,
+       COALESCE(h.n, 0) > 0 AS contaminated
+FROM (SELECT id FROM toks) t LEFT JOIN hits h ON h.id = t.id
+"""
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals per document (top 2-gram fraction,
     duplicate 2-gram fraction) — map-only fold over sorted n-gram
@@ -1689,6 +1723,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
     "gopher_filter": (q_gopher_filter, _gopher_sql()),
+    "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
     "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
     "ivf_assign": (q_ivf_assign, SQL_IVF_ASSIGN),

@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "tfidf_top_terms",
     "repetition_stats",
     "gopher_filter",
+    "decontaminate",
     "fingerprint",
     "ngram_jaccard",
     "ann_cosine_topk",

@@ -634,3 +634,49 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+# ------------------------------------------------------- decontamination
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing ANY
+    word n-gram with a benchmark/eval corpus (the public n-gram-overlap
+    practice — GPT-3 appendix C used 13-grams; n is configurable).
+
+    Scale shape: the benchmark side is tiny relative to the corpus, so
+    its distinct grams BROADCAST and the overlap check is a broadcast
+    semi-join on the exploded corpus grams — the corpus never shuffles.
+    Returns (id, n_gram_hits, contaminated); documents with fewer than n
+    tokens cannot collide and report 0.
+    """
+    doc_grams = (
+        tokens_projection(docs, text_col, id_col)
+        .filter(F.size("toks") >= n)
+        .select("id", F.explode(word_ngrams_from_tokens(F.col("toks"), n)).alias("gram"))
+    )
+    bench_grams = (
+        tokens_projection(benchmark, text_col, id_col)
+        .filter(F.size("toks") >= n)
+        .select(F.explode(word_ngrams_from_tokens(F.col("toks"), n)).alias("gram"))
+        .distinct()
+    )
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_gram_hits"))
+    )
+    base = docs.select(F.col(id_col).alias("id"))
+    return (
+        base.join(hits, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("n_gram_hits"), F.lit(0)).cast("int").alias("n_gram_hits"),
+            (F.coalesce(F.col("n_gram_hits"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

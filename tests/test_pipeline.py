@@ -507,3 +507,36 @@ class TestGopherQuality:
         plan = repetition_stats(docs)._jdf.queryExecution().executedPlan().toString()
         assert "hashpartitioning" not in plan, plan
         assert "Join" not in plan, plan
+
+
+class TestDecontaminate:
+    def test_flags_benchmark_overlap(self, spark):
+        from graphite_clickhouse_spark.pipeline.dedup import decontaminate
+
+        secret = "alpha bravo charlie delta echo foxtrot golf hotel"
+        docs = spark.createDataFrame(
+            [
+                (1, f"intro text then {secret} and more trailing words"),
+                (2, "completely unrelated content about spark engines here ok"),
+                (3, "short"),
+            ],
+            "doc_id long, text string",
+        )
+        bench = spark.createDataFrame(
+            [(100, f"the benchmark question contains {secret} verbatim")],
+            "doc_id long, text string",
+        )
+        got = {r.id: r for r in decontaminate(docs, bench, n=8).collect()}
+        assert got[1].contaminated and got[1].n_gram_hits >= 1
+        assert not got[2].contaminated and got[2].n_gram_hits == 0
+        assert not got[3].contaminated  # < n tokens cannot collide
+
+    def test_plan_broadcasts_benchmark(self, docs, spark):
+        from graphite_clickhouse_spark.pipeline.dedup import decontaminate
+        from pyspark.sql import functions as F
+
+        bench = docs.filter(F.col("doc_id") % 97 == 0)
+        plan = (decontaminate(docs, bench, n=8)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
