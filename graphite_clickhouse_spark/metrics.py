@@ -29,7 +29,6 @@ class Registry:
         self._dur_sum: dict[str, float] = defaultdict(float)
         self._dur_count: dict[str, int] = defaultdict(int)
         self._dur_buckets: dict[str, list[int]] = {}
-        self._counters: dict[tuple[str, tuple], int] = defaultdict(int)
 
     def observe_request(self, handler: str, status: int, seconds: float) -> None:
         with self._lock:
@@ -45,18 +44,6 @@ class Registry:
                     break
             else:
                 buckets[-1] += 1
-
-    def inc(self, name: str, value: int = 1, **labels: str) -> None:
-        """Free-form counter (cache hits, fetched metrics/points...)."""
-        with self._lock:
-            self._counters[(name, tuple(sorted(labels.items())))] += value
-
-    @staticmethod
-    def _fmt_labels(labels: tuple) -> str:
-        if not labels:
-            return ""
-        inner = ",".join(f'{k}="{v}"' for k, v in labels)
-        return "{" + inner + "}"
 
     def render(self) -> bytes:
         """Prometheus text exposition format (type comments + samples)."""
@@ -96,12 +83,6 @@ class Registry:
                     f'gchs_http_request_duration_seconds_count'
                     f'{{handler="{handler}"}} {self._dur_count[handler]}'
                 )
-            seen = set()
-            for (name, labels), n in sorted(self._counters.items()):
-                if name not in seen:
-                    seen.add(name)
-                    lines.append(f"# TYPE {name} counter")
-                lines.append(f"{name}{self._fmt_labels(labels)} {n}")
         return ("\n".join(lines) + "\n").encode()
 
 

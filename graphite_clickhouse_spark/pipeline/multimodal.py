@@ -69,9 +69,11 @@ def _decode_any(modality: str, payload: bytes) -> tuple[int, int, list[float]]:
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             rate, samples = codecs.decode_wav(payload)
             return 0, 0, codecs.audio_features(samples, rate)
-    except codecs.CodecError:
-        pass  # corrupt container: fall through to the fake, like a
-        # tolerant pipeline would quarantine rather than abort the batch
+    except Exception:  # noqa: BLE001 — corrupt container: quarantine to
+        # the fake rather than abort the whole batch. Malformed payloads
+        # surface zlib.error, struct.error, EOFError and numpy ValueError
+        # from inside the decoders, not just CodecError.
+        pass
     if modality == "image" and payload:
         return _decode_image_stub(payload)
     return 0, 0, []

@@ -321,11 +321,18 @@ def ivf_assign(
 
     The assignment becomes the IVF partition key — write the corpus
     partitioned by it and ANN probes read only the nearest cells."""
-    rows = centroids.select(centroid_id, centroid_vec).limit(100_001).collect()
-    if len(rows) > 100_000:
+    rows = centroids.select(centroid_id, centroid_vec).limit(4097).collect()
+    cells = sum(len(r[1]) for r in rows)
+    if len(rows) > 4096 or cells > 262_144:
+        # the literal-array strategy builds k x dim Column literals on the
+        # driver: beyond ~4k centroids / 256k cells plan construction and
+        # codegen costs dominate — split the corpus by a coarse first-level
+        # assignment or train fewer centroids instead
         raise ValueError(
-            "ivf_assign: centroid table exceeds 100k rows - not an IVF "
-            "cell table; train fewer centroids (train_centroids(k=...))"
+            "ivf_assign: centroid table too large for the literal argmax "
+            f"fold ({len(rows)} rows / {cells} cells; caps 4096 / 262144) "
+            "- train fewer centroids (train_centroids(k=...)) or use a "
+            "hierarchical (coarse -> fine) assignment"
         )
     rows.sort(key=lambda r: r[0])
     cents = []

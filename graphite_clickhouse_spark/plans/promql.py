@@ -510,9 +510,11 @@ class _Parser:
         ch = self._peek()
         if ch and ch in "+-":
             # unary sign: scalar -> folded; vector -> (+-1) * v (upstream
-            # unary minus semantics: values negated, metric name dropped)
+            # unary minus semantics: values negated, metric name dropped).
+            # Upstream gives unary the precedence of * — BELOW ^ — so the
+            # operand climbs through ^ first: -2^2 == -(2^2) == -4
             self.i += 1
-            inner = self._operand()
+            inner = self._binary(self._PREC["^"])
             if ch == "+":
                 return inner
             if isinstance(inner, float):
@@ -1621,6 +1623,16 @@ class Evaluator:
         With a window (absent_over_time) presence means >= 1 sample in
         (t - window, t] instead of the lookback staleness rule."""
         if node.window is not None:
+            if node.selector.at_ts is not None:
+                # pinned window: one evaluation at the @ timestamp,
+                # fanned across the grid (same rule as range fns)
+                from dataclasses import replace as _dc_replace
+
+                pinned = self._pinned(node.selector.at_ts)
+                sel = _dc_replace(node.selector, at_ts=None)
+                return self._fan_out(
+                    pinned._eval_absent(AbsentFn(sel, node.window))
+                )
             pts = self._points(node.selector, node.window)
             present = _explode_to_grid(
                 pts, self.start, self.step, node.window, self.n_evals
@@ -1965,12 +1977,14 @@ def _absent_labels(matchers: list[LabelMatcher]) -> F.Column:
     return F.create_map(*kv)
 
 
-def eval_promql(tagged: DataFrame, expr: str, start: int, end: int,
+def eval_promql(tagged: DataFrame, expr, start: int, end: int,
                 step: int, lookback: int = DEFAULT_LOOKBACK) -> DataFrame:
     """Parse + evaluate; returns (labels map, series string, t, value)
     sorted frame. `series` is the canonical sorted `k=v` join — a stable,
-    groupable series identity for encoders and oracles."""
-    node = parse_promql(expr)
+    groupable series identity for encoders and oracles. `expr` may be a
+    PromQL string or an already-parsed AST node (callers that inspect the
+    tree, like the sort()-aware API handler, avoid a double parse)."""
+    node = parse_promql(expr) if isinstance(expr, str) else expr
     ev = Evaluator(tagged, start, end, step, lookback)
     out = ev.eval(node)
     return out.select(

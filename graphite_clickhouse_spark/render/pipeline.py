@@ -82,10 +82,22 @@ class DataTableRoute:
     target_match_any: str | None = None
     target_match_all: str | None = None
 
-    def matches(self, targets: list[str], from_ts: int, until_ts: int,
-                now: int) -> bool:
+    def __post_init__(self):
         import re as _re
 
+        # compile once at route construction, not per request (the
+        # process-wide re cache is capped and shared — no guarantee)
+        self._pat_all = (
+            _re.compile(self.target_match_all)
+            if self.target_match_all is not None else None
+        )
+        self._pat_any = (
+            _re.compile(self.target_match_any)
+            if self.target_match_any is not None else None
+        )
+
+    def matches(self, targets: list[str], from_ts: int, until_ts: int,
+                now: int) -> bool:
         if self.max_interval and (until_ts - from_ts) > self.max_interval:
             return False
         if self.min_interval and (until_ts - from_ts) < self.min_interval:
@@ -94,13 +106,11 @@ class DataTableRoute:
             return False
         if self.min_age and until_ts > now - self.min_age:
             return False
-        if self.target_match_all is not None:
-            pat = _re.compile(self.target_match_all)
-            if not all(pat.search(t) for t in targets):
+        if self._pat_all is not None:
+            if not all(self._pat_all.search(t) for t in targets):
                 return False
-        if self.target_match_any is not None:
-            pat = _re.compile(self.target_match_any)
-            if not any(pat.search(t) for t in targets):
+        if self._pat_any is not None:
+            if not any(self._pat_any.search(t) for t in targets):
                 return False
         return True
 

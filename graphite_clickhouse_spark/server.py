@@ -146,6 +146,9 @@ class GraphiteHandler(BaseHTTPRequestHandler):
             # clients that default the content-type (urllib!) may still be
             # sending a protobuf body — the URL format param is the truth
             and q.get("format") != "carbonapi_v3_pb"
+            # remote read/write bodies are snappy-framed protobuf, never
+            # forms, and some senders omit the content type
+            and url.path not in ("/api/v1/read", "/api/v1/write")
         ):
             length = int(self.headers.get("Content-Length", 0) or 0)
             if length > 0:
@@ -415,8 +418,13 @@ class GraphiteHandler(BaseHTTPRequestHandler):
             raise ValueError(f"snappy: {exc}")
         serieses = parse_write_request(body)
         if serieses:
+            # honor the job's pinned write-version (deterministic tests /
+            # replay); None falls back to ingest wall-clock, exactly like
+            # the carbon path (parse_carbon_lines)
             job.write_batch(
-                write_request_to_points(self.engine.spark, serieses)
+                write_request_to_points(
+                    self.engine.spark, serieses, version=job.version
+                )
             )
         self._send(b"", "text/plain", status=204)
 
@@ -450,20 +458,21 @@ class GraphiteHandler(BaseHTTPRequestHandler):
                 return "+Inf" if v > 0 else "-Inf"
             return repr(v)  # shortest round-trip decimal
 
-        from .plans.promql import PromQLError
-
         try:
             rows = self._fetch_with_timeout(df.collect, "promql")
-        except DataTimeout:
-            raise
+        except DataTimeout as exc:
+            # stay in the Prometheus JSON error envelope (clients parse it)
+            self._prom_err(str(exc), 504)
+            return
         except Exception as exc:
             # vector-matching cardinality assertion raised executor-side
-            # (plans/promql._unique_match_guard) -> upstream's 400
+            # (plans/promql._unique_match_guard) -> upstream's 400, in the
+            # JSON envelope (this runs OUTSIDE the handlers' try blocks)
             msg = str(exc)
             marker = "found duplicate series for the match group"
             if marker in msg:
-                start = msg.index(marker)
-                raise PromQLError(msg[start:].split("\n")[0].strip())
+                self._prom_err(msg[msg.index(marker):].split("\n")[0].strip(), 400)
+                return
             raise
 
         series: dict[str, dict] = {}
@@ -554,7 +563,7 @@ class GraphiteHandler(BaseHTTPRequestHandler):
             order = None
             if isinstance(node, SortFn):  # top-level sort orders the API reply
                 order = "desc" if node.desc else "asc"
-            df = eval_promql(tagged, expr, ts, ts, 1,
+            df = eval_promql(tagged, node, ts, ts, 1,
                              lookback=self._prom_lookback())
         except ValueError as exc:
             self._prom_err(str(exc), getattr(exc, "http_status", 400))

@@ -1375,3 +1375,82 @@ class TestSnappyFuzz:
                 pass  # the only allowed failure mode
 
         fuzz()
+
+
+class TestReviewFixes:
+    """Regression tests for the round-2 self-review findings."""
+
+    def test_unary_minus_binds_below_pow(self):
+        # upstream: unary has the precedence of *, below ^ -> -2^2 == -4
+        with pytest.raises(PromQLError):  # top-level scalar still rejected
+            parse_promql("-2 ^ 2")
+        node = parse_promql("m * (-2 ^ 2)")
+        assert isinstance(node, BinOp) and node.scalar == -4.0
+        node = parse_promql("-m ^ 2")  # -(m^2): negation wraps the pow
+        assert node.op == "*" and node.scalar == -1.0 and node.scalar_on_left
+        inner = node.expr
+        assert isinstance(inner, BinOp) and inner.op == "^" and inner.scalar == 2.0
+
+    def test_duplicate_series_error_is_json_enveloped(self, prom_url):
+        import urllib.error
+
+        q = urllib.parse.urlencode({"query": "m + on(j) m", "time": 100})
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(f"{prom_url}/api/v1/query?{q}", timeout=120)
+        assert ei.value.code == 400
+        body = json.loads(ei.value.read())
+        assert body["status"] == "error"
+        assert "found duplicate series" in body["error"]
+
+    def test_absent_over_time_honors_at(self, tagged):
+        # pinned at t=450 with a 50s window: no samples in (400, 450]
+        # -> absent=1 replicated at EVERY grid step
+        got = {r.t: r.value for r in
+               eval_promql(tagged, 'absent_over_time(m{k="a"}[50s] @ 450)',
+                           100, 300, 100).collect()}
+        assert got == {100: 1.0, 200: 1.0, 300: 1.0}
+        # pinned where samples exist: absent nowhere
+        got = {r.t: r.value for r in
+               eval_promql(tagged, 'absent_over_time(m{k="a"}[50s] @ 280)',
+                           100, 300, 100).collect()}
+        assert got == {}
+
+    def test_remote_write_uses_job_version(self, spark, tmp_path):
+        import urllib.request as rq
+
+        from graphite_clickhouse_spark.functions.snappy import compress
+        from graphite_clickhouse_spark.render.pipeline import Engine
+        from graphite_clickhouse_spark.server import serve_background
+        from graphite_clickhouse_spark.streaming.ingest import IngestJob
+
+        job = IngestJob(str(tmp_path / "ver"), version=42)
+        engine = Engine(
+            spark=spark,
+            points=spark.createDataFrame(
+                [], "path string, value double, time long, version long"),
+            ingest=job,
+        )
+        srv, base = serve_background(engine)
+        try:
+            body = compress(TestRemoteWrite._write_request(
+                [({"__name__": "vm"}, [(5000, 1.0)])]))
+            req = rq.Request(f"{base}/api/v1/write", data=body)
+            rq.urlopen(req, timeout=120).read()
+        finally:
+            srv.shutdown()
+        assert [r.version for r in job.read_points(spark).collect()] == [42]
+
+    def test_corrupt_png_payload_quarantined_not_fatal(self, spark):
+        from graphite_clickhouse_spark.pipeline.multimodal import (
+            ASSET_SCHEMA,
+            extract_features,
+        )
+
+        # valid PNG signature, garbage deflate body: decoder raises
+        # zlib.error internally; the batch must survive via the fallback
+        bogus = b"\x89PNG\r\n\x1a\n" + b"\x00" * 64
+        df = spark.createDataFrame(
+            [(1, "image", "image/png", bytearray(bogus), {})], ASSET_SCHEMA)
+        (row,) = extract_features(df).collect()
+        assert row.n_bytes == len(bogus)
+        assert row.width == 16 + len(bogus) % 64  # deterministic fallback
