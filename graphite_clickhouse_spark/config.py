@@ -74,6 +74,8 @@ class Settings:
     #: ca set -> mTLS: client certificates are required and verified.
     server_tls: tuple | None = None
     max_metrics_per_target: int = 15000
+    #: [[clickhouse.query-params]] duration tiers (sorted ascending)
+    query_params: list = field(default_factory=list)
     append_empty_series: bool = False
     blacklist: Blacklist | None = None
     find_cache: CacheConfig | None = None
@@ -132,6 +134,33 @@ class Settings:
                     queue_timeout_sec=self.index_timeout_sec or 60.0,
                 ))
         return cls
+
+    def render_tiers(self) -> list:
+        """[(min_duration_sec, limiter_or_None, data_timeout_or_None)]
+        from [[clickhouse.query-params]] (config.go GetQueryParam:
+        requests pick the LARGEST tier whose duration <= their range;
+        tier 0 — the implicit default — uses the render class limiter
+        and the default data-timeout, so it is not materialized here)."""
+        from .plans.limiter import AdaptiveLimiter, RequestLimiter
+
+        tiers = []
+        for qp in self.query_params:
+            if qp["adaptive"] > 0 and qp["concurrent"] > 0:
+                lim = AdaptiveLimiter(
+                    qp["concurrent"], qp["adaptive"],
+                    max_queue=qp["max"],
+                    queue_timeout_sec=self.index_timeout_sec or 60.0,
+                )
+            elif qp["concurrent"] > 0 or qp["max"] > 0:
+                lim = RequestLimiter(
+                    qp["concurrent"] if qp["concurrent"] > 0 else 1 << 20,
+                    max_queue=qp["max"],
+                    queue_timeout_sec=self.index_timeout_sec or 60.0,
+                )
+            else:
+                lim = None
+            tiers.append((qp["duration"], lim, qp["data_timeout"]))
+        return tiers
 
     def user_limiters(self) -> dict:
         """Per-user limiter overrides (render/data/multi_target.go:95-125:
@@ -237,6 +266,24 @@ def load_settings(toml_text: str) -> Settings:
     s.max_data_points = int(ch.get("max-data-points", 1048576))
     s.internal_aggregation = bool(ch.get("internal-aggregation", True))
     s.data_timeout_sec = parse_go_duration(ch.get("data-timeout", "1m"))
+    # duration-tiered query params (config.go QueryParams: requests with
+    # range >= duration get their own limiter + data-timeout tier)
+    s.query_params = [
+        {
+            "duration": int(parse_go_duration(qp.get("duration", 0))),
+            "data_timeout": (
+                parse_go_duration(qp["data-timeout"])
+                if "data-timeout" in qp else None
+            ),
+            "max": int(qp.get("max-queries", 0) or 0),
+            "concurrent": int(
+                qp.get("concurrent-queries", 0) or qp.get("max-concurrent", 0) or 0
+            ),
+            "adaptive": int(qp.get("adaptive-queries", 0) or 0),
+        }
+        for qp in ch.get("query-params", [])
+    ]
+    s.query_params.sort(key=lambda t: t["duration"])
     s.index_timeout_sec = parse_go_duration(ch.get("index-timeout", "1m"))
     for cls in ("render", "find", "tags"):
         s.limiters[cls] = {

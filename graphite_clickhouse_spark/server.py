@@ -88,6 +88,7 @@ class GraphiteHandler(BaseHTTPRequestHandler):
     limiters = None  # plans.limiter.ClassLimiters | None (set by make_server)
     user_limiters: dict = {}  # per X-Forwarded-User overrides
     telemetry = None  # metrics.Registry (set by make_server)
+    render_tiers: tuple = ()  # [[query-params]] duration tiers
 
     # ---- plumbing -------------------------------------------------------
 
@@ -168,7 +169,7 @@ class GraphiteHandler(BaseHTTPRequestHandler):
             elif url.path.rstrip("/") == "/_internal/capabilities":
                 self._capabilities(q)
             elif url.path.rstrip("/") == "/render":
-                with self._limit("render"):
+                with self._render_limit(q):
                     self._render(q, qlist)
             elif url.path.startswith("/metrics/find"):
                 with self._limit("find"):
@@ -229,13 +230,59 @@ class GraphiteHandler(BaseHTTPRequestHandler):
                 self._error(getattr(exc, "http_status", 400), str(exc))
 
     def _fetch_with_timeout(self, fn, what: str):
-        """Apply [clickhouse] data-timeout to a fetch action (0 = off)."""
+        """Apply the data-timeout to a fetch action (0 = off); a
+        [[query-params]] tier override (set per-request by _render_limit)
+        takes precedence over the default [clickhouse] data-timeout."""
         timeout = float(
-            getattr(getattr(self, "settings", None), "data_timeout_sec", 0) or 0
+            getattr(self, "_tier_data_timeout", None)
+            or getattr(getattr(self, "settings", None), "data_timeout_sec", 0)
+            or 0
         )
         if timeout <= 0:
             return fn()
         return run_with_data_timeout(self.engine.spark, fn, timeout, what)
+
+    def _render_duration(self, q: dict) -> int:
+        """Best-effort request range in seconds from the URL params (for
+        tier selection; pb-POST bodies fall to the default tier)."""
+        import time as _time
+
+        from .functions.datetime_spec import date_param_to_epoch
+
+        try:
+            now = int(_time.time())
+            u, f = q.get("until", ""), q.get("from", "")
+            until_ts = date_param_to_epoch(str(u), now, 1) if u else now
+            from_ts = (
+                date_param_to_epoch(str(f), now, 1) if f else until_ts - 86400
+            )
+            return max(0, int(until_ts) - int(from_ts))
+        except Exception:
+            return 0
+
+    def _render_limit(self, q: dict):
+        """Render limiter choice with [[query-params]] duration tiers
+        (config.go GetQueryParam: the LARGEST tier whose duration <= the
+        request range wins; the implicit tier 0 is the class limiter).
+        A per-user user-limits override still takes precedence, like the
+        reference's per-user limiter lookup."""
+        self._tier_data_timeout = None
+        user = self.headers.get("X-Forwarded-User", "")
+        if user and self.user_limiters and user in self.user_limiters:
+            return self._limit("render")
+        tiers = getattr(self, "render_tiers", None) or ()
+        if tiers:
+            dur = self._render_duration(q)
+            chosen_lim = chosen_timeout = None
+            for min_dur, lim, timeout in tiers:
+                if dur >= min_dur:
+                    chosen_lim, chosen_timeout = lim, timeout
+                else:
+                    break
+            self._tier_data_timeout = chosen_timeout
+            if chosen_lim is not None:
+                return chosen_lim.enter()
+        return self._limit("render")
 
     def _limit(self, cls: str):
         import contextlib
@@ -850,6 +897,7 @@ def make_server(
         attrs["max_find_answer"] = settings.max_metrics_in_find_answer
         attrs["limiters"] = settings.class_limiters()
         attrs["user_limiters"] = settings.user_limiters()
+        attrs["render_tiers"] = tuple(settings.render_tiers())
     handler = type("BoundHandler", (GraphiteHandler,), attrs)
     srv = ThreadingHTTPServer((host, port), handler)
     tls = getattr(settings, "server_tls", None) if settings is not None else None

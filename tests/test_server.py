@@ -689,3 +689,64 @@ class TestDataTimeout:
             assert got["metrics"][0]["name"] == "ev.purchase.u1"
         finally:
             srv.shutdown()
+
+
+class TestQueryParamsTiers:
+    """[[clickhouse.query-params]] duration tiers (config.go
+    GetQueryParam): long-range renders get their own limiter and
+    data-timeout; short ones stay on the class limiter."""
+
+    @pytest.fixture(scope="class")
+    def tiered(self, spark):
+        from graphite_clickhouse_spark.config import (
+            engine_from_settings,
+            load_settings,
+        )
+
+        conf = (
+            "[clickhouse]\nrender-concurrent-queries = 8\n"
+            'data-timeout = "60s"\n'
+            "query-params = [\n"
+            '  { duration = "72h", data-timeout = "30s", '
+            "max-queries = 10, max-concurrent = 1 },\n"
+            "]\n"
+        )
+        settings = load_settings(conf)
+        points = points_from_events(spark, SF)
+        engine = engine_from_settings(
+            spark, settings, points,
+            path_index=build_path_index(points.select("path")),
+        )
+        srv, base = serve_background(engine, settings=settings)
+        yield srv, base
+        srv.shutdown()
+
+    def test_tier_parsing(self):
+        from graphite_clickhouse_spark.config import load_settings
+        from graphite_clickhouse_spark.plans.limiter import RequestLimiter
+
+        s = load_settings(
+            '[clickhouse]\nquery-params = [ { duration = "72h", '
+            'data-timeout = "30s", max-concurrent = 1 } ]\n'
+        )
+        ((dur, lim, timeout),) = s.render_tiers()
+        assert dur == 72 * 3600 and timeout == 30
+        assert isinstance(lim, RequestLimiter)
+
+    def test_long_range_uses_tier_limiter(self, tiered):
+        import urllib.error
+
+        srv, base = tiered
+        # a >72h range routes to the tier (max-concurrent 1)
+        url = (f"{base}/render?target=ev.purchase.u1&from={FROM_TS}"
+               f"&until={FROM_TS + 80 * 3600}&maxDataPoints=24&format=json")
+        assert json.loads(get(url))["metrics"]
+        tier_lim = srv.RequestHandlerClass.render_tiers[0][1]
+        with tier_lim.enter():  # hold the single tier slot
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                urllib.request.urlopen(url, timeout=120)
+            assert ei.value.code == 503
+            # short-range requests are unaffected (class limiter)
+            short = (f"{base}/render?target=ev.purchase.u1&from={FROM_TS}"
+                     f"&until={FROM_TS + 48 * 3600}&maxDataPoints=24&format=json")
+            assert json.loads(get(short))["metrics"]
