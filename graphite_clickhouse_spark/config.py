@@ -145,9 +145,13 @@ class Settings:
 
         tiers = []
         for qp in self.query_params:
-            if qp["adaptive"] > 0 and qp["concurrent"] > 0:
+            if qp["adaptive"] > 0:
+                # adaptive with no explicit concurrency: same unlimited-
+                # capacity default class_limiters uses, so the load-avg
+                # throttle is never silently dropped
                 lim = AdaptiveLimiter(
-                    qp["concurrent"], qp["adaptive"],
+                    qp["concurrent"] if qp["concurrent"] > 0 else 1 << 20,
+                    qp["adaptive"],
                     max_queue=qp["max"],
                     queue_timeout_sec=self.index_timeout_sec or 60.0,
                 )

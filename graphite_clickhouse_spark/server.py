@@ -243,12 +243,18 @@ class GraphiteHandler(BaseHTTPRequestHandler):
         return run_with_data_timeout(self.engine.spark, fn, timeout, what)
 
     def _render_duration(self, q: dict) -> int:
-        """Best-effort request range in seconds from the URL params (for
-        tier selection; pb-POST bodies fall to the default tier)."""
+        """Request range in seconds from the URL params, for tier
+        selection. carbonapi_v3_pb POSTs carry their range in the
+        protobuf body which is not parsed yet — they report 0 and land
+        on the default tier (the limiter must gate BEFORE body parsing,
+        so the URL is all the altitude allows; GET requests without
+        from/until mean 'last 24h' and tier as such)."""
         import time as _time
 
         from .functions.datetime_spec import date_param_to_epoch
 
+        if q.get("format") == "carbonapi_v3_pb":
+            return 0
         try:
             now = int(_time.time())
             u, f = q.get("until", ""), q.get("from", "")
@@ -264,24 +270,24 @@ class GraphiteHandler(BaseHTTPRequestHandler):
         """Render limiter choice with [[query-params]] duration tiers
         (config.go GetQueryParam: the LARGEST tier whose duration <= the
         request range wins; the implicit tier 0 is the class limiter).
-        A per-user user-limits override still takes precedence, like the
-        reference's per-user limiter lookup."""
+        A per-user user-limits override replaces the LIMITER only — the
+        tier data-timeout still applies, as in the reference where
+        GetQueryParam and the user limiter lookup are independent."""
         self._tier_data_timeout = None
-        user = self.headers.get("X-Forwarded-User", "")
-        if user and self.user_limiters and user in self.user_limiters:
-            return self._limit("render")
+        tier_lim = None
         tiers = getattr(self, "render_tiers", None) or ()
         if tiers:
             dur = self._render_duration(q)
-            chosen_lim = chosen_timeout = None
             for min_dur, lim, timeout in tiers:
                 if dur >= min_dur:
-                    chosen_lim, chosen_timeout = lim, timeout
+                    tier_lim, self._tier_data_timeout = lim, timeout
                 else:
                     break
-            self._tier_data_timeout = chosen_timeout
-            if chosen_lim is not None:
-                return chosen_lim.enter()
+        user = self.headers.get("X-Forwarded-User", "")
+        if user and self.user_limiters and user in self.user_limiters:
+            return self._limit("render")
+        if tier_lim is not None:
+            return tier_lim.enter()
         return self._limit("render")
 
     def _limit(self, cls: str):
@@ -681,7 +687,9 @@ class GraphiteHandler(BaseHTTPRequestHandler):
                 )
                 for fr in parse_multi_fetch_request(body)
             ]
-            series = self._render_series(reqs)
+            series = self._fetch_with_timeout(
+                lambda: self._render_series(reqs), "render"
+            )
             self._send(R.encode_v3_pb(series), "application/x-protobuf")
             return
 

@@ -708,7 +708,7 @@ class TestQueryParamsTiers:
             'data-timeout = "60s"\n'
             "query-params = [\n"
             '  { duration = "72h", data-timeout = "30s", '
-            "max-queries = 10, max-concurrent = 1 },\n"
+            "max-queries = 0, max-concurrent = 1 },\n"
             "]\n"
         )
         settings = load_settings(conf)
@@ -750,3 +750,54 @@ class TestQueryParamsTiers:
             short = (f"{base}/render?target=ev.purchase.u1&from={FROM_TS}"
                      f"&until={FROM_TS + 48 * 3600}&maxDataPoints=24&format=json")
             assert json.loads(get(short))["metrics"]
+
+
+class TestQueryParamsTierFollowups:
+    def test_pb_post_falls_to_default_tier(self, spark):
+        """carbonapi_v3_pb POSTs (range in the body, unknown at limiter
+        time) must land on the default tier — not inherit a fabricated
+        24h range."""
+        from graphite_clickhouse_spark.server import GraphiteHandler
+
+        h = object.__new__(GraphiteHandler)
+        assert h._render_duration({"format": "carbonapi_v3_pb"}) == 0
+        assert h._render_duration({}) == 86400  # GET default: last 24h
+        assert h._render_duration({"from": "100", "until": "700"}) == 600
+
+    def test_user_limits_keep_tier_data_timeout(self, spark):
+        """A user-limits override replaces the LIMITER only; the tier's
+        data-timeout still applies."""
+        from graphite_clickhouse_spark.config import load_settings
+        from graphite_clickhouse_spark.plans.limiter import RequestLimiter
+        from graphite_clickhouse_spark.server import GraphiteHandler
+
+        s = load_settings(
+            '[clickhouse]\nquery-params = [ { duration = "1h", '
+            'data-timeout = "30s", max-concurrent = 4 } ]\n'
+        )
+        h = object.__new__(GraphiteHandler)
+        h.render_tiers = tuple(s.render_tiers())
+        h.user_limiters = {"alice": RequestLimiter(4)}
+        h.limiters = s.class_limiters()
+
+        class _Headers(dict):
+            def get(self, k, d=""):
+                return dict.get(self, k, d)
+
+        h.headers = _Headers({"X-Forwarded-User": "alice"})
+        ctx = h._render_limit({"from": "0", "until": "7200"})
+        assert h._tier_data_timeout == 30  # tier timeout survives
+        with ctx:
+            pass
+
+    def test_adaptive_only_tier_builds_adaptive_limiter(self):
+        from graphite_clickhouse_spark.config import load_settings
+        from graphite_clickhouse_spark.plans.limiter import AdaptiveLimiter
+
+        s = load_settings(
+            '[clickhouse]\nquery-params = [ { duration = "1h", '
+            "adaptive-queries = 4 } ]\n"
+        )
+        ((_d, lim, _t),) = s.render_tiers()
+        assert isinstance(lim, AdaptiveLimiter)
+        assert lim.concurrent == 1 << 20 and lim.adaptive_n == 4
