@@ -190,6 +190,8 @@ def _scalar_fold(op: str, a: float, b: float, bool_mode: bool) -> float:
         return math.fmod(a, b) if b != 0.0 else math.nan
     if op == "^":
         return math.pow(a, b)
+    if op == "atan2":
+        return math.atan2(a, b)
     return {"+": a + b, "-": a - b, "*": a * b}[op]
 
 
@@ -198,6 +200,8 @@ def _arith_col(op: str, left, right):
     math.Mod — remainder with the dividend's sign; ^ is pow)."""
     if op == "^":
         return F.pow(left, right)
+    if op == "atan2":
+        return F.atan2(left, right)
     return {
         "+": left + right, "-": left - right,
         "*": left * right, "/": left / right, "%": left % right,
@@ -460,6 +464,7 @@ class _Parser:
         "or": 1, "and": 2, "unless": 2,
         "==": 3, "!=": 3, "<=": 3, "<": 3, ">=": 3, ">": 3,
         "+": 4, "-": 4, "*": 5, "/": 5, "%": 5, "^": 6,
+        "atan2": 5,  # word-spelled arithmetic op, binds like * (upstream)
     }
     _SET_OPS = ("and", "or", "unless")
 
@@ -494,7 +499,7 @@ class _Parser:
         while True:
             save = self.i
             word = self._ident()
-            if word in self._SET_OPS:
+            if word in self._SET_OPS or word == "atan2":
                 op = word
             else:
                 self.i = save

@@ -1454,3 +1454,21 @@ class TestReviewFixes:
         (row,) = extract_features(df).collect()
         assert row.n_bytes == len(bogus)
         assert row.width == 16 + len(bogus) % 64  # deterministic fallback
+
+
+class TestAtan2:
+    def test_parse_precedence_and_eval(self, tagged):
+        import math as m
+
+        # binds like *: m atan2 2 + 1 == (m atan2 2) + 1
+        node = parse_promql("m atan2 2 + 1")
+        assert isinstance(node, BinOp) and node.op == "+" and node.scalar == 1.0
+        assert node.expr.op == "atan2"
+        got = rows(eval_promql(tagged, 'm{k="b"} atan2 2', 100, 100, 1))
+        assert got[("k=b", 100)] == pytest.approx(m.atan2(10.0, 2.0))
+        # scalar fold inside a vector context
+        got = rows(eval_promql(tagged, 'm{k="b"} * (1 atan2 1)', 100, 100, 1))
+        assert got[("k=b", 100)] == pytest.approx(10.0 * m.atan2(1, 1))
+        # vector-vector
+        got = rows(eval_promql(tagged, "m atan2 on(k) m", 100, 100, 1))
+        assert got[("k=b", 100)] == pytest.approx(m.atan2(10.0, 10.0))
