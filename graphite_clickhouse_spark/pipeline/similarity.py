@@ -391,3 +391,29 @@ def train_centroids(
     return corpus.sparkSession.createDataFrame(
         rows, "centroid_id int, centroid array<double>"
     )
+
+
+def write_ivf(
+    corpus_assigned: DataFrame,
+    path: str,
+    centroid_id: str = "centroid_id",
+) -> None:
+    """Persist an IVF-assigned corpus PARTITIONED BY cell id — the layout
+    that makes ANN probes partition prunes: reading n_probe cells scans
+    n_probe directories, not the corpus. This is the on-disk half of the
+    ivf_assign/ivf_topk contract (assign once, probe cheaply forever)."""
+    corpus_assigned.write.mode("overwrite").partitionBy(centroid_id).parquet(path)
+
+
+def read_ivf_cells(
+    spark, path: str, cell_ids: list[int] | None = None,
+    centroid_id: str = "centroid_id",
+) -> DataFrame:
+    """Read an IVF table, optionally restricted to specific cells — the
+    filter lands on the partition column, so Spark prunes directories
+    (PartitionFilters in the scan, no data files outside the probed
+    cells are opened)."""
+    df = spark.read.parquet(path)
+    if cell_ids is not None:
+        df = df.filter(F.col(centroid_id).isin([int(c) for c in cell_ids]))
+    return df

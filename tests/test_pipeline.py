@@ -540,3 +540,37 @@ class TestDecontaminate:
                 ._jdf.queryExecution().executedPlan().toString())
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
+
+
+class TestIvfPartitionedStorage:
+    def test_probe_is_partition_pruned(self, emb, spark, tmp_path):
+        from graphite_clickhouse_spark.pipeline.similarity import (
+            ivf_assign,
+            ivf_topk,
+            read_ivf_cells,
+            write_ivf,
+        )
+
+        cents = emb.filter(F.col("vec_id") < 4).select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("centroid"),
+        )
+        path = str(tmp_path / "ivf")
+        write_ivf(ivf_assign(emb, cents), path)
+
+        probed = read_ivf_cells(spark, path, [1, 2])
+        plan = probed._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "centroid_id" in plan
+        assert {r.centroid_id for r in probed.select("centroid_id")
+                .distinct().collect()} <= {1, 2}
+
+        # end-to-end: probes over the pruned read match probes over the
+        # in-memory assignment
+        queries = emb.filter(F.col("vec_id") < 3)
+        mem = {(r.query_id, r.neighbor_id)
+               for r in ivf_topk(ivf_assign(emb, cents), queries, cents,
+                                 k=5, n_probe=4).collect()}
+        disk = {(r.query_id, r.neighbor_id)
+                for r in ivf_topk(read_ivf_cells(spark, path), queries,
+                                  cents, k=5, n_probe=4).collect()}
+        assert mem == disk
