@@ -18,4 +18,27 @@ dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard), similarity search,
 text analysis, multimodal column plumbing.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
+
+
+def __getattr__(name):
+    """Lazy top-level API (keeps `import graphite_clickhouse_spark` free
+    of a pyspark import until something is actually used)."""
+    lazy = {
+        "Engine": ("graphite_clickhouse_spark.render.pipeline", "Engine"),
+        "RenderRequest": ("graphite_clickhouse_spark.render.pipeline", "RenderRequest"),
+        "DataTableRoute": ("graphite_clickhouse_spark.render.pipeline", "DataTableRoute"),
+        "get_spark": ("graphite_clickhouse_spark.session", "get_spark"),
+        "load_settings": ("graphite_clickhouse_spark.config", "load_settings"),
+        "engine_from_settings": ("graphite_clickhouse_spark.config", "engine_from_settings"),
+        "make_server": ("graphite_clickhouse_spark.server", "make_server"),
+        "serve_background": ("graphite_clickhouse_spark.server", "serve_background"),
+        "IngestJob": ("graphite_clickhouse_spark.streaming.ingest", "IngestJob"),
+        "eval_promql": ("graphite_clickhouse_spark.plans.promql", "eval_promql"),
+    }
+    if name in lazy:
+        import importlib
+
+        module, attr = lazy[name]
+        return getattr(importlib.import_module(module), attr)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
