@@ -1472,3 +1472,32 @@ class TestAtan2:
         # vector-vector
         got = rows(eval_promql(tagged, "m atan2 on(k) m", 100, 100, 1))
         assert got[("k=b", 100)] == pytest.approx(m.atan2(10.0, 10.0))
+
+
+class TestPrecedenceFuzz:
+    def test_scalar_folding_matches_python_eval(self):
+        """Differential check: random +-* scalar expressions with parens
+        must fold to exactly what Python evaluates (same precedence and
+        associativity), via `m + (<expr>)` which forces a scalar fold."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        def exprs(depth):
+            nums = st.integers(1, 9).map(str)
+            if depth == 0:
+                return nums
+            sub = exprs(depth - 1)
+            binop = st.tuples(sub, st.sampled_from([" + ", " - ", " * "]), sub).map(
+                lambda t: t[0] + t[1] + t[2]
+            )
+            paren = sub.map(lambda s: f"({s})")
+            return st.one_of(nums, binop, paren)
+
+        @settings(max_examples=300, deadline=None)
+        @given(exprs(3))
+        def check(s):
+            node = parse_promql(f"m + ({s})")
+            assert isinstance(node, BinOp) and node.op == "+"
+            assert node.scalar == float(eval(s))  # noqa: S307 — digits/ops only
+
+        check()
