@@ -21,24 +21,32 @@ text analysis, multimodal column plumbing.
 __version__ = "0.2.0"
 
 
+_LAZY = {
+    "Engine": ("graphite_clickhouse_spark.render.pipeline", "Engine"),
+    "RenderRequest": ("graphite_clickhouse_spark.render.pipeline", "RenderRequest"),
+    "DataTableRoute": ("graphite_clickhouse_spark.render.pipeline", "DataTableRoute"),
+    "get_spark": ("graphite_clickhouse_spark.session", "get_spark"),
+    "load_settings": ("graphite_clickhouse_spark.config", "load_settings"),
+    "engine_from_settings": ("graphite_clickhouse_spark.config", "engine_from_settings"),
+    "make_server": ("graphite_clickhouse_spark.server", "make_server"),
+    "serve_background": ("graphite_clickhouse_spark.server", "serve_background"),
+    "IngestJob": ("graphite_clickhouse_spark.streaming.ingest", "IngestJob"),
+    "eval_promql": ("graphite_clickhouse_spark.plans.promql", "eval_promql"),
+}
+
+__all__ = sorted(_LAZY) + ["__version__"]
+
+
 def __getattr__(name):
     """Lazy top-level API (keeps `import graphite_clickhouse_spark` free
-    of a pyspark import until something is actually used)."""
-    lazy = {
-        "Engine": ("graphite_clickhouse_spark.render.pipeline", "Engine"),
-        "RenderRequest": ("graphite_clickhouse_spark.render.pipeline", "RenderRequest"),
-        "DataTableRoute": ("graphite_clickhouse_spark.render.pipeline", "DataTableRoute"),
-        "get_spark": ("graphite_clickhouse_spark.session", "get_spark"),
-        "load_settings": ("graphite_clickhouse_spark.config", "load_settings"),
-        "engine_from_settings": ("graphite_clickhouse_spark.config", "engine_from_settings"),
-        "make_server": ("graphite_clickhouse_spark.server", "make_server"),
-        "serve_background": ("graphite_clickhouse_spark.server", "serve_background"),
-        "IngestJob": ("graphite_clickhouse_spark.streaming.ingest", "IngestJob"),
-        "eval_promql": ("graphite_clickhouse_spark.plans.promql", "eval_promql"),
-    }
-    if name in lazy:
+    of a pyspark import until something is actually used; PEP 562)."""
+    if name in _LAZY:
         import importlib
 
-        module, attr = lazy[name]
+        module, attr = _LAZY[name]
         return getattr(importlib.import_module(module), attr)
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
+def __dir__():
+    return sorted(set(list(globals()) + list(_LAZY)))

@@ -604,6 +604,8 @@ class _Parser:
         name = self._ident()
         if name is None:
             raise PromQLError(f"parse error at {self.i} in {self.s!r}")
+        if name == "atan2":  # reserved keyword upstream: never a metric name
+            raise PromQLError(f"unexpected keyword 'atan2' at {self.i}")
         if name in AGG_OPS:
             return self._agg(name)
         if name in RANGE_FNS:

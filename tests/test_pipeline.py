@@ -558,11 +558,15 @@ class TestIvfPartitionedStorage:
         path = str(tmp_path / "ivf")
         write_ivf(ivf_assign(emb, cents), path)
 
+        import re
+
         probed = read_ivf_cells(spark, path, [1, 2])
         plan = probed._jdf.queryExecution().executedPlan().toString()
-        assert "PartitionFilters" in plan and "centroid_id" in plan
+        # the predicate must land INSIDE PartitionFilters (an empty
+        # 'PartitionFilters: []' appears in every partitioned scan)
+        assert re.search(r"PartitionFilters: \[[^\]]*centroid_id", plan), plan
         assert {r.centroid_id for r in probed.select("centroid_id")
-                .distinct().collect()} <= {1, 2}
+                .distinct().collect()} == {1, 2}
 
         # end-to-end: probes over the pruned read match probes over the
         # in-memory assignment
