@@ -1392,6 +1392,58 @@ SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank FROM (
 """
 
 
+_MIX_WEIGHTS = {"src0": 1.0, "src1": 0.5, "src2": 0.125, "src3": 0.0}
+_MIX_DEFAULT = 0.05
+
+
+def _hash60_sql(key_expr: str, salt: str) -> str:
+    return (
+        f"('0x' || substr(md5('{salt}:' || CAST({key_expr} AS VARCHAR)), 1, 15))"
+        f"::BIGINT"
+    )
+
+
+def q_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent-hash 25% sample: the keep decision is a pure function
+    of the key (stable across runs/engines/cluster sizes — df.sample is
+    none of those), verified by DuckDB computing the same coin."""
+    from graphite_clickhouse_spark.pipeline.sampling import deterministic_sample
+    from graphite_clickhouse_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return deterministic_sample(docs, 0.25, salt="s1").select("doc_id")
+
+
+SQL_SAMPLE_DETERMINISTIC = f"""
+SELECT doc_id FROM documents
+WHERE {_hash60_sql('doc_id', 's1')} < {int(0.25 * (1 << 60))}
+"""
+
+
+def q_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture sampling: per-source consistent rates in one
+    scan (keep all of src0, half of src1, an eighth of src2, none of
+    src3, 5% of everything else)."""
+    from graphite_clickhouse_spark.pipeline.sampling import mix_sources
+    from graphite_clickhouse_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = mix_sources(docs, _MIX_WEIGHTS, default_rate=_MIX_DEFAULT, salt="mx")
+    return out.select("doc_id", "source")
+
+
+def _mix_sources_sql() -> str:
+    cases = " ".join(
+        f"WHEN source = '{src}' THEN {int(rate * (1 << 60))}"
+        for src, rate in sorted(_MIX_WEIGHTS.items())
+    )
+    default = int(_MIX_DEFAULT * (1 << 60))
+    return f"""
+SELECT doc_id, source FROM documents
+WHERE {_hash60_sql('doc_id', 'mx')} < (CASE {cases} ELSE {default} END)
+"""
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: training docs sharing any word 8-gram
     with a 'benchmark' slice (doc_id % 97 == 0) get flagged; the
@@ -1724,6 +1776,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
     "gopher_filter": (q_gopher_filter, _gopher_sql()),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+    "sample_deterministic": (q_sample_deterministic, SQL_SAMPLE_DETERMINISTIC),
+    "mix_sources": (q_mix_sources, _mix_sources_sql()),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
     "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
     "ivf_assign": (q_ivf_assign, SQL_IVF_ASSIGN),

@@ -56,6 +56,8 @@ BENCH_QUERIES = [
     "repetition_stats",
     "gopher_filter",
     "decontaminate",
+    "sample_deterministic",
+    "mix_sources",
     "fingerprint",
     "ngram_jaccard",
     "ann_cosine_topk",

@@ -578,3 +578,60 @@ class TestIvfPartitionedStorage:
                 for r in ivf_topk(read_ivf_cells(spark, path), queries,
                                   cents, k=5, n_probe=4).collect()}
         assert mem == disk
+
+
+class TestDeterministicSampling:
+    def test_rate_accuracy_and_reproducibility(self, docs):
+        from graphite_clickhouse_spark.pipeline.sampling import (
+            deterministic_sample,
+        )
+
+        n = docs.count()
+        s1 = {r.doc_id for r in
+              deterministic_sample(docs, 0.3, salt="a").select("doc_id").collect()}
+        s2 = {r.doc_id for r in
+              deterministic_sample(docs, 0.3, salt="a").select("doc_id").collect()}
+        assert s1 == s2  # pure function of the key
+        assert abs(len(s1) / n - 0.3) < 0.08  # ~rate fraction
+        # different salt -> a different (roughly independent) draw
+        s3 = {r.doc_id for r in
+              deterministic_sample(docs, 0.3, salt="b").select("doc_id").collect()}
+        assert s3 != s1
+
+    def test_monotone_in_rate(self, docs):
+        """A 10% sample is a SUBSET of the 30% sample with the same salt
+        — the property that makes staged ablations comparable."""
+        from graphite_clickhouse_spark.pipeline.sampling import (
+            deterministic_sample,
+        )
+
+        small = {r.doc_id for r in
+                 deterministic_sample(docs, 0.1, salt="m").select("doc_id").collect()}
+        big = {r.doc_id for r in
+               deterministic_sample(docs, 0.3, salt="m").select("doc_id").collect()}
+        assert small < big
+
+    def test_mix_sources_rates(self, docs):
+        from graphite_clickhouse_spark.pipeline.sampling import mix_sources
+
+        out = mix_sources(
+            docs, {"src0": 1.0, "src1": 0.0}, default_rate=0.5, salt="t"
+        )
+        by_src = {r.source: r.cnt for r in
+                  out.groupBy("source").agg(F.count("*").alias("cnt")).collect()}
+        total = {r.source: r.cnt for r in
+                 docs.groupBy("source").agg(F.count("*").alias("cnt")).collect()}
+        assert by_src["src0"] == total["src0"]  # rate 1.0 keeps all
+        assert "src1" not in by_src  # rate 0.0 drops all
+        others = sum(v for k, v in by_src.items() if k not in ("src0",))
+        others_total = sum(v for k, v in total.items() if k not in ("src0", "src1"))
+        assert abs(others / others_total - 0.5) < 0.1
+
+    def test_plan_is_scan_filter(self, docs):
+        from graphite_clickhouse_spark.pipeline.sampling import (
+            deterministic_sample,
+        )
+
+        plan = (deterministic_sample(docs, 0.5)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "Exchange" not in plan and "Join" not in plan
