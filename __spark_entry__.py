@@ -1619,7 +1619,7 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
-SQL_MINHASH_DEDUP = """
+_MINHASH_CTES = """
 WITH toks AS (
     SELECT doc_id AS id, regexp_split_to_array(trim(text), '\\s+') AS t
     FROM documents
@@ -1659,8 +1659,47 @@ WITH toks AS (
     JOIN hsets ha ON ha.id = c.id_a
     JOIN hsets hb ON hb.id = c.id_b
 )
+"""
+
+SQL_MINHASH_DEDUP = _MINHASH_CTES + """
 SELECT id_a, id_b, round(jaccard, 6) AS jaccard
 FROM verified WHERE jaccard >= 0.5
+"""
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup PAIRS resolved into clusters (connected components via
+    iterative min-label propagation): (id, canonical_id) over the
+    portable-minhash pair set; keep-list = rows where canonical == id."""
+    from graphite_clickhouse_spark.pipeline.dedup import (
+        dedup_clusters,
+        minhash_dedup_portable,
+    )
+    from graphite_clickhouse_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_dedup_portable(docs, n=3, num_hashes=32, bands=16,
+                                   threshold=0.5)
+    return dedup_clusters(pairs)
+
+
+# the reach CTE is recursive: the WITH needs the RECURSIVE keyword
+SQL_DEDUP_CLUSTERS = _MINHASH_CTES.replace(
+    "WITH toks", "WITH RECURSIVE toks", 1
+) + """
+, p AS (
+    SELECT id_a, id_b FROM verified WHERE jaccard >= 0.5
+), e AS (
+    SELECT id_a AS src, id_b AS dst FROM p
+    UNION SELECT id_b, id_a FROM p
+), n AS (
+    SELECT DISTINCT src AS id FROM e
+), reach AS (
+    SELECT id, id AS r FROM n
+    UNION
+    SELECT reach.id, e.dst AS r FROM reach JOIN e ON e.src = reach.r
+)
+SELECT id, min(r) AS canonical_id FROM reach GROUP BY id
 """
 
 
@@ -1778,6 +1817,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "sample_deterministic": (q_sample_deterministic, SQL_SAMPLE_DETERMINISTIC),
     "mix_sources": (q_mix_sources, _mix_sources_sql()),
+    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
     "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
     "ivf_assign": (q_ivf_assign, SQL_IVF_ASSIGN),

@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "decontaminate",
     "sample_deterministic",
     "mix_sources",
+    "dedup_clusters",
     "fingerprint",
     "ngram_jaccard",
     "ann_cosine_topk",

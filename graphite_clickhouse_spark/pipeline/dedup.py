@@ -680,3 +680,66 @@ def decontaminate(
             (F.coalesce(F.col("n_gram_hits"), F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+# ------------------------------------------------- cluster resolution
+
+def dedup_clusters(
+    pairs: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """Resolve near-dup PAIRS into clusters: connected components via
+    iterative min-label propagation (Pregel-style with DataFrame joins),
+    -> (id, canonical_id) where canonical_id = min id in the component.
+    The keep-list is then `canonical_id == id`.
+
+    Scale shape: each round is one join + one aggregate on the edge
+    list; rounds needed = graph diameter (near-dup clusters are shallow
+    — chains longer than a handful of hops are rare), and the loop exits
+    as soon as a round changes nothing. Label frames are cached per
+    round and unpersisted after use.
+    """
+    # undirected edge list + self-loops so singletons keep their label
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("label"))
+        # localCheckpoint TRUNCATES LINEAGE — without it each round's plan
+        # nests the previous round's and planning blows the JVM stack
+        # after ~10 iterations (the standard iterative-DataFrame trap)
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # candidate label per node: min over its own and neighbors' labels
+        neighbor = (
+            edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("id", F.col("label").alias("canonical_id"))

@@ -635,3 +635,27 @@ class TestDeterministicSampling:
         plan = (deterministic_sample(docs, 0.5)
                 ._jdf.queryExecution().executedPlan().toString())
         assert "Exchange" not in plan and "Join" not in plan
+
+
+class TestDedupClusters:
+    def test_components_and_keep_list(self, spark):
+        from graphite_clickhouse_spark.pipeline.dedup import dedup_clusters
+
+        # chain 1-2-3, pair 7-9; 5 appears only via a pair with 9
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (7, 9), (5, 9)], "id_a long, id_b long"
+        )
+        got = {r.id: r.canonical_id for r in dedup_clusters(pairs).collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 5: 5, 7: 5, 9: 5}
+        keep = {i for i, c in got.items() if i == c}
+        assert keep == {1, 5}
+
+    def test_long_chain_converges(self, spark):
+        from graphite_clickhouse_spark.pipeline.dedup import dedup_clusters
+
+        # a 12-node path: diameter tests the iteration loop
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(12)], "id_a long, id_b long"
+        )
+        got = {r.id: r.canonical_id for r in dedup_clusters(pairs).collect()}
+        assert set(got.values()) == {0} and len(got) == 13
