@@ -688,58 +688,89 @@ def dedup_clusters(
     pairs: DataFrame, max_iter: int = 20
 ) -> DataFrame:
     """Resolve near-dup PAIRS into clusters: connected components via
-    iterative min-label propagation (Pregel-style with DataFrame joins),
-    -> (id, canonical_id) where canonical_id = min id in the component.
-    The keep-list is then `canonical_id == id`.
+    min-label propagation with pointer jumping (label <- label[label]
+    each round, so propagated depth DOUBLES: O(log diameter) rounds —
+    the large-star idea), -> (id, canonical_id) where canonical_id =
+    min id in the component. The keep-list is then `canonical_id == id`.
 
-    Scale shape: each round is one join + one aggregate on the edge
-    list; rounds needed = graph diameter (near-dup clusters are shallow
-    — chains longer than a handful of hops are rare), and the loop exits
-    as soon as a round changes nothing. Label frames are cached per
-    round and unpersisted after use.
+    Scale shape: each round is the neighbor join + min aggregate plus
+    one label self-join, all on the edge list; intermediate label frames
+    are localCheckpoint'ed (truncating lineage — nested round plans blow
+    the JVM stack after ~10 iterations otherwise) and freed as soon as
+    the next round lands. Raises if max_iter rounds did not reach the
+    fixpoint: partially-propagated labels would silently split
+    components and keep duplicate documents.
     """
-    # undirected edge list + self-loops so singletons keep their label
+    # materialize the pair set ONCE: the undirected union below reads it
+    # from both branches, and upstream pair producers (minhash etc.) are
+    # expensive plans; released as soon as the edge list is materialized
+    pairs = pairs.cache()
+    pairs.count()
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(
             pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
         )
-        .distinct()
+        .distinct()  # AQE coalesces the tiny-graph shuffles adaptively
         .cache()
     )
+    edges.count()
+    pairs.unpersist()
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .select("id", F.col("id").alias("label"))
-        # localCheckpoint TRUNCATES LINEAGE — without it each round's plan
-        # nests the previous round's and planning blows the JVM stack
-        # after ~10 iterations (the standard iterative-DataFrame trap)
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
+    converged = False
+    for it in range(max_iter):
         # candidate label per node: min over its own and neighbors' labels
         neighbor = (
             edges.join(labels.withColumnRenamed("id", "dst"), "dst")
             .groupBy(F.col("src").alias("id"))
             .agg(F.min("label").alias("nlabel"))
         )
+        # materialized: both sides of the pointer-jump self-join read it
+        hop = labels.join(neighbor, "id", "left").select(
+            "id",
+            F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+        ).localCheckpoint(eager=True)
         new_labels = (
-            labels.join(neighbor, "id", "left")
-            .select(
-                "id",
-                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+            hop.alias("a")
+            .join(
+                hop.select(
+                    F.col("id").alias("label"), F.col("label").alias("ll")
+                ).alias("b"),
+                "label",
+                "left",
             )
+            .select("id", F.least(F.col("label"), F.coalesce("ll", "label")).alias("label"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+        prev, labels = labels, new_labels
+        # convergence probe every other round: each probe is a job, and
+        # with depth doubling few rounds are needed anyway
+        if it % 2 == 1 or it == max_iter - 1:
+            changed = (
+                labels.alias("n")
+                .join(prev.alias("o"), "id")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .limit(1)
+                .count()
+            )
+            prev.unpersist()
+            hop.unpersist()
+            if changed == 0:
+                converged = True
+                break
+        else:
+            prev.unpersist()
+            hop.unpersist()
     edges.unpersist()
+    if not converged:
+        labels.unpersist()
+        raise RuntimeError(
+            f"dedup_clusters did not converge within {max_iter} rounds "
+            f"(component diameter > 2^{max_iter}); raise max_iter"
+        )
     return labels.select("id", F.col("label").alias("canonical_id"))

@@ -61,6 +61,8 @@ def mix_sources(
     2^60)) and embedded as literals: double->long casts round differently
     across engines (Spark truncates, DuckDB rounds half-even), so no
     float arithmetic may reach the comparison."""
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate must be in [0, 1], got {default_rate}")
     threshold_col = F.lit(int(float(default_rate) * _HASH_SPACE))
     for src, rate in sorted(weights.items()):
         if not 0.0 <= rate <= 1.0:

@@ -659,3 +659,23 @@ class TestDedupClusters:
         )
         got = {r.id: r.canonical_id for r in dedup_clusters(pairs).collect()}
         assert set(got.values()) == {0} and len(got) == 13
+
+
+class TestClusterConvergenceGuard:
+    def test_non_convergence_raises(self, spark):
+        from graphite_clickhouse_spark.pipeline.dedup import dedup_clusters
+
+        # a 40-node path needs ~log2(40) doubling rounds; max_iter=1
+        # cannot finish — silent partial labels would keep duplicates
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(40)], "id_a long, id_b long"
+        )
+        with pytest.raises(RuntimeError, match="did not converge"):
+            dedup_clusters(pairs, max_iter=1)
+
+    def test_default_rate_validated(self, spark):
+        from graphite_clickhouse_spark.pipeline.sampling import mix_sources
+
+        df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+        with pytest.raises(ValueError, match="default_rate"):
+            mix_sources(df, {"a": 0.5}, default_rate=7.0)
