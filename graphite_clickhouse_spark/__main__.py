@@ -1,0 +1,92 @@
+"""Runnable server entrypoint — the `graphite-clickhouse -config x.conf`
+equivalent:
+
+    python -m graphite_clickhouse_spark --config graphite.conf \
+        --data /path/to/ingest-dir [--listen 127.0.0.1:9090] [--sf-events DIR]
+
+`--data` points at an IngestJob layout (points/ path_index/ tags_index/ —
+what the streaming ingest writes); `--sf-events` instead derives the
+tables from a testdata events parquet (demo mode). `--check` parses the
+config, builds the engine, and exits — the config-validation mode.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def build_engine(spark, settings, data_dir=None, sf_events=None):
+    from .config import engine_from_settings
+
+    if data_dir:
+        from .streaming.ingest import IngestJob, tags_map_from_path
+
+        job = IngestJob(data_dir)
+        points = job.read_points(spark)
+        from pyspark.sql import functions as F
+
+        tagged = points.filter(F.col("path").contains("?")).withColumn(
+            "tags", tags_map_from_path("path")
+        )
+        engine = engine_from_settings(
+            spark, settings, points.filter(~F.col("path").contains("?")),
+            path_index=job.read_path_index(spark), tagged_points=tagged,
+        )
+        engine.ingest = job  # enables /api/v1/write
+        return engine
+    if sf_events:
+        from .sources.tables import (
+            build_path_index,
+            points_from_events,
+            tagged_points_from_events,
+        )
+
+        points = points_from_events(spark, sf_events)
+        return engine_from_settings(
+            spark, settings, points,
+            path_index=build_path_index(points.select("path")),
+            tagged_points=tagged_points_from_events(spark, sf_events),
+        )
+    raise SystemExit("one of --data or --sf-events is required")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="graphite_clickhouse_spark")
+    ap.add_argument("--config", help="graphite-clickhouse.conf (TOML)")
+    ap.add_argument("--data", help="IngestJob layout directory")
+    ap.add_argument("--sf-events", help="testdata dir with events.parquet (demo)")
+    ap.add_argument("--listen", default="127.0.0.1:9090", help="host:port")
+    ap.add_argument("--check", action="store_true",
+                    help="validate config + engine wiring, then exit")
+    args = ap.parse_args(argv)
+
+    from .config import Settings, load_settings
+    from .session import get_spark
+
+    settings = Settings()
+    if args.config:
+        with open(args.config) as fh:
+            settings = load_settings(fh.read())
+
+    spark = get_spark("graphite-clickhouse-spark-server")
+    engine = build_engine(spark, settings, args.data, args.sf_events)
+    if args.check:
+        print("config + engine OK", file=sys.stderr)
+        return None
+
+    from .server import make_server
+
+    host, _, port = args.listen.partition(":")
+    srv = make_server(engine, host, int(port or 9090), settings=settings)
+    print(
+        f"graphite-clickhouse-spark listening on "
+        f"http://{srv.server_address[0]}:{srv.server_address[1]}",
+        file=sys.stderr,
+    )
+    srv.serve_forever()
+    return srv
+
+
+if __name__ == "__main__":
+    main()

@@ -801,3 +801,46 @@ class TestQueryParamsTierFollowups:
         ((_d, lim, _t),) = s.render_tiers()
         assert isinstance(lim, AdaptiveLimiter)
         assert lim.concurrent == 1 << 20 and lim.adaptive_n == 4
+
+
+class TestMainEntrypoint:
+    """`python -m graphite_clickhouse_spark` — the runnable analog of
+    `graphite-clickhouse -config x.conf`."""
+
+    def test_check_mode_demo(self, spark, tmp_path, capsys):
+        from graphite_clickhouse_spark.__main__ import main
+
+        conf = tmp_path / "g.conf"
+        conf.write_text("[common]\nmax-metrics-per-target = 100\n")
+        assert main(["--config", str(conf), "--sf-events", SF, "--check"]) is None
+
+    def test_data_dir_serves_and_accepts_writes(self, spark, tmp_path):
+        from graphite_clickhouse_spark.__main__ import build_engine
+        from graphite_clickhouse_spark.config import Settings
+        from graphite_clickhouse_spark.server import serve_background
+        from graphite_clickhouse_spark.streaming.ingest import (
+            IngestJob,
+            parse_carbon_lines,
+        )
+
+        import time as _t
+
+        now = int(_t.time())
+        job = IngestJob(str(tmp_path / "d"), version=1)
+        job.write_batch(parse_carbon_lines(
+            spark.createDataFrame(
+                [(f"a.b.c 1.0 {now}",), (f"m;k=v 2.0 {now}",)], "value string"
+            ),
+            version=1,
+        ))
+        engine = build_engine(spark, Settings(), data_dir=str(tmp_path / "d"))
+        assert engine.ingest is job.__class__ or engine.ingest is not None
+        srv, base = serve_background(engine)
+        try:
+            got = get(f"{base}/metrics/find/?query=a.b.*&format=json").decode()
+            assert '{path="a.b.c",leaf=1}' in got
+            # tagged half went to tagged_points
+            vals = json.loads(get(f"{base}/tags/autoComplete/values?tag=k"))
+            assert vals == ["v"]
+        finally:
+            srv.shutdown()
