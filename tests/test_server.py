@@ -834,7 +834,7 @@ class TestMainEntrypoint:
             version=1,
         ))
         engine = build_engine(spark, Settings(), data_dir=str(tmp_path / "d"))
-        assert engine.ingest is job.__class__ or engine.ingest is not None
+        assert isinstance(engine.ingest, IngestJob)
         srv, base = serve_background(engine)
         try:
             got = get(f"{base}/metrics/find/?query=a.b.*&format=json").decode()
