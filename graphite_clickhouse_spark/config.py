@@ -37,7 +37,7 @@ from typing import Any
 from .operators.rollup import Rules
 from .plans.findcache import CacheConfig
 from .plans.glob import ReverseRule
-from .plans.guards import Blacklist, PrefixFinder
+from .plans.guards import Blacklist, PrefixFinder, StorageLimits
 from .plans.limiter import ClassLimiters
 from .plans.tagged import FeatureFlags
 
@@ -94,6 +94,10 @@ class Settings:
     internal_aggregation: bool = True
     data_timeout_sec: float = 60.0
     index_timeout_sec: float = 60.0
+    #: read limits from the [clickhouse] url query string
+    #: (max_rows_to_read / max_memory_usage -> 403 guards on the scan,
+    #: helper/clickhouse/clickhouse.go:60-95); tiers carry their own
+    storage_limits: StorageLimits | None = None
     limiters: dict[str, dict[str, int]] = field(default_factory=dict)
     #: [clickhouse.user-limits.<name>] overrides, keyed by the
     #: X-Forwarded-User header value (config.go:162-165,236)
@@ -136,7 +140,8 @@ class Settings:
         return cls
 
     def render_tiers(self) -> list:
-        """[(min_duration_sec, limiter_or_None, data_timeout_or_None)]
+        """[(min_duration_sec, limiter_or_None, data_timeout_or_None,
+        storage_limits_or_None)]
         from [[clickhouse.query-params]] (config.go GetQueryParam:
         requests pick the LARGEST tier whose duration <= their range;
         tier 0 — the implicit default — uses the render class limiter
@@ -163,7 +168,9 @@ class Settings:
                 )
             else:
                 lim = None
-            tiers.append((qp["duration"], lim, qp["data_timeout"]))
+            tiers.append(
+                (qp["duration"], lim, qp["data_timeout"], qp.get("limits"))
+            )
         return tiers
 
     def user_limiters(self) -> dict:
@@ -204,9 +211,42 @@ def _read_rollup(ch: dict[str, Any], tables: list[dict[str, Any]], ignored: list
     return Rules.default()
 
 
+def _join_inline_tables(text: str) -> str:
+    """Fold newlines inside `{ ... }` inline tables into spaces.
+
+    The reference configs use Go-TOML's lenient multi-line inline tables
+    (tests/error_handling/graphite-clickhouse.conf.tpl query-params);
+    TOML 1.0 (tomllib) forbids newlines there. Tracks string state so
+    braces inside quoted values ("{{ .PROXY_URL }}") are untouched."""
+    out, depth, quote, i = [], 0, "", 0
+    while i < len(text):
+        c = text[i]
+        if quote:
+            if c == "\\" and quote == '"':
+                out.append(text[i:i + 2])
+                i += 2
+                continue
+            if c == quote:
+                quote = ""
+        elif c in "\"'":
+            quote = c
+        elif c == "{":
+            depth += 1
+        elif c == "}":
+            depth = max(0, depth - 1)
+        elif c == "\n" and depth > 0:
+            # drop a trailing comma-newline's newline; keep separators
+            out.append(" ")
+            i += 1
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
 def load_settings(toml_text: str) -> Settings:
     """Parse a graphite-clickhouse.conf (TOML) into Settings."""
-    raw = tomllib.loads(toml_text)
+    raw = tomllib.loads(_join_inline_tables(toml_text))
     s = Settings()
 
     common = raw.get("common", {})
@@ -270,6 +310,9 @@ def load_settings(toml_text: str) -> Settings:
     s.max_data_points = int(ch.get("max-data-points", 1048576))
     s.internal_aggregation = bool(ch.get("internal-aggregation", True))
     s.data_timeout_sec = parse_go_duration(ch.get("data-timeout", "1m"))
+    # read limits ride the storage URL query string in the reference
+    # (url = ".../?max_rows_to_read=...&max_memory_usage=...")
+    s.storage_limits = StorageLimits.from_url(str(ch.get("url", "")))
     # duration-tiered query params (config.go QueryParams: requests with
     # range >= duration get their own limiter + data-timeout tier)
     s.query_params = [
@@ -279,6 +322,7 @@ def load_settings(toml_text: str) -> Settings:
                 parse_go_duration(qp["data-timeout"])
                 if "data-timeout" in qp else None
             ),
+            "limits": StorageLimits.from_url(str(qp.get("url", ""))),
             "max": int(qp.get("max-queries", 0) or 0),
             "concurrent": int(
                 qp.get("concurrent-queries", 0) or qp.get("max-concurrent", 0) or 0

@@ -68,3 +68,108 @@ class PrefixFinder:
         if not self.prefix:
             return path
         return f"{self.prefix}.{path}"
+
+
+# ---------------------------------------------------------------------------
+# Storage read limits (helper/clickhouse/clickhouse.go:60-95)
+#
+# The reference appends ClickHouse query-string settings to the storage
+# URL (max_rows_to_read, max_memory_usage, ...) and maps the resulting
+# TOO_MANY_ROWS / MEMORY_LIMIT_EXCEEDED errors to HTTP 403 with a
+# "Storage read limit ..." body. In the Spark build the engine IS the
+# storage, so the same knobs become a guard on the pruned data scan:
+# the guard counts AT MOST limit+1 rows (Spark's incremental
+# CollectLimit job — first partitions only, escalating), i.e. its cost
+# is bounded by the limit itself, exactly the work ClickHouse performs
+# before aborting a limited query.
+
+
+class StorageLimitError(ValueError):
+    """Scan exceeded a configured storage read limit -> HTTP 403
+    (clickhouse.go:73-75 extractClickhouseError)."""
+
+    http_status = 403
+
+
+#: driver-side estimate of one stored point's memory footprint
+#: (path ref + UInt32 time + Float64 value + UInt32 version, plus
+#: per-row bookkeeping) for the max_memory_usage analog
+BYTES_PER_POINT = 40
+
+
+@dataclass(frozen=True)
+class StorageLimits:
+    """Per-URL ClickHouse read limits, enforced against a Spark scan.
+
+    Parsed from the [clickhouse] / [[clickhouse.query-params]] url query
+    strings (config.go QueryParams carries the raw URL per tier;
+    tests/error_handling/graphite-clickhouse.conf.tpl sets
+    max_rows_to_read=1 / max_memory_usage=1 to force the 403 goldens).
+    max_result_bytes is parsed for config parity but not enforced: the
+    response size is bounded upstream by maxDataPoints * series count.
+    """
+
+    max_rows_to_read: int = 0  # 0 = unlimited
+    max_memory_usage: int = 0  # bytes; 0 = unlimited
+    max_result_bytes: int = 0  # parsed, unenforced
+
+    @classmethod
+    def from_url(cls, url: str) -> "StorageLimits | None":
+        """Extract limits from a storage URL's query string; None when
+        the URL carries no limit settings."""
+        from urllib.parse import parse_qs, urlparse
+
+        if not url:
+            return None
+        q = parse_qs(urlparse(url).query)
+
+        def _i(*keys: str) -> int:
+            vals = []
+            for k in keys:
+                for v in q.get(k, []):
+                    try:
+                        vals.append(int(v))
+                    except ValueError:
+                        pass
+            vals = [v for v in vals if v > 0]
+            return min(vals) if vals else 0
+
+        lim = cls(
+            max_rows_to_read=_i("max_rows_to_read"),
+            # either per-query or per-user cap trips the memory error
+            max_memory_usage=_i("max_memory_usage", "max_memory_usage_for_user"),
+            max_result_bytes=_i("max_result_bytes"),
+        )
+        if not (lim.max_rows_to_read or lim.max_memory_usage
+                or lim.max_result_bytes):
+            return None
+        return lim
+
+    def row_caps(self) -> list[tuple[str, int]]:
+        """[(kind, max_rows_allowed)] — memory converts to a row cap via
+        the per-point estimate."""
+        caps = []
+        if self.max_rows_to_read > 0:
+            caps.append(("rows", self.max_rows_to_read))
+        if self.max_memory_usage > 0:
+            caps.append(("memory", self.max_memory_usage // BYTES_PER_POINT))
+        return caps
+
+    def check_scan(self, df) -> None:
+        """Raise StorageLimitError when the scan exceeds a limit. One
+        bounded count (<= smallest cap + 1 rows read) covers all caps —
+        the smallest cap is the one a sequential reader trips first."""
+        caps = self.row_caps()
+        if not caps:
+            return
+        cap = min(c for _, c in caps)
+        n = df.limit(cap + 1).count()
+        for kind, c in sorted(caps, key=lambda t: t[1]):
+            if n > c:
+                if kind == "rows":
+                    raise StorageLimitError(
+                        "Storage read limit for rows (controlled by "
+                        "'max_rows_to_read' setting) exceeded, max rows: "
+                        f"{self.max_rows_to_read}, current rows: {n}"
+                    )
+                raise StorageLimitError("Storage read limit for memory")

@@ -61,6 +61,14 @@ class RenderRequest:
     #: find step was served from cache, else None — drives the
     #: X-Cached-Find response header (render/handler.go:360-368)
     cache_hit_ttl: int | None = None
+    #: memoized find result (Engine.resolve): lets the HTTP layer run
+    #: the index stage under index-timeout and the data stage under
+    #: data-timeout as two separately-guarded storage queries, the way
+    #: the reference issues two ClickHouse queries per render
+    resolved_paths: list | None = None
+    #: plans.guards.StorageLimits for the data scan (per [[query-params]]
+    #: tier, or the default [clickhouse] url limits); None = unlimited
+    storage_limits: object | None = None
 
 
 @dataclass
@@ -174,6 +182,21 @@ class Engine:
     #: prometheus label queries (clickhouse.tagged-autocomplete-days,
     #: autocomplete.go:302,586 / querier.go:40,77)
     tagged_autocomplete_days: int = 7
+    #: fault-injection point: seconds to sleep at the start of every
+    #: storage query (index find + data fetch) — the analog of the e2e
+    #: harness's delaying reverse proxy in front of ClickHouse
+    #: (cmd/e2e-test/rproxy.go ServeHTTP); 0 in production
+    storage_delay: float = 0.0
+
+    def storage_query_start(self) -> None:
+        """Called at the start of each storage query action; sleeps when
+        a fault delay is injected (inside the caller's timeout guard, so
+        data-/index-timeout semantics see the delay exactly as the
+        reference sees the rproxy's)."""
+        if self.storage_delay:
+            import time as _time
+
+            _time.sleep(self.storage_delay)
 
     # ---- FIND ----------------------------------------------------------
 
@@ -285,6 +308,7 @@ class Engine:
             req.cache_hit_ttl = cache_ttl
         else:
             paths_df = self.find_paths(req.target, req.from_ts, req.until_ts)
+            self.storage_query_start()  # index query boundary
             paths = [r.path for r in paths_df.collect()]  # resolved list is small
             if use_cache:
                 self.find_cache.set(cache_key, paths, cache_ttl)
@@ -304,6 +328,15 @@ class Engine:
                 f"{self.max_metrics_per_target}"
             )
         return paths
+
+    def resolve(self, req: RenderRequest) -> list[str]:
+        """Memoized path resolution. The HTTP layer calls this under
+        index-timeout BEFORE the data fetch, so render() (under
+        data-timeout) reuses the result instead of re-running the index
+        query — two storage queries, two timeout domains, one find."""
+        if req.resolved_paths is None:
+            req.resolved_paths = self._resolve_paths(req)
+        return req.resolved_paths
 
     @property
     def _prefix_dot(self) -> str:
@@ -331,7 +364,7 @@ class Engine:
 
     def render(self, req: RenderRequest) -> DataFrame:
         """-> (path, function, start, stop, step, values array<double>)."""
-        paths = self._resolve_paths(req)
+        paths = self.resolve(req)
         if not paths:
             return self._empty_series_df()
         tagged = req.target.lstrip().startswith("seriesByTag")
@@ -350,6 +383,7 @@ class Engine:
             label=req.target,
             source=source,
             rules=rules,
+            limits=req.storage_limits,
         )
 
     def _fetch_series(
@@ -364,6 +398,7 @@ class Engine:
         barrier_base: int = 0,
         source: DataFrame | None = None,
         rules=None,
+        limits=None,
     ) -> DataFrame:
         """The DATA FETCH stage of §3.1 over an already-resolved path set
         (shared by render() and the multi-target shared fetch): rollup
@@ -432,6 +467,13 @@ class Engine:
                 F.col("path").between(min(paths), max(paths))
             ).join(F.broadcast(pf.select("path")), "path", "left_semi")
         pts = pts.filter(F.col("time").between(from_al, until_al))
+        # storage query boundary: the fault-injection point plus the url
+        # read-limit guard run against the pruned scan, before the
+        # aggregation plan consumes it (helper/clickhouse errors surface
+        # before any rows reach the Go process in the reference)
+        self.storage_query_start()
+        if limits is not None:
+            limits.check_scan(pts)
         if self.internal_aggregation:
             # NO version dedup here: the reference's aggregated path skips
             # Sort/Uniq entirely — the -Resample SQL reads raw rows without
@@ -506,7 +548,7 @@ class Engine:
                 req.consolidate_by,
                 tagged,
             )
-            groups.setdefault(key, []).append((req, self._resolve_paths(req)))
+            groups.setdefault(key, []).append((req, self.resolve(req)))
 
         barrier = 0
         if self.internal_aggregation and len(groups) > 1:
@@ -542,6 +584,7 @@ class Engine:
                 distinct_paths, from_ts, until_ts, mdp, consolidate, tagged,
                 label=members[0][0].target, barrier_base=barrier,
                 source=source, rules=rules,
+                limits=members[0][0].storage_limits,
             )
             if prefix_dot:
                 # fetch re-attached the prefix; alias pairs carry stripped
@@ -576,6 +619,7 @@ def find_tree_rows(
     idx = engine.path_index
     if idx is None:
         df = engine.find_paths(query, from_ts or None, until_ts or None)
+        engine.storage_query_start()
         return [(r.path, True) for r in df.collect()]
     if (
         engine.index_use_daily
@@ -603,5 +647,6 @@ def find_tree_rows(
     )
     df = idx.filter(F.col("level") == level)
     df = df if pred is None else df.filter(pred)
+    engine.storage_query_start()  # index query boundary
     rows = df.select("path", "is_leaf").distinct().orderBy("path").collect()
     return [(r.path.rstrip("."), bool(r.is_leaf)) for r in rows]

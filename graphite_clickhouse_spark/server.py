@@ -74,8 +74,12 @@ def run_with_data_timeout(spark, fn, timeout_sec: float, what: str):
     t.join(timeout_sec)
     if t.is_alive():
         spark.sparkContext.cancelJobGroup(group)
+        # body wording of clickhouse.go:124 http.Error(w, "Storage read
+        # timeout", ...) — the e2e goldens regexp-match
+        # "^504: Storage read timeout" (tests/error_handling/test.toml)
         raise DataTimeout(
-            f"{what}: data fetch exceeded data-timeout ({timeout_sec:g}s)"
+            f"Storage read timeout: {what} exceeded data-timeout "
+            f"({timeout_sec:g}s)"
         )
     if err:
         raise err[0]
@@ -242,6 +246,18 @@ class GraphiteHandler(BaseHTTPRequestHandler):
             return fn()
         return run_with_data_timeout(self.engine.spark, fn, timeout, what)
 
+    def _fetch_with_index_timeout(self, fn, what: str):
+        """Apply [clickhouse] index-timeout to an INDEX query action
+        (find / tags autocomplete / render path resolution) — the
+        reference's separate timeout domain for index-table queries
+        (config.go IndexTimeout; tests/error_handling pins 504 parity
+        when the index query stalls)."""
+        s = getattr(self, "settings", None)
+        timeout = float(getattr(s, "index_timeout_sec", 0) or 0) if s else 0.0
+        if timeout <= 0:
+            return fn()
+        return run_with_data_timeout(self.engine.spark, fn, timeout, what)
+
     def _render_duration(self, q: dict) -> int:
         """Request range in seconds from the URL params, for tier
         selection. carbonapi_v3_pb POSTs carry their range in the
@@ -274,13 +290,20 @@ class GraphiteHandler(BaseHTTPRequestHandler):
         tier data-timeout still applies, as in the reference where
         GetQueryParam and the user limiter lookup are independent."""
         self._tier_data_timeout = None
+        # the default tier's read limits come from the [clickhouse] url
+        # query string; a matching [[query-params]] tier overrides them
+        # with its own url's limits (config.go GetQueryParam)
+        self._tier_limits = getattr(
+            getattr(self, "settings", None), "storage_limits", None
+        )
         tier_lim = None
         tiers = getattr(self, "render_tiers", None) or ()
         if tiers:
             dur = self._render_duration(q)
-            for min_dur, lim, timeout in tiers:
+            for min_dur, lim, timeout, limits in tiers:
                 if dur >= min_dur:
                     tier_lim, self._tier_data_timeout = lim, timeout
+                    self._tier_limits = limits
                 else:
                     break
         user = self.headers.get("X-Forwarded-User", "")
@@ -687,6 +710,7 @@ class GraphiteHandler(BaseHTTPRequestHandler):
                 )
                 for fr in parse_multi_fetch_request(body)
             ]
+            self._prepare_render(reqs)
             series = self._fetch_with_timeout(
                 lambda: self._render_series(reqs), "render"
             )
@@ -716,6 +740,7 @@ class GraphiteHandler(BaseHTTPRequestHandler):
             )
             for target in targets
         ]
+        self._prepare_render(reqs)
         series = self._fetch_with_timeout(
             lambda: self._render_series(reqs), "render"
         )
@@ -730,6 +755,18 @@ class GraphiteHandler(BaseHTTPRequestHandler):
         hit_ttls = [r.cache_hit_ttl for r in reqs if r.cache_hit_ttl]
         hdrs = {"X-Cached-Find": str(max(hit_ttls))} if hit_ttls else None
         self._send(enc(series), RENDER_CONTENT_TYPES[fmt], headers=hdrs)
+
+    def _prepare_render(self, reqs):
+        """Stage 1 of a render: attach the tier's storage read limits and
+        resolve every target's paths under INDEX-timeout. The data fetch
+        that follows runs under data-timeout with resolution memoized —
+        the same two-query / two-timeout split the reference has between
+        its index and data ClickHouse queries."""
+        for r in reqs:
+            r.storage_limits = getattr(self, "_tier_limits", None)
+        self._fetch_with_index_timeout(
+            lambda: [self.engine.resolve(r) for r in reqs], "render-find"
+        )
 
     def _render_series(self, reqs):
         """One target -> single plan; several -> render_multi's unioned
@@ -784,7 +821,9 @@ class GraphiteHandler(BaseHTTPRequestHandler):
             if rows is not None:
                 hdrs["X-Cached-Find"] = str(cache.find_timeout_sec)
         if rows is None:
-            rows = self._find_rows(query, from_ts, until_ts)
+            rows = self._fetch_with_index_timeout(
+                lambda: self._find_rows(query, from_ts, until_ts), "find"
+            )
             if use_cache:
                 cache.set(cache_key, rows, cache_ttl)
         rows = [tuple(r) for r in rows]
@@ -856,11 +895,17 @@ class GraphiteHandler(BaseHTTPRequestHandler):
         ck = f"tags:{';'.join(sorted(exprs))}:{q.get('tagPrefix', '')}:{limit}"
         tags, cache_key, ttl, hdrs = self._autocomplete_cache_probe(q, ck)
         if tags is None:
-            tags = autocomplete_tags(
-                self.engine.tagged_points, exprs or None, q.get("tagPrefix", ""), limit,
-                days=self.engine.tagged_autocomplete_days, now_ts=int(time.time()),
-                date_mode=self.engine.date_mode,
-            )
+            def _fetch():
+                self.engine.storage_query_start()
+                return autocomplete_tags(
+                    self.engine.tagged_points, exprs or None,
+                    q.get("tagPrefix", ""), limit,
+                    days=self.engine.tagged_autocomplete_days,
+                    now_ts=int(time.time()),
+                    date_mode=self.engine.date_mode,
+                )
+
+            tags = self._fetch_with_index_timeout(_fetch, "tags")
             if cache_key is not None:
                 self.engine.find_cache.set(cache_key, tags, ttl)
         self._send(json.dumps(tags).encode(), "application/json", headers=hdrs)
@@ -879,13 +924,18 @@ class GraphiteHandler(BaseHTTPRequestHandler):
               f"{q.get('valuePrefix', '')}:{limit}")
         vals, cache_key, ttl, hdrs = self._autocomplete_cache_probe(q, ck)
         if vals is None:
-            df = tag_values_df(
-                self.engine.tagged_points, tag, exprs or None,
-                q.get("valuePrefix", ""), limit,
-                days=self.engine.tagged_autocomplete_days, now_ts=int(time.time()),
-                date_mode=self.engine.date_mode,
-            )
-            vals = [r.value for r in df.collect()]
+            def _fetch():
+                self.engine.storage_query_start()
+                df = tag_values_df(
+                    self.engine.tagged_points, tag, exprs or None,
+                    q.get("valuePrefix", ""), limit,
+                    days=self.engine.tagged_autocomplete_days,
+                    now_ts=int(time.time()),
+                    date_mode=self.engine.date_mode,
+                )
+                return [r.value for r in df.collect()]
+
+            vals = self._fetch_with_index_timeout(_fetch, "tags")
             if cache_key is not None:
                 self.engine.find_cache.set(cache_key, vals, ttl)
         self._send(json.dumps(vals).encode(), "application/json", headers=hdrs)

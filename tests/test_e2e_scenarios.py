@@ -7,8 +7,10 @@ Excluded scenario dirs and why: one_table (hand-ported in
 test_e2e_one_table.py), find_cache (runs over HTTP in
 test_e2e_find_cache.py — its checks assert X-Cached-Find headers),
 limiter* (limiter infra has dedicated unit tests; checks are
-timing-based), tls (mTLS termination unit-tested in test_server.py) /
-error_handling (transport-level proxy fault injection).
+timing-based), error_handling (proxy fault injection, runs over HTTP in
+test_e2e_error_handling.py). tls runs BOTH here (engine-level checks)
+and in test_e2e_tls.py (the same corpus over an mTLS channel using the
+scenario's own certificates).
 """
 
 from __future__ import annotations
@@ -36,6 +38,7 @@ SCENARIOS = [
     "feature_flags_false",
     "feature_flags_use_carbon_behaviour",
     "tags_min_in_query",
+    "tls",
     "wildcard_min_distance",
     # GH issue #184 day-boundary regression corpus (midnight / 23h points,
     # daily index with date bounds, date-format=both)

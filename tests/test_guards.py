@@ -1,5 +1,7 @@
 """Blacklist (P12), prefix namespace (P13), carbonlink union (S6/J4)."""
 
+import pytest
+
 from graphite_clickhouse_spark.plans.guards import (
     MATCHED,
     NOT_MATCHED,
@@ -70,3 +72,61 @@ class TestCarbonlinkUnion:
             for r in dedup_versions(points_with_recent(storage, recent)).collect()
         }
         assert got == {("a.b", 60): 9.0, ("a.c", 60): 2.0}
+
+
+class TestStorageLimits:
+    """URL read limits -> 403 scan guards (clickhouse.go:60-95; the
+    error_handling scenario's max_rows_to_read=1 / max_memory_usage=1
+    tiers)."""
+
+    def test_from_url_parsing(self):
+        from graphite_clickhouse_spark.plans.guards import StorageLimits
+
+        lim = StorageLimits.from_url(
+            "http://ch/?max_rows_to_read=500000000&max_result_bytes=1073741824"
+            "&readonly=2&log_queries=1"
+        )
+        assert lim.max_rows_to_read == 500000000
+        assert lim.max_result_bytes == 1073741824
+        assert lim.max_memory_usage == 0
+        # either per-query or per-user memory cap counts; smallest wins
+        lim = StorageLimits.from_url(
+            "http://ch/?max_memory_usage=100&max_memory_usage_for_user=50"
+        )
+        assert lim.max_memory_usage == 50
+        assert StorageLimits.from_url("http://ch/?readonly=2") is None
+        assert StorageLimits.from_url("") is None
+
+    def test_rows_limit_trips_with_reference_message(self, spark):
+        from graphite_clickhouse_spark.plans.guards import (
+            StorageLimitError,
+            StorageLimits,
+        )
+
+        df = spark.range(50).selectExpr("id as time")
+        with pytest.raises(StorageLimitError) as ei:
+            StorageLimits(max_rows_to_read=10).check_scan(df)
+        # wording of helper/clickhouse/clickhouse_test.go:19-25
+        assert str(ei.value).startswith(
+            "Storage read limit for rows (controlled by 'max_rows_to_read' "
+            "setting) exceeded, max rows: 10"
+        )
+        assert ei.value.http_status == 403
+
+    def test_memory_limit_trips(self, spark):
+        from graphite_clickhouse_spark.plans.guards import (
+            StorageLimitError,
+            StorageLimits,
+        )
+
+        df = spark.range(5)
+        with pytest.raises(StorageLimitError) as ei:
+            StorageLimits(max_memory_usage=1).check_scan(df)
+        assert str(ei.value) == "Storage read limit for memory"
+
+    def test_under_limit_passes(self, spark):
+        from graphite_clickhouse_spark.plans.guards import StorageLimits
+
+        StorageLimits(max_rows_to_read=100, max_memory_usage=1 << 30)\
+            .check_scan(spark.range(5))
+        StorageLimits().check_scan(spark.range(5))  # no caps -> no job

@@ -729,7 +729,7 @@ class TestQueryParamsTiers:
             '[clickhouse]\nquery-params = [ { duration = "72h", '
             'data-timeout = "30s", max-concurrent = 1 } ]\n'
         )
-        ((dur, lim, timeout),) = s.render_tiers()
+        ((dur, lim, timeout, _limits),) = s.render_tiers()
         assert dur == 72 * 3600 and timeout == 30
         assert isinstance(lim, RequestLimiter)
 
@@ -798,7 +798,7 @@ class TestQueryParamsTierFollowups:
             '[clickhouse]\nquery-params = [ { duration = "1h", '
             "adaptive-queries = 4 } ]\n"
         )
-        ((_d, lim, _t),) = s.render_tiers()
+        ((_d, lim, _t, _l),) = s.render_tiers()
         assert isinstance(lim, AdaptiveLimiter)
         assert lim.concurrent == 1 << 20 and lim.adaptive_n == 4
 
