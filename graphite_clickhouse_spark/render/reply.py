@@ -310,8 +310,33 @@ def find_json(rows: FindRows, limit: int = 0) -> bytes:
 
 def index_json(paths: Iterable[str]) -> bytes:
     """/metrics/index.json: sorted JSON array, non-leaf ('.'-suffixed) paths
-    skipped (index/index.go:23-120)."""
+    skipped (index/index.go:23-120). Small-corpus convenience; the HTTP
+    handler streams via index_json_chunks instead (namespaces reach
+    10^7-10^8 entries, which must never be materialized driver-side)."""
     return json.dumps(sorted(p for p in paths if not p.endswith("."))).encode("utf-8")
+
+
+def index_json_chunks(paths: Iterable[str], chunk_bytes: int = 1 << 16):
+    """Streaming /metrics/index.json encoder: yields byte chunks of a
+    JSON array from an ALREADY-SORTED path iterator without ever holding
+    the full namespace (the reference writes row-by-row off the
+    ClickHouse response stream, index/index.go:75-116; here the iterator
+    is DataFrame.toLocalIterator over a Spark-sorted frame, so driver
+    memory is one partition + one chunk buffer)."""
+    buf = bytearray(b"[")
+    first = True
+    for p in paths:
+        if p.endswith("."):
+            continue
+        if not first:
+            buf += b","
+        first = False
+        buf += json.dumps(p).encode("utf-8")
+        if len(buf) >= chunk_bytes:
+            yield bytes(buf)
+            buf.clear()
+    buf += b"]"
+    yield bytes(buf)
 
 
 def capability_response_json(name: str) -> bytes:

