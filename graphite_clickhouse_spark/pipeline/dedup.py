@@ -685,7 +685,7 @@ def decontaminate(
 # ------------------------------------------------- cluster resolution
 
 def dedup_clusters(
-    pairs: DataFrame, max_iter: int = 20
+    pairs: DataFrame, max_iter: int = 20, checkpoint_dir: str | None = None
 ) -> DataFrame:
     """Resolve near-dup PAIRS into clusters: connected components via
     min-label propagation with pointer jumping (label <- label[label]
@@ -695,17 +695,31 @@ def dedup_clusters(
 
     Scale shape: each round is the neighbor join + min aggregate plus
     one label self-join, all on the edge list; intermediate label frames
-    are localCheckpoint'ed (truncating lineage — nested round plans blow
-    the JVM stack after ~10 iterations otherwise) and freed as soon as
-    the next round lands. Raises if max_iter rounds did not reach the
+    are checkpointed (truncating lineage — nested round plans blow the
+    JVM stack after ~10 iterations otherwise) and freed as soon as the
+    next round lands. Raises if max_iter rounds did not reach the
     fixpoint: partially-propagated labels would silently split
     components and keep duplicate documents.
+
+    checkpoint_dir: None (default) uses localCheckpoint — executor-local
+    blocks, fine for short local runs but UNRECOVERABLE if an executor
+    dies mid-iteration. For cluster runs over 100 TB set a reliable
+    path (HDFS/S3): iterations then checkpoint through the shared
+    filesystem and survive executor loss.
     """
     # materialize the pair set ONCE: the undirected union below reads it
     # from both branches, and upstream pair producers (minhash etc.) are
     # expensive plans; released as soon as the edge list is materialized
     pairs = pairs.cache()
     pairs.count()
+    if checkpoint_dir is not None:
+        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+        def ckpt(df: DataFrame) -> DataFrame:
+            return df.checkpoint(eager=True)
+    else:
+        def ckpt(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint(eager=True)
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(
@@ -716,11 +730,10 @@ def dedup_clusters(
     )
     edges.count()
     pairs.unpersist()
-    labels = (
+    labels = ckpt(
         edges.select(F.col("src").alias("id"))
         .distinct()
         .select("id", F.col("id").alias("label"))
-        .localCheckpoint(eager=True)
     )
     converged = False
     for it in range(max_iter):
@@ -731,11 +744,13 @@ def dedup_clusters(
             .agg(F.min("label").alias("nlabel"))
         )
         # materialized: both sides of the pointer-jump self-join read it
-        hop = labels.join(neighbor, "id", "left").select(
-            "id",
-            F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
-        ).localCheckpoint(eager=True)
-        new_labels = (
+        hop = ckpt(
+            labels.join(neighbor, "id", "left").select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+            )
+        )
+        new_labels = ckpt(
             hop.alias("a")
             .join(
                 hop.select(
@@ -745,7 +760,6 @@ def dedup_clusters(
                 "left",
             )
             .select("id", F.least(F.col("label"), F.coalesce("ll", "label")).alias("label"))
-            .localCheckpoint(eager=True)
         )
         prev, labels = labels, new_labels
         # convergence probe every other round: each probe is a job, and

@@ -171,7 +171,33 @@ class IngestJob:
 
     # -- maintenance ------------------------------------------------------
 
-    def compact(self, spark: SparkSession, target_files_per_date: int = 1) -> None:
+    def _date_bytes(self) -> dict[str, int]:
+        """On-disk bytes per date partition (a file LISTING, not a data
+        scan — the same metadata a table format keeps)."""
+        import os
+
+        sizes: dict[str, int] = {}
+        root = self.points_dir
+        if not os.path.isdir(root):
+            return sizes
+        for entry in os.scandir(root):
+            if not (entry.is_dir() and entry.name.startswith("date=")):
+                continue
+            date = entry.name[len("date="):]
+            total = 0
+            for dp, _dn, fn in os.walk(entry.path):
+                for f in fn:
+                    if not f.startswith(("_", ".")):
+                        total += os.path.getsize(os.path.join(dp, f))
+            sizes[date] = total
+        return sizes
+
+    def compact(
+        self,
+        spark: SparkSession,
+        target_files_per_date: int | None = None,
+        target_bytes_per_file: int = 256 << 20,
+    ) -> None:
         """The ReplacingMergeTree background merge, run explicitly: fold
         duplicate (path, time) rows to their max-version winner and
         coalesce the many small files streaming appends leave behind.
@@ -182,14 +208,53 @@ class IngestJob:
         stays correct before/after, compaction just makes reads cheaper.
         Writes to a temp dir then swaps, so concurrent readers never see a
         half-written table.
+
+        File sizing: by default each date gets ceil(date_bytes /
+        target_bytes_per_file) output files (size-binned — at 100 TB a
+        single date is TBs and a fixed files-per-date would produce
+        unsplittable monster files); pass target_files_per_date to force
+        a fixed count instead. Bins are hash(path)-assigned so one path's
+        rows stay in one file (read locality for per-metric scans).
         """
+        import math
+
         from ..operators.dedup import dedup_versions_all_columns
 
         tmp = self.points_dir + ".compacting"
+        if target_files_per_date is None:
+            bins = {
+                d: max(1, math.ceil(b / max(1, target_bytes_per_file)))
+                for d, b in self._date_bytes().items()
+            }
+        else:
+            bins = None
         deduped = dedup_versions_all_columns(self.read_points(spark))
+        if bins is None:
+            shaped = deduped.repartition(int(target_files_per_date), "date")
+        else:
+            # per-date bin column via a tiny literal map; shuffle on
+            # (date, bin) so each task owns whole bins -> one file per
+            # (date, bin) after partitionBy
+            nbins = F.coalesce(
+                F.element_at(
+                    F.create_map(
+                        *[F.lit(x) for d, n in sorted(bins.items()) for x in (d, n)]
+                    ),
+                    F.col("date").cast("string"),
+                ),
+                F.lit(1),
+            )
+            total = max(1, sum(bins.values()))
+            shaped = (
+                deduped.withColumn("_bin", F.pmod(F.xxhash64("path"), nbins))
+                # range partitioner over ~total distinct (date, bin) keys:
+                # one group per task (mod hash collisions), so the write
+                # emits ~one file per bin and dates stay contiguous
+                .repartitionByRange(total, F.col("date"), F.col("_bin"))
+                .drop("_bin")
+            )
         (
-            deduped.repartition(target_files_per_date, "date")
-            .sortWithinPartitions("path", "time")
+            shaped.sortWithinPartitions("path", "time")
             .write.mode("overwrite")
             .partitionBy("date")
             .parquet(tmp)

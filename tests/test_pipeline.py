@@ -660,6 +660,31 @@ class TestDedupClusters:
         got = {r.id: r.canonical_id for r in dedup_clusters(pairs).collect()}
         assert set(got.values()) == {0} and len(got) == 13
 
+    def test_reliable_checkpoint_mode_same_fixpoint(self, spark, tmp_path):
+        """checkpoint_dir switches localCheckpoint -> reliable
+        checkpoint()s through a shared filesystem (cluster runs survive
+        executor loss); the fixpoint must be identical and checkpoint
+        files must actually land in the directory."""
+        import os
+
+        from graphite_clickhouse_spark.pipeline.dedup import dedup_clusters
+
+        ckdir = str(tmp_path / "ck")
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (7, 9), (5, 9)], "id_a long, id_b long"
+        )
+        got = {
+            r.id: r.canonical_id
+            for r in dedup_clusters(pairs, checkpoint_dir=ckdir).collect()
+        }
+        assert got == {1: 1, 2: 1, 3: 1, 5: 5, 7: 5, 9: 5}
+        written = [
+            os.path.join(dp, f)
+            for dp, _dn, fn in os.walk(ckdir)
+            for f in fn
+        ]
+        assert written, "reliable checkpoint wrote nothing to checkpoint_dir"
+
 
 class TestClusterConvergenceGuard:
     def test_non_convergence_raises(self, spark):
