@@ -94,10 +94,13 @@ def main() -> None:
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
     failures: dict[str, str] = {}
+    loads: list[float] = []  # 1-min loadavg sampled per rep
+    ncpu = os.cpu_count() or 1
     for name in BENCH_QUERIES:
         fn = qs[name]
         times: list[float] = []
         for _ in range(reps):
+            loads.append(round(os.getloadavg()[0], 1))
             t0 = time.monotonic()
             try:
                 df = fn(spark, SF_DIR)
@@ -122,6 +125,15 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    # ambient-load annotation: this box is shared; a suite total recorded
+    # while other work ran is not comparable run-to-run. The load the
+    # bench itself causes sits in the samples too, so the threshold is
+    # generous — sustained load far above our own core budget.
+    load_stats = {
+        "min": min(loads) if loads else 0.0,
+        "max": max(loads) if loads else 0.0,
+        "mean": round(sum(loads) / len(loads), 1) if loads else 0.0,
+    }
     result = {
         "metric": "headline-query wall time, sum over suite (min of reps)",
         "value": total,
@@ -130,11 +142,25 @@ def main() -> None:
         "spread": spreads,
         "reps": reps,
         "sf": sf,
+        "loadavg": load_stats,
+        "ambient_load_suspect": bool(loads) and load_stats["min"] > 1.5 * ncpu,
     }
     if failures:
         result["failures"] = failures
     spark.stop()
-    print(json.dumps(result))
+    line = json.dumps(result)
+    # ALSO persist next to the repo: the r2 driver round recorded only the
+    # last ~4 KB of stdout and truncated the JSON mid-line; a file artifact
+    # survives any stdout capture limits
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_LOCAL.json"), "w"
+        ) as fh:
+            fh.write(line + "\n")
+    except OSError:
+        pass
+    print(line)
 
 
 if __name__ == "__main__":

@@ -211,3 +211,133 @@ class TestIndexJsonStreaming:
 
         assert b"".join(index_json_chunks(iter([]))) == b"[]"
         assert json.loads(b"".join(index_json_chunks(iter(["a.b"])))) == ["a.b"]
+
+
+class TestReferenceWireGoldens:
+    """Literal byte vectors for the render encoders, assembled by hand
+    from the protobuf wire spec over the reference's OWN test inputs
+    (render/reply/v2_pb_test.go:26-95, v3_pb_test.go:28-102). The grid
+    (start/stop/count) follows point.FillNulls (helper/point/func.go:55-62)
+    — the Go tests' expected structs disagree with their writer on the
+    singlePoint grid and only assert names, so FillNulls + the writers
+    are the authority here.
+
+    v2 absent points: value 0 + isAbsent 1 (v2_pb.go:143-149).
+    v3 absent points: NaN in the packed doubles (v3_pb.go:134-153); the
+    Go writer emits math.NaN() (payload ...01), CPython packs ...00 —
+    both quiet NaNs, wire-equal semantics, so the vectors pin OUR
+    deterministic payload.
+    """
+
+    def _single_point_series(self):
+        import math as m
+
+        from graphite_clickhouse_spark.functions.timemath import (
+            fill_nulls_bounds,
+        )
+
+        # reference vector: from=4 until=13 step=5, one point (t=5, 1.0)
+        start, stop, count = fill_nulls_bounds(4, 13, 5)
+        assert (start, stop, count) == (5, 15, 2)
+        return Series(
+            name="singlePoint", path_expression="*", function="avg",
+            start=start, stop=stop, step=5,
+            values=[1.0, m.nan], request_start=4, request_stop=13,
+        )
+
+    def _multi_point_series(self):
+        import math as m
+
+        from graphite_clickhouse_spark.functions.timemath import (
+            fill_nulls_bounds,
+        )
+
+        # from=1 until=5 step=1, points (2,1.0) (3,NaN) (4,3.0)
+        start, stop, count = fill_nulls_bounds(1, 5, 1)
+        assert (start, stop, count) == (1, 6, 5)
+        return Series(
+            name="multiPoint", path_expression="multiPoint", function="max",
+            start=start, stop=stop, step=1,
+            values=[m.nan, 1.0, m.nan, 3.0, m.nan],
+            request_start=1, request_stop=6,
+        )
+
+    def test_v2_pb_single_point_bytes(self):
+        s = self._single_point_series()
+        inner = (
+            b"\x0a\x0bsinglePoint"          # 1: name
+            b"\x10\x05"                      # 2: startTime = 5
+            b"\x18\x0f"                      # 3: stopTime = 15
+            b"\x20\x05"                      # 4: stepTime = 5
+            + b"\x2a\x10"                    # 5: values, 2 doubles
+            + struct.pack("<2d", 1.0, 0.0)   #    absent -> 0
+            + b"\x32\x02\x00\x01"            # 6: isAbsent [false, true]
+        )
+        want = b"\x0a" + bytes([len(inner)]) + inner
+        assert encode_v2_pb([s]) == want
+
+    def test_v2_pb_multi_point_bytes(self):
+        s = self._multi_point_series()
+        inner = (
+            b"\x0a\x0amultiPoint"
+            b"\x10\x01" b"\x18\x06" b"\x20\x01"
+            + b"\x2a\x28"
+            + struct.pack("<5d", 0.0, 1.0, 0.0, 3.0, 0.0)
+            + b"\x32\x05\x01\x00\x01\x00\x01"
+        )
+        want = b"\x0a" + bytes([len(inner)]) + inner
+        assert encode_v2_pb([s]) == want
+
+    def test_v3_pb_single_point_bytes(self):
+        import math as m
+
+        s = self._single_point_series()
+        inner = (
+            b"\x0a\x0bsinglePoint"           # 1: name
+            b"\x12\x01*"                      # 2: pathExpression
+            b"\x1a\x03avg"                    # 3: consolidationFunc
+            b"\x20\x05"                       # 4: startTime = 5
+            b"\x28\x0f"                       # 5: stopTime = 15
+            b"\x30\x05"                       # 6: stepTime = 5
+            b"\x3d\x00\x00\x00\x00"           # 7: xFilesFactor = 0 (fixed32)
+            b"\x40\x00"                       # 8: highPrecision = false
+            + b"\x4a\x10"                     # 9: values, 2 doubles
+            + struct.pack("<2d", 1.0, m.nan)  #    absent -> NaN on the wire
+            + b"\x58\x04"                     # 11: requestStartTime = 4
+            + b"\x60\x0d"                     # 12: requestStopTime = 13
+        )
+        want = b"\x0a" + bytes([len(inner)]) + inner
+        assert encode_v3_pb([s]) == want
+
+    def test_v3_pb_multi_point_roundtrip_values(self):
+        # decode the packed doubles back out of the wire bytes: NaN slots
+        # must stay NaN (v3 carries absence IN the values, no isAbsent)
+        s = self._multi_point_series()
+        raw = encode_v3_pb([s])
+        k = raw.index(b"\x4a\x28") + 2  # field 9, 5 doubles
+        vals = struct.unpack("<5d", raw[k:k + 40])
+        assert vals[1] == 1.0 and vals[3] == 3.0
+        assert all(math.isnan(vals[i]) for i in (0, 2, 4))
+
+    def test_pickle_reference_vector_semantics(self):
+        # pickle.go:54-107 emits {name, pathExpression, step, values
+        # (None for absent), start, end}; opcode streams differ between
+        # Go's pickler and CPython, so parity is the decoded structure
+        import pickle
+
+        s = self._multi_point_series()
+        (got,) = pickle.loads(encode_pickle([s]))
+        assert got == {
+            "name": "multiPoint", "pathExpression": "multiPoint",
+            "step": 1, "values": [None, 1.0, None, 3.0, None],
+            "start": 1, "end": 6,
+        }
+
+    def test_empty_series_iterables_encode_empty(self):
+        # zero series -> zero bytes (v2/v3) / empty list (pickle):
+        # the reference writers emit nothing per absent metric
+        assert encode_v2_pb([]) == b""
+        assert encode_v3_pb([]) == b""
+        import pickle
+
+        assert pickle.loads(encode_pickle([])) == []
