@@ -152,8 +152,12 @@ def _pair_cosine_udf():
     import numpy as np
     import pandas as pd
 
-    @F.pandas_udf("double")
-    def pair_cosine(va: pd.Series, vb: pd.Series) -> pd.Series:
+    # call-form registration (not the annotated decorator): this module
+    # has `from __future__ import annotations`, which stringifies hints;
+    # pyspark's get_type_hints cannot resolve 'pd.Series' against module
+    # globals when pandas is imported locally -> UNSUPPORTED_SIGNATURE.
+    # Caught by scale_bench driving the LSH branch end-to-end.
+    def pair_cosine(va, vb):
         A = np.array(va.tolist(), dtype=np.float64)
         B = np.array(vb.tolist(), dtype=np.float64)
         if A.size == 0:
@@ -163,7 +167,7 @@ def _pair_cosine_udf():
             out = num / (np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1))
         return pd.Series(out)
 
-    return pair_cosine
+    return F.pandas_udf(pair_cosine, "double")
 
 
 def embedding_neardup_pairs(

@@ -79,14 +79,22 @@ def build_scaled(spark) -> None:
             elif name == "embeddings":
                 d = df.withColumn("vec_id", F.col("vec_id") + F.lit(k * 10**9))
                 if k:
-                    dim = k % 8
+                    # PER-VECTOR multiplicative perturbation (phase keyed
+                    # on vec_id): decorrelates replicas in many dims so
+                    # sketch bits flip and replicas spread across LSH
+                    # buckets. A per-replica CONSTANT offset must be
+                    # avoided — it collapses each replica into one tight
+                    # cluster and manufactures quadratic pair blowup.
+                    phase = (F.pmod(F.col("vec_id"), F.lit(101)) + F.lit(1)) * F.lit(
+                        0.31 * k
+                    )
                     d = d.withColumn(
                         "embedding",
                         F.transform(
                             "embedding",
-                            lambda x, i: F.when(
-                                i == F.lit(dim), x + F.lit(float(0.4 + 0.05 * k))
-                            ).otherwise(x).cast("float"),
+                            lambda x, i: (
+                                x * (F.lit(1.0) + F.sin((i + F.lit(1)) * phase) * F.lit(0.8))
+                            ).cast("float"),
                         ),
                     )
                 parts.append(d)
@@ -139,10 +147,36 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     build_scaled(spark)
 
-    qs = entrymod.queries()
-    names = [n for n in BENCH_QUERIES if n in qs]
+    qs = dict(entrymod.queries())
+
+    def _neardup_lsh(spark, sf_dir):
+        from graphite_clickhouse_spark.pipeline.similarity import (
+            embedding_neardup_pairs,
+        )
+        from graphite_clickhouse_spark.sources.tables import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        return embedding_neardup_pairs(emb, threshold=0.45, num_planes=12)
+
+    # the contract query's exact mode is all-pairs BY DEFINITION (O(n^2),
+    # driver-guarded at 1e6 vectors) — scaling it 10x measures the
+    # quadratic, not the engine. The declared 100 TB path is the LSH
+    # bucketed mode; that is what the scaling table reports.
+    qs["embedding_neardup_lsh"] = _neardup_lsh
+    names = [n for n in BENCH_QUERIES if n in qs and n != "embedding_neardup"]
+    names.append("embedding_neardup_lsh")
+    # measure small BEFORE and AFTER the big run and keep the per-query
+    # min: the second small pass runs with fully-warm JIT/codegen caches,
+    # the same state the big suite enjoyed — otherwise fixed-overhead
+    # queries show ratios < 1 that are warmup drift, not scaling
     small = time_suite(spark, qs, names, BASE_SF)
     big = time_suite(spark, qs, names, OUT_DIR)
+    small2 = time_suite(spark, qs, names, BASE_SF)
+    small = {
+        n: min(small.get(n, float("inf")), small2.get(n, float("inf")))
+        for n in names
+        if n in small or n in small2
+    }
     ratios = {
         n: round(big[n] / small[n], 2)
         for n in names
@@ -171,9 +205,12 @@ def main() -> None:
         "Replication grows the DENSITY axis (10x points per metric, 10x",
         "docs/vectors/rows); the metric NAMESPACE stays constant, so",
         "find/index/autocomplete queries are expected ~flat. Documents get",
-        "per-replica character translations and embeddings a per-replica",
-        "dimension shift so pair-finding queries scale linearly instead of",
-        "quadratically-by-duplication. See scale_bench.py.",
+        "per-replica character translations and embeddings a per-vector",
+        "multiplicative perturbation so pair-finding queries scale linearly",
+        "instead of quadratically-by-duplication. embedding_neardup is",
+        "measured via its LSH mode (num_planes=12) — the exact mode is",
+        "all-pairs O(n^2) by definition and driver-guarded at 1e6 vectors.",
+        "See scale_bench.py.",
         "",
         "| query | sf0.1 s | 10x s | ratio |",
         "|---|---|---|---|",

@@ -336,6 +336,32 @@ def test_embedding_neardup_exact_mode_guard(emb, monkeypatch):
         similarity.embedding_neardup_pairs(emb, threshold=0.9, num_planes=0)
 
 
+def test_embedding_neardup_lsh_mode_executes_and_recalls(emb):
+    """The LSH branch must EXECUTE (r3 regression: the annotated
+    pandas_udf form never resolved under `from __future__ import
+    annotations` — UNSUPPORTED_SIGNATURE at runtime, caught by
+    scale_bench) and recall pairs whose sketches collide. Identical
+    vectors share every hyperplane sign, so planted exact duplicates are
+    guaranteed candidates at any num_planes."""
+    from graphite_clickhouse_spark.pipeline.similarity import (
+        embedding_neardup_pairs,
+    )
+
+    base = emb.filter(F.col("vec_id") < 50)
+    clones = base.select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = base.unionByName(clones)
+    got = {
+        (r.id_a, r.id_b)
+        for r in embedding_neardup_pairs(
+            corpus, threshold=0.999, num_planes=8
+        ).collect()
+    }
+    planted = {(i, i + 1000) for i in range(50)}
+    assert planted <= got
+
+
 class TestCodecs:
     def test_bmp_roundtrip_with_row_padding(self):
         import numpy as np
