@@ -70,20 +70,35 @@ def test_handshake_requires_client_cert(served):
         urllib.request.urlopen(f"{base}/alive", timeout=30, context=bare)
 
 
-def test_find_checks(served):
+def test_find_checks_all_declared_formats(served):
+    """Each find check runs in EVERY format its golden declares
+    (`formats = ["pickle", "protobuf", "carbonapi_v3_pb"]`), decoded by
+    the independent wire reader in tests/pbread.py."""
+    import pbread
+
     sc, base, ctx = served
     for check in sc.cfg.get("find_checks", []):
         q = urllib.parse.quote(check["query"])
-        params = f"query={q}&format=pickle"
+        extra = ""
         if "from" in check:
-            params += (f"&from={resolve_ts(check['from'], sc.precision)}"
-                       f"&until={resolve_ts(check['until'], sc.precision)}")
-        body = _get(f"{base}/metrics/find?{params}", ctx)
-        got = sorted(
-            (m["metric_path"], bool(m["isLeaf"])) for m in pickle.loads(body)
-        )
+            extra = (f"&from={resolve_ts(check['from'], sc.precision)}"
+                     f"&until={resolve_ts(check['until'], sc.precision)}")
         want = sorted((r["path"], bool(r["is_leaf"])) for r in check["result"])
-        assert got == want, f"find {check['query']!r}: {got} != {want}"
+        for fmt in check.get("formats", ["pickle"]):
+            wire = {"carbonapi_v2_pb": "protobuf"}.get(fmt, fmt)
+            body = _get(
+                f"{base}/metrics/find?query={q}&format={wire}{extra}", ctx
+            )
+            if wire == "pickle":
+                got = [(m["metric_path"], bool(m["isLeaf"]))
+                       for m in pickle.loads(body)]
+            elif wire == "protobuf":
+                got = pbread.parse_find_v2(body)
+            else:
+                got = pbread.parse_find_v3(body)
+            assert sorted(got) == want, (
+                f"find {check['query']!r} [{fmt}]: {sorted(got)} != {want}"
+            )
 
 
 def test_tags_checks(served):
@@ -97,29 +112,75 @@ def test_tags_checks(served):
         assert json.loads(body) == list(check["result"]), check["query"]
 
 
-def test_render_checks(served):
+def _values_close(gv, wv, ctx):
+    assert len(gv) == len(wv), (ctx, gv, wv)
+    for a, b in zip(gv, wv):
+        assert (math.isnan(a) and math.isnan(b)) or math.isclose(
+            a, b, rel_tol=1e-9
+        ), (ctx, gv, wv)
+
+
+def test_render_checks_all_declared_formats(served):
+    """Each render check runs in every format its golden declares
+    (json debug + protobuf v2 + pickle), goldens' per-format field
+    subsets respected (v2 carries no path/consolidation; pickle carries
+    pathExpression but no function)."""
+    import pbread
+
     sc, base, ctx = served
     for check in sc.cfg.get("render_checks", []):
-        params = urllib.parse.urlencode(
-            [("target", t) for t in check["targets"]]
-            + [
-                ("from", resolve_ts(check["from"], sc.precision)),
-                ("until", resolve_ts(check["until"], sc.precision)),
-                ("format", "json"),
-            ]
-        )
-        body = _get(f"{base}/render?{params}", ctx)
-        got = sorted(json.loads(body)["metrics"], key=lambda m: m["name"])
+        from_ts = resolve_ts(check["from"], sc.precision)
+        until_ts = resolve_ts(check["until"], sc.precision)
         want = sorted(check["result"], key=lambda r: r["name"])
-        assert [g["name"] for g in got] == [w["name"] for w in want], check
-        for g, w in zip(got, want):
-            assert g["startTime"] == resolve_ts(w["start"], sc.precision)
-            assert g["stopTime"] == resolve_ts(w["stop"], sc.precision)
-            assert g["stepTime"] == w["step"]
-            gv = [float("nan") if v is None else v for v in g["values"]]
-            wv = [float(v) for v in w["values"]]
-            assert len(gv) == len(wv), (g, w)
-            for a, b in zip(gv, wv):
-                assert (math.isnan(a) and math.isnan(b)) or math.isclose(
-                    a, b, rel_tol=1e-9
-                ), (gv, wv)
+        for fmt in check.get("formats", ["json"]):
+            wire = {"carbonapi_v2_pb": "protobuf"}.get(fmt, fmt)
+            params = urllib.parse.urlencode(
+                [("target", t) for t in check["targets"]]
+                + [("from", from_ts), ("until", until_ts), ("format", wire)]
+            )
+            body = _get(f"{base}/render?{params}", ctx)
+            if wire == "json":
+                series = [
+                    {
+                        "name": m["name"],
+                        "start": m["startTime"],
+                        "stop": m["stopTime"],
+                        "step": m["stepTime"],
+                        "values": [
+                            float("nan") if v is None else v
+                            for v in m["values"]
+                        ],
+                    }
+                    for m in json.loads(body)["metrics"]
+                ]
+            elif wire == "protobuf":
+                series = pbread.parse_render_v2(body)
+            else:
+                series = [
+                    {
+                        "name": m["name"],
+                        "path": m["pathExpression"],
+                        "start": m["start"],
+                        "stop": m["end"],
+                        "step": m["step"],
+                        "values": [
+                            float("nan") if v is None else v
+                            for v in m["values"]
+                        ],
+                    }
+                    for m in pickle.loads(body)
+                ]
+            series.sort(key=lambda m: m["name"])
+            ctx_s = f"render {check['targets']} [{fmt}]"
+            assert [g["name"] for g in series] == [w["name"] for w in want], (
+                ctx_s, [g["name"] for g in series]
+            )
+            for g, w in zip(series, want):
+                assert g["start"] == resolve_ts(w["start"], sc.precision), ctx_s
+                assert g["stop"] == resolve_ts(w["stop"], sc.precision), ctx_s
+                assert g["step"] == w["step"], ctx_s
+                if wire == "pickle" and "path" in w:
+                    assert g["path"] == w["path"], ctx_s
+                _values_close(
+                    g["values"], [float(v) for v in w["values"]], ctx_s
+                )
