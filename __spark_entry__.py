@@ -1289,6 +1289,35 @@ WHERE list_cosine_similarity(a.emb, b.emb) >= 0.45
 """
 
 
+def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via the LSH-bucketed SCALE path: only
+    pairs sharing a hyperplane sign-sketch bucket are scored (recall < 1
+    by design — the oracle reproduces the identical bucketing from the
+    same plane literals, so the approximation itself is verified)."""
+    from graphite_clickhouse_spark.pipeline.similarity import embedding_neardup_pairs
+    from graphite_clickhouse_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = embedding_neardup_pairs(emb, threshold=0.45, num_planes=4)
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+def _embedding_neardup_lsh_sql() -> str:
+    # plane literals injected by the same Python constants the Spark plan
+    # bakes in (deterministic_planes LCG) — both engines bucket identically
+    return f"""
+WITH b AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+           {_lsh_planes_sql()} AS bucket
+    FROM embeddings
+)
+SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+       round(list_cosine_similarity(x.emb, y.emb), 6) AS cosine
+FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+WHERE list_cosine_similarity(x.emb, y.emb) >= 0.45
+"""
+
+
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF probe top-k: rank only vectors in the 2 nearest cells per query
     — the partition-pruned ANN read path (cells from q_ivf_assign)."""
@@ -1823,6 +1852,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "ivf_assign": (q_ivf_assign, SQL_IVF_ASSIGN),
     "ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
     "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
+    "embedding_neardup_lsh": (q_embedding_neardup_lsh, _embedding_neardup_lsh_sql()),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
     "multimodal_bmp_decode": (q_multimodal_bmp_decode, SQL_MULTIMODAL_BMP_DECODE),
     "multimodal_wav_decode": (q_multimodal_wav_decode, SQL_MULTIMODAL_WAV_DECODE),

@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "ivf_assign",
     "ivf_topk",
     "embedding_neardup",
+    "embedding_neardup_lsh",
     "tagger_rules",
     "minhash_dedup",
     "simhash_pairs",

@@ -164,7 +164,8 @@ def main() -> None:
     # bucketed mode; that is what the scaling table reports.
     qs["embedding_neardup_lsh"] = _neardup_lsh
     names = [n for n in BENCH_QUERIES if n in qs and n != "embedding_neardup"]
-    names.append("embedding_neardup_lsh")
+    if "embedding_neardup_lsh" not in names:
+        names.append("embedding_neardup_lsh")
     # measure small BEFORE and AFTER the big run and keep the per-query
     # min: the second small pass runs with fully-warm JIT/codegen caches,
     # the same state the big suite enjoyed — otherwise fixed-overhead
