@@ -291,3 +291,55 @@ class TestPromQLPlanShape:
             plan = plan_of(eval_promql(tagged, expr, 0, 600, 60))
             assert "CartesianProduct" not in plan, expr
             assert frag in plan, f"{expr}: expected {frag} join\n{plan[:500]}"
+
+
+class TestStorageLimitsGuardPlan:
+    """The StorageLimits 403 guard (plans/guards.py) must stay a BOUNDED
+    probe: a CollectLimit over the same pushed-down scan — never a full
+    count. Its cost is then capped by limit+1 rows (ClickHouse's abort
+    bound), and predicate/partition pruning survives under the limit."""
+
+    def test_guard_count_plan_is_limited_and_pushed_down(self, spark, points_dir):
+        pts = points_dir.read_points(spark).filter(
+            (F.col("time") >= 86400) & (F.col("time") <= 200000)
+        )
+        probe = pts.limit(11)  # what check_scan(max_rows=10) counts
+        plan = plan_of(probe)
+        assert "CollectLimit" in plan or "GlobalLimit" in plan
+        assert "PushedFilters: [" in plan
+        assert "GreaterThanOrEqual(time,86400)" in plan
+
+    def test_render_with_limits_same_result_as_without(self, spark, points_dir):
+        """The guard is a side probe: the fetch plan and results are
+        unchanged when limits are configured but not exceeded."""
+        from graphite_clickhouse_spark.plans.guards import StorageLimits
+        from graphite_clickhouse_spark.render.pipeline import (
+            Engine,
+            RenderRequest,
+        )
+        from graphite_clickhouse_spark.sources.tables import build_path_index
+
+        points = points_dir.read_points(spark)
+        engine = Engine(
+            spark=spark, points=points,
+            path_index=build_path_index(points.select("path")),
+        )
+
+        import math
+
+        def series(**kw):
+            req = RenderRequest("m.p1", 0, 400000, max_data_points=16, **kw)
+            return sorted(
+                (
+                    r.path, r.start, r.stop, r.step,
+                    tuple(
+                        None if v is None or math.isnan(v) else v
+                        for v in r.values
+                    ),
+                )
+                for r in engine.render(req).collect()
+            )
+
+        base = series()
+        guarded = series(storage_limits=StorageLimits(max_rows_to_read=10_000))
+        assert base == guarded and base

@@ -47,3 +47,15 @@ def test_align_and_grid():
     # from not on boundary rounds up
     start, stop, count = fill_nulls_bounds(121, 299, 60)
     assert (start, stop, count) == (180, 300, 2)
+
+
+def test_fill_nulls_bounds_reference_vectors():
+    """The grid vectors of helper/point/func_test.go TestFillNulls —
+    the authority the wire-format goldens also lean on."""
+    # "shorter with NaNs": from=1 until=13 step=2
+    assert fill_nulls_bounds(1, 13, 2) == (2, 14, 6)
+    # "longer than time interval, but wrong step": from=2 until=7 step=1
+    assert fill_nulls_bounds(2, 7, 1) == (2, 8, 6)
+    # wire-golden vectors (v2/v3_pb_test.go writer inputs)
+    assert fill_nulls_bounds(4, 13, 5) == (5, 15, 2)
+    assert fill_nulls_bounds(1, 5, 1) == (1, 6, 5)
