@@ -61,13 +61,12 @@ def main(argv=None):
                     help="validate config + engine wiring, then exit")
     args = ap.parse_args(argv)
 
-    from .config import Settings, load_settings
+    from .config import Settings, load_settings_file
     from .session import get_spark
 
     settings = Settings()
     if args.config:
-        with open(args.config) as fh:
-            settings = load_settings(fh.read())
+        settings = load_settings_file(args.config)
 
     spark = get_spark("graphite-clickhouse-spark-server")
     engine = build_engine(spark, settings, args.data, args.sf_events)

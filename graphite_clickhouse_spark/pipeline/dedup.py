@@ -60,14 +60,6 @@ def word_ngrams(text: Column, n: int) -> Column:
     return word_ngrams_from_tokens(F.split(F.trim(text), r"\s+"), n)
 
 
-def shingle_table(
-    df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
-) -> DataFrame:
-    """(id, shingle) exploded table — the base for Jaccard and MinHash."""
-    return df.select(
-        F.col(id_col).alias("id"),
-        F.explode(word_ngrams(F.col(text_col), n)).alias("shingle"),
-    )
 
 
 def tokens_projection(
@@ -235,13 +227,6 @@ def minhash_signature(
     )
 
 
-def shingle_hashes(text: Column, n: int) -> Column:
-    """Sorted distinct 64-bit hashes of the word n-gram shingles.
-
-    Expression-only variant (hashes the joined shingle string); prefer
-    tokens_projection + ngram_hashes in hot paths — an inline split here
-    would be re-evaluated per lambda element after project collapsing."""
-    return F.array_sort(F.transform(word_ngrams(text, n), lambda s: F.xxhash64(s)))
 
 
 def _splitmix64(seed: int) -> int:
@@ -518,28 +503,6 @@ def simhash_portable(
     base = tokens_projection(df, text_col, id_col)
     fp = F.pandas_udf(_kernel, "long")(F.col("toks"))
     return base.select(F.col("id"), fp.alias("simhash"))
-
-
-def _sorted_intersect_size_kernel(a_arrays, b_arrays):
-    import numpy as np
-    import pandas as pd
-
-    out = np.empty(len(a_arrays), dtype=np.int64)
-    for i, (x, y) in enumerate(zip(a_arrays, b_arrays)):
-        out[i] = np.intersect1d(
-            np.asarray(x, dtype=np.int64),
-            np.asarray(y, dtype=np.int64),
-            assume_unique=True,
-        ).size
-    return pd.Series(out)
-
-
-def _sorted_intersect_size(a: Column, b: Column) -> Column:
-    """|A ∩ B| of two sorted unique bigint arrays — Spark's array_intersect
-    is an interpreted per-row expression (boxed hash sets) and dominates the
-    verification stage at ~1000x the cost of this vectorized numpy kernel.
-    (pandas_udf is created lazily: registration needs an active session.)"""
-    return F.pandas_udf(_sorted_intersect_size_kernel, "long")(a, b)
 
 
 # --------------------------------------------------------------- simhash

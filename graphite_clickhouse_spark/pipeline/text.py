@@ -153,15 +153,6 @@ def tfidf_top_terms(
     )
 
 
-def _word_ngrams_all(toks: Column, n: int) -> Column:
-    """ALL word n-grams (duplicates kept — repetition is the signal)."""
-    count = F.size(toks) - F.lit(n - 1)
-    return F.when(count <= 0, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), count),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
-        )
-    )
 
 
 def _gram_stats_kernel(ns: tuple[int, ...]):

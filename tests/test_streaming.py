@@ -177,3 +177,36 @@ class TestSizeBinnedCompaction:
         for date in ("1970-01-01", "1970-01-03"):
             d = os.path.join(job.points_dir, f"date={date}")
             assert len([f for f in os.listdir(d) if f.endswith(".parquet")]) == 1
+
+
+class TestWatermarkDedup:
+    def test_drops_duplicate_arrivals_within_watermark(self, spark, tmp_path):
+        """streaming_dedup_within_watermark: identical (path, time)
+        re-arrivals inside the watermark window are dropped pre-sink
+        (at-least-once transport dedup; version-max dedup-on-read remains
+        the semantic layer for genuine overwrites)."""
+        import os
+
+        from graphite_clickhouse_spark.streaming.ingest import (
+            streaming_dedup_within_watermark,
+        )
+
+        src = tmp_path / "in"
+        os.makedirs(src)
+        (src / "a.txt").write_text(
+            "m.x 1.0 60\nm.x 1.0 60\nm.y 2.0 60\nm.x 1.0 60\n"
+        )
+        lines = spark.readStream.format("text").load(str(src))
+        parsed = parse_carbon_lines(lines, version=1)
+        deduped = streaming_dedup_within_watermark(parsed, delay="10 minutes")
+        out: list = []
+        q = (
+            deduped.writeStream.outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .foreachBatch(lambda df, bid: out.extend(df.collect()))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = sorted((r.path, r.time, r.value) for r in out)
+        assert got == [("m.x", 60, 1.0), ("m.y", 60, 2.0)]
