@@ -228,6 +228,15 @@ def _join_inline_tables(text: str) -> str:
                 continue
             if c == quote:
                 quote = ""
+        elif c == "#" and depth == 0:
+            # comment: copy verbatim to end of line WITHOUT counting
+            # braces/quotes (an unbalanced '{' in a comment must not
+            # open a fold region swallowing the rest of the file)
+            j = text.find("\n", i)
+            j = len(text) if j < 0 else j
+            out.append(text[i:j])
+            i = j
+            continue
         elif c in "\"'":
             quote = c
         elif c == "{":

@@ -275,3 +275,53 @@ class TestDataTableConfig:
         assert engine.data_tables[0].max_age == 3600
         assert engine.data_tables[0].target_match_all == "^app"
         assert engine.data_tables[1].min_age == 3600
+
+
+class TestInlineTableNormalizer:
+    """_join_inline_tables: Go-TOML lenient multi-line inline tables ->
+    TOML 1.0 (tomllib); must not be confused by braces inside strings or
+    comments."""
+
+    def test_multiline_inline_tables_parse(self):
+        from graphite_clickhouse_spark.config import load_settings
+
+        s = load_settings(
+            '[clickhouse]\n'
+            'query-params = [\n'
+            '  {\n'
+            '    duration = "1h",\n'
+            '    url = "http://x/?max_rows_to_read=1",\n'
+            '    data-timeout = "5s"\n'
+            '  },\n'
+            '  { duration = "7h", data-timeout = "10s" }\n'
+            ']\n'
+        )
+        tiers = s.render_tiers()
+        assert [t[0] for t in tiers] == [3600, 7 * 3600]
+        assert tiers[0][3].max_rows_to_read == 1
+
+    def test_braces_in_strings_and_comments_untouched(self):
+        from graphite_clickhouse_spark.config import (
+            _join_inline_tables,
+            load_settings,
+        )
+
+        txt = (
+            '# note an unbalanced { brace in a comment\n'
+            '[common]\n'
+            'max-metrics-per-target = 7\n'
+            '[clickhouse]\n'
+            'extra-prefix = "ns{curly}"  # and } here\n'
+        )
+        # the comment's '{' must NOT open a fold region: line structure
+        # survives and the document still parses
+        assert _join_inline_tables(txt).count("\n") == txt.count("\n")
+        s = load_settings(txt)
+        assert s.max_metrics_per_target == 7
+        assert s.prefix is not None and s.prefix.prefix == "ns{curly}"
+
+    def test_escaped_quote_inside_basic_string(self):
+        from graphite_clickhouse_spark.config import _join_inline_tables
+
+        txt = 'a = "x\\"{y"\nb = 2\n'
+        assert _join_inline_tables(txt) == txt
