@@ -57,6 +57,12 @@ def main(argv=None):
     ap.add_argument("--data", help="IngestJob layout directory")
     ap.add_argument("--sf-events", help="testdata dir with events.parquet (demo)")
     ap.add_argument("--listen", default="127.0.0.1:9090", help="host:port")
+    ap.add_argument(
+        "--carbon-listen", metavar="HOST:PORT",
+        help="also accept carbon plaintext over TCP (the carbon-clickhouse "
+             "receiver role): lines spool under <data>/spool and a "
+             "continuous text stream ingests them; requires --data",
+    )
     ap.add_argument("--check", action="store_true",
                     help="validate config + engine wiring, then exit")
     args = ap.parse_args(argv)
@@ -73,6 +79,24 @@ def main(argv=None):
     if args.check:
         print("config + engine OK", file=sys.stderr)
         return None
+
+    if args.carbon_listen:
+        if not args.data:
+            raise SystemExit("--carbon-listen requires --data")
+        from .streaming.ingest import CarbonLineReceiver
+
+        chost, _, cport = args.carbon_listen.partition(":")
+        rx = CarbonLineReceiver(
+            f"{args.data}/spool", chost or "127.0.0.1", int(cport or 2003)
+        )
+        engine.ingest.start_text_stream(
+            spark, f"{args.data}/spool", f"{args.data}/checkpoint",
+            available_now=False,
+        )
+        print(
+            f"carbon plaintext listening on {rx.address[0]}:{rx.address[1]}",
+            file=sys.stderr,
+        )
 
     from .server import make_server
 

@@ -299,3 +299,137 @@ def streaming_dedup_within_watermark(parsed: DataFrame, delay: str = "1 hour") -
     return parsed.withColumn(
         "event_time", F.timestamp_seconds(F.col("time"))
     ).withWatermark("event_time", delay).dropDuplicatesWithinWatermark(["path", "time"])
+
+
+class CarbonLineReceiver:
+    """Carbon plaintext TCP receiver -> spool files for the text stream.
+
+    The reference ecosystem's primary ingest transport is agents pushing
+    `metric value timestamp\\n` lines over TCP (carbon-clickhouse's tcp
+    receiver). Spark's own socket source is a CLIENT (it dials out), so
+    the receiver half lives here: a threaded acceptor appends complete
+    lines to rotating spool files that `IngestJob.start_text_stream`
+    tails — receive and ingest are decoupled by a durable buffer, which
+    is also the production shape (swap the spool directory for Kafka and
+    nothing else changes; a crash between flush and ingest loses nothing
+    already spooled).
+
+    Rotation: a spool file closes after `rotate_lines` lines or
+    `rotate_seconds` since it opened — whichever first — and only CLOSED
+    files are named *.txt (open files carry .part, invisible to the
+    `.txt` glob the stream reads), so the file-source never observes a
+    half-written file.
+    """
+
+    def __init__(
+        self,
+        spool_dir: str,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        rotate_lines: int = 50_000,
+        rotate_seconds: float = 2.0,
+    ):
+        import os
+        import socket
+        import threading
+        import time
+
+        os.makedirs(spool_dir, exist_ok=True)
+        self.spool_dir = spool_dir
+        self.rotate_lines = rotate_lines
+        self.rotate_seconds = rotate_seconds
+        self._seq = 0
+        self._lock = threading.Lock()
+        self._stopping = threading.Event()
+        self._srv = socket.create_server((host, port))
+        self._srv.settimeout(0.2)
+        self.address = self._srv.getsockname()[:2]
+        self._threads: list[threading.Thread] = []
+        self._time = time
+        t = threading.Thread(target=self._accept_loop, daemon=True)
+        t.start()
+        self._threads.append(t)
+
+    def _spool_path(self) -> str:
+        import os
+
+        with self._lock:
+            self._seq += 1
+            return os.path.join(self.spool_dir, f"carbon-{self._seq:08d}")
+
+    def _accept_loop(self):
+        import socket
+        import threading
+
+        while not self._stopping.is_set():
+            try:
+                conn, _addr = self._srv.accept()
+            except socket.timeout:
+                continue
+            except OSError:
+                return
+            t = threading.Thread(
+                target=self._conn_loop, args=(conn,), daemon=True
+            )
+            t.start()
+            self._threads.append(t)
+
+    def _conn_loop(self, conn):
+        import os
+
+        buf = b""
+        lines: list[bytes] = []
+        opened = self._time.monotonic()
+        conn.settimeout(0.2)
+
+        def flush():
+            nonlocal lines, opened
+            # emit in rotate_lines-sized files: one large recv chunk can
+            # carry many lines, and the per-file bound must hold anyway
+            while lines:
+                batch, lines = lines[: self.rotate_lines], lines[self.rotate_lines:]
+                p = self._spool_path()
+                # dot-prefix while writing: Spark's file source ignores
+                # hidden files, so the stream can never list a file
+                # mid-write; the rename to the visible name is atomic
+                part = os.path.join(
+                    os.path.dirname(p), "." + os.path.basename(p) + ".part"
+                )
+                with open(part, "wb") as fh:
+                    fh.write(b"\n".join(batch) + b"\n")
+                os.rename(part, p + ".txt")
+            opened = self._time.monotonic()
+
+        try:
+            while not self._stopping.is_set():
+                try:
+                    chunk = conn.recv(65536)
+                except TimeoutError:
+                    chunk = None
+                except OSError:
+                    break
+                if chunk == b"":  # peer closed
+                    break
+                if chunk:
+                    buf += chunk
+                    *complete, buf = buf.split(b"\n")
+                    lines.extend(l for l in complete if l.strip())
+                if lines and (
+                    len(lines) >= self.rotate_lines
+                    or self._time.monotonic() - opened >= self.rotate_seconds
+                ):
+                    flush()
+        finally:
+            if buf.strip():
+                lines.append(buf)
+            flush()
+            conn.close()
+
+    def close(self):
+        self._stopping.set()
+        try:
+            self._srv.close()
+        except OSError:
+            pass
+        for t in self._threads:
+            t.join(timeout=5)

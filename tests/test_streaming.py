@@ -210,3 +210,80 @@ class TestWatermarkDedup:
         q.awaitTermination(120)
         got = sorted((r.path, r.time, r.value) for r in out)
         assert got == [("m.x", 60, 1.0), ("m.y", 60, 2.0)]
+
+
+class TestCarbonLineReceiver:
+    def test_tcp_lines_spool_and_ingest(self, spark, tmp_path):
+        """Full carbon transport: agent pushes plaintext over TCP ->
+        receiver spools closed files -> text stream ingests -> points
+        queryable (tagged names canonicalized like any carbon line)."""
+        import socket
+
+        from graphite_clickhouse_spark.streaming.ingest import (
+            CarbonLineReceiver,
+        )
+
+        spool = str(tmp_path / "spool")
+        rx = CarbonLineReceiver(spool, rotate_lines=3, rotate_seconds=30)
+        try:
+            host, port = rx.address
+            with socket.create_connection((host, port), timeout=10) as s:
+                s.sendall(b"m.a 1.5 60\nm.b 2.5 60\nnot a line\n")
+                s.sendall(b"cpu;host=h1 3.5 120\n")
+            # connection closed -> receiver flushes the remainder
+            import time
+
+            deadline = time.monotonic() + 10
+            import os
+
+            while time.monotonic() < deadline:
+                if any(f.endswith(".txt") for f in os.listdir(spool)):
+                    break
+                time.sleep(0.1)
+            job = IngestJob(str(tmp_path / "out"), version=7)
+            q = job.start_text_stream(spark, spool, str(tmp_path / "ck"))
+            q.awaitTermination(120)
+            got = sorted(
+                (r.path, r.time, r.value)
+                for r in job.read_points(spark).collect()
+            )
+            assert got == [
+                ("cpu?host=h1", 120, 3.5),
+                ("m.a", 60, 1.5),
+                ("m.b", 60, 2.5),
+            ]
+        finally:
+            rx.close()
+
+    def test_rotation_by_line_count(self, tmp_path):
+        import os
+        import socket
+        import time
+
+        from graphite_clickhouse_spark.streaming.ingest import (
+            CarbonLineReceiver,
+        )
+
+        spool = str(tmp_path / "spool")
+        rx = CarbonLineReceiver(spool, rotate_lines=2, rotate_seconds=300)
+        try:
+            host, port = rx.address
+            with socket.create_connection((host, port), timeout=10) as s:
+                for i in range(6):
+                    s.sendall(f"m.x {i} {60 + i}\n".encode())
+                deadline = time.monotonic() + 10
+                while time.monotonic() < deadline:
+                    files = [f for f in os.listdir(spool) if f.endswith(".txt")]
+                    if len(files) >= 3:
+                        break
+                    time.sleep(0.1)
+            files = sorted(f for f in os.listdir(spool) if f.endswith(".txt"))
+            assert len(files) >= 3  # 6 lines / rotate_lines=2
+            total = sum(
+                len(open(os.path.join(spool, f)).read().strip().split("\n"))
+                for f in files
+            )
+            assert total == 6
+            assert not [f for f in os.listdir(spool) if f.endswith(".part")]
+        finally:
+            rx.close()
