@@ -48,6 +48,10 @@ _F32 = 5  # 32-bit wire type
 
 
 def varint(value: int) -> bytes:
+    # negatives encode as 64-bit two's complement (proto int64 wire rule);
+    # without the mask Python's arbitrary-precision >> never reaches 0 and
+    # a negative input would loop forever
+    value &= 0xFFFFFFFFFFFFFFFF
     out = bytearray()
     while True:
         b = value & 0x7F

@@ -20,6 +20,7 @@ from graphite_clickhouse_spark.render.reply import (
     find_v2_pb,
     find_v3_pb,
     index_json,
+    varint,
 )
 
 NAN = float("nan")
@@ -341,3 +342,125 @@ class TestReferenceWireGoldens:
         import pickle
 
         assert pickle.loads(encode_pickle([])) == []
+
+
+class TestWireRoundTripFuzz:
+    """Encoder <-> independent reader round-trips under hypothesis:
+    random series exercise multi-byte varint lengths (names > 127 bytes,
+    value arrays > 15 doubles) that the short literal goldens cannot."""
+
+    @staticmethod
+    def _series_strategy():
+        from hypothesis import strategies as st
+
+        def build(name, target, fn, start, step, n, vals):
+            return Series(
+                name=name, path_expression=target, function=fn,
+                start=start, stop=start + step * n, step=step,
+                values=vals[:n] + [math.nan] * max(0, n - len(vals)),
+                request_start=start - 3, request_stop=start + step * n + 3,
+            )
+
+        finite = st.floats(
+            allow_nan=False, allow_infinity=False, width=32
+        ).map(float)
+        return st.builds(
+            build,
+            name=st.text(
+                st.characters(codec="utf-8", exclude_categories=("Cs",)),
+                min_size=1, max_size=200,
+            ),
+            target=st.text(
+                st.sampled_from("abc.*{}[]"), min_size=1, max_size=40
+            ),
+            fn=st.sampled_from(["avg", "max", "min", "sum", "last"]),
+            start=st.integers(3, 2**31 - 1),
+            step=st.integers(1, 86400),
+            n=st.integers(0, 50),
+            vals=st.lists(st.one_of(finite, st.just(math.nan)), max_size=50),
+        )
+
+    def test_v2_roundtrip(self):
+        import pbread
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=60, deadline=None)
+        @given(st.lists(self._series_strategy(), max_size=4))
+        def check(series):
+            out = pbread.parse_render_v2(encode_v2_pb(series))
+            assert len(out) == len(series)
+            for got, s in zip(out, series):
+                assert got["name"] == s.name
+                assert (got["start"], got["stop"], got["step"]) == (
+                    s.start, s.stop, s.step
+                )
+                assert len(got["values"]) == len(s.values)
+                for a, b in zip(got["values"], s.values):
+                    assert (math.isnan(a) and math.isnan(b)) or a == b
+
+        check()
+
+    def test_v3_roundtrip(self):
+        import pbread
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=60, deadline=None)
+        @given(st.lists(self._series_strategy(), max_size=4))
+        def check(series):
+            out = pbread.parse_render_v3(encode_v3_pb(series))
+            assert len(out) == len(series)
+            for got, s in zip(out, series):
+                assert got["name"] == s.name
+                assert got["pathExpression"] == s.path_expression
+                assert got["function"] == s.function
+                assert (got["request_start"], got["request_stop"]) == (
+                    s.request_start, s.request_stop
+                )
+                vals = got.get("values", [])
+                assert len(vals) == len(s.values)
+                for a, b in zip(vals, s.values):
+                    assert (math.isnan(a) and math.isnan(b)) or a == b
+
+        check()
+
+    def test_find_roundtrip(self):
+        import pbread
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        rows = st.lists(
+            st.tuples(
+                st.text(st.sampled_from("abc.xyz_0123456789"), min_size=1,
+                        max_size=300),
+                st.booleans(),
+            ),
+            max_size=30,
+        )
+
+        @settings(max_examples=60, deadline=None)
+        @given(rows=rows)
+        def check(rows):
+            from graphite_clickhouse_spark.render.reply import (
+                find_v2_pb,
+                find_v3_pb,
+            )
+
+            assert pbread.parse_find_v2(find_v2_pb("q", rows)) == [
+                (p, bool(l)) for p, l in rows
+            ]
+            assert pbread.parse_find_v3(find_v3_pb("q", rows)) == [
+                (p, bool(l)) for p, l in rows
+            ]
+
+        check()
+
+
+def test_varint_negative_terminates_as_twos_complement():
+    """Fuzz-found: a negative input previously looped forever (Python's
+    arbitrary-precision >> never reaches 0). Proto int64 rule: 64-bit
+    two's complement, 10 bytes."""
+    b = varint(-1)
+    assert b == b"\xff\xff\xff\xff\xff\xff\xff\xff\xff\x01"
+    assert varint(-3)  # terminates
