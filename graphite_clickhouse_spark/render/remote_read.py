@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from ..plans.prometheus import LabelMatcher, terms_from_matchers
 from ..plans.tagged import tagged_predicate
+from . import request as _request
 from .request import _decode_fields
 from .reply import _len_delim, _string, _uvarint_field
 
@@ -74,6 +75,7 @@ def _parse_query(buf: bytes) -> RemoteReadQuery:
     return q
 
 
+@_request.bad_request_guard
 def parse_read_request(body: bytes) -> list[RemoteReadQuery]:
     """Decoded (already snappy-decompressed) ReadRequest -> queries."""
     out = []
@@ -134,6 +136,7 @@ def encode_read_response(
     return out
 
 
+@_request.bad_request_guard
 def parse_write_request(body: bytes) -> list[tuple[dict[str, str], list[tuple[int, float]]]]:
     """prompb.WriteRequest (remote.proto: repeated TimeSeries = 1,
     already snappy-decompressed) -> [(labels, [(ts_ms, value)...])].

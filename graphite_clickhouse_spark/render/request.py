@@ -115,6 +115,26 @@ def _parse_fetch_request(buf: bytes) -> FetchRequest:
     return fr
 
 
+def bad_request_guard(fn):
+    """Malformed protobuf in an untrusted POST body (truncated varint,
+    short fixed field, invalid UTF-8) surfaces as IndexError /
+    struct.error / UnicodeDecodeError from the wire decoder; map them to
+    ValueError so the HTTP layer answers 400 like the reference's
+    Unmarshal error path (render/handler.go / find/handler.go) instead
+    of dropping the connection."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrap(body: bytes):
+        try:
+            return fn(body)
+        except (IndexError, struct.error, UnicodeDecodeError, OverflowError) as exc:
+            raise ValueError(f"failed to parse request body: {exc}") from exc
+
+    return wrap
+
+
+@bad_request_guard
 def parse_multi_fetch_request(body: bytes) -> list[FetchRequest]:
     """MultiFetchRequest bytes -> [FetchRequest] (v3_pb.go:25-62)."""
     out = []
@@ -124,6 +144,7 @@ def parse_multi_fetch_request(body: bytes) -> list[FetchRequest]:
     return out
 
 
+@bad_request_guard
 def parse_multi_glob_request(body: bytes) -> tuple[list[str], int, int]:
     """carbonapi_v3_pb MultiGlobRequest bytes -> (metrics, start, stop)
     (the find POST body, find/handler.go:84-109; built by the e2e client

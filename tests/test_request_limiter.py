@@ -168,3 +168,89 @@ class TestAdaptiveLimiter:
         assert isinstance(cls.render, AdaptiveLimiter)
         assert cls.render.concurrent == 4 and cls.render.adaptive_n == 2
         assert isinstance(cls.find, RequestLimiter)
+
+
+class TestMalformedRequestBodies:
+    """Untrusted POST bodies: malformed protobuf must raise ValueError
+    (-> HTTP 400, the reference's Unmarshal error path) — never escape as
+    IndexError/struct.error (connection drop) and never hang."""
+
+    def test_truncated_and_garbage_raise_value_error(self):
+        from graphite_clickhouse_spark.render.remote_read import (
+            parse_read_request,
+            parse_write_request,
+        )
+        from graphite_clickhouse_spark.render.request import (
+            parse_multi_glob_request,
+        )
+
+        bad = [
+            b"\x0a",              # length-delimited header, no length
+            b"\x0a\x05ab",        # declared length 5, 2 bytes present
+            b"\x80\x80\x80",      # unterminated varint
+            b"\x0d\x01",          # fixed32 with 1 byte
+            b"\x0a\x02\xff\xfe",  # invalid UTF-8 inside a string field
+        ]
+        for body in bad:
+            for fn in (parse_multi_fetch_request, parse_multi_glob_request,
+                       parse_read_request, parse_write_request):
+                try:
+                    fn(body)
+                except ValueError:
+                    pass  # expected for genuinely malformed shapes
+
+    def test_fuzz_random_bytes_never_escape_value_error(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from graphite_clickhouse_spark.render.remote_read import (
+            parse_read_request,
+            parse_write_request,
+        )
+        from graphite_clickhouse_spark.render.request import (
+            parse_multi_glob_request,
+        )
+
+        @settings(max_examples=150, deadline=None)
+        @given(st.binary(max_size=200))
+        def check(body):
+            for fn in (parse_multi_fetch_request, parse_multi_glob_request,
+                       parse_read_request, parse_write_request):
+                try:
+                    fn(body)
+                except ValueError:
+                    pass
+
+        check()
+
+    def test_http_400_on_malformed_v3_pb_render_post(self, spark):
+        import urllib.error
+        import urllib.request
+
+        import pytest
+
+        from graphite_clickhouse_spark.render.pipeline import Engine
+        from graphite_clickhouse_spark.server import serve_background
+        from graphite_clickhouse_spark.sources.tables import (
+            build_path_index,
+            points_from_events,
+        )
+
+        points = points_from_events(spark, "/root/testdata/sf0.001")
+        engine = Engine(
+            spark=spark, points=points,
+            path_index=build_path_index(points.select("path")),
+        )
+        srv, base = serve_background(engine)
+        try:
+            req = urllib.request.Request(
+                f"{base}/render?format=carbonapi_v3_pb",
+                data=b"\x0a\x05ab",  # truncated MultiFetchRequest
+                headers={"Content-Type": "application/x-protobuf"},
+            )
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                urllib.request.urlopen(req, timeout=60)
+            assert ei.value.code == 400
+            assert b"failed to parse" in ei.value.read()
+        finally:
+            srv.shutdown()
