@@ -411,9 +411,17 @@ _MATCHER_RE = re.compile(
 
 
 class _Parser:
+    #: nesting bound (upstream promql/parser caps AST depth similarly):
+    #: each level of (...) / f(...) / unary recurses ~10 Python frames,
+    #: so an unbounded expression would die as RecursionError — which the
+    #: HTTP layer cannot map to the 400 a parse error owes. 64 levels is
+    #: far beyond real queries and ~stack-safe at the default limit.
+    MAX_DEPTH = 64
+
     def __init__(self, s: str):
         self.s = s
         self.i = 0
+        self.depth = 0
 
     def _ws(self):
         while self.i < len(self.s) and self.s[self.i].isspace():
@@ -495,6 +503,17 @@ class _Parser:
         """Precedence-climbing binary-expression parser. Scalar literals
         flow through as plain floats (folded on the spot when both sides
         are scalar); everything else is an AST node."""
+        self.depth += 1
+        if self.depth > self.MAX_DEPTH:
+            raise PromQLError(
+                f"expression nested deeper than {self.MAX_DEPTH} levels"
+            )
+        try:
+            return self._binary_inner(min_prec)
+        finally:
+            self.depth -= 1
+
+    def _binary_inner(self, min_prec: int):
         node = self._operand()
         while True:
             save = self.i

@@ -1501,3 +1501,40 @@ class TestPrecedenceFuzz:
             assert node.scalar == float(eval(s))  # noqa: S307 — digits/ops only
 
         check()
+
+
+class TestParserRobustness:
+    """Adversarial inputs must raise PromQLError (-> 400), never
+    RecursionError or anything else the HTTP layer can't map."""
+
+    def test_deep_nesting_bounded(self):
+        for expr in (
+            "(" * 5000 + "1" + ")" * 5000,
+            "-" * 10000 + "1",
+            "sum(" * 500 + "x" + ")" * 500,
+            "abs(" * 300 + "x" + ")" * 300,
+        ):
+            with pytest.raises(ValueError, match="nested deeper"):
+                parse_promql(expr)
+
+    def test_reasonable_nesting_still_parses(self):
+        parse_promql("(" * 50 + "x" + ")" * 50)
+        parse_promql("sum(" * 30 + "x" + ")" * 30)
+        # flat chains are iterative, not recursive: no depth limit
+        parse_promql("x" + " or x" * 500)
+
+    def test_fuzz_never_escapes_value_error(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        alphabet = st.sampled_from(list("ab{}()[]=~!,.:+-*/^ @\"'0123456789ms"))
+
+        @settings(max_examples=300, deadline=None)
+        @given(st.text(alphabet, max_size=80))
+        def check(expr):
+            try:
+                parse_promql(expr)
+            except ValueError:
+                pass
+
+        check()
