@@ -1269,6 +1269,48 @@ SELECT vec_id, cid AS centroid_id FROM (
 """
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (arXiv:2303.09540): IVF-cell
+    clustering, within-cell cosine pairs, greedy smallest-id keep rule —
+    composition of the map-only assignment and the bucketed pair join,
+    end-to-end oracle-checkable."""
+    from graphite_clickhouse_spark.pipeline.similarity import semantic_dedup
+    from graphite_clickhouse_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid")
+    )
+    return semantic_dedup(emb, cents, threshold=0.4)
+
+
+SQL_SEMANTIC_DEDUP = """
+WITH c AS (
+    SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8
+),
+asg AS (
+    SELECT vec_id, cid AS cell FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(e.embedding, c.cvec) DESC, c.cid
+               ) AS rn
+        FROM embeddings e CROSS JOIN c
+    ) WHERE rn = 1
+),
+ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+drops AS (
+    SELECT DISTINCT b.vec_id AS id
+    FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    JOIN ev ea ON ea.vec_id = a.vec_id
+    JOIN ev eb ON eb.vec_id = b.vec_id
+    WHERE list_cosine_similarity(ea.emb, eb.emb) >= 0.4
+)
+SELECT asg.vec_id AS id, asg.cell, (drops.id IS NULL) AS keep
+FROM asg LEFT JOIN drops ON drops.id = asg.vec_id
+"""
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (exact all-pairs at oracle scale;
     the LSH-bucketed variant is the 100 TB path, same function)."""
@@ -1853,6 +1895,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
     "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
     "embedding_neardup_lsh": (q_embedding_neardup_lsh, _embedding_neardup_lsh_sql()),
+    "semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
     "multimodal_bmp_decode": (q_multimodal_bmp_decode, SQL_MULTIMODAL_BMP_DECODE),
     "multimodal_wav_decode": (q_multimodal_wav_decode, SQL_MULTIMODAL_WAV_DECODE),

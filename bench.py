@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "ivf_topk",
     "embedding_neardup",
     "embedding_neardup_lsh",
+    "semantic_dedup",
     "tagger_rules",
     "minhash_dedup",
     "simhash_pairs",

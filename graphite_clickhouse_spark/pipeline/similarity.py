@@ -421,3 +421,62 @@ def read_ivf_cells(
     if cell_ids is not None:
         df = df.filter(F.col(centroid_id).isin([int(c) for c in cell_ids]))
     return df
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "centroid_id",
+    centroid_vec: str = "centroid",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication over an embedding column
+    (Abbas et al. 2023, arXiv:2303.09540): cluster the corpus into IVF
+    cells, score cosine pairs WITHIN each cell only, and greedily keep
+    the smallest-id member of every near-dup relation.
+
+    -> (id, cell, keep): keep=false iff the vector has a LOWER-id
+    neighbor in its cell with cosine >= threshold (a deterministic,
+    engine-independent keep rule — no iterative clustering needed, so
+    the whole operator is joins + one aggregate and fully
+    oracle-checkable).
+
+    Scale shape: ivf_assign is map-only (literal-centroid argmax fold);
+    the pair join is bucketed by cell (never all-pairs — cells bound
+    candidates like SemDeDup's k-means clusters do); the drop set is a
+    distinct projection of pair targets, applied with a broadcast-able
+    anti-join. At 100 TB the corpus is written partitioned by cell, so
+    the self-join co-locates without a shuffle.
+    """
+    assign = ivf_assign(
+        corpus, centroids, id_col=id_col, vec_col=vec_col,
+        centroid_id=centroid_id, centroid_vec=centroid_vec,
+    )
+    a = assign.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        F.col(centroid_id).alias("cell"),
+    )
+    b = assign.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        F.col(centroid_id).alias("cell"),
+    )
+    # Arrow einsum kernel for the pair scores: the codegen'd aggregate
+    # fold is INTERPRETED for higher-order functions and dominates at
+    # ~250k pairs/cell-group (measured 10s -> ~2s on 2k vectors)
+    pair_cosine = _pair_cosine_udf()
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(pair_cosine(F.col("va"), F.col("vb")) >= threshold)
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+    )
+    return (
+        assign.select(F.col(id_col).alias("id"), F.col(centroid_id).alias("cell"))
+        .join(dropped.withColumn("__drop", F.lit(True)), "id", "left")
+        .select("id", "cell", F.coalesce(~F.col("__drop"), F.lit(True)).alias("keep"))
+    )

@@ -730,3 +730,34 @@ class TestClusterConvergenceGuard:
         df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
         with pytest.raises(ValueError, match="default_rate"):
             mix_sources(df, {"a": 0.5}, default_rate=7.0)
+
+
+def test_semantic_dedup_greedy_keep_rule(spark):
+    """SemDeDup composition: near-identical vectors in one cell -> only
+    the smallest id keeps; distinct vectors keep everywhere."""
+    from graphite_clickhouse_spark.pipeline.similarity import semantic_dedup
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),   # centroid-ish A
+        (1, [0.0, 1.0, 0.0, 0.0]),   # centroid-ish B
+        (10, [0.99, 0.01, 0.0, 0.0]),   # near-dup of 0's direction
+        (11, [0.98, 0.02, 0.0, 0.0]),   # near-dup chain in cell A
+        (20, [0.0, 0.6, 0.8, 0.0]),     # cell B, cos 0.6 to 1: not a dup
+    ]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    cents = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    got = {
+        r.id: (r.cell, r.keep)
+        for r in semantic_dedup(emb, cents, threshold=0.95).collect()
+    }
+    assert got[0] == (0, True)      # smallest id in its dup group
+    assert got[10] == (0, False)    # dominated by 0
+    assert got[11] == (0, False)    # dominated by 0 and 10
+    assert got[1] == (1, True)
+    assert got[20][1] is True       # no >=0.95 neighbor in cell B
