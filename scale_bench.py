@@ -158,11 +158,32 @@ def main() -> None:
         emb = load_table(spark, sf_dir, "embeddings")
         return embedding_neardup_pairs(emb, threshold=0.45, num_planes=12)
 
+    def _semantic_dedup_scaled(spark, sf_dir):
+        # SemDeDup deploys with cell count PROPORTIONAL to corpus size
+        # (pairs-per-cell then stays constant -> linear scaling); the
+        # contract query pins 8 cells for oracle determinism, which at
+        # 10x data would measure the by-construction quadratic instead
+        from pyspark.sql import functions as F
+
+        from graphite_clickhouse_spark.pipeline.similarity import (
+            semantic_dedup,
+        )
+        from graphite_clickhouse_spark.sources.tables import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        k = 8 if sf_dir == BASE_SF else 8 * REPLICAS
+        cents = emb.filter(F.col("vec_id") % (10**9) < k).limit(k).select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("centroid"),
+        )
+        return semantic_dedup(emb, cents, threshold=0.4)
+
     # the contract query's exact mode is all-pairs BY DEFINITION (O(n^2),
     # driver-guarded at 1e6 vectors) — scaling it 10x measures the
     # quadratic, not the engine. The declared 100 TB path is the LSH
     # bucketed mode; that is what the scaling table reports.
     qs["embedding_neardup_lsh"] = _neardup_lsh
+    qs["semantic_dedup"] = _semantic_dedup_scaled
     names = [n for n in BENCH_QUERIES if n in qs and n != "embedding_neardup"]
     if "embedding_neardup_lsh" not in names:
         names.append("embedding_neardup_lsh")
@@ -211,7 +232,9 @@ def main() -> None:
         "instead of quadratically-by-duplication. embedding_neardup is",
         "measured via its LSH mode (num_planes=12) — the exact mode is",
         "all-pairs O(n^2) by definition and driver-guarded at 1e6 vectors.",
-        "See scale_bench.py.",
+        "semantic_dedup is measured with cell count proportional to corpus",
+        "size (8 -> 80), the SemDeDup deployment shape that keeps",
+        "pairs-per-cell constant. See scale_bench.py.",
         "",
         "| query | sf0.1 s | 10x s | ratio |",
         "|---|---|---|---|",

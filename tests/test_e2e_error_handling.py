@@ -42,16 +42,27 @@ from graphite_clickhouse_spark.server import serve_background
 
 SCENARIO = "error_handling"
 
+#: every duration in the scenario (timeouts, injected delays, client
+#: deadlines) is multiplied by this. The corpus's 1s/1.5s constants were
+#: sized for ClickHouse's ~ms query latency; Spark's job-scheduling
+#: floor is ~100-300ms and exceeds 1s when the shared box is saturated,
+#: which would 504 the NON-error goldens spuriously. Uniform scaling
+#: preserves the scenario's contract exactly — the injected delay still
+#: exceeds the timeout (504 goldens), limits still trip (403 goldens),
+#: and clean checks still pass within their deadline.
+TIME_SCALE = 5.0
+
 
 def _proxy_delay_sec(check: dict) -> float:
     ms = _go_duration_seconds(check.get("proxy_delay", "0s"))
     # _go_duration_seconds truncates ms; parse manually for sub-second
-    m = re.fullmatch(r"(\d+)ms", str(check.get("proxy_delay", "")))
-    return int(m.group(1)) / 1000.0 if m else float(ms)
+    raw = re.fullmatch(r"(\d+)ms", str(check.get("proxy_delay", "")))
+    sec = int(raw.group(1)) / 1000.0 if raw else float(ms)
+    return sec * TIME_SCALE
 
 
 def _client_timeout(check: dict) -> float:
-    return float(_go_duration_seconds(check.get("timeout", "60s")) or 60)
+    return float(_go_duration_seconds(check.get("timeout", "60s")) or 60) * TIME_SCALE
 
 
 def _fetch(url: str, timeout: float) -> tuple[int, bytes]:
@@ -85,6 +96,12 @@ def served(spark):
     assert [t[0] for t in tiers] == [3600, 7 * 3600]
     assert tiers[0][3].max_rows_to_read == 1  # 1h tier url
     assert tiers[1][3].max_memory_usage == 1  # 7h tier url
+    # uniform TIME_SCALE over every configured duration (see above)
+    settings.data_timeout_sec *= TIME_SCALE
+    settings.index_timeout_sec *= TIME_SCALE
+    for qp in settings.query_params:
+        if qp.get("data_timeout"):
+            qp["data_timeout"] *= TIME_SCALE
     srv, base = serve_background(se.engine, settings=settings)
     # warm every non-error check path over HTTP with the timeouts OFF:
     # Catalyst plan compile + first-scan JIT + cache materialization can
