@@ -65,14 +65,29 @@ def main(argv=None):
     )
     ap.add_argument("--check", action="store_true",
                     help="validate config + engine wiring, then exit")
+    ap.add_argument("--sd-list", action="store_true",
+                    help="list registered nodes in SD, then exit")
+    ap.add_argument("--sd-delete", action="store_true",
+                    help="delete this hostname's SD records, then exit")
+    ap.add_argument("--sd-evict", nargs="+", metavar="HOST",
+                    help="delete the named hostnames' SD records, then exit")
+    ap.add_argument("--sd-expired", action="store_true",
+                    help="list expired SD records, then exit")
+    ap.add_argument("--sd-clean", action="store_true",
+                    help="delete expired SD records, then exit")
     args = ap.parse_args(argv)
 
     from .config import Settings, load_settings_file
-    from .session import get_spark
 
     settings = Settings()
     if args.config:
         settings = load_settings_file(args.config)
+
+    if (args.sd_list or args.sd_delete or args.sd_evict or args.sd_expired
+            or args.sd_clean):
+        return _sd_command(settings, args)
+
+    from .session import get_spark
 
     spark = get_spark("graphite-clickhouse-spark-server")
     engine = build_engine(spark, settings, args.data, args.sf_events)
@@ -107,8 +122,63 @@ def main(argv=None):
         f"http://{srv.server_address[0]}:{srv.server_address[1]}",
         file=sys.stderr,
     )
-    srv.serve_forever()
+
+    registrar = None
+    if settings.sd_url:
+        from .sd import Registrar
+
+        # register the BOUND port (relevant when ":0" was requested);
+        # the reference registers cfg.Listen verbatim, which is the
+        # same thing for any real config
+        bound = srv.server_address[1]
+        registrar = Registrar(
+            settings, f"{host}:{bound}" if host else f":{bound}"
+        )
+        registrar.start()
+        print(
+            f"sd: registering in {settings.sd_namespace} at "
+            f"{settings.sd_url}", file=sys.stderr,
+        )
+    try:
+        srv.serve_forever()
+    finally:
+        if registrar is not None:
+            registrar.stop()
     return srv
+
+
+def _sd_command(settings, args):
+    """The reference CLI's sd-list / sd-delete / sd-evict / sd-expired /
+    sd-clean subcommands (graphite-clickhouse.go:95-300)."""
+    import time as _time
+
+    from .sd import Registrar, cleanup, new_sd  # noqa: F401
+    from .sd.register import short_hostname
+
+    if not settings.sd_url:
+        return None
+
+    def fmt(ts):
+        return _time.strftime(
+            "%Y-%m-%dT%H:%M:%SZ", _time.gmtime(ts)
+        )
+
+    if args.sd_list:
+        sd = new_sd(settings, "")
+        for node in sd.nodes():
+            print(f"{sd.namespace()}/{node.key}: {node.value} "
+                  f"({fmt(node.flags)})")
+    elif args.sd_delete:
+        new_sd(settings, short_hostname()).clear("", "")
+    elif args.sd_evict:
+        for host in args.sd_evict:
+            new_sd(settings, host).clear("", "")
+    elif args.sd_expired or args.sd_clean:
+        sd = new_sd(settings, "")
+        for node, action in cleanup(settings, sd, bool(args.sd_expired)):
+            suffix = f", {action}" if action else ""
+            print(f"{node.key}: {node.value} ({fmt(node.flags)}){suffix}")
+    return None
 
 
 if __name__ == "__main__":

@@ -3,9 +3,12 @@ format (doc/config.md:233-521, config/config.go) so an existing deployment
 can bring its config file unchanged.
 
 Only the query-semantic knobs are honoured; infra-only sections (listen
-addresses, TLS, service discovery, logging, ClickHouse URLs) are parsed
-and recorded in ``Settings.ignored`` but have no Spark equivalent — Spark
-IS the execution engine, there is no database to dial.
+addresses, logging, ClickHouse URLs) are parsed and recorded in
+``Settings.ignored`` but have no Spark equivalent — Spark IS the
+execution engine, there is no database to dial. [common] service
+discovery (service-discovery-type/-ns/-ds/-expire, base_weight,
+degraged-*) IS honoured: it registers the driver's HTTP listener, see
+the sd/ package.
 
 Mapping (reference key -> here):
 - [common] max-metrics-in-find-answer / max-metrics-per-target -> find
@@ -107,6 +110,17 @@ class Settings:
     #: [prometheus] lookback-delta (config.go Prometheus section; the
     #: staleness window promql.NewEngine is built with, prometheus/run.go)
     prometheus_lookback_delta: float = 300.0
+    #: [common] service discovery (config.go:108-115, sd/register.go):
+    #: sd_url empty disables; defaults below follow
+    #: config.go NeedLoadAvgColect (:779-799)
+    sd_type: str = ""
+    sd_url: str = ""
+    sd_namespace: str = "graphite"
+    sd_dc: tuple = ()
+    sd_expire_sec: float = 86400.0
+    base_weight: int = 100
+    degraded_multiply: float = 4.0
+    degraded_load: float = 1.0
     #: sections/keys present in the file that have no Spark-side meaning
     ignored: list[str] = field(default_factory=list)
 
@@ -283,6 +297,30 @@ def load_settings(toml_text: str) -> Settings:
             # [common] find-cache section (cache.go:22-41, doc/config.md)
             cache_type=str(fc.get("type", "mem")),
             memcached_servers=tuple(fc.get("memcached-servers", [])),
+        )
+
+    # service discovery (config.go:108-115 keys; :779-799 defaults).
+    # sd_type accepts "nginx" (the only registered flavour) or "";
+    # anything else is the reference's "invalid sd type" error.
+    s.sd_type = str(common.get("service-discovery-type", "") or "")
+    if s.sd_type not in ("", "nginx"):
+        raise ValueError(f"invalid sd type {s.sd_type!r}")
+    s.sd_url = str(common.get("service-discovery", "") or "")
+    s.sd_dc = tuple(common.get("service-discovery-ds", []) or ())
+    if s.sd_url:
+        s.sd_namespace = str(
+            common.get("service-discovery-ns", "") or "graphite"
+        )
+        s.sd_expire_sec = max(
+            parse_go_duration(common.get("service-discovery-expire", 0)),
+            86400.0,
+        )
+        s.base_weight = int(common.get("base_weight", 0) or 0) or 100
+        s.degraded_multiply = (
+            float(common.get("degraged-multiply", 0) or 0) or 4.0
+        )
+        s.degraded_load = (
+            float(common.get("degraged-load-avg", 0) or 0) or 1.0
         )
 
     ff = raw.get("feature-flags", {})
