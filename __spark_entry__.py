@@ -1818,6 +1818,129 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (the LLM-training W-token
+    window step): per (source, consistent-hash shard) stream — chunk
+    count, boundary-crossing docs, final-chunk fill. Pure integer math
+    over one window sum; deterministic on any engine."""
+    from graphite_clickhouse_spark.pipeline.packing import pack_stats
+    from graphite_clickhouse_spark.pipeline.text import token_count
+    from graphite_clickhouse_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "n_tokens", token_count(F.col("text")).cast("long")
+    )
+    return pack_stats(docs, 256, num_shards=2).select(
+        "source", "shard", "docs", "total_tokens", "n_chunks",
+        "boundary_docs", "last_chunk_fill",
+    )
+
+
+SQL_PACK_SEQUENCES = """
+WITH d AS (
+    SELECT doc_id, source,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 2 AS shard
+    FROM documents
+), o AS (
+    SELECT *, sum(n_tokens) OVER (
+        PARTITION BY source, shard ORDER BY doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+    FROM d
+), l AS (
+    SELECT source, shard, n_tokens,
+           (cum - n_tokens) // 256 AS start_chunk,
+           CASE WHEN n_tokens > 0 THEN (cum - 1) // 256
+                ELSE (cum - n_tokens) // 256 END AS end_chunk
+    FROM o
+)
+SELECT source, CAST(shard AS INTEGER) AS shard, count(*) AS docs,
+       sum(n_tokens) AS total_tokens,
+       CAST(ceil(sum(n_tokens) / 256.0) AS BIGINT) AS n_chunks,
+       sum(CASE WHEN end_chunk > start_chunk THEN 1 ELSE 0 END) AS boundary_docs,
+       sum(n_tokens) - (CAST(ceil(sum(n_tokens) / 256.0) AS BIGINT) - 1) * 256
+           AS last_chunk_fill
+FROM l GROUP BY source, shard
+"""
+
+
+def q_unigram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality scoring (arXiv:1911.00359): mean negative
+    log-probability of each document under the corpus's own unigram MLE
+    — the distributed skeleton of perplexity filtering. One explode, one
+    vocab hash-agg, broadcast join back."""
+    from graphite_clickhouse_spark.pipeline.lm import unigram_logprob_score
+    from graphite_clickhouse_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = unigram_logprob_score(docs)
+    return out.select(
+        "doc_id", "n_tokens", F.round("mean_nll", 6).alias("mean_nll")
+    )
+
+
+SQL_UNIGRAM_QUALITY = """
+WITH t2 AS (
+    SELECT doc_id, word FROM (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+        FROM documents WHERE trim(text) <> ''
+    ) WHERE word <> ''
+), vocab AS (
+    SELECT word, count(*) AS cnt FROM t2 GROUP BY word
+), tot AS (
+    SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM vocab
+)
+SELECT doc_id, count(*) AS n_tokens,
+       round(-sum(ln(cnt / (SELECT total FROM tot))) / count(*), 6) AS mean_nll
+FROM t2 JOIN vocab USING (word)
+GROUP BY doc_id
+"""
+
+
+def q_dsir_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weighting (arXiv:2302.03169): per-document
+    mean log-likelihood ratio of the target-domain (source='src0')
+    unigram model vs the whole-corpus model, Laplace-smoothed over the
+    corpus vocabulary. Both distributions come from ONE explode pass."""
+    from graphite_clickhouse_spark.pipeline.lm import dsir_importance
+    from graphite_clickhouse_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = dsir_importance(docs, F.col("source") == "src0")
+    return out.select(
+        "doc_id", "n_tokens", F.round("mean_llr", 6).alias("mean_llr")
+    )
+
+
+SQL_DSIR_WEIGHT = """
+WITH t2 AS (
+    SELECT doc_id, source, word FROM (
+        SELECT doc_id, source,
+               unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+        FROM documents WHERE trim(text) <> ''
+    ) WHERE word <> ''
+), vocab AS (
+    SELECT word, count(*) AS cnt_c,
+           sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS cnt_t
+    FROM t2 GROUP BY word
+), tots AS (
+    SELECT sum(cnt_c) AS total_c, sum(cnt_t) AS total_t, count(*) AS v
+    FROM vocab
+), w AS (
+    SELECT word,
+           ln(((cnt_t + 0.5) * (total_c + 0.5 * v))
+              / ((cnt_c + 0.5) * (total_t + 0.5 * v))) AS llr
+    FROM vocab, tots
+)
+SELECT doc_id, count(*) AS n_tokens,
+       round(sum(llr) / count(*), 6) AS mean_llr
+FROM t2 JOIN w USING (word)
+GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1901,6 +2024,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "multimodal_wav_decode": (q_multimodal_wav_decode, SQL_MULTIMODAL_WAV_DECODE),
     "minhash_dedup": (q_minhash_dedup, SQL_MINHASH_DEDUP),
     "simhash_pairs": (q_simhash_pairs, SQL_SIMHASH_PAIRS),
+    "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
+    "unigram_quality": (q_unigram_quality, SQL_UNIGRAM_QUALITY),
+    "dsir_weight": (q_dsir_weight, SQL_DSIR_WEIGHT),
 }
 
 

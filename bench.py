@@ -58,6 +58,9 @@ BENCH_QUERIES = [
     "decontaminate",
     "sample_deterministic",
     "mix_sources",
+    "pack_sequences",
+    "unigram_quality",
+    "dsir_weight",
     "dedup_clusters",
     "fingerprint",
     "ngram_jaccard",

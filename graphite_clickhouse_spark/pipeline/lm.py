@@ -1,0 +1,138 @@
+"""Unigram language-model operators for corpus curation.
+
+Two published-filtering-method analogues, both pure DataFrame plans:
+
+- `unigram_logprob_score` — CCNet-style quality scoring (Wenzek et al.,
+  arXiv:1911.00359 score documents by LM perplexity and keep the
+  low-perplexity tail). The full method uses a KenLM 5-gram; the
+  distributed-counting skeleton is identical at any order, and the
+  unigram MLE over the corpus itself needs no external model: a
+  document's mean negative log-probability under the corpus unigram
+  distribution IS its unigram perplexity (log form).
+
+- `dsir_importance` — DSIR-style importance weighting (Xie et al.,
+  arXiv:2302.03169: weight source documents by the likelihood ratio of
+  a target-domain bag-of-words model vs the raw-corpus model, then
+  importance-resample). Implemented with Laplace-smoothed unigram
+  models; the per-document score is mean_w [ln p_target(w) - ln
+  p_corpus(w)], positive when a document looks more like the target
+  domain than like the corpus at large.
+
+Plan shape (both): explode whitespace tokens -> one hash aggregation for
+the vocabulary counts -> join the token stream back to the counts ->
+per-document aggregate. The vocabulary is orders of magnitude smaller
+than the corpus (heaps' law), so the join side is broadcast by default;
+pass broadcast_vocab=False at extreme vocabulary sizes to let AQE pick a
+shuffle join instead. No Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+
+def _token_stream(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, word) rows: lowercased whitespace tokens, empties dropped."""
+    return (
+        df.select(id_col, F.explode(tokens(F.lower(F.col(text_col)))).alias("word"))
+        .filter(F.col("word") != "")
+    )
+
+
+def unigram_counts(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus vocabulary: (word, cnt) — one explode + hash aggregate
+    (map-side partial agg; the classic word count, scale-safe)."""
+    return _token_stream(df, text_col, id_col).groupBy("word").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def unigram_logprob_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """Per document: token count and mean negative log-probability under
+    the corpus's own unigram MLE (nats). Low = fluent/common wording,
+    high = rare-word soup — threshold on a quantile to filter, as CCNet
+    does with its KenLM perplexity."""
+    stream = _token_stream(df, text_col, id_col)
+    # cache: the vocab feeds both the scalar total and the join, and it
+    # is small (Heaps' law) — caching avoids re-exploding the corpus
+    vocab = stream.groupBy("word").agg(F.count(F.lit(1)).alias("cnt")).cache()
+    total = vocab.agg(F.sum("cnt")).collect()[0][0] or 0
+    if broadcast_vocab:
+        vocab = F.broadcast(vocab)
+    scored = stream.join(vocab, "word")
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (-F.sum(F.log(F.col("cnt") / F.lit(float(total))))
+             / F.count(F.lit(1))).alias("mean_nll"),
+        )
+    )
+
+
+def dsir_importance(
+    df: DataFrame,
+    target_filter,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """Per document: mean log-likelihood ratio of the target-domain
+    unigram model vs the whole-corpus model (`target_filter` is a
+    boolean Column selecting the target-domain rows, e.g.
+    F.col("source") == "src0").
+
+    Both models are Laplace-smoothed over the CORPUS vocabulary V:
+    p(w) = (cnt(w) + alpha) / (total + alpha*|V|), so target-unseen
+    words get finite negative weight instead of -inf. Resample with
+    pipeline.sampling.deterministic_sample on exp(score) acceptance to
+    complete the DSIR recipe.
+    """
+    stream = _token_stream(df, text_col, id_col)
+    # both distributions from ONE explode pass: conditional counts keyed
+    # by whether the row came from a target-domain document
+    tagged = (
+        df.withColumn("_t", target_filter.cast("int"))
+        .select(id_col, "_t",
+                F.explode(tokens(F.lower(F.col(text_col)))).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    vocab = tagged.groupBy("word").agg(
+        F.count(F.lit(1)).alias("cnt_c"),
+        F.sum("_t").alias("cnt_t"),
+    ).cache()
+    totals = vocab.agg(
+        F.sum("cnt_c"), F.sum("cnt_t"), F.count(F.lit(1))
+    ).collect()[0]
+    total_c, total_t, v = int(totals[0]), int(totals[1]), int(totals[2])
+    # scalar denominators as driver-side literals, so the per-word
+    # expression is a single ln of one exact double ratio — written
+    # identically in the DuckDB oracle for bit-agreement
+    denom_t = total_t + alpha * v
+    denom_c = total_c + alpha * v
+    weight = F.log(
+        ((F.col("cnt_t") + F.lit(alpha)) * F.lit(denom_c))
+        / ((F.col("cnt_c") + F.lit(alpha)) * F.lit(denom_t))
+    )
+    vocab = vocab.select("word", weight.alias("llr"))
+    if broadcast_vocab:
+        vocab = F.broadcast(vocab)
+    return (
+        stream.join(vocab, "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (F.sum("llr") / F.count(F.lit(1))).alias("mean_llr"),
+        )
+    )
