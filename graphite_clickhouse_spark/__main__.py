@@ -75,13 +75,34 @@ def main(argv=None):
                     help="list expired SD records, then exit")
     ap.add_argument("--sd-clean", action="store_true",
                     help="delete expired SD records, then exit")
+    ap.add_argument("--version", action="store_true",
+                    help="print version and exit")
+    ap.add_argument(
+        "--match", nargs="+", metavar="METRIC",
+        help="print the rollup rules the named metrics match, then exit "
+             "(the reference CLI's `match` debug command)",
+    )
+    ap.add_argument("--age", type=int, default=0,
+                    help="data age in seconds for --match lookups")
+    ap.add_argument("--rollup",
+                    help="rollup rules XML file for --match (instead of "
+                         "the config's rollup-conf)")
     args = ap.parse_args(argv)
+
+    if args.version:
+        from . import __version__
+
+        print(f"graphite_clickhouse_spark {__version__}")
+        return None
 
     from .config import Settings, load_settings_file
 
     settings = Settings()
     if args.config:
         settings = load_settings_file(args.config)
+
+    if args.match:
+        return _match_command(settings, args)
 
     if (args.sd_list or args.sd_delete or args.sd_evict or args.sd_expired
             or args.sd_clean):
@@ -145,6 +166,40 @@ def main(argv=None):
         if registrar is not None:
             registrar.stop()
     return srv
+
+
+def _match_command(settings, args):
+    """`--match metric... [--age N] [--rollup file.xml]` — which rollup
+    rules a metric resolves to (graphite-clickhouse.go:299-416
+    checkRollupMatch / printMatchedRollupRules, same output shape)."""
+    from .operators.rollup import Rules
+
+    if args.rollup:
+        print(f'rollup file "{args.rollup}"')
+        with open(args.rollup) as fh:
+            rules = Rules.from_xml(fh.read())
+    else:
+        rules = settings.rules
+    for metric in args.match:
+        prec, aggr, ap_, rp = rules.lookup_verbose(metric, args.age)
+        print(f'  metric "{metric}", age {args.age} -> '
+              f'precision={prec}, aggr={aggr}')
+        if ap_ is not None:
+            line = (f'    aggr pattern: type={ap_.rule_type}, '
+                    f'regexp="{ap_.regexp}", function={ap_.function or ""}')
+            if ap_.retention:
+                print(line + ", retentions:")
+                for r in ap_.retention:
+                    print(f"    [age: {r.age}, precision: {r.precision}]")
+            else:
+                print(line)
+        if rp is not None:
+            print(f'    retention pattern: type={rp.rule_type}, '
+                  f'regexp="{rp.regexp}", function={rp.function or ""}, '
+                  f"retentions:")
+            for r in rp.retention:
+                print(f"    [age: {r.age}, precision: {r.precision}]")
+    return None
 
 
 def _sd_command(settings, args):

@@ -145,8 +145,20 @@ class Rules:
 
     def lookup(self, metric: str, age: int) -> tuple[int, str]:
         """-> (precision, function) for one metric at a given age."""
+        precision, function, _, _ = self.lookup_verbose(metric, age)
+        return precision, function
+
+    def lookup_verbose(
+        self, metric: str, age: int
+    ) -> tuple[int, str, "Pattern | None", "Pattern | None"]:
+        """-> (precision, function, aggr_pattern, retention_pattern):
+        which patterns supplied the function and the precision — the
+        reference's verbose Lookup (rules.go:285), backing the CLI
+        `match` debug command (graphite-clickhouse.go:299-324)."""
         function: str | None = None
         precision: int | None = None
+        aggr_pattern: Pattern | None = None
+        retention_pattern: Pattern | None = None
         for p in self._candidates(metric):
             # skip patterns with nothing left to contribute
             can_give_function = function is None and p.function is not None
@@ -157,21 +169,26 @@ class Rules:
                 continue
             if function is None and p.function is not None:
                 function = p.function
+                aggr_pattern = p
             if precision is None and p.retention:
                 ret = p.retention
                 for i, r in enumerate(ret):
                     if age < r.age:
                         if i > 0:
                             precision = ret[i - 1].precision
+                            retention_pattern = p
                         break
                     if i == len(ret) - 1:
                         precision = r.precision
+                        retention_pattern = p
                         break
             if function is not None and precision is not None:
-                return precision, function
+                return precision, function, aggr_pattern, retention_pattern
         return (
             precision if precision is not None else SUPER_DEFAULT_PRECISION,
             function if function is not None else SUPER_DEFAULT_FUNCTION,
+            aggr_pattern,
+            retention_pattern,
         )
 
     def lookup_many(

@@ -343,3 +343,24 @@ class TestStorageLimitsGuardPlan:
         base = series()
         guarded = series(storage_limits=StorageLimits(max_rows_to_read=10_000))
         assert base == guarded and base
+
+
+class TestPackingPlanShape:
+    def test_single_exchange_no_joins(self, spark):
+        # the whole packing layout is ONE shuffle (the window partition
+        # by pack stream); stats add only the partial+final agg on top
+        from graphite_clickhouse_spark.pipeline.packing import (
+            pack_layout,
+            pack_stats,
+        )
+
+        df = spark.createDataFrame(
+            [(i, f"s{i % 3}", 10 + i) for i in range(100)],
+            "doc_id long, source string, n_tokens long",
+        )
+        layout_plan = plan_of(pack_layout(df, 256, num_shards=2))
+        assert layout_plan.count("Exchange") == 1
+        assert "Join" not in layout_plan
+        stats_plan = plan_of(pack_stats(df, 256, num_shards=2))
+        assert stats_plan.count("Exchange") <= 2
+        assert "partial_count" in stats_plan or "partial_sum" in stats_plan

@@ -107,3 +107,41 @@ class TestDefaultFirstOrdering:
         r = Rules.from_xml(xml)
         assert r.lookup("a.b.sum", 0) == (10, "sum")
         assert r.lookup("a.b.other", 0) == (10, "avg")
+
+
+def test_lookup_verbose_reports_source_patterns():
+    # the verbose Lookup (rules.go:285) returns WHICH pattern supplied
+    # the function and which the precision — the `match` CLI's payload
+    rules = Rules.from_xml(XML)
+    prec, fn, ap_, rp = rules.lookup_verbose("a.b.sum", 0)
+    assert (prec, fn) == (60, "sum")
+    assert ap_ is not None and ap_.regexp == "\\.sum$"
+    assert rp is not None and rp.regexp == ""  # the <default> block
+    prec, fn, ap_, rp = rules.lookup_verbose("a.b.min", 90000)
+    assert (prec, fn) == (300, "min")
+    assert ap_ is rp and ap_.regexp == "\\.min$"
+    # hourly.: function from default, retention from pattern 2
+    prec, fn, ap_, rp = rules.lookup_verbose("hourly.x", 0)
+    assert (prec, fn) == (3600, "avg")
+    assert rp.regexp == "^hourly\\."
+    assert ap_.regexp == ""
+
+
+def test_cli_match_and_version(tmp_path, capsys):
+    from graphite_clickhouse_spark.__main__ import main
+
+    xml = tmp_path / "rollup.xml"
+    xml.write_text(XML)
+    main(["--match", "a.b.min", "hourly.x", "--age", "90000",
+          "--rollup", str(xml)])
+    out = capsys.readouterr().out
+    assert f'rollup file "{xml}"' in out
+    assert '  metric "a.b.min", age 90000 -> precision=300, aggr=min' in out
+    assert 'aggr pattern: type=all, regexp="\\.min$", function=min, retentions:' in out
+    assert "    [age: 86400, precision: 300]" in out
+    assert '  metric "hourly.x", age 90000 -> precision=3600, aggr=avg' in out
+    assert 'retention pattern: type=all, regexp="^hourly\\.", function=' in out
+
+    main(["--version"])
+    out = capsys.readouterr().out
+    assert out.startswith("graphite_clickhouse_spark ")
