@@ -1202,6 +1202,44 @@ FROM documents
 """
 
 
+def q_multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode (pure-numpy Huffman + dequant + IDCT):
+    flat grayscale JPEGs synthesized per doc_id, decoded end-to-end in
+    Arrow batches. A flat 8x8 block quantizes to DC-only, so the decoded
+    constant has a closed form — clip(128 + 2*round_half_away((c-128)/2))
+    at the Annex-K q00=16 — which the oracle recomputes; any mis-parse
+    of the entropy stream, DC prediction, dequant or IDCT mismatches."""
+    from graphite_clickhouse_spark.pipeline.multimodal import (
+        extract_features,
+        synthetic_jpeg_assets,
+    )
+    from graphite_clickhouse_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = extract_features(synthetic_jpeg_assets(docs))
+    return feats.select(
+        "asset_id", "width", "height",
+        F.element_at("feature", 1).cast("double").alias("mean_gray"),
+    )
+
+
+SQL_MULTIMODAL_JPEG_DECODE = """
+WITH g AS (
+    SELECT doc_id, (5 * doc_id) % 256 - 128 AS s FROM documents
+), q AS (
+    SELECT doc_id, s,
+           CASE WHEN s >= 0 THEN floor(s / 2.0 + 0.5)
+                ELSE -floor(-s / 2.0 + 0.5) END AS qdc
+    FROM g
+)
+SELECT doc_id AS asset_id,
+       CAST(9 + doc_id % 25 AS INTEGER) AS width,
+       CAST(7 + doc_id % 18 AS INTEGER) AS height,
+       LEAST(255.0, GREATEST(0.0, 2 * qdc + 128)) AS mean_gray
+FROM q
+"""
+
+
 def q_multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode: per-doc PCM WAVs carrying a ramp signal whose
     every sample is SQL-computable; the oracle verifies the decoded
@@ -2021,6 +2059,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
     "multimodal_bmp_decode": (q_multimodal_bmp_decode, SQL_MULTIMODAL_BMP_DECODE),
+    "multimodal_jpeg_decode": (q_multimodal_jpeg_decode, SQL_MULTIMODAL_JPEG_DECODE),
     "multimodal_wav_decode": (q_multimodal_wav_decode, SQL_MULTIMODAL_WAV_DECODE),
     "minhash_dedup": (q_minhash_dedup, SQL_MINHASH_DEDUP),
     "simhash_pairs": (q_simhash_pairs, SQL_SIMHASH_PAIRS),

@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "simhash_pairs",
     "multimodal_features",
     "multimodal_bmp_decode",
+    "multimodal_jpeg_decode",
     "multimodal_wav_decode",
 ]
 

@@ -2,11 +2,12 @@
 with typed metadata, processed in Arrow batches via mapInPandas.
 
 Decode is REAL for the formats the stdlib + numpy can handle — BMP,
-8-bit PNG, PCM WAV (pipeline/codecs.py) — dispatched by magic bytes.
-Formats that genuinely need a native codec (JPEG etc.) fall back to the
-clearly-marked deterministic fake so the plumbing — schemas, batch
-iteration, partition sizing, UDF signatures — stays exercised either
-way. Swapping the fallback for PIL/turbojpeg is a one-function change.
+8-bit PNG, baseline JPEG, PCM WAV (pipeline/codecs.py) — dispatched by
+magic bytes. Anything else (progressive JPEG, video containers, ...)
+falls back to the clearly-marked deterministic fake so the plumbing —
+schemas, batch iteration, partition sizing, UDF signatures — stays
+exercised either way. Swapping the fallback for PIL/ffmpeg is a
+one-function change.
 """
 
 from __future__ import annotations
@@ -65,6 +66,9 @@ def _decode_any(modality: str, payload: bytes) -> tuple[int, int, list[float]]:
             return w, h, codecs.image_features(px)
         if payload[:8] == b"\x89PNG\r\n\x1a\n":
             w, h, px = codecs.decode_png(payload)
+            return w, h, codecs.image_features(px)
+        if payload[:3] == b"\xff\xd8\xff":
+            w, h, px = codecs.decode_jpeg(payload)
             return w, h, codecs.image_features(px)
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             rate, samples = codecs.decode_wav(payload)
@@ -157,6 +161,36 @@ def synthetic_bmp_assets(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 out["modality"].append("image")
                 out["mime"].append("image/bmp")
                 out["payload"].append(codecs.encode_bmp(px))
+                out["meta"].append({})
+            yield pd.DataFrame(out)
+
+    return ids.select(id_col).mapInPandas(kernel, ASSET_SCHEMA)
+
+
+def synthetic_jpeg_assets(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """One flat grayscale baseline JPEG per id: width = 9 + id%25,
+    height = 7 + id%18 (deliberately not multiples of 8 — exercises edge
+    padding), gray = (5*id)%256. A flat block quantizes to DC-only with
+    an exactly predictable constant — decoded gray = clip(128 +
+    2*round_half_away((c-128)/2)) at q00=16 — so an SQL oracle verifies
+    the full Huffman/dequant/IDCT path bit-for-bit."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from graphite_clickhouse_spark.pipeline import codecs
+
+        for pdf in batches:
+            out = {"asset_id": [], "modality": [], "mime": [], "payload": [],
+                   "meta": []}
+            for i in pdf[id_col]:
+                i = int(i)
+                w, h = 9 + i % 25, 7 + i % 18
+                px = np.full((h, w, 1), (5 * i) % 256, np.uint8)
+                out["asset_id"].append(i)
+                out["modality"].append("image")
+                out["mime"].append("image/jpeg")
+                out["payload"].append(codecs.encode_jpeg(px))
                 out["meta"].append({})
             yield pd.DataFrame(out)
 

@@ -761,3 +761,121 @@ def test_semantic_dedup_greedy_keep_rule(spark):
     assert got[11] == (0, False)    # dominated by 0 and 10
     assert got[1] == (1, True)
     assert got[20][1] is True       # no >=0.95 neighbor in cell B
+
+
+class TestJpegCodec:
+    """Baseline JPEG (pipeline/codecs.py): real Huffman + DCT both ways."""
+
+    def test_flat_gray_closed_form(self):
+        # flat blocks are DC-only: decoded constant is exactly
+        # clip(128 + 2*round_half_away((c-128)/2)) at q00=16 — the same
+        # closed form the multimodal_jpeg_decode oracle recomputes
+        import numpy as np
+
+        from graphite_clickhouse_spark.pipeline import codecs
+
+        for c in range(0, 256, 5):
+            px = np.full((7, 9, 1), c, np.uint8)
+            w, h, out = codecs.decode_jpeg(codecs.encode_jpeg(px))
+            s = c - 128
+            q = int(np.sign(s) * np.floor(abs(s) / 2 + 0.5))
+            expect = min(255, max(0, 2 * q + 128))
+            assert (w, h) == (9, 7)
+            assert (out == expect).all(), (c, expect, np.unique(out))
+
+    def test_color_roundtrip_within_quantization_error(self):
+        import numpy as np
+
+        from graphite_clickhouse_spark.pipeline import codecs
+
+        rng = np.random.default_rng(7)
+        base = rng.integers(0, 256, (2, 2, 3)).astype(np.float64)
+        px = np.kron(base, np.ones((12, 16, 1)))[:20, :28].astype(np.uint8)
+        for subsample in (False, True):
+            data = codecs.encode_jpeg(px, subsample=subsample)
+            w, h, out = codecs.decode_jpeg(data)
+            assert (w, h) == (28, 20)
+            err = np.abs(out.astype(int) - px.astype(int))
+            # blocky content: loss is bounded by quantization, not huge
+            assert err.mean() < 8 and err.max() < 48, (subsample, err.max())
+
+    def test_restart_markers_decode_identically(self):
+        import numpy as np
+
+        from graphite_clickhouse_spark.pipeline import codecs
+
+        rng = np.random.default_rng(11)
+        px = rng.integers(0, 256, (33, 41, 1)).astype(np.uint8)
+        plain = codecs.encode_jpeg(px)
+        rst = codecs.encode_jpeg(px, restart_interval=3)
+        assert b"\xff\xdd" in rst and b"\xff\xd0" in rst
+        _, _, a = codecs.decode_jpeg(plain)
+        _, _, b = codecs.decode_jpeg(rst)
+        assert (a == b).all()
+
+    def test_bitwriter_stuffs_and_reader_unstuffs(self):
+        from graphite_clickhouse_spark.pipeline.codecs import (
+            _BitReader,
+            _BitWriter,
+        )
+
+        bw = _BitWriter()
+        bw.put(0xFF, 8)
+        bw.put(0xFF, 8)
+        bw.put(0xA5, 8)
+        bw.flush()
+        assert bytes(bw.out) == b"\xff\x00\xff\x00\xa5"
+        br = _BitReader(bytes(bw.out), 0)
+        assert (br.bits(8), br.bits(8), br.bits(8)) == (0xFF, 0xFF, 0xA5)
+
+    def test_byte_stuffing_survives_end_to_end(self):
+        # these seeds produce scans containing stuffed 0xFF00 sequences
+        # (verified below); decode must unstuff and still roundtrip
+        import numpy as np
+
+        from graphite_clickhouse_spark.pipeline import codecs
+
+        hit_ff = False
+        for seed in (56, 96, 106, 121, 139):
+            rng = np.random.default_rng(seed)
+            px = rng.integers(0, 256, (24, 24, 1)).astype(np.uint8)
+            data = codecs.encode_jpeg(px)
+            scan = data[data.index(b"\xff\xda") + 10:-2]
+            hit_ff = hit_ff or b"\xff\x00" in scan
+            w, h, out = codecs.decode_jpeg(data)
+            assert (w, h, out.shape) == (24, 24, (24, 24, 1))
+        assert hit_ff  # the property actually got exercised
+
+    def test_rejects_non_baseline_and_garbage(self):
+        import numpy as np
+        import pytest as _pytest
+
+        from graphite_clickhouse_spark.pipeline import codecs
+
+        with _pytest.raises(codecs.CodecError):
+            codecs.decode_jpeg(b"\x00\x01\x02")
+        data = bytearray(codecs.encode_jpeg(np.zeros((8, 8, 1), np.uint8)))
+        sof = data.index(b"\xff\xc0")
+        data[sof + 1] = 0xC2  # progressive SOF2
+        with _pytest.raises(codecs.CodecError):
+            codecs.decode_jpeg(bytes(data))
+
+    def test_extract_features_dispatches_jpeg(self, spark):
+        from graphite_clickhouse_spark.pipeline.multimodal import (
+            extract_features,
+            synthetic_jpeg_assets,
+        )
+
+        ids = spark.range(0, 8).withColumnRenamed("id", "doc_id")
+        rows = {
+            r["asset_id"]: r
+            for r in extract_features(synthetic_jpeg_assets(ids)).collect()
+        }
+        for i in range(8):
+            assert rows[i]["width"] == 9 + i % 25
+            assert rows[i]["height"] == 7 + i % 18
+            s = (5 * i) % 256 - 128
+            q = (abs(s) // 2 + (1 if abs(s) % 2 else 0)) * (1 if s >= 0 else -1)
+            # round_half_away((odd)/2) rounds up in magnitude
+            expect = min(255, max(0, 2 * q + 128))
+            assert rows[i]["feature"][0] == float(expect)

@@ -271,7 +271,9 @@ class TestCarbonLineReceiver:
             with socket.create_connection((host, port), timeout=10) as s:
                 for i in range(6):
                     s.sendall(f"m.x {i} {60 + i}\n".encode())
-                deadline = time.monotonic() + 10
+                # generous deadline: the full suite runs this box at
+                # heavy parallel load and 10s has proven flaky there
+                deadline = time.monotonic() + 60
                 while time.monotonic() < deadline:
                     files = [f for f in os.listdir(spool) if f.endswith(".txt")]
                     if len(files) >= 3:
