@@ -301,6 +301,8 @@ def _zigzag() -> list[tuple[int, int]]:
 
 
 _ZZ = _zigzag()  # zigzag index -> (row, col)
+_ZZ_R = np.array([r for r, _ in _ZZ])
+_ZZ_C = np.array([c for _, c in _ZZ])
 
 # T.81 DCT basis: A[0,x] = 1/(2*sqrt(2)), A[u,x] = cos((2x+1)u*pi/16)/2.
 # Forward F = A @ f @ A.T (flat block v -> DC 8v, AC 0); inverse
@@ -367,19 +369,17 @@ def _encode_plane_blocks(plane: np.ndarray, qt: np.ndarray) -> list[list[tuple[i
     ph, pw = (h + 7) & ~7, (w + 7) & ~7
     padded = np.pad(plane.astype(np.float64) - 128.0,
                     ((0, ph - h), (0, pw - w)), mode="edge")
-    blocks = []
-    for by in range(0, ph, 8):
-        for bx in range(0, pw, 8):
-            f = padded[by:by + 8, bx:bx + 8]
-            coef = _DCT_A @ f @ _DCT_A.T
-            # snap the ~1e-13 float-product error so integer-valued
-            # coefficients (flat blocks: DC = 8v, AC = 0) quantize on
-            # the exact closed form the SQL oracle recomputes
-            coef = np.round(coef, 6)
-            q = np.sign(coef) * np.floor(np.abs(coef) / qt + 0.5)
-            zz = [int(q[r, c]) for r, c in _ZZ]
-            blocks.append(zz)
-    return blocks
+    # all blocks in one einsum: (nby, 8, nbx, 8) -> (nb, 8, 8) batch DCT
+    f = padded.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3)
+    f = f.reshape(-1, 8, 8)
+    coef = np.einsum("ux,bxy,vy->buv", _DCT_A, f, _DCT_A)
+    # snap the ~1e-13 float-product error so integer-valued
+    # coefficients (flat blocks: DC = 8v, AC = 0) quantize on the exact
+    # closed form the SQL oracle recomputes
+    coef = np.round(coef, 6)
+    q = (np.sign(coef) * np.floor(np.abs(coef) / qt + 0.5)).astype(np.int64)
+    zz = q[:, _ZZ_R, _ZZ_C]  # (nb, 64) in zigzag order
+    return [row.tolist() for row in zz]
 
 
 def _block_symbols(blocks, dc_pred: int):
@@ -609,7 +609,21 @@ def _extend(v: int, s: int) -> int:
 
 
 def decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray]:
-    """Baseline JPEG -> (w, h, (H, W, C) uint8); C = 1 gray, 3 RGB."""
+    """Baseline JPEG -> (w, h, (H, W, C) uint8); C = 1 gray, 3 RGB.
+
+    Malformed input raises CodecError — low-level struct/index/key
+    errors from a corrupt container are mapped at this boundary, like
+    the other decoders (fuzz-pinned in test_pipeline.py)."""
+    try:
+        return _decode_jpeg(data)
+    except CodecError:
+        raise
+    except (struct.error, IndexError, KeyError, StopIteration,
+            ValueError) as exc:
+        raise CodecError(f"corrupt JPEG: {exc}") from exc
+
+
+def _decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray]:
     if data[:3] != b"\xff\xd8\xff":
         raise CodecError("not a JPEG")
     qt: dict[int, np.ndarray] = {}
@@ -703,12 +717,14 @@ def _decode_scan(data, pos, frame, scan, qt, huff, restart_interval):
             s[0]["id"]: (mcux * s[0]["h"], mcuy * s[0]["v"]) for s in scan
         }
         per_mcu = [(s, s[0]["h"], s[0]["v"]) for s in scan]
-    planes = {
-        cid: np.zeros((bh * 8, bw * 8), np.float64)
-        for cid, (bw, bh) in grids.items()
-    }
     br = _BitReader(data, pos)
     dc_pred = {s[0]["id"]: 0 for s in scan}
+    # entropy decode is inherently sequential; the numeric tail
+    # (dequant + IDCT) is batched per plane below
+    blocks: dict[int, list] = {s[0]["id"]: [] for s in scan}
+    positions: dict[int, list] = {s[0]["id"]: [] for s in scan}
+    qzz = {s[0]["id"]: qt[s[0]["tq"]][_ZZ_R, _ZZ_C].astype(np.float64)
+           for s in scan}
     for m in range(mcux * mcuy):
         if restart_interval and m and m % restart_interval == 0:
             br.restart()
@@ -716,10 +732,9 @@ def _decode_scan(data, pos, frame, scan, qt, huff, restart_interval):
         my, mx = divmod(m, mcux)
         for (comp, tdc, tac), sh, sv in per_mcu:
             cid = comp["id"]
-            q = qt[comp["tq"]]
             for byy in range(sv):
                 for bxx in range(sh):
-                    zz = np.zeros(64, np.int32)
+                    zz = [0] * 64
                     s = _huff_decode(br, huff[(0, tdc)])
                     diff = _extend(br.bits(s), s)
                     dc_pred[cid] += diff
@@ -738,13 +753,22 @@ def _decode_scan(data, pos, frame, scan, qt, huff, restart_interval):
                             raise CodecError("AC run past block end")
                         zz[k] = _extend(br.bits(s), s)
                         k += 1
-                    coef = np.zeros((8, 8), np.float64)
-                    for kk, (rr, cc) in enumerate(_ZZ):
-                        coef[rr, cc] = zz[kk] * q[rr, cc]
-                    block = _DCT_A.T @ coef @ _DCT_A
-                    by0 = (my * sv + byy) * 8
-                    bx0 = (mx * sh + bxx) * 8
-                    planes[cid][by0:by0 + 8, bx0:bx0 + 8] = block
+                    blocks[cid].append(zz)
+                    positions[cid].append(
+                        ((my * sv + byy) * 8, (mx * sh + bxx) * 8)
+                    )
+    planes = {}
+    for cid, (bw, bh) in grids.items():
+        plane = np.zeros((bh * 8, bw * 8), np.float64)
+        if blocks[cid]:
+            zzs = np.asarray(blocks[cid], np.float64) * qzz[cid]
+            coefs = np.zeros((len(zzs), 8, 8), np.float64)
+            coefs[:, _ZZ_R, _ZZ_C] = zzs
+            # batched IDCT: f = A.T @ F @ A for every block at once
+            spatial = np.einsum("ux,buv,vy->bxy", _DCT_A, coefs, _DCT_A)
+            for (by0, bx0), blk in zip(positions[cid], spatial):
+                plane[by0:by0 + 8, bx0:bx0 + 8] = blk
+        planes[cid] = plane
     return planes
 
 

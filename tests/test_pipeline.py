@@ -879,3 +879,37 @@ class TestJpegCodec:
             # round_half_away((odd)/2) rounds up in magnitude
             expect = min(255, max(0, 2 * q + 128))
             assert rows[i]["feature"][0] == float(expect)
+
+    def test_fuzz_corrupt_jpeg_raises_codec_error(self):
+        # fuzz pattern from the r3 protobuf/varint findings: every
+        # hand-rolled parser must map malformed input to its typed
+        # error, never leak struct.error/IndexError or hang
+        import numpy as np
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from graphite_clickhouse_spark.pipeline import codecs
+
+        base = codecs.encode_jpeg(
+            np.arange(64, dtype=np.uint8).reshape(8, 8, 1)
+        )
+
+        @settings(max_examples=150, deadline=None)
+        @given(
+            st.one_of(
+                st.binary(max_size=64),  # garbage
+                st.integers(3, len(base) - 1).map(lambda n: base[:n]),  # truncated
+                st.tuples(
+                    st.integers(2, len(base) - 1), st.integers(0, 255)
+                ).map(
+                    lambda t: base[:t[0]] + bytes([t[1]]) + base[t[0] + 1:]
+                ),  # bit-flipped
+            )
+        )
+        def check(data):
+            try:
+                codecs.decode_jpeg(data)
+            except codecs.CodecError:
+                pass  # the contract: typed error or a successful decode
+
+        check()
