@@ -65,6 +65,10 @@ def main(argv=None):
     )
     ap.add_argument("--check", action="store_true",
                     help="validate config + engine wiring, then exit")
+    ap.add_argument("--build-tags", action="store_true",
+                    help="run the tagger batch job ([tags] rules over the "
+                         "metric namespace) and exit — the reference's "
+                         "`-tags` mode")
     ap.add_argument("--sd-list", action="store_true",
                     help="list registered nodes in SD, then exit")
     ap.add_argument("--sd-delete", action="store_true",
@@ -111,6 +115,8 @@ def main(argv=None):
     from .session import get_spark
 
     spark = get_spark("graphite-clickhouse-spark-server")
+    if args.build_tags:
+        return _build_tags(spark, settings, args)
     engine = build_engine(spark, settings, args.data, args.sf_events)
     if args.check:
         print("config + engine OK", file=sys.stderr)
@@ -166,6 +172,53 @@ def main(argv=None):
         if registrar is not None:
             registrar.stop()
     return srv
+
+
+def _build_tags(spark, settings, args):
+    """The reference's `-tags` batch mode (graphite-clickhouse.go:549-552,
+    tagger.Make): read the metric namespace, apply the [tags] rules
+    file, write the tagged table. Input: [tags] input-file (text lines
+    or a parquet with a path/name column) or the --data path index;
+    output: [tags] output-file as a parquet directory (the Spark-native
+    stand-in for the reference's RowBinary upload file)."""
+    import sys as _sys
+
+    from .pipeline.tagger import parse_rules, tagged_table
+
+    if not settings.tags_rules_path:
+        raise SystemExit("--build-tags needs [tags] rules in the config")
+    if not settings.tags_output_path:
+        raise SystemExit("--build-tags needs [tags] output-file")
+    with open(settings.tags_rules_path) as fh:
+        rules = parse_rules(fh.read())
+
+    if settings.tags_input_file:
+        src = settings.tags_input_file
+        if src.endswith(".parquet") or src.endswith("/"):
+            paths = spark.read.parquet(src)
+            col = "path" if "path" in paths.columns else "name"
+            paths = paths.select(paths[col].alias("path"))
+        else:
+            from pyspark.sql import functions as F
+
+            paths = (
+                spark.read.text(src)
+                .select(F.trim("value").alias("path"))
+                .filter(F.col("path") != "")
+            )
+    elif args.data:
+        from .streaming.ingest import IngestJob
+
+        paths = IngestJob(args.data).read_path_index(spark).select("path")
+    else:
+        raise SystemExit("--build-tags needs [tags] input-file or --data")
+
+    out = tagged_table(paths, rules)
+    out.write.mode("overwrite").parquet(settings.tags_output_path)
+    n = spark.read.parquet(settings.tags_output_path).count()
+    print(f"tagger: wrote {n} tagged paths to {settings.tags_output_path}",
+          file=_sys.stderr)
+    return None
 
 
 def _match_command(settings, args):

@@ -121,6 +121,13 @@ class Settings:
     base_weight: int = 100
     degraded_multiply: float = 4.0
     degraded_load: float = 1.0
+    #: [tags] — the tagger batch job (config.go:281-295, tagger/):
+    #: rules file, optional metric-list input, output location (a
+    #: parquet directory here; the reference writes a RowBinary upload
+    #: file). Empty rules disables the `--build-tags` mode.
+    tags_rules_path: str = ""
+    tags_input_file: str = ""
+    tags_output_path: str = ""
     #: sections/keys present in the file that have no Spark-side meaning
     ignored: list[str] = field(default_factory=list)
 
@@ -398,6 +405,14 @@ def load_settings(toml_text: str) -> Settings:
     }
     s.data_tables = list(raw.get("data-table", []))
     s.rules = _read_rollup(ch, s.data_tables, s.ignored)
+
+    tags_cfg = raw.get("tags", {}) or {}
+    s.tags_rules_path = str(tags_cfg.get("rules", "") or "")
+    s.tags_input_file = str(tags_cfg.get("input-file", "") or "")
+    s.tags_output_path = str(tags_cfg.get("output-file", "") or "")
+    for key in tags_cfg:
+        if key not in ("rules", "input-file", "output-file"):
+            s.ignored.append(f"tags.{key}")
 
     prom = raw.get("prometheus", {}) or {}
     s.prometheus_lookback_delta = parse_go_duration(

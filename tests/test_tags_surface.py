@@ -304,3 +304,54 @@ class TestPlainFromTagged:
             ).collect()
         ]
         assert got == ["graphite?app=telegraf&metric=telegraf.db01.cpu.avg"]
+
+
+class TestBuildTagsCLI:
+    """--build-tags: the reference's `-tags` batch mode
+    (graphite-clickhouse.go:549-552) — [tags] rules over a metric list,
+    tagged table written as parquet."""
+
+    def test_end_to_end_text_input(self, spark, tmp_path, capsys):
+        from graphite_clickhouse_spark.__main__ import main
+
+        rules = tmp_path / "rules.toml"
+        rules.write_text(
+            '[[rule]]\nregexp = "^carbon\\\\."\ntag = "scope=internal"\n'
+            '[[rule]]\nhas-suffix = ".cpu"\ntags = ["unit=percent", "kind=cpu"]\n'
+        )
+        metrics = tmp_path / "metrics.txt"
+        metrics.write_text(
+            "carbon.agents.host1.cpu\nweb.host2.cpu\nweb.host2.mem\n\n"
+        )
+        out_dir = tmp_path / "tagged"
+        conf = tmp_path / "gch.conf"
+        conf.write_text(
+            "[tags]\n"
+            f'rules = "{rules}"\n'
+            f'input-file = "{metrics}"\n'
+            f'output-file = "{out_dir}"\n'
+        )
+        main(["--config", str(conf), "--build-tags"])
+        assert "wrote 2 tagged paths" in capsys.readouterr().err
+
+        got = {
+            r["path"]: list(r["tags"])
+            for r in spark.read.parquet(str(out_dir)).collect()
+        }
+        # union of ALL matching rules' tags, sorted (tagger.go Set)
+        assert got == {
+            "carbon.agents.host1.cpu": [
+                "kind=cpu", "scope=internal", "unit=percent"
+            ],
+            "web.host2.cpu": ["kind=cpu", "unit=percent"],
+        }  # web.host2.mem matched nothing -> not uploaded
+
+    def test_requires_rules_and_output(self, tmp_path):
+        import pytest as _pytest
+
+        from graphite_clickhouse_spark.__main__ import main
+
+        conf = tmp_path / "gch.conf"
+        conf.write_text("[tags]\n")
+        with _pytest.raises(SystemExit):
+            main(["--config", str(conf), "--build-tags"])
