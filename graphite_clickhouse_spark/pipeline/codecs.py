@@ -30,6 +30,27 @@ class CodecError(ValueError):
     pass
 
 
+def _codec_boundary(fn):
+    """Decorator: a corrupt container must surface as CodecError, not a
+    leaked struct/zlib/index/value error (fuzz-pinned in
+    test_pipeline.py). CodecError subclasses ValueError, so re-raise it
+    first."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(data: bytes):
+        try:
+            return fn(data)
+        except CodecError:
+            raise
+        except (struct.error, zlib.error, IndexError, KeyError,
+                EOFError, StopIteration, ValueError) as exc:
+            raise CodecError(f"corrupt container: {exc}") from exc
+
+    return wrapped
+
+
+
 # ------------------------------------------------------------------ BMP
 
 def encode_bmp(pixels: np.ndarray) -> bytes:
@@ -52,6 +73,7 @@ def encode_bmp(pixels: np.ndarray) -> bytes:
     return header + bytes(body)
 
 
+@_codec_boundary
 def decode_bmp(data: bytes) -> tuple[int, int, np.ndarray]:
     """24/32-bit uncompressed BMP -> (w, h, (H, W, 3) uint8 RGB)."""
     if data[:2] != b"BM" or len(data) < 54:
@@ -87,6 +109,7 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
 
+@_codec_boundary
 def decode_png(data: bytes) -> tuple[int, int, np.ndarray]:
     """8-bit non-interlaced PNG -> (w, h, (H, W, C) uint8)."""
     if data[:8] != _PNG_SIG:
@@ -188,6 +211,7 @@ def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
     return buf.getvalue()
 
 
+@_codec_boundary
 def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
     """PCM WAV -> (sample_rate, float64 mono samples in native scale)."""
     import wave
@@ -199,7 +223,9 @@ def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
             width = wf.getsampwidth()
             nch = wf.getnchannels()
             frames = wf.readframes(n)
-    except wave.Error as exc:
+    # stdlib chunk.Chunk raises BARE RuntimeError on corrupt chunk
+    # seeks (chunk.py skip/seek) — found by fuzz, must not leak
+    except (wave.Error, RuntimeError) as exc:
         raise CodecError(f"not a PCM WAV: {exc}") from exc
     if width == 2:
         arr = np.frombuffer(frames, "<i2").astype(np.float64)
@@ -614,13 +640,7 @@ def decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray]:
     Malformed input raises CodecError — low-level struct/index/key
     errors from a corrupt container are mapped at this boundary, like
     the other decoders (fuzz-pinned in test_pipeline.py)."""
-    try:
-        return _decode_jpeg(data)
-    except CodecError:
-        raise
-    except (struct.error, IndexError, KeyError, StopIteration,
-            ValueError) as exc:
-        raise CodecError(f"corrupt JPEG: {exc}") from exc
+    return _codec_boundary(_decode_jpeg)(data)
 
 
 def _decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray]:

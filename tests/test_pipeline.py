@@ -913,3 +913,65 @@ class TestJpegCodec:
                 pass  # the contract: typed error or a successful decode
 
         check()
+
+
+class TestCodecFuzz:
+    """Every decoder maps malformed containers to CodecError — the same
+    typed-error contract the JPEG fuzz pins, across all four formats."""
+
+    @staticmethod
+    def _fuzz(decode, base):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from graphite_clickhouse_spark.pipeline import codecs
+
+        @settings(max_examples=120, deadline=None)
+        @given(
+            st.one_of(
+                st.binary(max_size=64),
+                st.integers(1, len(base) - 1).map(lambda n: base[:n]),
+                st.tuples(
+                    st.integers(0, len(base) - 1), st.integers(0, 255)
+                ).map(
+                    lambda t: base[:t[0]] + bytes([t[1]]) + base[t[0] + 1:]
+                ),
+            )
+        )
+        def check(data):
+            try:
+                decode(data)
+            except codecs.CodecError:
+                pass
+
+        check()
+
+    def test_bmp(self):
+        import numpy as np
+
+        from graphite_clickhouse_spark.pipeline import codecs
+
+        base = codecs.encode_bmp(
+            np.arange(60, dtype=np.uint8).reshape(4, 5, 3)
+        )
+        self._fuzz(codecs.decode_bmp, base)
+
+    def test_png(self):
+        import numpy as np
+
+        from graphite_clickhouse_spark.pipeline import codecs
+
+        base = codecs.encode_png(
+            np.arange(60, dtype=np.uint8).reshape(4, 5, 3)
+        )
+        self._fuzz(codecs.decode_png, base)
+
+    def test_wav(self):
+        import numpy as np
+
+        from graphite_clickhouse_spark.pipeline import codecs
+
+        base = codecs.encode_wav(
+            (np.arange(64) * 100 - 3200).astype(np.int16), 8000
+        )
+        self._fuzz(codecs.decode_wav, base)
