@@ -1979,6 +1979,76 @@ GROUP BY doc_id
 """
 
 
+# quality classifier weights: trained once via
+# pipeline.classifier.train_quality_classifier on sf0.01 with the gopher
+# rule verdict as the weak label (reg_param=0.1; 94.6% agreement) — the
+# fastText-recipe shape: heuristic labels -> linear model -> score the
+# whole corpus as one expression. Pinned so the oracle can recompute.
+_QC_PARAMS = {
+    "weights": {
+        "alpha_ratio": -38.0179011388964,
+        "punct_ratio": 0.0,
+        "stopword_ratio": 0.6951405758472107,
+        "mean_token_len": 0.6998343914158065,
+        "log_tokens": 2.5671470621420425,
+    },
+    "intercept": 17.57018347162169,
+}
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring (the fastText-classifier recipe of
+    LLaMA/DataComp/FineWeb pipelines): sigmoid(w.x + b) over
+    expression-computed features with the trained coefficients inlined
+    as literals — inference is one codegen'd projection, no model
+    object, no UDF. The oracle recomputes the identical sigmoid."""
+    from graphite_clickhouse_spark.pipeline.classifier import score_quality
+    from graphite_clickhouse_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = score_quality(docs, _QC_PARAMS)
+    # score only: the keep flag compares an unrounded float to 0.5,
+    # which is engine-hash-unstable exactly at the boundary
+    return out.select(
+        "doc_id", F.round("quality_score", 6).alias("quality_score")
+    )
+
+
+_QC_Z_SQL = (
+    f"({_QC_PARAMS['intercept']!r}"
+    f" + {_QC_PARAMS['weights']['alpha_ratio']!r} * alpha_ratio"
+    f" + {_QC_PARAMS['weights']['punct_ratio']!r} * punct_ratio"
+    f" + {_QC_PARAMS['weights']['stopword_ratio']!r} * stopword_ratio"
+    f" + {_QC_PARAMS['weights']['mean_token_len']!r} * mean_token_len"
+    f" + {_QC_PARAMS['weights']['log_tokens']!r} * log_tokens)"
+)
+
+SQL_QUALITY_CLASSIFIER = f"""
+WITH t AS (
+    SELECT doc_id, text,
+           CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks,
+           CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
+                ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS ltoks
+    FROM documents
+), f AS (
+    SELECT doc_id,
+           length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+               / greatest(length(text), 1) AS alpha_ratio,
+           length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+               / greatest(length(text), 1) AS punct_ratio,
+           len(list_filter(ltoks, t -> list_contains({STOPWORDS_EN}, t)))
+               / greatest(len(toks), 1) AS stopword_ratio,
+           length(text) / greatest(len(toks), 1) AS mean_token_len,
+           ln(1.0 + len(toks)) AS log_tokens
+    FROM t
+)
+SELECT doc_id,
+       round(1.0 / (1.0 + exp(-{_QC_Z_SQL})), 6) AS quality_score
+FROM f
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2064,6 +2134,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "minhash_dedup": (q_minhash_dedup, SQL_MINHASH_DEDUP),
     "simhash_pairs": (q_simhash_pairs, SQL_SIMHASH_PAIRS),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
+    "quality_classifier": (q_quality_classifier, SQL_QUALITY_CLASSIFIER),
     "unigram_quality": (q_unigram_quality, SQL_UNIGRAM_QUALITY),
     "dsir_weight": (q_dsir_weight, SQL_DSIR_WEIGHT),
 }

@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "sample_deterministic",
     "mix_sources",
     "pack_sequences",
+    "quality_classifier",
     "unigram_quality",
     "dsir_weight",
     "dedup_clusters",

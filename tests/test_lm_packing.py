@@ -134,3 +134,86 @@ class TestUnigramLM:
         )._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
+
+
+class TestQualityClassifier:
+    """fastText-recipe quality classifier (pipeline/classifier.py):
+    heuristic weak labels -> LogisticRegression -> expression-only
+    scoring."""
+
+    def _corpus(self, spark):
+        good = [
+            (i, "the quick brown fox jumps over the lazy dog and then "
+                "walks away to find some food in the quiet forest")
+            for i in range(30)
+        ]
+        bad = [
+            (100 + i, "@@ ## !! $$ %% ^^ && ** (( )) __ ++ == ~~ ``")
+            for i in range(30)
+        ]
+        return spark.createDataFrame(
+            [(i, t, i < 100) for i, t in good + bad],
+            "doc_id long, text string, is_good boolean",
+        )
+
+    def test_train_then_score_separates(self, spark):
+        from pyspark.sql import functions as F
+
+        from graphite_clickhouse_spark.pipeline.classifier import (
+            score_quality,
+            train_quality_classifier,
+        )
+
+        df = self._corpus(spark)
+        params = train_quality_classifier(df, F.col("is_good"), reg_param=0.01)
+        assert set(params["weights"]) == {
+            "alpha_ratio", "punct_ratio", "stopword_ratio",
+            "mean_token_len", "log_tokens",
+        }
+        scored = score_quality(df, params).join(
+            df.select("doc_id", "is_good"), "doc_id"
+        )
+        rows = scored.collect()
+        assert all(0.0 <= r["quality_score"] <= 1.0 for r in rows)
+        acc = sum(r["keep"] == r["is_good"] for r in rows) / len(rows)
+        assert acc >= 0.95
+
+    def test_scoring_is_expression_only(self, spark):
+        from graphite_clickhouse_spark.pipeline.classifier import (
+            FEATURES,
+            score_quality,
+        )
+
+        params = {"weights": {f: 0.5 for f in FEATURES}, "intercept": -1.0}
+        df = self._corpus(spark).select("doc_id", "text")
+        plan = score_quality(df, params)._jdf.queryExecution() \
+            .executedPlan().toString()
+        # inference is one codegen'd projection: no shuffle, no python
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_score_matches_hand_sigmoid(self, spark):
+        import math
+
+        from graphite_clickhouse_spark.pipeline.classifier import (
+            quality_feature_frame,
+            score_quality,
+        )
+
+        df = self._corpus(spark).limit(3).select("doc_id", "text")
+        params = {
+            "weights": {
+                "alpha_ratio": 2.0, "punct_ratio": -3.0,
+                "stopword_ratio": 1.5, "mean_token_len": 0.25,
+                "log_tokens": 0.1,
+            },
+            "intercept": -1.25,
+        }
+        feats = {r["doc_id"]: r for r in quality_feature_frame(df).collect()}
+        scores = {r["doc_id"]: r["quality_score"]
+                  for r in score_quality(df, params).collect()}
+        for i, f in feats.items():
+            z = params["intercept"] + sum(
+                params["weights"][k] * f[k] for k in params["weights"]
+            )
+            assert scores[i] == pytest.approx(1 / (1 + math.exp(-z)), rel=1e-12)
