@@ -128,6 +128,18 @@ class TestUnigramLM:
         # a target-looking doc weighs above a non-target one
         assert out[1]["mean_llr"] > out[2]["mean_llr"]
 
+    def test_empty_and_whitespace_docs_are_excluded(self, spark):
+        # docs with zero tokens can contribute nothing to a unigram
+        # model; they drop out of the scored output instead of emitting
+        # a divide-by-zero row
+        df = spark.createDataFrame(
+            [(1, "x", "a b"), (2, "x", ""), (3, "y", "   ")],
+            "doc_id long, source string, text string",
+        )
+        assert [r["doc_id"] for r in unigram_logprob_score(df).collect()] == [1]
+        assert [r["doc_id"]
+                for r in dsir_importance(df, F.col("source") == "x").collect()] == [1]
+
     def test_vocab_join_is_broadcast(self, spark):
         plan = unigram_logprob_score(
             self._corpus(spark)
