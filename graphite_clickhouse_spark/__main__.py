@@ -34,6 +34,21 @@ def build_engine(spark, settings, data_dir=None, sf_events=None):
             path_index=job.read_path_index(spark), tagged_points=tagged,
         )
         engine.ingest = job  # enables /api/v1/write
+
+        def _reload():
+            # fresh spark.read per refresh: a held DataFrame pins its
+            # file listing, and live ingest keeps appending files
+            pts = job.read_points(spark)
+            tg = pts.filter(F.col("path").contains("?")).withColumn(
+                "tags", tags_map_from_path("path")
+            )
+            return (
+                pts.filter(~F.col("path").contains("?")),
+                job.read_path_index(spark),
+                tg,
+            )
+
+        engine.frame_loader = _reload
         return engine
     if sf_events:
         from .sources.tables import (
@@ -62,6 +77,11 @@ def main(argv=None):
         help="also accept carbon plaintext over TCP (the carbon-clickhouse "
              "receiver role): lines spool under <data>/spool and a "
              "continuous text stream ingests them; requires --data",
+    )
+    ap.add_argument(
+        "--carbon-pickle-listen", metavar="HOST:PORT",
+        help="also accept the carbon pickle protocol (port-2004 framing); "
+             "datapoints land in the same spool/stream; requires --data",
     )
     ap.add_argument("--check", action="store_true",
                     help="validate config + engine wiring, then exit")
@@ -122,22 +142,34 @@ def main(argv=None):
         print("config + engine OK", file=sys.stderr)
         return None
 
-    if args.carbon_listen:
+    if args.carbon_listen or args.carbon_pickle_listen:
         if not args.data:
-            raise SystemExit("--carbon-listen requires --data")
-        from .streaming.ingest import CarbonLineReceiver
+            raise SystemExit(
+                "--carbon-listen/--carbon-pickle-listen require --data"
+            )
+        from .streaming.ingest import CarbonLineReceiver, CarbonPickleReceiver
 
-        chost, _, cport = args.carbon_listen.partition(":")
-        rx = CarbonLineReceiver(
-            f"{args.data}/spool", chost or "127.0.0.1", int(cport or 2003)
-        )
+        if args.carbon_listen:
+            chost, _, cport = args.carbon_listen.partition(":")
+            rx = CarbonLineReceiver(
+                f"{args.data}/spool", chost or "127.0.0.1", int(cport or 2003)
+            )
+            print(
+                f"carbon plaintext listening on "
+                f"{rx.address[0]}:{rx.address[1]}", file=sys.stderr,
+            )
+        if args.carbon_pickle_listen:
+            phost, _, pport = args.carbon_pickle_listen.partition(":")
+            prx = CarbonPickleReceiver(
+                f"{args.data}/spool", phost or "127.0.0.1", int(pport or 2004)
+            )
+            print(
+                f"carbon pickle listening on "
+                f"{prx.address[0]}:{prx.address[1]}", file=sys.stderr,
+            )
         engine.ingest.start_text_stream(
             spark, f"{args.data}/spool", f"{args.data}/checkpoint",
             available_now=False,
-        )
-        print(
-            f"carbon plaintext listening on {rx.address[0]}:{rx.address[1]}",
-            file=sys.stderr,
         )
 
     from .server import make_server

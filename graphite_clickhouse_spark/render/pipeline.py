@@ -187,6 +187,43 @@ class Engine:
     #: harness's delaying reverse proxy in front of ClickHouse
     #: (cmd/e2e-test/rproxy.go ServeHTTP); 0 in production
     storage_delay: float = 0.0
+    #: live-ingest frame refresh: a zero-arg callable returning fresh
+    #: (points, path_index, tagged_points). A held DataFrame pins its
+    #: parquet file listing at creation time, so an engine serving over
+    #: a live IngestJob would otherwise never see files the stream
+    #: appends — queries would answer from the startup snapshot forever.
+    #: The server calls refresh_frames() per request; the interval
+    #: throttles the re-listing cost and bounds staleness (the same role
+    #: carbonlink's freshness window plays in the reference).
+    frame_loader: object | None = None
+    refresh_interval_sec: float = 5.0
+    _last_refresh: float = field(default=0.0, repr=False)
+    _refresh_lock: object = field(default=None, repr=False)
+
+    def refresh_frames(self, force: bool = False) -> bool:
+        """Swap in freshly-listed storage frames; returns True when a
+        refresh ran. No-op without a frame_loader (static datasets)."""
+        if self.frame_loader is None:
+            return False
+        import threading
+        import time as _time
+
+        if self._refresh_lock is None:
+            self._refresh_lock = threading.Lock()
+        now = _time.monotonic()
+        if not force and now - self._last_refresh < self.refresh_interval_sec:
+            return False
+        if not self._refresh_lock.acquire(blocking=False):
+            return False  # another request is already refreshing
+        try:
+            self._last_refresh = now
+            points, path_index, tagged = self.frame_loader()
+            self.points = points
+            self.path_index = path_index
+            self.tagged_points = tagged
+            return True
+        finally:
+            self._refresh_lock.release()
 
     def storage_query_start(self) -> None:
         """Called at the start of each storage query action; sleeps when

@@ -165,6 +165,13 @@ class GraphiteHandler(BaseHTTPRequestHandler):
                 for k, v in body.items():
                     qlist[k] = list(v) + qlist.get(k, [])
                     q[k] = v[0]
+        # live-ingest deployments: pick up files the stream appended
+        # since the engine's frames last listed storage (throttled by
+        # Engine.refresh_interval_sec; no-op for static datasets)
+        try:
+            self.engine.refresh_frames()
+        except Exception:
+            pass  # a failed refresh serves the previous snapshot
         try:
             if url.path in ("/", "/alive"):
                 self._send(b"Graphite-clickhouse-spark is alive.\n", "text/plain")

@@ -374,6 +374,15 @@ class CarbonLineReceiver:
             t.start()
             self._threads.append(t)
 
+    def _extract(self, buf: bytes) -> tuple[list[bytes], bytes]:
+        """Split complete plaintext lines off the buffer."""
+        *complete, rest = buf.split(b"\n")
+        return [l for l in complete if l.strip()], rest
+
+    def _finalize(self, buf: bytes) -> list[bytes]:
+        """A trailing line without its newline still counts on close."""
+        return [buf] if buf.strip() else []
+
     def _conn_loop(self, conn):
         import os
 
@@ -412,16 +421,15 @@ class CarbonLineReceiver:
                     break
                 if chunk:
                     buf += chunk
-                    *complete, buf = buf.split(b"\n")
-                    lines.extend(l for l in complete if l.strip())
+                    complete, buf = self._extract(buf)
+                    lines.extend(complete)
                 if lines and (
                     len(lines) >= self.rotate_lines
                     or self._time.monotonic() - opened >= self.rotate_seconds
                 ):
                     flush()
         finally:
-            if buf.strip():
-                lines.append(buf)
+            lines.extend(self._finalize(buf))
             flush()
             conn.close()
 
@@ -433,3 +441,89 @@ class CarbonLineReceiver:
             pass
         for t in self._threads:
             t.join(timeout=5)
+
+
+class CarbonPickleReceiver(CarbonLineReceiver):
+    """Carbon pickle protocol receiver (graphite's port-2004 transport):
+    frames of 4-byte big-endian length + a pickle of
+    ``[(metric, (timestamp, value)), ...]``.
+
+    Datapoints are rendered back to plaintext lines into the SAME spool
+    the plaintext receiver uses, so the downstream text stream ingests
+    both transports unchanged. Unpickling is RESTRICTED — find_class is
+    refused outright (lists/tuples/primitives need no classes), the
+    carbon daemon's own safe-unpickler posture against the protocol's
+    arbitrary-code hazard. A malformed frame is dropped; the connection
+    and the remaining frames keep flowing.
+    """
+
+    _MAX_FRAME = 8 * 1024 * 1024  # a framing desync must not buffer GBs
+
+    @classmethod
+    def _safe_loads(cls, payload: bytes):
+        import codecs
+        import io
+        import pickle
+
+        # the only globals a datapoint list may reference: protocol-2
+        # pickles of BYTES metrics (python2 senders) encode them via
+        # _codecs.encode / builtins.bytearray — everything else refused
+        allowed = {
+            ("_codecs", "encode"): codecs.encode,
+            ("builtins", "bytes"): bytes,
+            ("builtins", "bytearray"): bytearray,
+        }
+
+        class _SafeUnpickler(pickle.Unpickler):
+            def find_class(self, module, name):
+                try:
+                    return allowed[(module, name)]
+                except KeyError:
+                    raise pickle.UnpicklingError(
+                        f"carbon pickle frames may not reference "
+                        f"{module}.{name}"
+                    ) from None
+
+        return _SafeUnpickler(io.BytesIO(payload)).load()
+
+    def _frame_lines(self, payload: bytes) -> list[bytes]:
+        try:
+            points = self._safe_loads(payload)
+        except Exception:  # corrupt / hostile frame: drop it
+            return []
+        out: list[bytes] = []
+        if not isinstance(points, (list, tuple)):
+            return out
+        for item in points:
+            try:
+                metric, (ts, value) = item
+            except (TypeError, ValueError):
+                continue
+            if isinstance(metric, bytes):
+                metric = metric.decode("utf-8", "replace")
+            if not isinstance(metric, str) or not metric.strip():
+                continue
+            try:
+                ts = float(ts)
+                value = float(value)
+            except (TypeError, ValueError):
+                continue
+            out.append(f"{metric.strip()} {value!r} {int(ts)}".encode())
+        return out
+
+    def _extract(self, buf: bytes) -> tuple[list[bytes], bytes]:
+        lines: list[bytes] = []
+        while len(buf) >= 4:
+            n = int.from_bytes(buf[:4], "big")
+            if n > self._MAX_FRAME:
+                # framing lost: resync by dropping the connection's
+                # buffer (the finally-flush keeps what was decoded)
+                return lines, b""
+            if len(buf) < 4 + n:
+                break
+            lines.extend(self._frame_lines(buf[4:4 + n]))
+            buf = buf[4 + n:]
+        return lines, buf
+
+    def _finalize(self, buf: bytes) -> list[bytes]:
+        return []  # an incomplete trailing frame is undecodable

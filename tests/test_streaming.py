@@ -289,3 +289,158 @@ class TestCarbonLineReceiver:
             assert not [f for f in os.listdir(spool) if f.endswith(".part")]
         finally:
             rx.close()
+
+
+class TestCarbonPickleReceiver:
+    """Carbon pickle protocol (port-2004 framing) -> same spool path."""
+
+    @staticmethod
+    def _frame(points):
+        import pickle
+        import struct
+
+        payload = pickle.dumps(points, protocol=2)
+        return struct.pack(">L", len(payload)) + payload
+
+    @staticmethod
+    def _spooled(spool, want_lines, deadline_s=60):
+        import os
+        import time
+
+        deadline = time.monotonic() + deadline_s
+        while time.monotonic() < deadline:
+            lines = []
+            for f in sorted(os.listdir(spool)):
+                if f.endswith(".txt"):
+                    with open(os.path.join(spool, f)) as fh:
+                        lines += [l for l in fh.read().splitlines() if l]
+            if len(lines) >= want_lines:
+                return lines
+            time.sleep(0.1)
+        return lines
+
+    def test_frames_decode_to_lines(self, tmp_path):
+        import socket
+
+        from graphite_clickhouse_spark.streaming.ingest import (
+            CarbonPickleReceiver,
+        )
+
+        spool = str(tmp_path / "spool")
+        rx = CarbonPickleReceiver(spool, rotate_lines=100, rotate_seconds=0.3)
+        try:
+            with socket.create_connection(rx.address, timeout=10) as s:
+                frame = self._frame([
+                    ("m.cpu", (60, 1.5)),
+                    (b"m.mem", (120.0, 2)),          # bytes metric, int value
+                    ("bad", "not-a-tuple"),           # skipped
+                    ("", (60, 1.0)),                  # empty metric skipped
+                ])
+                # split the frame across two sends: framing must reassemble
+                s.sendall(frame[:7])
+                s.sendall(frame[7:])
+            lines = self._spooled(spool, 2)
+        finally:
+            rx.close()
+        assert sorted(lines) == ["m.cpu 1.5 60", "m.mem 2.0 120"]
+
+    def test_hostile_pickle_is_dropped_not_executed(self, tmp_path):
+        import pickle
+        import socket
+        import struct
+
+        from graphite_clickhouse_spark.streaming.ingest import (
+            CarbonPickleReceiver,
+        )
+
+        class Evil:
+            def __reduce__(self):
+                return (eval, ("__import__('os').getpid()",))
+
+        spool = str(tmp_path / "spool")
+        rx = CarbonPickleReceiver(spool, rotate_lines=100, rotate_seconds=0.3)
+        try:
+            evil = pickle.dumps(Evil(), protocol=2)
+            with socket.create_connection(rx.address, timeout=10) as s:
+                s.sendall(struct.pack(">L", len(evil)) + evil)
+                # the connection survives the hostile frame; a good one
+                # after it still lands
+                s.sendall(self._frame([("m.ok", (60, 1.0))]))
+            lines = self._spooled(spool, 1)
+        finally:
+            rx.close()
+        assert lines == ["m.ok 1.0 60"]
+        # the safe unpickler refuses class references outright
+        import pytest as _pytest
+
+        with _pytest.raises(Exception):
+            CarbonPickleReceiver._safe_loads(evil)
+
+    def test_oversized_frame_resyncs(self, tmp_path):
+        import socket
+        import struct
+
+        from graphite_clickhouse_spark.streaming.ingest import (
+            CarbonPickleReceiver,
+        )
+
+        spool = str(tmp_path / "spool")
+        rx = CarbonPickleReceiver(spool, rotate_lines=100, rotate_seconds=0.3)
+        try:
+            with socket.create_connection(rx.address, timeout=10) as s:
+                # a bogus 1 GiB length prefix must not buffer forever
+                s.sendall(struct.pack(">L", 1 << 30) + b"garbage")
+            # new connection still works
+            with socket.create_connection(rx.address, timeout=10) as s:
+                s.sendall(self._frame([("m.after", (30, 4.0))]))
+            lines = self._spooled(spool, 1)
+        finally:
+            rx.close()
+        assert lines == ["m.after 4.0 30"]
+
+
+class TestLiveFrameRefresh:
+    """Engine.refresh_frames: a held DataFrame pins its parquet file
+    listing, so an engine over a live IngestJob must re-read storage to
+    see appended files — found by driving the pickle receiver through
+    the real entrypoint (queries answered from the startup snapshot
+    forever)."""
+
+    def _engine(self, spark, tmp_path):
+        from graphite_clickhouse_spark.render.pipeline import Engine
+        from graphite_clickhouse_spark.sources.tables import build_path_index
+
+        self.base = base = str(tmp_path / "out")
+        job = IngestJob(base, version=1)
+        job.write_batch(parse_carbon_lines(
+            lines_df(spark, ["a.first 1.0 60"]), version=1))
+
+        def load():
+            pts = job.read_points(spark)
+            return pts, build_path_index(pts.select("path")), None
+
+        pts, idx, _ = load()
+        eng = Engine(spark=spark, points=pts, path_index=idx,
+                     frame_loader=load, refresh_interval_sec=0.0)
+        return eng, job
+
+    def test_appended_files_visible_after_refresh(self, spark, tmp_path):
+        eng, job = self._engine(spark, tmp_path)
+        assert [r.path for r in eng.find_paths("a.*").collect()] == ["a.first"]
+
+        IngestJob(self.base, version=2).write_batch(parse_carbon_lines(
+            lines_df(spark, ["a.second 2.0 60"]), version=2))
+        # without refresh: frozen listing
+        assert [r.path for r in eng.find_paths("a.*").collect()] == ["a.first"]
+        assert eng.refresh_frames() is True
+        got = sorted(r.path for r in eng.find_paths("a.*").collect())
+        assert got == ["a.first", "a.second"]
+
+    def test_throttle_and_static_noop(self, spark, tmp_path):
+        eng, _job = self._engine(spark, tmp_path)
+        eng.refresh_interval_sec = 3600.0
+        assert eng.refresh_frames() is True      # first call runs
+        assert eng.refresh_frames() is False     # throttled
+        assert eng.refresh_frames(force=True) is True
+        eng.frame_loader = None
+        assert eng.refresh_frames(force=True) is False  # static dataset
