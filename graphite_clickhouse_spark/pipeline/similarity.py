@@ -116,23 +116,57 @@ def lsh_ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    num_tables: int = 1,
 ) -> DataFrame:
     """Approximate top-k: exact ranking restricted to same-sketch-bucket
-    candidates. Recall rises with fewer planes (bigger buckets)."""
-    planes = deterministic_planes(num_planes, dim, seed)
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        hyperplane_sketch(F.col(vec_col), planes).alias("bucket"),
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        hyperplane_sketch(F.col(vec_col), planes).alias("bucket"),
-    )
+    candidates. Recall rises with fewer planes (bigger buckets) and with
+    more tables: `num_tables` independent sketch tables OR-amplify — a
+    candidate needs to collide in ANY table (recall ~ 1-(1-p)^L for
+    per-table collision p), the standard multi-table LSH deployment. The
+    per-table join stays a bucket-keyed broadcast join; tables only
+    multiply the candidate stream, never the corpus scan count."""
+    if num_tables <= 1:
+        planes = deterministic_planes(num_planes, dim, seed)
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+            hyperplane_sketch(F.col(vec_col), planes).alias("bucket"),
+        )
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            hyperplane_sketch(F.col(vec_col), planes).alias("bucket"),
+        )
+        cand = c.join(F.broadcast(q), "bucket")
+    else:
+        # one (table, bucket) key space: a pair colliding in several
+        # tables must still be scored once, so candidates dedup on the
+        # pair key before ranking
+        tables = [
+            (t, deterministic_planes(num_planes, dim, seed + 7919 * t))
+            for t in range(num_tables)
+        ]
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+            F.explode(F.array(*[
+                F.concat(F.lit(f"{t}:"), hyperplane_sketch(F.col(vec_col), p))
+                for t, p in tables
+            ])).alias("bucket"),
+        )
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.explode(F.array(*[
+                F.concat(F.lit(f"{t}:"), hyperplane_sketch(F.col(vec_col), p))
+                for t, p in tables
+            ])).alias("bucket"),
+        )
+        cand = c.join(F.broadcast(q), "bucket").dropDuplicates(
+            ["query_id", "neighbor_id"]
+        )
     scored = (
-        c.join(F.broadcast(q), "bucket")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
+        cand.filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",

@@ -975,3 +975,41 @@ class TestCodecFuzz:
             (np.arange(64) * 100 - 3200).astype(np.int16), 8000
         )
         self._fuzz(codecs.decode_wav, base)
+
+
+def test_multi_table_lsh_raises_recall(emb, spark):
+    """OR-amplification: more tables -> strictly better candidate
+    coverage on the real embeddings (RECALL.md records the full curve)."""
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = {}
+    for r in cosine_topk(emb, queries, k=5).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    def recall(num_tables):
+        got = {}
+        out = lsh_ann_topk(
+            emb, queries, k=5, num_planes=4, dim=64, num_tables=num_tables
+        )
+        for r in out.collect():
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return sum(
+            len(got.get(q, set()) & s) / len(s) for q, s in exact.items()
+        ) / len(exact)
+
+    r1, r8 = recall(1), recall(8)
+    assert r8 > r1 + 0.2, (r1, r8)
+    # identical duplicate vectors share every table's bucket: planted
+    # dup is still rank-1 under multi-table
+    planted = queries.select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = emb.unionByName(planted)
+    approx = lsh_ann_topk(corpus, queries, k=3, num_planes=4, num_tables=4)
+    top1 = {r.query_id: r.neighbor_id for r in approx.collect() if r.rank == 1}
+    assert top1 == {q: q + 10000 for q in range(20)}
+    # multi-table results never rank a pair twice (dedup before scoring)
+    pair_counts = (
+        approx.groupBy("query_id", "neighbor_id").count()
+        .agg(F.max("count")).collect()[0][0]
+    )
+    assert pair_counts == 1
