@@ -1897,8 +1897,10 @@ SELECT source, CAST(shard AS INTEGER) AS shard, count(*) AS docs,
        sum(n_tokens) AS total_tokens,
        CAST(ceil(sum(n_tokens) / 256.0) AS BIGINT) AS n_chunks,
        sum(CASE WHEN end_chunk > start_chunk THEN 1 ELSE 0 END) AS boundary_docs,
-       sum(n_tokens) - (CAST(ceil(sum(n_tokens) / 256.0) AS BIGINT) - 1) * 256
-           AS last_chunk_fill
+       CASE WHEN sum(n_tokens) > 0
+            THEN sum(n_tokens)
+                 - (CAST(ceil(sum(n_tokens) / 256.0) AS BIGINT) - 1) * 256
+            ELSE 0 END AS last_chunk_fill
 FROM l GROUP BY source, shard
 """
 

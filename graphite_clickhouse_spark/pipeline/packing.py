@@ -106,6 +106,9 @@ def pack_stats(
         )
         .withColumn(
             "last_chunk_fill",
-            F.col("total_tokens") - (F.col("n_chunks") - 1) * F.lit(w),
+            F.when(
+                F.col("n_chunks") > 0,
+                F.col("total_tokens") - (F.col("n_chunks") - 1) * F.lit(w),
+            ).otherwise(F.lit(0)),  # all-empty stream: no chunk to fill
         )
     )

@@ -53,6 +53,11 @@ class TestPacking:
         # exact-fit first doc fills chunk 0 exactly; doc 3 starts chunk 1
         assert (rows[3]["start_chunk"], rows[3]["end_chunk"]) == (1, 1)
 
+    def test_all_empty_stream_has_no_chunks(self, spark):
+        df = _docs(spark, [(1, "s", 0), (2, "s", 0)])
+        [st] = pack_stats(df, 256).collect()
+        assert (st["n_chunks"], st["last_chunk_fill"]) == (0, 0)
+
     def test_groups_pack_independently(self, spark):
         df = _docs(spark, [(1, "a", 300), (2, "b", 300)])
         st = {r["source"]: r for r in pack_stats(df, 256).collect()}
