@@ -266,6 +266,81 @@ class IngestJob:
         shutil.move(tmp, self.points_dir)
         shutil.rmtree(old)
 
+    def optimize(
+        self,
+        spark: SparkSession,
+        rules,
+        now_ts: int | None = None,
+        drop_older_than_sec: int | None = None,
+        target_files_per_date: int | None = None,
+        target_bytes_per_file: int = 256 << 20,
+    ) -> None:
+        """GraphiteMergeTree OPTIMIZE FINAL + TTL, run as a batch job over
+        the stored layout — the two jobs ClickHouse performs continuously
+        for the reference and this engine must schedule:
+
+        1. **TTL delete** (`drop_older_than_sec`): rows older than
+           `now - drop` are expired, row-precise like a ClickHouse TTL
+           expression (a date partition whose rows all expire simply
+           produces no output partition).
+        2. **Rollup-on-merge**: every surviving row rewrites through
+           `operators.rollup.graphite_merge` — times round to the
+           retention precision for their age, colliding (path, time)
+           versions dedup, buckets aggregate with the metric's rollup
+           function. Old partitions physically shrink to their retention
+           resolution, which is where the 100 TB storage curve flattens.
+
+        Same temp-dir + atomic-swap protocol as `compact`; dedup-on-read
+        stays correct before and after (merge output is just fewer,
+        already-merged rows). Query semantics are unchanged because the
+        read path applies the same rules at fetch time — after optimize
+        the fetch simply finds the data already at storage resolution.
+        """
+        import math
+        import shutil
+        import time as _time
+
+        from ..operators.rollup import graphite_merge
+
+        now = int(now_ts if now_ts is not None else _time.time())
+        pts = self.read_points(spark)
+        if drop_older_than_sec is not None:
+            pts = pts.filter(F.col("time") >= F.lit(now - drop_older_than_sec))
+        merged = graphite_merge(pts, rules, now)
+        tmp = self.points_dir + ".optimizing"
+        if target_files_per_date is not None:
+            shaped = merged.repartition(int(target_files_per_date), "date")
+        else:
+            bins = {
+                d: max(1, math.ceil(b / max(1, target_bytes_per_file)))
+                for d, b in self._date_bytes().items()
+            }
+            nbins = F.coalesce(
+                F.element_at(
+                    F.create_map(
+                        *[F.lit(x) for d, n in sorted(bins.items()) for x in (d, n)]
+                    ),
+                    F.col("date").cast("string"),
+                ),
+                F.lit(1),
+            )
+            total = max(1, sum(bins.values()))
+            shaped = (
+                merged.withColumn("_bin", F.pmod(F.xxhash64("path"), nbins))
+                .repartitionByRange(total, F.col("date"), F.col("_bin"))
+                .drop("_bin")
+            )
+        (
+            shaped.sortWithinPartitions("path", "time")
+            .write.mode("overwrite")
+            .partitionBy("date")
+            .parquet(tmp)
+        )
+        old = self.points_dir + ".old"
+        shutil.move(self.points_dir, old)
+        shutil.move(tmp, self.points_dir)
+        shutil.rmtree(old)
+
     # -- read side --------------------------------------------------------
 
     def read_points(self, spark: SparkSession) -> DataFrame:

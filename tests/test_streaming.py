@@ -444,3 +444,74 @@ class TestLiveFrameRefresh:
         assert eng.refresh_frames(force=True) is True
         eng.frame_loader = None
         assert eng.refresh_frames(force=True) is False  # static dataset
+
+
+class TestOptimize:
+    """IngestJob.optimize: the GraphiteMergeTree OPTIMIZE FINAL + TTL
+    pair as a storage-level batch job (rollup-on-merge semantics proper
+    are pinned by the storage_merge oracle + tests/test_rollup.py)."""
+
+    def _rules(self):
+        from graphite_clickhouse_spark.operators.rollup import (
+            Pattern,
+            Retention,
+            Rules,
+        )
+
+        return Rules([
+            Pattern(
+                regexp="",
+                function="sum",
+                retention=[Retention(age=0, precision=10),
+                           Retention(age=1000, precision=60)],
+            ),
+        ])
+
+    def test_old_rows_downsample_new_rows_stay_raw(self, spark, tmp_path):
+        job = IngestJob(str(tmp_path / "out"), version=1)
+        now = 100_000
+        # old rows (age > 1000): three samples inside one 60s bucket;
+        # young rows (age < 10s... below the 10s ladder start they round
+        # to 10s buckets; truly raw only below age 0) — use two samples
+        # in DIFFERENT 10s buckets near now
+        lines = [
+            "m.a 1.0 60", "m.a 2.0 70", "m.a 4.0 119",   # bucket 60..119
+            f"m.a 7.0 {now - 15}", f"m.a 9.0 {now - 4}",
+        ]
+        job.write_batch(parse_carbon_lines(lines_df(spark, lines), version=1))
+        job.optimize(spark, self._rules(), now_ts=now,
+                     target_files_per_date=1)
+        got = {(r.path, r.time): r.value
+               for r in job.read_points(spark).collect()}
+        assert got[("m.a", 60)] == 7.0  # sum(1,2,4) in one 60s bucket
+        # young rows land in their own 10s buckets, unmerged
+        assert got[("m.a", 99980)] == 7.0  # 99985 -> bucket 99980
+        assert got[("m.a", 99990)] == 9.0  # 99996 -> bucket 99990
+        assert len(got) == 3
+
+    def test_ttl_drops_expired_partitions(self, spark, tmp_path):
+        import os
+
+        job = IngestJob(str(tmp_path / "out"), version=1)
+        # two dates: day 0 (time 60) and day 3 (time ~260000)
+        job.write_batch(parse_carbon_lines(
+            lines_df(spark, ["old.m 1.0 60", "new.m 2.0 260000"]), version=1))
+        job.optimize(spark, self._rules(), now_ts=300_000,
+                     drop_older_than_sec=200_000, target_files_per_date=1)
+        rows = {(r.path, r.time) for r in job.read_points(spark).collect()}
+        assert ("old.m", 60) not in {(p, t) for p, t in rows}
+        assert any(p == "new.m" for p, _ in rows)
+        parts = {d for d in os.listdir(job.points_dir) if d.startswith("date=")}
+        assert parts == {"date=1970-01-04"}  # expired date gone physically
+
+    def test_dedup_on_read_still_green_after_optimize(self, spark, tmp_path):
+        job = IngestJob(str(tmp_path / "out"), version=1)
+        job.write_batch(parse_carbon_lines(
+            lines_df(spark, ["m.x 1.0 60"]), version=1))
+        IngestJob(str(tmp_path / "out"), version=2).write_batch(
+            parse_carbon_lines(lines_df(spark, ["m.x 9.0 60"]), version=2))
+        job.optimize(spark, self._rules(), now_ts=100_000,
+                     target_files_per_date=1)
+        got = dedup_versions(job.read_points(spark)).collect()
+        # version-max winner survived the merge
+        assert [(r.path, r.value) for r in got] == [("m.x", 9.0)]
