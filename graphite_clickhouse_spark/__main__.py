@@ -83,6 +83,11 @@ def main(argv=None):
         help="also accept the carbon pickle protocol (port-2004 framing); "
              "datapoints land in the same spool/stream; requires --data",
     )
+    ap.add_argument(
+        "--carbon-udp-listen", metavar="HOST:PORT",
+        help="also accept carbon plaintext datagrams over UDP; "
+             "same spool/stream; requires --data",
+    )
     ap.add_argument("--check", action="store_true",
                     help="validate config + engine wiring, then exit")
     ap.add_argument("--build-tags", action="store_true",
@@ -142,12 +147,14 @@ def main(argv=None):
         print("config + engine OK", file=sys.stderr)
         return None
 
-    if args.carbon_listen or args.carbon_pickle_listen:
+    if args.carbon_listen or args.carbon_pickle_listen or args.carbon_udp_listen:
         if not args.data:
-            raise SystemExit(
-                "--carbon-listen/--carbon-pickle-listen require --data"
-            )
-        from .streaming.ingest import CarbonLineReceiver, CarbonPickleReceiver
+            raise SystemExit("carbon receivers require --data")
+        from .streaming.ingest import (
+            CarbonLineReceiver,
+            CarbonPickleReceiver,
+            CarbonUDPReceiver,
+        )
 
         if args.carbon_listen:
             chost, _, cport = args.carbon_listen.partition(":")
@@ -166,6 +173,15 @@ def main(argv=None):
             print(
                 f"carbon pickle listening on "
                 f"{prx.address[0]}:{prx.address[1]}", file=sys.stderr,
+            )
+        if args.carbon_udp_listen:
+            uhost, _, uport = args.carbon_udp_listen.partition(":")
+            urx = CarbonUDPReceiver(
+                f"{args.data}/spool", uhost or "127.0.0.1", int(uport or 2003)
+            )
+            print(
+                f"carbon udp listening on "
+                f"{urx.address[0]}:{urx.address[1]}", file=sys.stderr,
             )
         engine.ingest.start_text_stream(
             spark, f"{args.data}/spool", f"{args.data}/checkpoint",

@@ -518,6 +518,95 @@ class CarbonLineReceiver:
             t.join(timeout=5)
 
 
+class CarbonUDPReceiver:
+    """Carbon plaintext over UDP (carbon's third ingest transport):
+    each datagram carries one or more complete `metric value timestamp`
+    lines — no framing to reassemble, no connection state. Lines land in
+    the same dot-prefixed-then-renamed spool files the TCP receivers
+    write, so the downstream text stream is shared. Datagram loss is the
+    transport's documented trade-off; nothing here adds to it (a flush
+    failure keeps lines buffered for the next tick)."""
+
+    def __init__(
+        self,
+        spool_dir: str,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        rotate_lines: int = 50_000,
+        rotate_seconds: float = 2.0,
+    ):
+        import os
+        import socket
+        import threading
+        import time
+
+        os.makedirs(spool_dir, exist_ok=True)
+        self.spool_dir = spool_dir
+        self.rotate_lines = rotate_lines
+        self.rotate_seconds = rotate_seconds
+        self._seq = 0
+        self._lock = threading.Lock()
+        self._stopping = threading.Event()
+        self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        self._sock.bind((host, port))
+        self._sock.settimeout(0.2)
+        self.address = self._sock.getsockname()[:2]
+        self._time = time
+        self._thread = threading.Thread(target=self._recv_loop, daemon=True)
+        self._thread.start()
+
+    # same spool naming/visibility protocol as CarbonLineReceiver
+    _spool_path = CarbonLineReceiver._spool_path
+
+    def _recv_loop(self):
+        import os
+        import socket
+
+        lines: list[bytes] = []
+        opened = self._time.monotonic()
+
+        def flush():
+            nonlocal lines, opened
+            while lines:
+                batch, lines = lines[: self.rotate_lines], lines[self.rotate_lines:]
+                p = self._spool_path()
+                part = os.path.join(
+                    os.path.dirname(p), "." + os.path.basename(p) + ".part"
+                )
+                with open(part, "wb") as fh:
+                    fh.write(b"\n".join(batch) + b"\n")
+                os.rename(part, p + ".txt")
+            opened = self._time.monotonic()
+
+        try:
+            while not self._stopping.is_set():
+                try:
+                    datagram, _addr = self._sock.recvfrom(65536)
+                except socket.timeout:
+                    datagram = None
+                except OSError:
+                    break
+                if datagram:
+                    lines.extend(
+                        l for l in datagram.split(b"\n") if l.strip()
+                    )
+                if lines and (
+                    len(lines) >= self.rotate_lines
+                    or self._time.monotonic() - opened >= self.rotate_seconds
+                ):
+                    flush()
+        finally:
+            flush()
+
+    def close(self):
+        self._stopping.set()
+        try:
+            self._sock.close()
+        except OSError:
+            pass
+        self._thread.join(timeout=5)
+
+
 class CarbonPickleReceiver(CarbonLineReceiver):
     """Carbon pickle protocol receiver (graphite's port-2004 transport):
     frames of 4-byte big-endian length + a pickle of

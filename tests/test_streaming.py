@@ -515,3 +515,39 @@ class TestOptimize:
         got = dedup_versions(job.read_points(spark)).collect()
         # version-max winner survived the merge
         assert [(r.path, r.value) for r in got] == [("m.x", 9.0)]
+
+
+class TestCarbonUDPReceiver:
+    def test_datagrams_spool(self, tmp_path):
+        import os
+        import socket
+        import time
+
+        from graphite_clickhouse_spark.streaming.ingest import (
+            CarbonUDPReceiver,
+        )
+
+        spool = str(tmp_path / "spool")
+        rx = CarbonUDPReceiver(spool, rotate_lines=100, rotate_seconds=0.3)
+        try:
+            s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+            s.sendto(b"u.one 1.0 60\nu.two 2.0 70\n", rx.address)
+            s.sendto(b"u.three 3.0 80", rx.address)  # no trailing newline
+            s.close()
+            deadline = time.monotonic() + 60
+            lines = []
+            while time.monotonic() < deadline:
+                lines = []
+                for f in sorted(os.listdir(spool)):
+                    if f.endswith(".txt"):
+                        with open(os.path.join(spool, f)) as fh:
+                            lines += [l for l in fh.read().splitlines() if l]
+                if len(lines) >= 3:
+                    break
+                time.sleep(0.1)
+        finally:
+            rx.close()
+        assert sorted(lines) == [
+            "u.one 1.0 60", "u.three 3.0 80", "u.two 2.0 70"
+        ]
+        assert not [f for f in os.listdir(spool) if f.endswith(".part")]
