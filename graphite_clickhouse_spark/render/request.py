@@ -118,17 +118,21 @@ def _parse_fetch_request(buf: bytes) -> FetchRequest:
 def bad_request_guard(fn):
     """Malformed protobuf in an untrusted POST body (truncated varint,
     short fixed field, invalid UTF-8) surfaces as IndexError /
-    struct.error / UnicodeDecodeError from the wire decoder; map them to
-    ValueError so the HTTP layer answers 400 like the reference's
-    Unmarshal error path (render/handler.go / find/handler.go) instead
-    of dropping the connection."""
+    struct.error / UnicodeDecodeError from the wire decoder; a field
+    sent with the WRONG wire type (a varint where a length-delimited
+    submessage/string belongs) surfaces as TypeError/AttributeError when
+    the int value hits bytes-consuming code (hypothesis-found). Map all
+    of them to ValueError so the HTTP layer answers 400 like the
+    reference's Unmarshal error path (render/handler.go /
+    find/handler.go) instead of dropping the connection."""
     import functools
 
     @functools.wraps(fn)
     def wrap(body: bytes):
         try:
             return fn(body)
-        except (IndexError, struct.error, UnicodeDecodeError, OverflowError) as exc:
+        except (IndexError, struct.error, UnicodeDecodeError, OverflowError,
+                TypeError, AttributeError) as exc:
             raise ValueError(f"failed to parse request body: {exc}") from exc
 
     return wrap
