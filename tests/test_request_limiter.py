@@ -190,6 +190,11 @@ class TestMalformedRequestBodies:
             b"\x80\x80\x80",      # unterminated varint
             b"\x0d\x01",          # fixed32 with 1 byte
             b"\x0a\x02\xff\xfe",  # invalid UTF-8 inside a string field
+            # wire-type confusion (hypothesis-found): a varint where a
+            # length-delimited string/submessage belongs hands an int to
+            # bytes-consuming code — must 400, not TypeError/AttributeError
+            b"\n\x02\x10\x00",
+            b"\n\x02\x08\x00",
         ]
         for body in bad:
             for fn in (parse_multi_fetch_request, parse_multi_glob_request,
