@@ -1013,3 +1013,72 @@ def test_multi_table_lsh_raises_recall(emb, spark):
         .agg(F.max("count")).collect()[0][0]
     )
     assert pair_counts == 1
+
+
+class TestCurationRecipe:
+    """pipeline/recipes.py::curate_corpus — the composed chain of the
+    individually-oracle-verified operators, on real documents plus
+    planted duplicates/contamination that each stage must catch."""
+
+    def test_full_chain(self, docs, spark):
+        from graphite_clickhouse_spark.pipeline.recipes import curate_corpus
+
+        from graphite_clickhouse_spark.pipeline.text import (
+            gopher_quality_filter,
+        )
+
+        base = docs.select("doc_id", "text").limit(40).cache()
+        # plant dups of docs that SURVIVE the quality gate (stage 1 runs
+        # first, so a dup of a quality-rejected doc never reaches dedup)
+        survivors = (
+            gopher_quality_filter(base).filter(F.col("keep"))
+            .select(F.col("id").alias("doc_id"))
+        )
+        rows = base.join(survivors, "doc_id", "left_semi").collect()
+        assert len(rows) >= 3
+        planted = spark.createDataFrame(
+            [
+                (100001, rows[0]["text"]),          # exact dup of doc 0
+                (100002, rows[1]["text"] + " zz"),  # near dup of doc 1
+            ],
+            "doc_id long, text string",
+        )
+        corpus = base.unionByName(planted)
+        benchmark = spark.createDataFrame(
+            [(1, rows[2]["text"])], "doc_id long, text string"
+        )
+
+        res = curate_corpus(
+            corpus,
+            benchmark=benchmark,
+            minhash={"n": 2, "num_hashes": 32, "bands": 16,
+                     "threshold": 0.5},
+            sample_rate=1.0,
+        )
+        kept_ids = {r["doc_id"] for r in res.kept.collect()}
+        assert 100001 not in kept_ids       # exact dup dropped
+        assert 100002 not in kept_ids       # near dup clustered out
+        assert rows[2]["doc_id"] not in kept_ids  # contaminated dropped
+        assert rows[0]["doc_id"] in kept_ids      # canonicals survive
+        assert rows[1]["doc_id"] in kept_ids
+
+        stages = [s for s, _i, _o in res.stages]
+        assert stages == ["quality", "exact_dedup", "near_dedup",
+                          "decontaminate", "sample"]
+        # monotone survivor counts, report frame round-trips
+        for _s, i, o in res.stages:
+            assert o <= i
+        rep = res.report(spark).collect()
+        assert [r["stage"] for r in rep] == stages
+
+    def test_lazy_mode_skips_count_actions(self, docs, spark):
+        from graphite_clickhouse_spark.pipeline.recipes import curate_corpus
+
+        res = curate_corpus(
+            docs.select("doc_id", "text").limit(10),
+            minhash={"n": 2, "num_hashes": 16, "bands": 8,
+                     "threshold": 0.5},
+            count_stages=False,
+        )
+        assert all(i == -1 and o == -1 for _s, i, o in res.stages)
+        assert res.kept.count() <= 10  # plan still executes
