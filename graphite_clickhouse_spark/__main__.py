@@ -94,6 +94,13 @@ def main(argv=None):
                     help="run the tagger batch job ([tags] rules over the "
                          "metric namespace) and exit — the reference's "
                          "`-tags` mode")
+    ap.add_argument("--optimize", action="store_true",
+                    help="run the storage optimize job (rollup-on-merge + "
+                         "TTL using the config's rollup rules) on --data, "
+                         "then exit — the OPTIMIZE FINAL analog")
+    ap.add_argument("--optimize-drop-age", metavar="DUR",
+                    help="with --optimize: expire rows older than this Go "
+                         "duration (e.g. 2160h for 90 days)")
     ap.add_argument("--sd-list", action="store_true",
                     help="list registered nodes in SD, then exit")
     ap.add_argument("--sd-delete", action="store_true",
@@ -142,6 +149,24 @@ def main(argv=None):
     spark = get_spark("graphite-clickhouse-spark-server")
     if args.build_tags:
         return _build_tags(spark, settings, args)
+    if args.optimize:
+        if not args.data:
+            raise SystemExit("--optimize requires --data")
+        from .config import parse_go_duration
+        from .streaming.ingest import IngestJob
+
+        drop = (
+            int(parse_go_duration(args.optimize_drop_age))
+            if args.optimize_drop_age else None
+        )
+        IngestJob(args.data).optimize(
+            spark, settings.rules, drop_older_than_sec=drop
+        )
+        print(f"optimize: rewrote {args.data}/points"
+              + (f", expired rows older than {args.optimize_drop_age}"
+                 if drop else ""),
+              file=sys.stderr)
+        return None
     engine = build_engine(spark, settings, args.data, args.sf_events)
     if args.check:
         print("config + engine OK", file=sys.stderr)

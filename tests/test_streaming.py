@@ -551,3 +551,48 @@ class TestCarbonUDPReceiver:
             "u.one 1.0 60", "u.three 3.0 80", "u.two 2.0 70"
         ]
         assert not [f for f in os.listdir(spool) if f.endswith(".part")]
+
+
+class TestOptimizeCLI:
+    def test_cli_runs_optimize_with_config_rules(self, spark, tmp_path, capsys):
+        from graphite_clickhouse_spark.__main__ import main
+
+        data = str(tmp_path / "data")
+        job = IngestJob(data, version=1)
+        job.write_batch(parse_carbon_lines(lines_df(
+            spark, ["m.sum 1.0 60", "m.sum 2.0 70", "recent.m 5.0 260000"]
+        ), version=1))
+
+        rollup = tmp_path / "rollup.xml"
+        rollup.write_text(
+            "<graphite_rollup>"
+            "<pattern><regexp>\\.sum$</regexp><function>sum</function>"
+            "<retention><age>0</age><precision>60</precision></retention>"
+            "</pattern>"
+            "<default><function>avg</function>"
+            "<retention><age>0</age><precision>60</precision></retention>"
+            "</default></graphite_rollup>"
+        )
+        conf = tmp_path / "gch.conf"
+        conf.write_text(f'[clickhouse]\nrollup-conf = "{rollup}"\n')
+
+        # pass 1: merge only (no TTL) — the .sum metric's two samples in
+        # one 60s bucket collapse to their sum under real wall-clock age
+        main(["--config", str(conf), "--data", data, "--optimize"])
+        assert "optimize: rewrote" in capsys.readouterr().err
+        got = {(r.path, r.time): r.value
+               for r in IngestJob(data).read_points(spark).collect()}
+        assert got[("m.sum", 60)] == 3.0
+        assert ("m.sum", 70) not in got
+        assert ("recent.m", 259980) in got  # default avg, 60s bucket
+
+        # pass 2: TTL — every 1970 timestamp is ancient vs a 30h window
+        # from real now, so the table empties and partitions disappear
+        main(["--config", str(conf), "--data", data, "--optimize",
+              "--optimize-drop-age", "30h"])
+        capsys.readouterr()
+        assert IngestJob(data).read_points(spark).count() == 0
+        import os
+
+        assert not [d for d in os.listdir(f"{data}/points")
+                    if d.startswith("date=")]
