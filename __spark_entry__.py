@@ -1981,6 +1981,42 @@ GROUP BY doc_id
 """
 
 
+def q_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization (the C4/RefinedWeb cleaning stage): strip
+    control characters, collapse whitespace, trim — pure JVM regexes.
+    The documents are synthetically dirtied (control chars + ragged
+    whitespace injected as literals) so the cleaning path is exercised,
+    not just the identity path."""
+    from graphite_clickhouse_spark.pipeline.text import clean_text
+    from graphite_clickhouse_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("  \x00"), F.col("text"), F.lit("\x07\x07  tail\t ")
+        ).alias("text"),
+    )
+    return clean_text(docs).select("doc_id", "clean", "n_removed")
+
+
+SQL_TEXT_CLEAN = """
+WITH dirty AS (
+    SELECT doc_id,
+           '  ' || chr(0) || text || chr(7) || chr(7) || '  tail' || chr(9) || ' '
+               AS text
+    FROM documents
+)
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(text, '\\p{Cc}', ' ', 'g'),
+                           '\\s+', ' ', 'g')) AS clean,
+       length(text) - length(
+           trim(regexp_replace(regexp_replace(text, '\\p{Cc}', ' ', 'g'),
+                               '\\s+', ' ', 'g'))
+       ) AS n_removed
+FROM dirty
+"""
+
+
 # quality classifier weights: trained once via
 # pipeline.classifier.train_quality_classifier on sf0.01 with the gopher
 # rule verdict as the weak label (reg_param=0.1; 94.6% agreement) — the
@@ -2137,6 +2173,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "simhash_pairs": (q_simhash_pairs, SQL_SIMHASH_PAIRS),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "quality_classifier": (q_quality_classifier, SQL_QUALITY_CLASSIFIER),
+    "text_clean": (q_text_clean, SQL_TEXT_CLEAN),
     "unigram_quality": (q_unigram_quality, SQL_UNIGRAM_QUALITY),
     "dsir_weight": (q_dsir_weight, SQL_DSIR_WEIGHT),
 }

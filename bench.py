@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "mix_sources",
     "pack_sequences",
     "quality_classifier",
+    "text_clean",
     "unigram_quality",
     "dsir_weight",
     "dedup_clusters",

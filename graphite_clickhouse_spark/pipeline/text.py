@@ -298,3 +298,28 @@ def gopher_quality_filter(
         sw_ratio.cast("double").alias("stopword_ratio"),
         keep.alias("keep"),
     )
+
+
+def clean_text(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Text normalization — the C4/RefinedWeb cleaning stage as pure
+    expressions: strip C0/C1 control characters (tab and newline
+    normalize with the rest of the whitespace), collapse whitespace runs
+    to single spaces, trim. Returns (id, clean, n_removed) where
+    n_removed is the character-count delta — the cheap signal for
+    flagging documents that were mostly control garbage.
+
+    Everything is JVM regexp_replace (two passes over the string, no
+    UDF); at 100 TB this runs inside the scan projection.
+    """
+    raw = F.col(text_col)
+    # \p{Cc} = Unicode control category (C0 + C1), same class DuckDB's
+    # RE2 exposes — keeps the oracle bit-identical
+    no_ctl = F.regexp_replace(raw, r"\p{Cc}", " ")
+    collapsed = F.trim(F.regexp_replace(no_ctl, r"\s+", " "))
+    return df.select(
+        F.col(id_col),
+        collapsed.alias("clean"),
+        (F.length(raw) - F.length(collapsed)).alias("n_removed"),
+    )
