@@ -234,3 +234,33 @@ class TestQualityClassifier:
                 params["weights"][k] * f[k] for k in params["weights"]
             )
             assert scores[i] == pytest.approx(1 / (1 + math.exp(-z)), rel=1e-12)
+
+
+class TestPackingDifferential:
+    def test_matches_pure_python_simulator(self, spark):
+        """Independent reimplementation check: the window-sum integer
+        math must equal a sequential simulator on random tables."""
+        import random
+
+        for seed in (1, 7, 42):
+            rng = random.Random(seed)
+            rows = [
+                (i, f"s{rng.randrange(3)}", rng.randrange(0, 300))
+                for i in range(120)
+            ]
+            w = rng.choice([64, 128, 256])
+            got = {
+                r["doc_id"]: (r["start_offset"], r["start_chunk"],
+                              r["end_chunk"], r["chunk_span"])
+                for r in pack_layout(_docs(spark, rows), w).collect()
+            }
+            # simulator: per group in id order, running offset
+            offsets: dict = {}
+            for i, src, tok in sorted(rows):
+                off = offsets.get(src, 0)
+                offsets[src] = off + tok
+                start_chunk = off // w
+                end_chunk = (off + tok - 1) // w if tok > 0 else start_chunk
+                assert got[i] == (
+                    off, start_chunk, end_chunk, end_chunk - start_chunk + 1
+                ), (seed, i, src, tok, w)
