@@ -271,20 +271,24 @@ class TestCarbonLineReceiver:
             with socket.create_connection((host, port), timeout=10) as s:
                 for i in range(6):
                     s.sendall(f"m.x {i} {60 + i}\n".encode())
-                # generous deadline: the full suite runs this box at
-                # heavy parallel load and 10s has proven flaky there
-                deadline = time.monotonic() + 60
-                while time.monotonic() < deadline:
-                    files = [f for f in os.listdir(spool) if f.endswith(".txt")]
-                    if len(files) >= 3:
-                        break
-                    time.sleep(0.1)
-            files = sorted(f for f in os.listdir(spool) if f.endswith(".txt"))
+            # the connection is CLOSED now; a trailing sub-batch smaller
+            # than rotate_lines flushes on close in the receiver thread,
+            # so wait for ALL lines, not just the first rotated files
+            # (racing that close-flush was a measured full-suite flake)
+            deadline = time.monotonic() + 60
+            files, total = [], 0
+            while time.monotonic() < deadline:
+                files = sorted(
+                    f for f in os.listdir(spool) if f.endswith(".txt")
+                )
+                total = sum(
+                    len(open(os.path.join(spool, f)).read().strip().split("\n"))
+                    for f in files
+                )
+                if total >= 6:
+                    break
+                time.sleep(0.1)
             assert len(files) >= 3  # 6 lines / rotate_lines=2
-            total = sum(
-                len(open(os.path.join(spool, f)).read().strip().split("\n"))
-                for f in files
-            )
             assert total == 6
             assert not [f for f in os.listdir(spool) if f.endswith(".part")]
         finally:
