@@ -82,3 +82,29 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert set(df.columns) >= {"path", "start", "stop", "step", "values"}
+
+
+def test_contract_registry_is_complete():
+    """Meta-contract: every registered query has a callable AND an
+    oracle, the bench list only names registered queries, and names are
+    unique — prevents silent drift as queries get added."""
+    import bench
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    # every query in this build is oracle-backed (none rows-only today);
+    # if a genuinely non-SQL-expressible op lands, exempt it HERE by name
+    assert set(oracles) == set(qs), set(qs) - set(oracles)
+    missing_bench = [n for n in bench.BENCH_QUERIES if n not in qs]
+    assert missing_bench == []
+    assert len(bench.BENCH_QUERIES) == len(set(bench.BENCH_QUERIES))
+    # every oracle is non-trivial SQL over a registered table — or a
+    # generate_series synthesis (the render_baseline_* queries reproduce
+    # the reference's published 986-metric workload shape)
+    for name, sql in oracles.items():
+        assert any(t in sql for t in (
+            "events", "documents", "embeddings", "lineitem", "orders",
+            "customer", "supplier", "part", "nation", "region",
+            "generate_series",
+        )), name
