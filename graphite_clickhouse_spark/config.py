@@ -228,7 +228,12 @@ def _read_rollup(ch: dict[str, Any], tables: list[dict[str, Any]], ignored: list
                 ignored.append("clickhouse.rollup-conf=auto (no remote server)")
             continue
         with open(conf, "rb") as fh:
-            return Rules.from_xml(fh.read().decode())
+            text = fh.read().decode()
+        # XML (the production format) or the reference's compact
+        # test-fixture form `regexp;function;age:precision,...`
+        if text.lstrip().startswith("<"):
+            return Rules.from_xml(text)
+        return Rules.from_compact(text)
     return Rules.default()
 
 

@@ -127,6 +127,39 @@ class Rules:
         return cls(patterns)
 
     @classmethod
+    def from_compact(cls, text: str) -> "Rules":
+        """Parse the compact rollup form (helper/rollup/compact.go:15-64):
+        one rule per line, ``regexp;function;age:precision,...`` — the
+        format the reference's own test fixtures use. Split on the LAST
+        two semicolons like the reference, so regexps may contain ';'."""
+        patterns: list[Pattern] = []
+        for line in text.split("\n"):
+            if not line.strip():
+                continue
+            p2 = line.rfind(";")
+            if p2 < 0:
+                raise ValueError(f"can't parse line: {line!r}")
+            p1 = line.rfind(";", 0, p2)
+            if p1 < 0:
+                raise ValueError(f"can't parse line: {line!r}")
+            regexp = line[:p1].strip()
+            function = line[p1 + 1:p2].strip()
+            retention = []
+            if line[p2 + 1:].strip():
+                for r in line[p2 + 1:].split(","):
+                    parts = r.split(":")
+                    if len(parts) != 2:
+                        raise ValueError(f"can't parse line: {line!r}")
+                    retention.append(
+                        Retention(int(parts[0].strip()), int(parts[1].strip()))
+                    )
+            patterns.append(
+                Pattern(regexp=regexp, function=function or None,
+                        retention=retention)
+            )
+        return cls(patterns)
+
+    @classmethod
     def default(cls) -> "Rules":
         return cls([Pattern(function=SUPER_DEFAULT_FUNCTION,
                             retention=[Retention(0, SUPER_DEFAULT_PRECISION)])])

@@ -73,3 +73,64 @@ class TestDateParam:
     def test_yesterday_chain_keeps_clock(self):
         # ...but inside a ±chain the full timestamp is kept (datetime.go:104-146)
         assert date_param_to_epoch("yesterday+2h", NOW) == NOW - 86400 + 7200
+
+
+class TestReferenceGoldenTable:
+    """The reference's own TestDateParamToEpoch{,Truncate} tables
+    (/root/reference/helper/datetime/datetime_test.go), evaluated in UTC
+    (upstream runs them in time.Local; the vectors are tz-parametric —
+    now = 1994-Aug-16 15:30 in the chosen zone)."""
+
+    def _check(self, cases, truncate_sec):
+        from datetime import datetime, timezone
+
+        from graphite_clickhouse_spark.functions.datetime_spec import (
+            date_param_to_epoch,
+        )
+
+        now = int(datetime(1994, 8, 16, 15, 30,
+                           tzinfo=timezone.utc).timestamp())
+        for inp, out in cases:
+            want = int(
+                datetime.strptime(out, "%H:%M:%S %Y-%m-%d")
+                .replace(tzinfo=timezone.utc).timestamp()
+            )
+            got = date_param_to_epoch(inp, now, truncate_sec)
+            assert got == want, (inp, got, want)
+
+    def test_main_table(self):
+        self._check([
+            ("midnight", "00:00:00 1994-08-16"),
+            ("noon", "12:00:00 1994-08-16"),
+            ("teatime", "16:00:00 1994-08-16"),
+            ("tomorrow", "00:00:00 1994-08-17"),
+            ("noon 08/12/94", "12:00:00 1994-08-12"),
+            ("midnight 20060812", "00:00:00 2006-08-12"),
+            ("noon tomorrow", "12:00:00 1994-08-17"),
+            ("17:04 19940812", "17:04:00 1994-08-12"),
+            ("-1day", "15:30:00 1994-08-15"),
+            ("19940812", "00:00:00 1994-08-12"),
+            ("midnight-10", "23:59:50 1994-08-15"),
+            ("midnight-1s", "23:59:59 1994-08-15"),
+            ("midnight-1day", "00:00:00 1994-08-15"),
+            ("midnight-1day+1s", "00:00:01 1994-08-15"),
+        ], truncate_sec=1)
+
+    def test_truncate_table(self):
+        self._check([
+            ("midnight", "00:00:00 1994-08-16"),
+            ("noon", "12:00:00 1994-08-16"),
+            ("teatime", "16:00:00 1994-08-16"),
+            ("tomorrow", "00:00:00 1994-08-17"),
+            ("noon 08/12/94", "12:00:00 1994-08-12"),
+            ("midnight 20060812", "00:00:00 2006-08-12"),
+            ("noon tomorrow", "12:00:00 1994-08-17"),
+            ("17:04 19940812", "17:04:00 1994-08-12"),
+            ("-1day", "15:30:00 1994-08-15"),
+            ("19940812", "00:00:00 1994-08-12"),
+            ("midnight-10", "23:59:50 1994-08-15"),
+            ("midnight-1s", "23:59:59 1994-08-15"),
+            ("midnight-1day", "00:00:00 1994-08-15"),
+            ("now-1", "15:29:59 1994-08-16"),
+            ("now-45s", "15:29:15 1994-08-16"),
+        ], truncate_sec=10)

@@ -145,3 +145,41 @@ def test_cli_match_and_version(tmp_path, capsys):
     main(["--version"])
     out = capsys.readouterr().out
     assert out.startswith("graphite_clickhouse_spark ")
+
+
+def test_parse_compact_reference_golden():
+    """helper/rollup/compact_test.go::TestParseCompact verbatim."""
+    rules = Rules.from_compact(
+        "\n\tclick_cost;any;0:3600,86400:60"
+        "\n\t;max;0:60,3600:300,86400:3600"
+    )
+    assert len(rules.patterns) == 2
+    p0, p1 = rules.patterns
+    assert (p0.regexp, p0.function) == ("click_cost", "any")
+    assert [(r.age, r.precision) for r in p0.retention] == [
+        (0, 3600), (86400, 60)
+    ]
+    assert (p1.regexp, p1.function) == ("", "max")
+    assert [(r.age, r.precision) for r in p1.retention] == [
+        (0, 60), (3600, 300), (86400, 3600)
+    ]
+    # lookup flows through the same machinery as XML-parsed rules
+    assert rules.lookup("click_cost.total", 0) == (3600, "any")
+    assert rules.lookup("other.metric", 4000) == (300, "max")
+
+
+def test_compact_rejects_malformed():
+    import pytest as _pytest
+
+    for bad in ("no-semicolons", "a;b;0:1:2", "a;b;xx:1"):
+        with _pytest.raises(ValueError):
+            Rules.from_compact(bad)
+
+
+def test_config_rollup_conf_autodetects_compact(tmp_path):
+    from graphite_clickhouse_spark.config import load_settings
+
+    conf_file = tmp_path / "rollup.conf"
+    conf_file.write_text(";avg;0:60,86400:300\n")
+    s = load_settings(f'[clickhouse]\nrollup-conf = "{conf_file}"\n')
+    assert s.rules.lookup("any.metric", 90000) == (300, "avg")
