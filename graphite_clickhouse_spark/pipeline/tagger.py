@@ -110,12 +110,19 @@ def apply_rules(paths: DataFrame, rules: list[TagRule], path_col: str = "path") 
             tags_arr.alias("tags"),
         )
     )
-    # k=v array -> map for the query-side tagged model
+    # k=v array -> map for the query-side tagged model. Bare tags (a
+    # rule's `tag = "prefix"` with no '=': legal, tagger/rule_test.go
+    # uses them throughout) map to an empty value — F.get tolerates the
+    # missing element where [1] raised ArrayIndexOutOfBounds
+    # (golden-test-found).
     return out.withColumn(
         "tags_map",
         F.map_from_arrays(
             F.transform("tags", lambda kv: F.split(kv, "=", 2)[0]),
-            F.transform("tags", lambda kv: F.split(kv, "=", 2)[1]),
+            F.transform(
+                "tags",
+                lambda kv: F.coalesce(F.get(F.split(kv, "=", 2), 1), F.lit("")),
+            ),
         ),
     )
 

@@ -355,3 +355,53 @@ class TestBuildTagsCLI:
         conf.write_text("[tags]\n")
         with _pytest.raises(SystemExit):
             main(["--config", str(conf), "--build-tags"])
+
+
+class TestTaggerReferenceGoldens:
+    """tagger/rule_test.go::TestRules — the `Match` (all-trees) rows;
+    the per-tree methods are the reference's internal index structures,
+    which the predicate compilation subsumes."""
+
+    RULES = """
+[[rule]]
+tag = "prefix"
+has-prefix = "prefix"
+
+[[rule]]
+tag = "suffix"
+has-suffix = "suffix"
+
+[[rule]]
+tag = "contains"
+contains = "contains"
+
+[[rule]]
+tag = "equal"
+equal = "equal"
+
+[[rule]]
+tag = "regexp"
+regexp = "reg[e]xp"
+"""
+
+    def test_reference_match_table(self, spark):
+        from graphite_clickhouse_spark.pipeline.tagger import (
+            apply_rules,
+            parse_rules,
+        )
+
+        rules = parse_rules(self.RULES)
+        cases = {
+            "prefix.metric": ["prefix"],
+            "metric.suffix": ["suffix"],
+            "hello.contains.world": ["contains"],
+            "hello.regexp.world": ["regexp"],
+            "prefix.suffix": ["prefix", "suffix"],
+            "equal": ["equal"],
+            "nothing.matches.here": [],
+        }
+        df = spark.createDataFrame([(p,) for p in cases], "path string")
+        got = {r["path"]: sorted(r["tags"])
+               for r in apply_rules(df, rules).collect()}
+        for path, want in cases.items():
+            assert got[path] == sorted(want), path

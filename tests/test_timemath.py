@@ -59,3 +59,12 @@ def test_fill_nulls_bounds_reference_vectors():
     # wire-golden vectors (v2/v3_pb_test.go writer inputs)
     assert fill_nulls_bounds(4, 13, 5) == (5, 15, 2)
     assert fill_nulls_bounds(1, 5, 1) == (1, 6, 5)
+
+
+def test_common_step_reference_vector():
+    # render/data/common_step_test.go: contributions {0, 6, 8, 10}
+    # converge on LCM = 120 (the zero contribution adds nothing)
+    from graphite_clickhouse_spark.functions.timemath import common_step
+
+    assert common_step([6, 8, 10], 0, 60, 1_000_000) == 120
+    assert common_step([0, 6, 8, 10], 0, 60, 1_000_000) == 120
