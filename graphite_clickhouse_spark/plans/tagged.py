@@ -22,7 +22,7 @@ from dataclasses import dataclass
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from .glob import glob_to_regexp, has_wildcard
+from .glob import has_wildcard
 
 TERM_RE = re.compile(r"^\s*([^=!~\s]+)\s*(!=~|=~|!=|=)\s*(.*)$")
 SERIES_BY_TAG_RE = re.compile(r"^seriesByTag\s*\((.*)\)\s*$", re.DOTALL)
@@ -127,29 +127,85 @@ def parse_tagged_conditions(exprs: list[str]) -> list[TaggedTerm]:
     return terms
 
 
+def _star_mask_regexp(value: str) -> str:
+    """Tagged `=` wildcard semantics (tagged.go concatMask:125-128 +
+    where.Like): `*` is the ONLY wildcard and crosses everything — it
+    compiles to ClickHouse LIKE `%`, not the path-glob `[^.]*` (a dotted
+    tag value like `1.2.3` or an FQDN must match `1.*`). All other
+    characters are literal. Upstream hands the value to LIKE unescaped,
+    so a literal `_`/`%` would also act as a wildcard there — an
+    escaping defect this build deliberately does not reproduce."""
+    return "".join(".*" if ch == "*" else re.escape(ch) for ch in value)
+
+
+def _glob_expand_simple(value: str, prefix: str = "") -> list[str]:
+    """pkg/where.GlobExpandSimple (where.go:19-58): expand ONE-LEVEL
+    `{a,b}` lists into concrete values; nested/unclosed braces are a
+    malformed glob (HTTP 400 upstream)."""
+    if value == "":
+        return [prefix]
+    idxs = [i for i, ch in enumerate(value) if ch in "{}"]
+    if not idxs:
+        return [prefix + value]
+    start = idxs[0]
+    end = value[start:].find("}")
+    if end <= 1 or any(c in "{}" for c in value[start + 1:start + end]):
+        raise TaggedParseError(f"malformed glob: {value}")
+    pre = prefix + value[:start]
+    postfix = value[start + end + 1:]
+    out: list[str] = []
+    for part in value[start + 1:start + end].split(","):
+        out.extend(_glob_expand_simple(postfix, pre + part))
+    return out
+
+
+def _match_regexp(value: str) -> str:
+    """`=~` regex shaping (pkg/where quoteRegex/escapeRegex:117-164): a
+    leading `^` binds the WHOLE expression — upstream emits
+    `^key=(alt1|alt2)`, so `^cpu|mem` means "starts with cpu OR starts
+    with mem", NOT "starts with cpu, or mem anywhere" (naive rlike
+    semantics; golden-table-found divergence). Alternations are wrapped
+    in a group; without `^` the search is unanchored, which rlike
+    already is."""
+    if value.startswith("^"):
+        rest = value[1:]
+        return "^(" + rest + ")" if "|" in rest else "^" + rest
+    return "(" + value + ")" if "|" in value else value
+
+
 def term_predicate(
     term: TaggedTerm, tags_col: Column, flags: FeatureFlags = FeatureFlags()
 ) -> Column:
     """One TaggedTerm -> boolean Column over a MAP<STRING,STRING> column.
 
-    Flag semantics from finder/tagged.go:130-282 (see FeatureFlags)."""
+    Flag semantics from finder/tagged.go:130-282 (see FeatureFlags).
+    `=`/`!=` value semantics follow TaggedTermWhere1 exactly: a value
+    containing `*` becomes the LIKE mask (checked BEFORE braces, so
+    braces alongside a star are literal, as upstream); otherwise braces
+    expand to an equality list via GlobExpandSimple."""
     v = tags_col.getItem(term.key)
     if term.op == "=":
         if term.value == "":
             if flags.use_carbon_behaviour:
                 return v.isNull()  # tag absent (tagged.go:135-139)
             return v.isNotNull() & (v == "")  # Eq(Tag1,'key=') (tagged.go:150-156)
-        if has_wildcard(term.value):
-            return v.isNotNull() & v.rlike("^" + glob_to_regexp(term.value) + "$")
-        return v == term.value
+        if "*" in term.value:
+            return v.isNotNull() & v.rlike(
+                "^" + _star_mask_regexp(term.value) + "$"
+            )
+        vals = _glob_expand_simple(term.value)
+        if len(vals) == 1:
+            return v == vals[0]
+        return v.isin(vals)
     if term.op == "!=":
         if term.value == "":
             # tag exists and non-empty, regardless of flags (tagged.go:158-162)
             return v.isNotNull() & (v != "")
-        if has_wildcard(term.value):
-            base = ~v.rlike("^" + glob_to_regexp(term.value) + "$")
+        if "*" in term.value:
+            base = ~v.rlike("^" + _star_mask_regexp(term.value) + "$")
         else:
-            base = v != term.value
+            vals = _glob_expand_simple(term.value)
+            base = ~v.isin(vals) if len(vals) > 1 else v != vals[0]
         if flags.dont_match_missing_tags:
             return v.isNotNull() & base  # (tagged.go:164-167)
         return v.isNull() | base
@@ -159,7 +215,7 @@ def term_predicate(
             # empty/star regex degrades to "tag present"
             return v.isNotNull()
         _validate_regex(term.value)
-        return v.isNotNull() & v.rlike(term.value)
+        return v.isNotNull() & v.rlike(_match_regexp(term.value))
     if term.op == "!=~":
         if term.value in ("", "*"):
             if flags.dont_match_missing_tags:
@@ -167,8 +223,8 @@ def term_predicate(
             return v.isNull()
         _validate_regex(term.value)
         if flags.dont_match_missing_tags:
-            return v.isNotNull() & ~v.rlike(term.value)  # (tagged.go:194-199)
-        return v.isNull() | ~v.rlike(term.value)
+            return v.isNotNull() & ~v.rlike(_match_regexp(term.value))  # (tagged.go:194-199)
+        return v.isNull() | ~v.rlike(_match_regexp(term.value))
     raise TaggedParseError(f"unknown op: {term.op}")
 
 
