@@ -55,7 +55,13 @@ class PrefixFinder:
             return PrefixMatch(MATCHED, inner_query=query)
         qs = query.split(".")
         for qnode, pnode in zip(qs, self._nodes):
-            if not re.match("^" + glob_to_regexp(qnode) + "$", pnode):
+            try:
+                matched = re.match("^" + glob_to_regexp(qnode) + "$", pnode)
+            except re.error:
+                # malformed glob node (e.g. "[bad"): not-matched, never
+                # a 500 (finder/prefix_test.go "[bad regexp" row)
+                return PrefixMatch(NOT_MATCHED)
+            if not matched:
                 return PrefixMatch(NOT_MATCHED)
         if len(qs) <= len(self._nodes):
             # query exhausted inside the prefix: answer with the tree node

@@ -130,3 +130,42 @@ class TestStorageLimits:
         StorageLimits(max_rows_to_read=100, max_memory_usage=1 << 30)\
             .check_scan(spark.range(5))
         StorageLimits().check_scan(spark.range(5))  # no caps -> no job
+
+
+class TestPrefixFinderReferenceGoldens:
+    """finder/prefix_test.go::TestPrefixFinderExecute, behaviorally."""
+
+    def test_reference_table(self):
+        from graphite_clickhouse_spark.plans.guards import (
+            MATCHED,
+            NOT_MATCHED,
+            PARTIAL,
+            PrefixFinder,
+        )
+
+        cases = [
+            # (prefix, query, state, inner_query, part)
+            ("ch", "*", PARTIAL, None, "ch."),
+            ("ch.data", "*", PARTIAL, None, "ch."),
+            ("ch.data", "ch.*", PARTIAL, None, "ch.data."),
+            ("ch.data", "ch.data.*", MATCHED, "*", None),
+            ("ch.data", "epta.*", NOT_MATCHED, None, None),
+            ("ch.data", "ch.data._tag.daemon.h.hostname.top.cpu_avg",
+             MATCHED, "_tag.daemon.h.hostname.top.cpu_avg", None),
+            ("ch.data", "ch.d[a]", NOT_MATCHED, None, None),
+            # malformed glob node: not-matched, never an exception
+            # (prefix_test.go List "[bad regexp" row)
+            ("hello", "[bad", NOT_MATCHED, None, None),
+        ]
+        for prefix, query, state, inner, part in cases:
+            m = PrefixFinder(prefix).match(query)
+            assert m.state == state, (prefix, query, m)
+            if inner is not None:
+                assert m.inner_query == inner, (prefix, query, m)
+            if part is not None:
+                assert m.part == part, (prefix, query, m)
+
+    def test_abs_reattach(self):
+        from graphite_clickhouse_spark.plans.guards import PrefixFinder
+
+        assert PrefixFinder("hello").attach("world") == "hello.world"
