@@ -90,6 +90,23 @@ def terms_from_matchers(matchers: list[LabelMatcher]) -> list[TaggedTerm]:
     return terms
 
 
+def decoded_tags(col: str = "tags"):
+    """The PROMETHEUS view of a tagged path URL-decodes label keys and
+    values — prometheus/labels.go:28-50 runs url.Parse over the stored
+    path, so `instance=telegraf.default%3A9273` surfaces as
+    `instance="telegraf.default:9273"` (and `+` decodes to space, the
+    url.Values rule). Graphite surfaces and LabelValues/LabelNames stay
+    RAW (querier.go:34-46 splits the stored Tag1 without decoding), and
+    matcher FILTERING runs on raw tags too — only rendered label sets
+    decode. Undecodable %-sequences pass through unchanged (upstream
+    falls back to the raw path on parse errors)."""
+    return F.expr(
+        f"map_from_arrays("
+        f"transform(map_keys({col}), k -> coalesce(try_url_decode(k), k)), "
+        f"transform(map_values({col}), v -> coalesce(try_url_decode(v), v)))"
+    )
+
+
 def select_series(tagged: DataFrame, matchers: list[LabelMatcher]) -> DataFrame:
     """storage.Querier.Select: matching series paths (distinct)."""
     pred = tagged_predicate(terms_from_matchers(matchers), F.col("tags"))
@@ -115,7 +132,11 @@ def series_label_sets(
         out = df if out is None else out.unionByName(df)
     if out is None:
         out = base.select("path", "tags")
-    return out.dropDuplicates(["path"]).orderBy("path")
+    return (
+        out.dropDuplicates(["path"])
+        .select("path", decoded_tags("tags").alias("tags"))
+        .orderBy("path")
+    )
 
 
 def label_names(

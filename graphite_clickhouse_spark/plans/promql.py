@@ -1055,13 +1055,19 @@ class Evaluator:
         explode, rate boundaries) is then offset-oblivious."""
         pred = tagged_predicate(terms_from_matchers(sel.matchers), F.col("tags"))
         o = int(getattr(sel, "offset", 0))
+        from .prometheus import decoded_tags
+
         df = (
             self.tagged.filter(pred)
             .filter(
                 (F.col("time") > F.lit(self.start - window - o))
                 & (F.col("time") <= F.lit(self.end - o))
             )
-            .select("path", "tags", "time", "value", "version")
+            # matching ran on the RAW stored tags; the label sets the
+            # evaluator carries (grouping keys, output series) are the
+            # prometheus view, which URL-decodes (labels.go:28-50)
+            .select("path", decoded_tags("tags").alias("tags"),
+                    "time", "value", "version")
         )
         if o:
             df = df.withColumn("time", F.col("time") + F.lit(o))

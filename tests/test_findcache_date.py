@@ -204,3 +204,16 @@ class TestBackends:
         b = MemcachedBackend(("127.0.0.1:1",), timeout_sec=0.2)
         b.set("k", b"v", 60)  # must not raise
         assert b.get("k") is None
+
+
+def test_utc_days_reference_vectors():
+    """helper/date/date_test.go timestamps, UTC mode (the reference's
+    default-mode rows depend on the host tz — the documented GH-184
+    hazard its own comments call 'broken'; utc mode is the fixed path
+    and what this engine pins)."""
+    from graphite_clickhouse_spark.functions.date import date_utc
+
+    assert date_utc(1668106870) == "2022-11-10"  # 19:01:10Z
+    assert date_utc(1668124800) == "2022-11-11"  # midnight UTC
+    assert date_utc(1668142799) == "2022-11-11"  # 04:59:59Z
+    assert date_utc(1650776160) == "2022-04-24"  # issue #184 vector

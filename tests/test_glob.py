@@ -213,3 +213,12 @@ def test_split_query(query, max_node, expected):
     from graphite_clickhouse_spark.plans.glob import split_query
 
     assert split_query(query, max_node) == expected
+
+
+def test_reverse_string_reference_table():
+    """finder/reverse_test.go::TestReverse verbatim."""
+    from graphite_clickhouse_spark.plans.glob import reverse_path
+
+    for a, b in [("hello.world", "world.hello"), ("hello.", ".hello"),
+                 ("hello", "hello"), (".", "."), ("a1.b2.c3", "c3.b2.a1")]:
+        assert reverse_path(a) == b

@@ -405,3 +405,57 @@ regexp = "reg[e]xp"
                for r in apply_rules(df, rules).collect()}
         for path, want in cases.items():
             assert got[path] == sorted(want), path
+
+
+class TestPrometheusLabelDecoding:
+    """prometheus/labels_test.go::TestLabels — the prometheus view of a
+    tagged path URL-decodes label values (instance=...%3A9273 ->
+    'telegraf.default:9273'); matching and graphite surfaces stay raw."""
+
+    def test_series_label_sets_decode(self, spark):
+        from graphite_clickhouse_spark.plans.prometheus import (
+            LabelMatcher,
+            series_label_sets,
+        )
+        from graphite_clickhouse_spark.streaming.ingest import (
+            tags_map_from_path,
+        )
+
+        paths = [
+            ("cpu_usage_system?cpu=cpu5&host=telegraf-b9468c8b5-g47xt"
+             "&instance=telegraf.default%3A9273&job=telegraf",),
+            ("cpu_usage_system?cpu=cpu0&instance=plain",),
+        ]
+        tagged = spark.createDataFrame(paths, "path string").select(
+            "path", tags_map_from_path("path").alias("tags")
+        )
+        out = {r["path"]: dict(r["tags"]) for r in series_label_sets(
+            tagged,
+            [[LabelMatcher("__name__", "=", "cpu_usage_system")]],
+        ).collect()}
+        esc = paths[0][0]
+        assert out[esc]["instance"] == "telegraf.default:9273"
+        assert out[esc]["job"] == "telegraf"
+        assert out[esc]["__name__"] == "cpu_usage_system"
+
+    def test_matching_still_raw(self, spark):
+        # the stored (escaped) value is what matchers compare against,
+        # exactly like the reference's ClickHouse WHERE over raw Tag1
+        from graphite_clickhouse_spark.plans.prometheus import (
+            LabelMatcher,
+            select_series,
+        )
+        from graphite_clickhouse_spark.streaming.ingest import (
+            tags_map_from_path,
+        )
+
+        tagged = spark.createDataFrame(
+            [("m?instance=a%3A1",)], "path string"
+        ).select("path", tags_map_from_path("path").alias("tags"))
+        raw = select_series(
+            tagged, [LabelMatcher("instance", "=", "a%3A1")]
+        ).count()
+        decoded = select_series(
+            tagged, [LabelMatcher("instance", "=", "a:1")]
+        ).count()
+        assert (raw, decoded) == (1, 0)
