@@ -259,3 +259,19 @@ class TestMalformedRequestBodies:
             assert b"failed to parse" in ei.value.read()
         finally:
             srv.shutdown()
+
+
+def test_get_weighted_reference_table():
+    """limiter/alimiter_test.go::Test_getWeighted verbatim."""
+    from graphite_clickhouse_spark.plans.limiter import get_weighted
+
+    table = [  # (load_avg, n, max, want)
+        (0, 100, 100, 0), (0.2, 100, 100, 0), (0.7, 100, 100, 70),
+        (0.8, 100, 100, 80), (0.999, 100, 100, 99), (0.999, 1, 100, 0),
+        (1, 100, 1, 1), (1, 100, 100, 99), (1, 100, 101, 100),
+        (1, 100, 200, 100), (2, 200, 100, 99), (2, 200, 200, 199),
+        (2, 200, 300, 299), (2, 200, 400, 399), (2, 200, 401, 400),
+        (2, 200, 402, 400),
+    ]
+    for load, n, mx, want in table:
+        assert get_weighted(n, mx, load) == want, (load, n, mx)

@@ -459,3 +459,28 @@ class TestPrometheusLabelDecoding:
             tagged, [LabelMatcher("instance", "=", "a:1")]
         ).count()
         assert (raw, decoded) == (1, 0)
+
+
+def test_plain_from_tagged_abs_reference_golden(spark):
+    """finder/plain_from_tagged_test.go::TestPlainFromTaggedFinderAbs."""
+    from graphite_clickhouse_spark.plans.prometheus import (
+        plain_display_names,
+        plain_from_tagged,
+    )
+    from graphite_clickhouse_spark.plans.tagged import TaggedTerm
+
+    terms = [
+        TaggedTerm("__name__", "=", "graphite"),
+        TaggedTerm("rename", "=", "cpu_usage"),
+        TaggedTerm("target", "=", "telegraf.*.cpu.usage"),
+        TaggedTerm("node1", "=", "host"),
+    ]
+    spec = plain_from_tagged(terms)
+    assert spec is not None
+    df = spark.createDataFrame(
+        [("telegraf.localhost.cpu.usage",)], "path string"
+    )
+    [row] = plain_display_names(df, spec).collect()
+    assert row["path"] == (
+        "cpu_usage?host=localhost&metric=telegraf.localhost.cpu.usage"
+    )
