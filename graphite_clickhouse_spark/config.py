@@ -374,22 +374,36 @@ def load_settings(toml_text: str) -> Settings:
     s.storage_limits = StorageLimits.from_url(str(ch.get("url", "")))
     # duration-tiered query params (config.go QueryParams: requests with
     # range >= duration get their own limiter + data-timeout tier)
-    s.query_params = [
-        {
-            "duration": int(parse_go_duration(qp.get("duration", 0))),
+    s.query_params = []
+    for qp in ch.get("query-params", []):
+        duration = int(parse_go_duration(qp.get("duration", 0)))
+        if duration <= 0:
+            # config.go:607-608: a tier without a duration is an error,
+            # not a catch-all tier 0
+            raise ValueError(f"query duration param not set for: {qp}")
+        max_q = int(qp.get("max-queries", 0) or 0)
+        concurrent = int(
+            qp.get("concurrent-queries", 0) or qp.get("max-concurrent", 0) or 0
+        )
+        if concurrent > max_q and max_q > 0:
+            concurrent = 0  # config.go:603-605
+        qp_url = str(qp.get("url", "") or "")
+        s.query_params.append({
+            "duration": duration,
             "data_timeout": (
                 parse_go_duration(qp["data-timeout"])
                 if "data-timeout" in qp else None
             ),
-            "limits": StorageLimits.from_url(str(qp.get("url", ""))),
-            "max": int(qp.get("max-queries", 0) or 0),
-            "concurrent": int(
-                qp.get("concurrent-queries", 0) or qp.get("max-concurrent", 0) or 0
+            # a tier without its own url REUSES the default url — and
+            # with it the default read limits (config.go:615-618); only
+            # an explicit tier url overrides them
+            "limits": (
+                StorageLimits.from_url(qp_url) if qp_url else s.storage_limits
             ),
+            "max": max_q,
+            "concurrent": concurrent,
             "adaptive": int(qp.get("adaptive-queries", 0) or 0),
-        }
-        for qp in ch.get("query-params", [])
-    ]
+        })
     s.query_params.sort(key=lambda t: t["duration"])
     s.index_timeout_sec = parse_go_duration(ch.get("index-timeout", "1m"))
     for cls in ("render", "find", "tags"):

@@ -325,3 +325,45 @@ class TestInlineTableNormalizer:
 
         txt = 'a = "x\\"{y"\nb = 2\n'
         assert _join_inline_tables(txt) == txt
+
+
+class TestQueryParamValidation:
+    """config_test.go::TestGetQueryParamBroken + the config.go:602-618
+    normalization rules."""
+
+    def test_missing_duration_is_an_error(self):
+        import pytest as _pytest
+
+        from graphite_clickhouse_spark.config import load_settings
+
+        with _pytest.raises(ValueError):
+            load_settings(
+                '[clickhouse]\nurl = "http://x/?max_rows_to_read=1000"\n'
+                'query-params = [ { url = "http://x/?max_rows_to_read=2", '
+                'data-timeout = "60s" } ]\n'
+            )
+
+    def test_tier_without_url_inherits_default_limits(self):
+        from graphite_clickhouse_spark.config import load_settings
+
+        s = load_settings(
+            '[clickhouse]\nurl = "http://x/?max_rows_to_read=1000"\n'
+            'query-params = [ { duration = "72h", data-timeout = "60s" } ]\n'
+        )
+        [tier] = s.query_params
+        assert tier["limits"] is s.storage_limits  # reuse, not none
+        s2 = load_settings(
+            '[clickhouse]\nurl = "http://x/?max_rows_to_read=1000"\n'
+            'query-params = [ { duration = "72h", '
+            'url = "http://x/?max_rows_to_read=20000" } ]\n'
+        )
+        assert s2.query_params[0]["limits"] is not s2.storage_limits
+
+    def test_concurrent_above_max_resets(self):
+        from graphite_clickhouse_spark.config import load_settings
+
+        s = load_settings(
+            '[clickhouse]\nquery-params = [ { duration = "1h", '
+            "max-queries = 2, concurrent-queries = 5 } ]\n"
+        )
+        assert s.query_params[0]["concurrent"] == 0
