@@ -217,3 +217,29 @@ def test_utc_days_reference_vectors():
     assert date_utc(1668124800) == "2022-11-11"  # midnight UTC
     assert date_utc(1668142799) == "2022-11-11"  # 04:59:59Z
     assert date_utc(1650776160) == "2022-04-24"  # issue #184 vector
+
+
+def test_get_cache_timeout_reference_table():
+    """render/handler_test.go::Test_getCacheTimeout verbatim (short TTL
+    for live queries: range <= short-duration AND until within
+    short-until-offset of now; else the default TTL)."""
+    from graphite_clickhouse_spark.plans.findcache import (
+        CacheConfig,
+        get_cache_timeout,
+    )
+
+    cfg = CacheConfig(
+        short_timeout_sec=60, default_timeout_sec=300,
+        short_duration_sec=3 * 3600, short_until_offset_sec=120,
+    )
+    now = 1636985018
+    table = [  # (from, until, want)
+        (now - 600, now - 120, 60),
+        (now - 10800, now, 60),
+        (now - 10800, now - 120, 60),
+        (now - 10800, now - 121, 300),
+        (now - 10801, now, 300),
+    ]
+    for frm, until, want in table:
+        got, _cls = get_cache_timeout(now, frm, until, cfg)
+        assert got == want, (frm - now, until - now, got, want)
