@@ -844,3 +844,60 @@ class TestMainEntrypoint:
             assert vals == ["v"]
         finally:
             srv.shutdown()
+
+
+class TestAutocompleteReferenceGoldens:
+    """autocomplete/autocomplete_test.go::TestHandler_ServeTags — the
+    five request shapes with data arranged so the REAL semantics (alias
+    __name__ -> name, drop expr-used tags, tagPrefix over keys, sorted
+    JSON) produce exactly the reference's expected bodies."""
+
+    @pytest.fixture(scope="class")
+    def ac_url(self, spark):
+        from graphite_clickhouse_spark.streaming.ingest import (
+            tags_map_from_path,
+        )
+
+        paths = [
+            "m1?environment=production&host=a&project=web",
+            "m2?environment=staging&project=api",
+        ]
+        import time as _time
+
+        now = int(_time.time())
+        tagged = spark.createDataFrame(
+            [(p, float(i), now, i) for i, p in enumerate(paths)],
+            "path string, value double, time long, version long",
+        ).withColumn("tags", tags_map_from_path("path"))
+        engine = Engine(spark=spark, points=None, tagged_points=tagged)
+        srv, url = serve_background(engine)
+        yield url
+        srv.shutdown()
+
+    def test_reference_table(self, ac_url):
+        cases = [
+            ("/tags/autoComplete/tags",
+             ["environment", "host", "name", "project"]),
+            ("/tags/autoComplete/tags?tagPrefix=pr", ["project"]),
+            ("/tags/autoComplete/tags?expr=environment%3Dproduction",
+             ["host", "name", "project"]),
+            ("/tags/autoComplete/tags?expr=environment%3Dproduction"
+             "&expr=project%3Dweb", ["host", "name"]),
+            ("/tags/autoComplete/tags?expr=environment%3Dproduction"
+             "&tagPrefix=h", ["host"]),
+        ]
+        for path, want in cases:
+            assert json.loads(get(ac_url + path)) == want, path
+
+    def test_values_name_alias_and_prefix(self, ac_url):
+        # ServeValuesNameTag / WithValuePrefix: tag=name aliases to
+        # __name__ values; valuePrefix filters
+        cases = [
+            ("/tags/autoComplete/values?tag=name", ["m1", "m2"]),
+            ("/tags/autoComplete/values?tag=name&valuePrefix=m1", ["m1"]),
+            ("/tags/autoComplete/values?tag=project&valuePrefix=w", ["web"]),
+            ("/tags/autoComplete/values?tag=host"
+             "&expr=environment%3Dproduction", ["a"]),
+        ]
+        for path, want in cases:
+            assert json.loads(get(ac_url + path)) == want, path
