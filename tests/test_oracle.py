@@ -58,6 +58,40 @@ def test_query_matches_oracle(spark, duck, name):
     assert sorted(spark_cols) == sorted(duck_cols), (
         f"{name}: column mismatch {spark_cols} vs {duck_cols}"
     )
+    # dtype-kind parity: the driver's value hash sees the pandas dtype, so
+    # a DuckDB HUGEINT (sum over ints) surfacing as float64 hash-mismatches
+    # against Spark's int64 even when the values are equal (round-3
+    # pack_sequences failure). Compare int/float/bool/other kinds per column.
+    duck_pd = duck.execute(entrymod.oracle_sql()[name]).df()
+
+    def _duck_kind(dt):
+        s = str(dt)
+        if s.lower().startswith(("int", "uint")):
+            return "int"
+        if s.startswith("float"):
+            return "float"
+        if s == "bool":
+            return "bool"
+        return "obj"
+
+    def _spark_kind(t):
+        s = t.simpleString()
+        if s in ("tinyint", "smallint", "int", "bigint", "long"):
+            return "int"
+        if s in ("float", "double"):
+            return "float"
+        if s == "boolean":
+            return "bool"
+        return "obj"
+
+    skinds = {f.name: _spark_kind(f.dataType) for f in sdf.schema.fields}
+    dkinds = {c: _duck_kind(duck_pd[c].dtype) for c in duck_pd.columns}
+    mismatched = {
+        c: (skinds[c], dkinds[c])
+        for c in skinds
+        if c in dkinds and skinds[c] != dkinds[c]
+    }
+    assert not mismatched, f"{name}: dtype-kind mismatch {mismatched}"
     assert len(spark_rows) == len(duck_rows), (
         f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
     )

