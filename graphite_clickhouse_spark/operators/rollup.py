@@ -150,9 +150,19 @@ class Rules:
                     parts = r.split(":")
                     if len(parts) != 2:
                         raise ValueError(f"can't parse line: {line!r}")
-                    retention.append(
-                        Retention(int(parts[0].strip()), int(parts[1].strip()))
-                    )
+                    age_s, prec_s = parts[0].strip(), parts[1].strip()
+                    # the reference parses with ParseUint(..., 10, 32)
+                    # (helper/rollup/compact.go): '-'/'+' prefixes and
+                    # out-of-range values are parse errors, not rules —
+                    # a negative age would also corrupt retention-
+                    # interval ordering in lookup()
+                    if not (age_s.isascii() and age_s.isdigit()
+                            and prec_s.isascii() and prec_s.isdigit()):
+                        raise ValueError(f"can't parse line: {line!r}")
+                    age_v, prec_v = int(age_s), int(prec_s)
+                    if age_v >= 1 << 32 or prec_v >= 1 << 32:
+                        raise ValueError(f"can't parse line: {line!r}")
+                    retention.append(Retention(age_v, prec_v))
             patterns.append(
                 Pattern(regexp=regexp, function=function or None,
                         retention=retention)

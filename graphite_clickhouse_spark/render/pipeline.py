@@ -218,12 +218,31 @@ class Engine:
         try:
             self._last_refresh = now
             points, path_index, tagged = self.frame_loader()
+            # publish the trio as ONE atomic assignment first: a request
+            # snapshotting via request_view() always sees index and points
+            # from the same listing generation, never a torn mix
+            self._frames = (points, path_index, tagged)
             self.points = points
             self.path_index = path_index
             self.tagged_points = tagged
             return True
         finally:
             self._refresh_lock.release()
+
+    def request_view(self) -> "Engine":
+        """A per-request consistent view of the engine: the three storage
+        frames come from one atomically-published tuple, so a concurrent
+        refresh_frames() cannot make a request resolve paths against the
+        new index while fetching from the old points frame (or vice
+        versa). Everything else (spark, caches, config) is shared."""
+        import copy
+
+        frames = getattr(self, "_frames", None)
+        if frames is None:
+            return self  # never refreshed: the init frames are immutable
+        view = copy.copy(self)
+        view.points, view.path_index, view.tagged_points = frames
+        return view
 
     def storage_query_start(self) -> None:
         """Called at the start of each storage query action; sleeps when

@@ -172,6 +172,11 @@ class GraphiteHandler(BaseHTTPRequestHandler):
             self.engine.refresh_frames()
         except Exception:
             pass  # a failed refresh serves the previous snapshot
+        # pin a consistent frame set for THIS request (instance attribute
+        # shadows the class attribute; one request per handler instance):
+        # a refresh triggered by a concurrent request swaps frames under
+        # us otherwise, mixing index/points generations mid-request
+        self.engine = self.engine.request_view()
         try:
             if url.path in ("/", "/alive"):
                 self._send(b"Graphite-clickhouse-spark is alive.\n", "text/plain")

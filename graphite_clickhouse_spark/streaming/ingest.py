@@ -133,6 +133,41 @@ class IngestJob:
         self.index_dir = f"{base_dir}/path_index"
         self.tags_dir = f"{base_dir}/tags_index"
         self.version = version
+        self._recover_dirs()
+
+    def _recover_dirs(self) -> None:
+        """Make the compact/optimize swap crash-recoverable: a crash
+        between the two renames leaves points/ absent with points.old/
+        holding the live table (rename it back); stale .old/.compacting/
+        .optimizing leftovers from any earlier crash are removed so the
+        next swap cannot nest the live table inside a leftover dir."""
+        import os
+        import shutil
+
+        old = self.points_dir + ".old"
+        if not os.path.exists(self.points_dir) and os.path.isdir(old):
+            os.rename(old, self.points_dir)
+        for suffix in (".old", ".compacting", ".optimizing"):
+            p = self.points_dir + suffix
+            if os.path.isdir(p):
+                shutil.rmtree(p, ignore_errors=True)
+
+    def _swap_in(self, tmp: str) -> None:
+        """Replace points/ with the rewritten table at `tmp`, restoring
+        the original on failure; `_recover_dirs` handles the crash case."""
+        import os
+        import shutil
+
+        old = self.points_dir + ".old"
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+        os.rename(self.points_dir, old)
+        try:
+            os.rename(tmp, self.points_dir)
+        except BaseException:
+            os.rename(old, self.points_dir)
+            raise
+        shutil.rmtree(old, ignore_errors=True)
 
     # -- batch body (also the foreachBatch callback) ----------------------
 
@@ -220,6 +255,7 @@ class IngestJob:
 
         from ..operators.dedup import dedup_versions_all_columns
 
+        self._recover_dirs()
         tmp = self.points_dir + ".compacting"
         if target_files_per_date is None:
             bins = {
@@ -259,12 +295,7 @@ class IngestJob:
             .partitionBy("date")
             .parquet(tmp)
         )
-        import shutil
-
-        old = self.points_dir + ".old"
-        shutil.move(self.points_dir, old)
-        shutil.move(tmp, self.points_dir)
-        shutil.rmtree(old)
+        self._swap_in(tmp)
 
     def optimize(
         self,
@@ -307,6 +338,7 @@ class IngestJob:
         if drop_older_than_sec is not None:
             pts = pts.filter(F.col("time") >= F.lit(now - drop_older_than_sec))
         merged = graphite_merge(pts, rules, now)
+        self._recover_dirs()
         tmp = self.points_dir + ".optimizing"
         if target_files_per_date is not None:
             shaped = merged.repartition(int(target_files_per_date), "date")
@@ -336,10 +368,7 @@ class IngestJob:
             .partitionBy("date")
             .parquet(tmp)
         )
-        old = self.points_dir + ".old"
-        shutil.move(self.points_dir, old)
-        shutil.move(tmp, self.points_dir)
-        shutil.rmtree(old)
+        self._swap_in(tmp)
 
     # -- read side --------------------------------------------------------
 
@@ -425,12 +454,38 @@ class CarbonLineReceiver:
         t.start()
         self._threads.append(t)
 
+    # distinguishes the three transports' files in a shared spool dir
+    _spool_kind = "tcp"
+
+    def _spool_token(self) -> str:
+        """Unique-per-receiver-instance spool name component. Without it,
+        two receivers sharing one spool dir (tcp+udp+pickle all spool to
+        <data>/spool) — or a restart with leftover files — would both
+        count from 1 and os.rename would silently replace a spooled file
+        the stream had already recorded as seen, losing its contents."""
+        import os
+        import uuid
+
+        tok = getattr(self, "_spool_tok", None)
+        if tok is None:
+            tok = f"{os.getpid():x}-{uuid.uuid4().hex[:8]}"
+            self._spool_tok = tok
+        return tok
+
     def _spool_path(self) -> str:
         import os
 
+        tok = self._spool_token()
         with self._lock:
-            self._seq += 1
-            return os.path.join(self.spool_dir, f"carbon-{self._seq:08d}")
+            while True:
+                self._seq += 1
+                p = os.path.join(
+                    self.spool_dir,
+                    f"carbon-{self._spool_kind}-{tok}-{self._seq:08d}",
+                )
+                # belt over braces: never step on an existing spool file
+                if not os.path.exists(p + ".txt"):
+                    return p
 
     def _accept_loop(self):
         import socket
@@ -556,6 +611,8 @@ class CarbonUDPReceiver:
         self._thread.start()
 
     # same spool naming/visibility protocol as CarbonLineReceiver
+    _spool_kind = "udp"
+    _spool_token = CarbonLineReceiver._spool_token
     _spool_path = CarbonLineReceiver._spool_path
 
     def _recv_loop(self):
@@ -621,6 +678,7 @@ class CarbonPickleReceiver(CarbonLineReceiver):
     and the remaining frames keep flowing.
     """
 
+    _spool_kind = "pickle"
     _MAX_FRAME = 8 * 1024 * 1024  # a framing desync must not buffer GBs
 
     @classmethod

@@ -176,6 +176,29 @@ def test_compact_rejects_malformed():
             Rules.from_compact(bad)
 
 
+def test_compact_rejects_signed_and_overflow():
+    """parseCompact uses ParseUint(..., 10, 32): '-'/'+' prefixes and
+    values >= 2^32 are parse errors (a negative age would also break
+    retention-interval ordering in lookup)."""
+    import pytest as _pytest
+
+    for bad in (
+        "a;avg;-1:60",
+        "a;avg;0:-60",
+        "a;avg;+1:60",
+        "a;avg;0:+60",
+        "a;avg;4294967296:60",
+        "a;avg;0:4294967296",
+        "a;avg; 1 :60x",
+        "a;avg;٢:60",  # non-ASCII digit int() would accept
+    ):
+        with _pytest.raises(ValueError):
+            Rules.from_compact(bad)
+    # boundary value still parses
+    r = Rules.from_compact("a;avg;4294967295:60")
+    assert r.patterns[0].retention[0].age == 4294967295
+
+
 def test_config_rollup_conf_autodetects_compact(tmp_path):
     from graphite_clickhouse_spark.config import load_settings
 

@@ -600,3 +600,173 @@ class TestOptimizeCLI:
 
         assert not [d for d in os.listdir(f"{data}/points")
                     if d.startswith("date=")]
+
+
+class TestSpoolNameUniqueness:
+    """ADVICE r3: all three receivers share <data>/spool and numbered
+    files from a per-instance _seq starting at 1 — two transports at
+    once, or a restart over leftover files, silently os.rename'd over
+    unprocessed spool files (and the checkpointed text source never
+    re-reads a filename it has seen)."""
+
+    def test_receivers_never_collide_in_shared_spool(self, tmp_path):
+        import os
+        import socket
+        import time
+
+        from graphite_clickhouse_spark.streaming.ingest import (
+            CarbonLineReceiver,
+            CarbonUDPReceiver,
+        )
+
+        spool = str(tmp_path / "spool")
+        rx_tcp = CarbonLineReceiver(spool, rotate_lines=1, rotate_seconds=30)
+        rx_udp = CarbonUDPReceiver(spool, rotate_lines=1, rotate_seconds=0.1)
+        try:
+            with socket.create_connection(rx_tcp.address, timeout=10) as s:
+                s.sendall(b"tcp.a 1 60\ntcp.b 2 60\n")
+            u = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+            u.sendto(b"udp.a 3 60\n", tuple(rx_udp.address))
+            u.sendto(b"udp.b 4 60\n", tuple(rx_udp.address))
+            u.close()
+            deadline = time.monotonic() + 10
+            while time.monotonic() < deadline:
+                files = [f for f in os.listdir(spool) if f.endswith(".txt")]
+                if len(files) >= 4:
+                    break
+                time.sleep(0.1)
+            files = [f for f in os.listdir(spool) if f.endswith(".txt")]
+            assert len(files) == 4, files
+            # every line survived: no file replaced another's content
+            lines = set()
+            for f in files:
+                with open(os.path.join(spool, f), "rb") as fh:
+                    lines.update(l for l in fh.read().split(b"\n") if l)
+            assert lines == {b"tcp.a 1 60", b"tcp.b 2 60",
+                             b"udp.a 3 60", b"udp.b 4 60"}
+            # names carry transport kind + instance token
+            assert any("-tcp-" in f for f in files)
+            assert any("-udp-" in f for f in files)
+        finally:
+            rx_tcp.close()
+            rx_udp.close()
+
+    def test_restart_with_leftover_spool_files_does_not_overwrite(self, tmp_path):
+        import os
+        import socket
+        import time
+
+        from graphite_clickhouse_spark.streaming.ingest import (
+            CarbonLineReceiver,
+        )
+
+        spool = str(tmp_path / "spool")
+        rx1 = CarbonLineReceiver(spool, rotate_lines=1, rotate_seconds=30)
+        try:
+            with socket.create_connection(rx1.address, timeout=10) as s:
+                s.sendall(b"old.metric 1 60\n")
+            deadline = time.monotonic() + 10
+            while time.monotonic() < deadline:
+                if [f for f in os.listdir(spool) if f.endswith(".txt")]:
+                    break
+                time.sleep(0.1)
+        finally:
+            rx1.close()
+        before = {f for f in os.listdir(spool) if f.endswith(".txt")}
+        assert before
+        # "restart": a fresh receiver over the same dir, counting from 1
+        rx2 = CarbonLineReceiver(spool, rotate_lines=1, rotate_seconds=30)
+        try:
+            with socket.create_connection(rx2.address, timeout=10) as s:
+                s.sendall(b"new.metric 2 60\n")
+            deadline = time.monotonic() + 10
+            while time.monotonic() < deadline:
+                if len([f for f in os.listdir(spool) if f.endswith(".txt")]) >= 2:
+                    break
+                time.sleep(0.1)
+        finally:
+            rx2.close()
+        files = {f for f in os.listdir(spool) if f.endswith(".txt")}
+        assert before <= files and len(files) == 2
+        contents = []
+        for f in files:
+            with open(os.path.join(spool, f), "rb") as fh:
+                contents.append(fh.read())
+        assert b"old.metric 1 60\n" in contents
+        assert b"new.metric 2 60\n" in contents
+
+
+class TestSwapCrashRecovery:
+    """ADVICE r3: a crash between compact/optimize's two directory moves
+    left no points/ at all, and a leftover .old dir made the next swap
+    nest the live table inside it."""
+
+    def _mk_job(self, spark, tmp_path):
+        base = str(tmp_path / "out")
+        job = IngestJob(base, version=1)
+        job.write_batch(
+            parse_carbon_lines(lines_df(spark, ["m.x 1.0 60", "m.y 5.0 60"]), version=1)
+        )
+        return job
+
+    def test_recover_from_crash_between_renames(self, spark, tmp_path):
+        import os
+
+        job = self._mk_job(spark, tmp_path)
+        # simulate: crash after points -> points.old, before tmp -> points
+        os.rename(job.points_dir, job.points_dir + ".old")
+        assert not os.path.exists(job.points_dir)
+        job2 = IngestJob(str(tmp_path / "out"), version=1)  # restart
+        assert os.path.isdir(job2.points_dir)
+        assert job2.read_points(spark).count() == 2
+
+    def test_stale_old_dir_does_not_nest(self, spark, tmp_path):
+        import os
+
+        job = self._mk_job(spark, tmp_path)
+        os.makedirs(job.points_dir + ".old/stale", exist_ok=True)
+        os.makedirs(job.points_dir + ".compacting", exist_ok=True)
+        job.compact(spark)
+        assert not os.path.exists(job.points_dir + ".old")
+        assert os.path.isdir(job.points_dir)
+        # live table intact, not nested inside a leftover dir
+        got = {(r.path, r.time): r.value
+               for r in job.read_points(spark).collect()}
+        assert got == {("m.x", 60): 1.0, ("m.y", 60): 5.0}
+
+
+class TestRequestViewConsistency(TestLiveFrameRefresh):
+    """ADVICE r3: refresh_frames swapped points/path_index/tagged_points
+    with three separate assignments, so a request racing a refresh could
+    resolve paths against the new index but fetch from the old points
+    frame. request_view() pins one atomically-published frame trio."""
+
+    def test_view_pins_frame_generation(self, spark, tmp_path):
+        eng, job = self._engine(spark, tmp_path)
+        assert eng.refresh_frames() is True  # publish generation 1
+        view = eng.request_view()
+        v_points, v_index = view.points, view.path_index
+
+        IngestJob(self.base, version=2).write_batch(parse_carbon_lines(
+            lines_df(spark, ["a.second 2.0 60"]), version=2))
+        assert eng.refresh_frames(force=True) is True  # generation 2
+
+        # the pinned view still serves the generation it captured, with
+        # points and index from the SAME tuple (no torn mix)...
+        assert view.points is v_points and view.path_index is v_index
+        assert [r.path for r in view.find_paths("a.*").collect()] == ["a.first"]
+        # ...while the engine (and a fresh view) see generation 2
+        got = sorted(r.path for r in eng.request_view().find_paths("a.*").collect())
+        assert got == ["a.first", "a.second"]
+
+    def test_view_without_loader_is_engine(self, spark, tmp_path):
+        from graphite_clickhouse_spark.render.pipeline import Engine
+        from graphite_clickhouse_spark.sources.tables import build_path_index
+
+        job = IngestJob(str(tmp_path / "o2"), version=1)
+        job.write_batch(parse_carbon_lines(
+            lines_df(spark, ["b.one 1.0 60"]), version=1))
+        pts = job.read_points(spark)
+        eng = Engine(spark=spark, points=pts,
+                     path_index=build_path_index(pts.select("path")))
+        assert eng.request_view() is eng  # static dataset: no copy churn
