@@ -62,18 +62,24 @@ class Pattern:
 
 
 def _tag_list_to_regexp(tag_list: str) -> str:
-    """`tag_list` rules give a semicolon tag list compiled to a regex over
-    the `name?k=v&...` form (rules.go:98-135): `name;tag=val` ->
-    `^name\\?(.*&)?tag=val(&|$)` style."""
-    parts = tag_list.split(";")
-    out = []
-    name = parts[0]
-    if name:
-        out.append("^" + re.escape(name) + r"\?")
-    for t in parts[1:]:
-        if t:
-            out.append(r"(.*&)?" + re.escape(t) + r"(&|$)")
-    return ".*".join(out) if out else ".*"
+    """`tag_list` rules compile a semicolon tag list to a regex over the
+    `name?k=v&...` form — exact port of buildTaggedRegex
+    (helper/rollup/rules.go:86-135, itself mirroring ClickHouse's
+    Graphite.cpp): parts are regexps themselves (NOT escaped), the name
+    part must come first, remaining tags sort lexically, and the
+    produced shape is `^name\\?(.*&)?tag=val&(.*&)?tag2=val2(&.*)?$`
+    (or `[\\?&]tag=val(&.*)?$` without a name part)."""
+    tags = [v for v in tag_list.split(";") if v]  # splitTags drops empties
+    if not tags:
+        return ".*"
+    if "=" in tags[0]:
+        prefix = r"[\?&]"
+    else:
+        if len(tags) == 1:
+            return "^" + tags[0] + r"\?"  # only a name part
+        prefix = "^" + tags[0] + r"\?(.*&)?"
+        tags = tags[1:]
+    return prefix + "&(.*&)?".join(sorted(tags)) + "(&.*)?$"
 
 
 @dataclass

@@ -206,3 +206,178 @@ def test_config_rollup_conf_autodetects_compact(tmp_path):
     conf_file.write_text(";avg;0:60,86400:300\n")
     s = load_settings(f'[clickhouse]\nrollup-conf = "{conf_file}"\n')
     assert s.rules.lookup("any.metric", 90000) == (300, "avg")
+
+
+REF_XML_TYPED = """
+<graphite_rollup>
+ 	<pattern>
+		<rule_type>all</rule_type>
+ 		<regexp>click_cost</regexp>
+ 		<function>any</function>
+ 		<retention>
+ 			<age>0</age>
+ 			<precision>3600</precision>
+ 		</retention>
+ 		<retention>
+ 			<age>86400</age>
+ 			<precision>60</precision>
+ 		</retention>
+	</pattern>
+ 	<pattern>
+ 		<regexp>without_function</regexp>
+ 		<retention>
+ 			<age>0</age>
+ 			<precision>3600</precision>
+ 		</retention>
+ 		<retention>
+ 			<age>86400</age>
+ 			<precision>60</precision>
+ 		</retention>
+	</pattern>
+ 	<pattern>
+	 	<rule_type>plain</rule_type>
+ 		<regexp>without_retention</regexp>
+ 		<function>min</function>
+ 	</pattern>
+	<pattern>
+		<rule_type>tagged</rule_type>
+		<regexp>^((.*)|.)sum\\?</regexp>
+		<function>sum</function>
+ 	</pattern>
+	<pattern>
+		<rule_type>tag_list</rule_type>
+		<regexp>fake3;tag=Fake3</regexp>
+		<function>min</function>
+ 	</pattern>
+	<pattern>
+		<rule_type>tagged</rule_type>
+		<regexp><![CDATA[^fake4\\\\?(.*&)?tag4=Fake4(&.*)?$]]></regexp>
+		<function>min</function>
+  	</pattern>
+ 	<default>
+ 		<function>max</function>
+ 		<retention>
+ 			<age>0</age>
+ 			<precision>60</precision>
+ 		</retention>
+ 		<retention>
+ 			<age>3600</age>
+ 			<precision>300</precision>
+ 		</retention>
+ 		<retention>
+ 			<age>86400</age>
+ 			<precision>3600</precision>
+ 		</retention>
+ 	</default>
+</graphite_rollup>
+"""
+
+
+class TestReferenceXMLGoldens:
+    """helper/rollup/xml_test.go ported behaviorally: XML == compact for
+    the same rules, <yandex> wrapper, retention age-sorting, typed rules
+    incl. tag_list -> tagged regexp expansion (buildTaggedRegex)."""
+
+    REF_XML = """
+<graphite_rollup>
+ 	<pattern>
+ 		<regexp>click_cost</regexp>
+ 		<function>any</function>
+ 		<retention><age>0</age><precision>3600</precision></retention>
+ 		<retention><age>86400</age><precision>60</precision></retention>
+	</pattern>
+ 	<pattern>
+ 		<regexp>without_function</regexp>
+ 		<retention><age>0</age><precision>3600</precision></retention>
+ 		<retention><age>86400</age><precision>60</precision></retention>
+	</pattern>
+ 	<pattern>
+ 		<regexp>without_retention</regexp>
+ 		<function>min</function>
+ 	</pattern>
+ 	<default>
+ 		<function>max</function>
+ 		<retention><age>0</age><precision>60</precision></retention>
+ 		<retention><age>3600</age><precision>300</precision></retention>
+ 		<retention><age>86400</age><precision>3600</precision></retention>
+ 	</default>
+</graphite_rollup>
+"""
+
+    COMPACT = (
+        "\n\tclick_cost;any;0:3600,86400:60"
+        "\n\twithout_function;;0:3600,86400:60"
+        "\n\twithout_retention;min;"
+        "\n\t;max;0:60,3600:300,86400:3600"
+        "\n\t"
+    )
+
+    @staticmethod
+    def _shape(rules):
+        return [
+            (p.regexp, p.function, p.rule_type,
+             [(r.age, r.precision) for r in p.retention])
+            for p in rules.patterns
+        ]
+
+    def test_xml_equals_compact(self):
+        assert self._shape(Rules.from_xml(self.REF_XML)) == self._shape(
+            Rules.from_compact(self.COMPACT)
+        )
+
+    def test_yandex_wrapper(self):
+        wrapped = "<yandex>" + self.REF_XML + "</yandex>"
+        assert self._shape(Rules.from_xml(wrapped)) == self._shape(
+            Rules.from_xml(self.REF_XML)
+        )
+
+    def test_retention_sorted_by_age(self):
+        # the document lists 0 then 86400, but parse must sort ascending
+        shuffled = self.REF_XML.replace(
+            "<retention><age>0</age><precision>3600</precision></retention>\n"
+            " 		<retention><age>86400</age><precision>60</precision></retention>",
+            "<retention><age>86400</age><precision>60</precision></retention>\n"
+            " 		<retention><age>0</age><precision>3600</precision></retention>",
+        )
+        r = Rules.from_xml(shuffled)
+        assert (r.patterns[0].retention[0].age,
+                r.patterns[0].retention[0].precision) == (0, 3600)
+
+    def test_typed_rules_and_tag_list_expansion(self):
+        r = Rules.from_xml(REF_XML_TYPED)
+        shapes = self._shape(r)
+        # tag_list 'fake3;tag=Fake3' compiles to the exact tagged regexp
+        # the reference's buildTaggedRegex produces
+        assert shapes[4] == (
+            r"^fake3\?(.*&)?tag=Fake3(&.*)?$", "min", "tagged", []
+        )
+        # CDATA regexp passes through verbatim
+        assert shapes[5][0] == r"^fake4\\?(.*&)?tag4=Fake4(&.*)?$"
+        assert [s[2] for s in shapes] == [
+            "all", "all", "plain", "tagged", "tagged", "tagged", "all"
+        ]
+        # separated lookup: plain metrics only see plain/all rules,
+        # tagged metrics only tagged/all (xml_test.go PatternPlain/Tagged)
+        assert r.lookup("without_retention.x", 0)[1] == "min"
+        assert r.lookup("fake3?tag=Fake3", 0)[1] == "min"
+        assert r.lookup("fake3?a=b&tag=Fake3", 0)[1] == "min"
+        # name part must be immediately followed by '?' or an '&'-bounded
+        # tag: an interloping char before the tag key must NOT match
+        assert r.lookup("fake3?xtag=Fake3", 0)[1] == "max"  # default
+        assert r.lookup("metric.sum?a=b", 0)[1] == "sum"
+
+    def test_tag_list_variants(self):
+        from graphite_clickhouse_spark.operators.rollup import (
+            _tag_list_to_regexp,
+        )
+
+        # doc table from rules.go:86-115
+        assert _tag_list_to_regexp("name") == r"^name\?"
+        assert _tag_list_to_regexp("tag2=val2") == r"[\?&]tag2=val2(&.*)?$"
+        assert _tag_list_to_regexp("nam.*;tag1=val1;tag2=val2") == (
+            r"^nam.*\?(.*&)?tag1=val1&(.*&)?tag2=val2(&.*)?$"
+        )
+        # remaining tags sort lexically; name stays first
+        assert _tag_list_to_regexp("n;b=2;a=1") == (
+            r"^n\?(.*&)?a=1&(.*&)?b=2(&.*)?$"
+        )
