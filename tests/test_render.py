@@ -451,3 +451,66 @@ class TestDataTableRouting:
         assert engine.select_data_table(["x.b"], 0, now)[0] is b
         # match_all fails when ANY target misses; falls to the any-rule
         assert engine.select_data_table(["x.a", "x.b"], 0, now)[0] is b
+
+
+class TestSelectDataTableReferenceTables:
+    """render/data/targets_test.go ported verbatim: the 7-row
+    age/interval matrix (TestSelectDataTableTime) and the match-all/any
+    matrix (TestSelectDataTableMatch), with table identity as the
+    routing witness. ageToTimestamp(d) == now - d."""
+
+    def _engine(self, routes):
+        from graphite_clickhouse_spark.render.pipeline import Engine
+
+        return Engine(spark=None, points="default", data_tables=tuple(routes))
+
+    def test_time_matrix(self):
+        from graphite_clickhouse_spark.render.pipeline import DataTableRoute
+
+        H = 3600
+        routes = [
+            DataTableRoute(points="first_day", max_age=24 * H),
+            DataTableRoute(points="second_day", min_age=24 * H, max_age=48 * H),
+            DataTableRoute(points="two_days_min_interval", max_age=48 * H,
+                           min_interval=2 * H),
+            DataTableRoute(points="two_days_min_max_interval", max_age=48 * H,
+                           min_interval=30 * 60, max_interval=1 * H),
+            DataTableRoute(points="two_days_max_interval", max_age=48 * H,
+                           max_interval=2 * H),
+            DataTableRoute(points="three_days", max_age=72 * H),
+            DataTableRoute(points="unlimited"),
+        ]
+        eng = self._engine(routes)
+        now = 1_700_000_000
+        cases = [
+            ((H * 24 - 1, 1800), "first_day"),
+            ((H * 48 - 1, 24 * H + 1), "second_day"),
+            ((H * 26, H * 23), "two_days_min_interval"),
+            ((H * 24 + 1600, H * 24 - 1600), "two_days_min_max_interval"),
+            ((H * 24 + 2000, H * 24 - 2000), "two_days_max_interval"),
+            ((H * 72 - 1, H * 11 - 1), "three_days"),
+            ((H * 100, H * 11 - 1), "unlimited"),
+        ]
+        for (from_age, until_age), want in cases:
+            src, _ = eng.select_data_table(
+                ["metric"], now - from_age, now - until_age, now=now)
+            assert src == want, (from_age, until_age, src, want)
+
+    def test_match_matrix(self):
+        from graphite_clickhouse_spark.render.pipeline import DataTableRoute
+
+        eng = self._engine([
+            DataTableRoute(points="all", target_match_all="^all.*avg"),
+            DataTableRoute(points="any", target_match_any="^any.*avg"),
+            DataTableRoute(points="unlimited"),
+        ])
+        now = 1_700_000_000
+        tf = (now - (3600 * 24 - 1), now - 1800)
+        cases = [
+            (["allinclucive.in.avg", "all.metrics.for.avg"], "all"),
+            (["allinclucive.in.avg", "any.metrics.for.avg"], "any"),
+            (["allinclucive.in.avg", "some.metrics.for.avg"], "unlimited"),
+        ]
+        for targets, want in cases:
+            src, _ = eng.select_data_table(targets, tf[0], tf[1], now=now)
+            assert src == want, (targets, src, want)

@@ -464,3 +464,21 @@ def test_varint_negative_terminates_as_twos_complement():
     b = varint(-1)
     assert b == b"\xff\xff\xff\xff\xff\xff\xff\xff\xff\x01"
     assert varint(-3)  # terminates
+
+
+def test_tagged_display_name_alias_map_vectors():
+    """pkg/alias/map_tagged_test.go vectors: the storage `?`-form becomes
+    graphite's `;`-form at the alias-map boundary (TaggedDecode)."""
+    from graphite_clickhouse_spark.render.reply import tagged_display_name
+
+    cases = {
+        "cpu.loadavg?env=test&host=host1": "cpu.loadavg;env=test;host=host1",
+        "cpu.loadavg?env=production&host=dc-host2":
+            "cpu.loadavg;env=production;host=dc-host2",
+        "cpu.loadavg?env=staging&host=stg-host3":
+            "cpu.loadavg;env=staging;host=stg-host3",
+        # plain paths pass through untouched
+        "5_sec.name.max": "5_sec.name.max",
+    }
+    for raw, want in cases.items():
+        assert tagged_display_name(raw) == want

@@ -68,3 +68,45 @@ def test_common_step_reference_vector():
 
     assert common_step([6, 8, 10], 0, 60, 1_000_000) == 120
     assert common_step([0, 6, 8, 10], 0, 60, 1_000_000) == 120
+
+
+def test_dry_math_reference_table():
+    """pkg/dry/math_test.go ported verbatim: zero/negative divisor and
+    negative-operand edge behavior of the scalar helpers."""
+    from math import gcd
+
+    from graphite_clickhouse_spark.functions.timemath import (
+        ceil_div,
+        ceil_to_multiplier,
+        floor_to_multiplier,
+        lcm,
+    )
+
+    assert ceil_div(0, -1) == 0
+    assert ceil_div(5, 2) == 3
+    assert ceil_div(5, 5) == 1
+    assert ceil_div(100001, 100000) == 2
+
+    assert ceil_to_multiplier(0, -1) == 0
+    assert ceil_to_multiplier(1, 0) == 0
+    assert ceil_to_multiplier(1, -1) == 0
+    assert ceil_to_multiplier(1, 2) == 2
+    assert ceil_to_multiplier(4, 3) == 6
+    assert ceil_to_multiplier(6, 3) == 6
+
+    assert floor_to_multiplier(0, -1) == 0
+    assert floor_to_multiplier(1, 0) == 0
+    assert floor_to_multiplier(1, -1) == 0
+    assert floor_to_multiplier(1, 2) == 0
+    assert floor_to_multiplier(4, 3) == 3
+    assert floor_to_multiplier(6, 3) == 6
+
+    assert gcd(1, -1) == 1 and gcd(-1, 1) == 1 and gcd(-1, -1) == 1
+    assert gcd(1, 2) == 1 and gcd(4, 3) == 1 and gcd(6, 3) == 3
+
+    assert lcm(1, -1) == 1
+    assert lcm(-1, 1) == 1
+    assert lcm(-1, -1) == 1
+    assert lcm(1, 2) == 2
+    assert lcm(6, 3) == 6
+    assert lcm(4, 3) == 12
