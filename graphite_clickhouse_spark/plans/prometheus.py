@@ -113,18 +113,73 @@ def select_series(tagged: DataFrame, matchers: list[LabelMatcher]) -> DataFrame:
     return tagged.filter(pred).select("path").distinct()
 
 
+# ClickHouse's Date type tops out at 2149-06-06 (querier_select.go:66);
+# timestamps at/past it are treated as absent, not clamped
+_CH_DATE_MAX_SEC = 5662310400
+
+
+def querier_time_range(
+    start: int | None,
+    end: int | None,
+    days: int,
+    now_ts: int,
+    mint: int | None = None,
+    maxt: int | None = None,
+) -> tuple[int, int]:
+    """Querier.timeRange (prometheus/querier_select.go:63-92): explicit
+    start/end win when present and inside ClickHouse's Date range; else
+    the querier's mint/maxt under the same validity rule; else
+    (now - tagged-autocomplete-days, now). All values unix seconds."""
+
+    def _valid(ts):
+        return ts is not None and 0 < ts < _CH_DATE_MAX_SEC
+
+    until = end if _valid(end) else (maxt if _valid(maxt) else now_ts)
+    from_ = start if _valid(start) else (
+        mint if _valid(mint) else until - days * 86400
+    )
+    return from_, until
+
+
+def tagged_window_range(
+    tagged: DataFrame, from_ts: int, until_ts: int, date_mode: str = "utc"
+) -> DataFrame:
+    """Bound the tags table to an explicit [from, until] second range via
+    its date partition column (the window the querier computes in
+    timeRange). The reference's tag table is always Date-bounded at day
+    granularity (autocomplete.go dateString); a date-less frame gets the
+    equivalent day-rounded bound on `time` instead, and a frame with
+    neither column passes through."""
+    if "date" not in tagged.columns:
+        if "time" in tagged.columns:
+            lo = (from_ts // 86400) * 86400
+            hi = (until_ts // 86400 + 1) * 86400 - 1
+            return tagged.filter(F.col("time").between(lo, hi))
+        return tagged
+    from ..functions.date import date_bounds
+
+    lo, hi = date_bounds(from_ts, until_ts, date_mode)
+    return tagged.filter(F.col("date").between(lo, hi))
+
+
 def series_label_sets(
     tagged: DataFrame,
     selectors: list[list[LabelMatcher]],
     days: int = 0,
     now_ts: int | None = None,
+    from_ts: int | None = None,
+    until_ts: int | None = None,
 ) -> DataFrame:
     """/api/v1/series: union of series matching ANY selector, one row per
     distinct series with its full label map (Prometheus Series() over the
-    tagged table)."""
+    tagged table). With explicit from_ts/until_ts (the API's optional
+    start/end), the window follows them instead of the days default."""
     from .autocomplete import tagged_window
 
-    base = tagged_window(tagged, days, now_ts)
+    if from_ts is not None and until_ts is not None:
+        base = tagged_window_range(tagged, from_ts, until_ts)
+    else:
+        base = tagged_window(tagged, days, now_ts)
     out: DataFrame | None = None
     for matchers in selectors:
         pred = tagged_predicate(terms_from_matchers(matchers), F.col("tags"))

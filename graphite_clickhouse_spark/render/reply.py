@@ -303,12 +303,16 @@ def find_v3_pb(query: str, rows: FindRows, limit: int = 0) -> bytes:
 
 def find_json(rows: FindRows, limit: int = 0) -> bytes:
     """The reference's non-standard find JSON: [{path="a.b",leaf=1},...]
-    (find/find.go:193-245) — replicated byte-for-byte including trailing CRLF."""
+    (find/find.go:193-245) — replicated byte-for-byte including trailing
+    CRLF; an EMPTY result writes no body at all (find.go:203-205), and
+    the handler serves it as text/plain (find/handler_json_test.go)."""
     parts = []
     for path, is_leaf in rows:
         parts.append('{path="' + path + ('",leaf=1}' if is_leaf else '"}'))
         if limit and len(parts) >= limit:
             break
+    if not parts:
+        return b""
     return ("[" + ",".join(parts) + "]\r\n").encode("utf-8")
 
 

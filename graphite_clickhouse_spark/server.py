@@ -433,9 +433,37 @@ class GraphiteHandler(BaseHTTPRequestHandler):
         if not sels:
             raise ValueError("no match[] parameter provided")
         days, now = self._prom_window()
-        df = series_label_sets(
-            self.engine.tagged_points, sels, days=days, now_ts=now
-        )
+        # optional start/end params resolve exactly like the storage
+        # querier's hint range (querier_select.go:63-92): valid values
+        # win, out-of-Date-range or absent values fall back to the
+        # tagged-autocomplete-days window ending at now
+        from .plans.prometheus import querier_time_range
+
+        def _opt_ts(key):
+            v = qlist.get(key, [None])[0] if isinstance(
+                qlist.get(key), list) else qlist.get(key)
+            return self._prom_ts(v, key) if v else None
+
+        start, end = _opt_ts("start"), _opt_ts("end")
+        # values at/past ClickHouse's Date max are "absent" to the
+        # querier (querier_select.go:67-73); if nothing valid remains,
+        # this is the default-window request
+        from .plans.prometheus import _CH_DATE_MAX_SEC
+
+        start = start if start is not None and 0 < start < _CH_DATE_MAX_SEC else None
+        end = end if end is not None and 0 < end < _CH_DATE_MAX_SEC else None
+        if start is not None or end is not None:
+            from_ts, until_ts = querier_time_range(start, end, days, now)
+            df = series_label_sets(
+                self.engine.tagged_points, sels,
+                from_ts=from_ts, until_ts=until_ts,
+            )
+        else:
+            # no explicit range: the days window stays a date-partition
+            # prune (a no-op on date-less frames), as everywhere else
+            df = series_label_sets(
+                self.engine.tagged_points, sels, days=days, now_ts=now
+            )
         self._prom_ok([dict(r.tags) for r in df.collect()])
 
     # ---- prometheus query evaluation (the /api/v1/query{,_range} routes
@@ -841,7 +869,11 @@ class GraphiteHandler(BaseHTTPRequestHandler):
         rows = [tuple(r) for r in rows]
         limit = self.max_find_answer
         if fmt == "json":
-            self._send(R.find_json(rows, limit), "application/json", headers=hdrs)
+            # the pseudo-JSON format is served as text/plain, matching
+            # the reference handler (find/handler_json_test.go asserts
+            # "text/plain; charset=utf-8" for format=json)
+            self._send(R.find_json(rows, limit),
+                       "text/plain; charset=utf-8", headers=hdrs)
         elif fmt == "pickle":
             self._send(R.find_pickle(rows, limit), "application/pickle", headers=hdrs)
         elif fmt == "protobuf":

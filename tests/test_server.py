@@ -235,6 +235,25 @@ class TestPrometheusAPI:
         assert all(s["__name__"] == "ev" and s["type"] == "purchase"
                    for s in got["data"])
 
+    def test_series_honors_start_end_window(self, base_url):
+        from urllib.parse import quote
+
+        sel = quote('ev{type="purchase"}')
+        # a start/end window far in the past excludes the whole dataset
+        got = json.loads(get(
+            f"{base_url}/api/v1/series?match[]={sel}&start=86400&end=172800"
+        ))
+        assert got["status"] == "success"
+        assert got["data"] == []
+        # an overflowing window (past ClickHouse's Date max) is ignored
+        # and falls back to the default days window: data comes back
+        got = json.loads(get(
+            f"{base_url}/api/v1/series?match[]={sel}"
+            "&start=5662310401&end=5662310500"
+        ))
+        assert got["status"] == "success"
+        assert got["data"]
+
     def test_series_requires_match(self, base_url):
         import urllib.error
 

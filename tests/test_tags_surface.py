@@ -484,3 +484,31 @@ def test_plain_from_tagged_abs_reference_golden(spark):
     assert row["path"] == (
         "cpu_usage?host=localhost&metric=telegraf.localhost.cpu.usage"
     )
+
+
+def test_querier_time_range_reference_table():
+    """prometheus/querier_select_test.go::TestQuerier_timeRange verbatim
+    (hint start/end here are the HTTP API's optional start/end params, in
+    seconds; ms inputs from SelectHints divide by 1000 upstream)."""
+    from graphite_clickhouse_spark.plans.prometheus import (
+        querier_time_range,
+    )
+
+    now = 1669714247  # 2022-11-29 09:30:47 UTC
+    days = 4
+    # default from/until
+    assert querier_time_range(None, None, days, now) == (1669368647, now)
+    # start/end present and valid
+    assert querier_time_range(1669453200, 1669626000, days, now) == (
+        1669453200, 1669626000)
+    # start/end past ClickHouse's Date range -> ignored
+    assert querier_time_range(5662310401, 5662310500, days, now) == (
+        1669368647, now)
+    # absent start/end, valid mint/maxt
+    assert querier_time_range(None, None, days, now,
+                              mint=1669194000, maxt=1669280400) == (
+        1669194000, 1669280400)
+    # mint/maxt overflow -> default window
+    assert querier_time_range(None, None, days, now,
+                              mint=5662310401, maxt=5662310500) == (
+        1669368647, now)

@@ -110,3 +110,21 @@ def test_dry_math_reference_table():
     assert lcm(1, 2) == 2
     assert lcm(6, 3) == 6
     assert lcm(4, 3) == 12
+
+
+def test_timestamp_truncate_reference_table():
+    """helper/utils/utils_test.go::TestTimestampTruncate — cache-key
+    timestamp truncation equals floor_to_multiplier(ts, seconds)."""
+    from graphite_clickhouse_spark.functions.timemath import (
+        floor_to_multiplier,
+    )
+
+    cases = [
+        (1628876563, 2, 1628876562),
+        (1628876563, 10, 1628876560),
+        (1628876563, 60, 1628876520),
+        (1628876563, 3600, 1628874000),
+        (1628876563, 86400, 1628812800),
+    ]
+    for ts, dur, want in cases:
+        assert floor_to_multiplier(ts, dur) == want, (ts, dur)
