@@ -229,10 +229,14 @@ def _read_rollup(ch: dict[str, Any], tables: list[dict[str, Any]], ignored: list
             continue
         with open(conf, "rb") as fh:
             text = fh.read().decode()
-        # XML (the production format) or the reference's compact
+        # XML (the production format), the ClickHouse JSON dump of
+        # system.graphite_retentions (what rollup-conf="auto" fetches —
+        # a saved copy loads identically), or the reference's compact
         # test-fixture form `regexp;function;age:precision,...`
         if text.lstrip().startswith("<"):
             return Rules.from_xml(text)
+        if text.lstrip().startswith("{"):
+            return Rules.from_json(text)
         return Rules.from_compact(text)
     return Rules.default()
 

@@ -133,6 +133,71 @@ class Rules:
         return cls(patterns)
 
     @classmethod
+    def from_json(cls, text: str) -> "Rules":
+        """Parse the ClickHouse JSON response for system.graphite_retentions
+        (helper/rollup/remote.go:29-111 parseJson — what `rollup-conf =
+        "auto"` loads from the server): consecutive rows sharing
+        (regexp, function) merge their retentions, rows with precision
+        '0' (or empty age/precision) carry no retention, is_default rows
+        fold into one trailing catch-all pattern, and tag_list rows
+        expand exactly like the XML form."""
+        import json as _json
+
+        doc = _json.loads(text)
+        groups: list[dict] = []
+        default_function = ""
+        default_ret: list[Retention] = []
+        for d in doc.get("data", []):
+            age = str(d.get("age", "") if d.get("age") is not None else "")
+            prec = str(
+                d.get("precision", "") if d.get("precision") is not None else ""
+            )
+            has_ret = age != "" and prec != "" and prec != "0"
+            if has_ret and not (
+                age.isascii() and age.isdigit()
+                and prec.isascii() and prec.isdigit()
+            ):
+                raise ValueError(f"can't parse retention row: {d!r}")
+            if d.get("is_default") == 1:
+                if d.get("function"):
+                    default_function = d["function"]
+                if has_ret:
+                    default_ret.append(Retention(int(age), int(prec)))
+                continue
+            regexp = d.get("regexp", "") or ""
+            function = d.get("function", "") or ""
+            rule_type = d.get("rule_type") or RULE_ALL
+            if (
+                not groups
+                or groups[-1]["regexp"] != regexp
+                or groups[-1]["function"] != function
+            ):
+                groups.append({
+                    "regexp": regexp, "function": function,
+                    "rule_type": rule_type, "retention": [],
+                })
+            if has_ret:
+                groups[-1]["retention"].append(Retention(int(age), int(prec)))
+        patterns: list[Pattern] = []
+        for g in groups:
+            regexp, rule_type = g["regexp"], g["rule_type"]
+            if rule_type == RULE_TAG_LIST:
+                regexp = _tag_list_to_regexp(regexp)
+                rule_type = RULE_TAGGED
+            patterns.append(Pattern(
+                regexp=regexp,
+                function=g["function"] or None,
+                retention=g["retention"],
+                rule_type=rule_type,
+            ))
+        if default_function or default_ret:
+            patterns.append(Pattern(
+                regexp="", function=default_function or None,
+                retention=default_ret,
+            ))
+        return cls(patterns)
+
+    @classmethod
     def from_compact(cls, text: str) -> "Rules":
         """Parse the compact rollup form (helper/rollup/compact.go:15-64):
         one rule per line, ``regexp;function;age:precision,...`` — the

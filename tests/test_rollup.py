@@ -381,3 +381,91 @@ class TestReferenceXMLGoldens:
         assert _tag_list_to_regexp("n;b=2;a=1") == (
             r"^n\?(.*&)?a=1&(.*&)?b=2(&.*)?$"
         )
+
+
+class TestReferenceJSONGoldens:
+    """helper/rollup/remote_test.go ported behaviorally: the ClickHouse
+    system.graphite_retentions JSON dump parses to the same rules as the
+    equivalent compact text (TestParseJson), including consecutive-row
+    retention merging, precision-0 function-only rows, is_default
+    folding, and typed/tag_list rows (TestParseJsonTyped)."""
+
+    JSON = """{
+    "data": [
+        {"regexp": "^hourly", "function": "", "age": "0",
+         "precision": "3600", "is_default": 0},
+        {"regexp": "^hourly", "function": "", "age": "3600",
+         "precision": "13600", "is_default": 0},
+        {"regexp": "^live", "function": "", "age": "0",
+         "precision": "1", "is_default": 0},
+        {"regexp": "total$", "function": "sum", "age": "0",
+         "precision": "0", "is_default": 0},
+        {"regexp": "min$", "function": "min", "age": "0",
+         "precision": "0", "is_default": 0},
+        {"regexp": "max$", "function": "max", "age": "0",
+         "precision": "0", "is_default": 0},
+        {"regexp": "", "function": "max", "age": "0",
+         "precision": "60", "is_default": 1}
+    ],
+    "rows": 7
+    }"""
+
+    COMPACT = (
+        "\n\t^hourly;;0:3600,3600:13600"
+        "\n\t^live;;0:1"
+        "\n\ttotal$;sum;"
+        "\n\tmin$;min;"
+        "\n\tmax$;max;"
+        "\n\t;max;0:60"
+        "\n\t"
+    )
+
+    @staticmethod
+    def _shape(rules):
+        return [
+            (p.regexp, p.function, p.rule_type,
+             [(r.age, r.precision) for r in p.retention])
+            for p in rules.patterns
+        ]
+
+    def test_json_equals_compact(self):
+        assert self._shape(Rules.from_json(self.JSON)) == self._shape(
+            Rules.from_compact(self.COMPACT)
+        )
+
+    def test_typed_rows(self):
+        typed = """{
+        "data": [
+            {"rule_type": "all", "regexp": "^hourly", "function": "",
+             "age": "0", "precision": "3600", "is_default": 0},
+            {"rule_type": "all", "regexp": "^hourly", "function": "",
+             "age": "3600", "precision": "13600", "is_default": 0},
+            {"rule_type": "plain", "regexp": "total$", "function": "sum",
+             "age": "0", "precision": "0", "is_default": 0},
+            {"rule_type": "tagged", "regexp": "^tag_name\\\\?",
+             "function": "min", "age": "0", "precision": "0",
+             "is_default": 0},
+            {"rule_type": "tag_list", "regexp": "fake3;tag=Fake3",
+             "function": "sum", "age": "0", "precision": "0",
+             "is_default": 0},
+            {"rule_type": "all", "regexp": "", "function": "max",
+             "age": "0", "precision": "60", "is_default": 1}
+        ]
+        }"""
+        shapes = self._shape(Rules.from_json(typed))
+        assert shapes == [
+            ("^hourly", None, "all", [(0, 3600), (3600, 13600)]),
+            ("total$", "sum", "plain", []),
+            (r"^tag_name\?", "min", "tagged", []),
+            (r"^fake3\?(.*&)?tag=Fake3(&.*)?$", "sum", "tagged", []),
+            ("", "max", "all", [(0, 60)]),
+        ]
+
+    def test_config_autodetects_json(self, tmp_path):
+        from graphite_clickhouse_spark.config import load_settings
+
+        conf_file = tmp_path / "rollup.json"
+        conf_file.write_text(self.JSON)
+        s = load_settings(f'[clickhouse]\nrollup-conf = "{conf_file}"\n')
+        assert s.rules.lookup("metric.total", 100) == (60, "sum")
+        assert s.rules.lookup("hourly.x", 4000) == (13600, "max")

@@ -128,3 +128,29 @@ def test_timestamp_truncate_reference_table():
     ]
     for ts, dur, want in cases:
         assert floor_to_multiplier(ts, dur) == want, (ts, dur)
+
+
+def test_set_from_until_reference_table():
+    """render/data/query_test.go::TestSetFromUntil verbatim: from
+    quantizes UP to the step grid, until DOWN plus step-1."""
+    cases = [
+        ((4, 9, 2), (4, 9)),
+        ((4, 19, 3), (6, 20)),
+        ((4, 29, 5), (5, 29)),
+        ((7, 108, 7), (7, 111)),
+        ((7, 108, 13), (13, 116)),
+    ]
+    for (f, u, s), want in cases:
+        assert align_from_until(f, u, s) == want, (f, u, s)
+
+
+def test_set_step_reference_vectors():
+    """render/data/query_test.go::TestSetStep 'aggregated common step'
+    self-contained rows: step = maxDataPoints-inflated interval rounded
+    up to a multiple of LCM(per-metric steps)."""
+    # steps {1,5,3,4}, interval 500s, mdp 10 -> LCM 60, 500/10=50 -> 60
+    assert common_step([1, 5, 3, 4], 0, 500, 10) == 60
+    # steps {1,5,8,4}, mdp 7 -> LCM 40, ceil(500/7)=72 -> 80
+    assert common_step([1, 5, 8, 4], 0, 500, 7) == 80
+    # same steps, mdp 6 -> ceil(500/6)=84 -> 120
+    assert common_step([1, 5, 8, 4], 0, 500, 6) == 120
