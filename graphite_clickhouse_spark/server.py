@@ -37,6 +37,25 @@ RENDER_CONTENT_TYPES = {
 }
 
 
+import re as _re
+
+_URL_PASSWORD_RE = _re.compile(r"(\w+?://[^/@\s:]+):[^/@\s]+@")
+
+
+def _mask_url_passwords(v):
+    """Redact `scheme://user:password@` credentials in config values
+    before they leave through /debug/config — the reference masks the
+    ClickHouse URL password as user:xxxxxx when marshaling its config
+    (config/json.go, config/json_test.go TestClickhouseUrlPassword)."""
+    if isinstance(v, str):
+        return _URL_PASSWORD_RE.sub(r"\1:xxxxxx@", v)
+    if isinstance(v, list):
+        return [_mask_url_passwords(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _mask_url_passwords(x) for k, x in v.items()}
+    return v
+
+
 def _truthy(s: str) -> bool:
     """carbonapi parser.TruthyBool: accepts 1/true/t/yes/y (any case)."""
     return s.lower() in ("1", "true", "t", "yes", "y")
@@ -704,7 +723,7 @@ class GraphiteHandler(BaseHTTPRequestHandler):
                 json.dumps(v)
             except TypeError:
                 v = repr(v)
-            out[f.name] = v
+            out[f.name] = _mask_url_passwords(v)
         self._send(json.dumps(out, indent=2).encode(), "application/json")
 
     def _capabilities(self, q: dict):
