@@ -1587,6 +1587,45 @@ FROM (SELECT id FROM toks) t LEFT JOIN hits h ON h.id = t.id
 """
 
 
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source 3-gram shingle overlap matrix: exact Jaccard between
+    the distinct shingle sets of every source pair — the corpus
+    redundancy audit run before mixing sources. Scale-safe: per-shingle
+    source-sets are bounded by the source count, never corpus size."""
+    from graphite_clickhouse_spark.pipeline.dedup import source_overlap
+    from graphite_clickhouse_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return source_overlap(docs, n=3)
+
+
+SQL_SOURCE_OVERLAP = """
+WITH toks AS (
+    SELECT source, regexp_split_to_array(trim(text), '\\s+') AS t
+    FROM documents
+), sh AS (
+    SELECT DISTINCT source,
+           t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+    FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i) g(i)
+    WHERE len(t) >= 3
+), cnt AS (
+    SELECT source, count(*) AS n FROM sh GROUP BY source
+), inter AS (
+    SELECT a.source AS sa, b.source AS sb, count(*) AS c
+    FROM sh a JOIN sh b USING (shingle)
+    WHERE a.source < b.source
+    GROUP BY 1, 2
+)
+SELECT sa AS source_a, sb AS source_b,
+       ca.n AS shingles_a, cb.n AS shingles_b,
+       c AS common_shingles,
+       round(c / (ca.n + cb.n - c), 6) AS jaccard
+FROM inter
+JOIN cnt ca ON ca.source = sa
+JOIN cnt cb ON cb.source = sb
+"""
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals per document (top 2-gram fraction,
     duplicate 2-gram fraction) — map-only fold over sorted n-gram
@@ -2153,7 +2192,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
     "gopher_filter": (q_gopher_filter, _gopher_sql()),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
-    "mix_sources": (q_mix_sources, _mix_sources_sql()),
+    "source_overlap": (q_source_overlap, SQL_SOURCE_OVERLAP),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
     "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
@@ -2187,6 +2226,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
     "sample_deterministic": (q_sample_deterministic, SQL_SAMPLE_DETERMINISTIC),
+    "mix_sources": (q_mix_sources, _mix_sources_sql()),
 }
 
 

@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "repetition_stats",
     "gopher_filter",
     "decontaminate",
+    "source_overlap",
     "sample_deterministic",
     "mix_sources",
     "pack_sequences",

@@ -599,6 +599,85 @@ def simhash_near_pairs(
     )
 
 
+def source_overlap(
+    df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    group_col: str = "source",
+    hashed: bool = False,
+) -> DataFrame:
+    """Cross-source n-gram overlap matrix: EXACT Jaccard between the
+    distinct shingle sets of every source pair — the corpus-level
+    redundancy/contamination audit run before mixing sources into a
+    training mix (the between-dump overlap measurements of the
+    RefinedWeb/CCNet lineage, arXiv:2306.01116 §3).
+
+    Scale shape: one explode to distinct (shingle, source) — map-side
+    combine does the heavy dedup — then a per-shingle source-set whose
+    size is bounded by the NUMBER OF SOURCES (tens-hundreds), never by
+    corpus size; the pair explode is |shingles| x O(k^2) with k = sources
+    sharing that shingle, and the final aggregate has <= |sources|^2
+    rows with per-source totals broadcast onto it. No document-level
+    join anywhere, so the plan survives a 100x corpus scale-up; skew on
+    universal shingles is capped by the source-set bound.
+
+    `hashed=True` swaps string shingles for xxhash64 tuples (the
+    production hot path, ~8 bytes/shingle through the shuffle);
+    `hashed=False` keeps strings so external engines reproduce the
+    numbers bit-for-bit.
+
+    Returns (source_a, source_b, shingles_a, shingles_b,
+    common_shingles, jaccard) with source_a < source_b.
+    """
+    base = tokens_projection(df, text_col, group_col)
+    shingle = (
+        F.explode(ngram_hashes(n)) if hashed
+        else F.explode(word_ngrams_from_tokens(F.col("toks"), n))
+    )
+    sh = (
+        base.select(F.col("id").alias("grp"), shingle.alias("shingle"))
+        .distinct()
+    )
+    counts = sh.groupBy("grp").agg(F.count("*").alias("n_sh"))
+    grps = F.array_sort(F.collect_set("grp"))
+    # all ordered source pairs sharing this shingle: a = grps[i],
+    # b in grps[i+1:] — slice length size(g) over-reads safely
+    per_shingle = sh.groupBy("shingle").agg(grps.alias("grps"))
+    g = F.col("grps")
+    pair_arr = F.flatten(
+        F.transform(
+            g,
+            lambda a, i: F.transform(
+                F.slice(g, i + F.lit(2), F.size(g)),
+                lambda b: F.struct(a.alias("a"), b.alias("b")),
+            ),
+        )
+    )
+    pairs = (
+        per_shingle.select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.a").alias("source_a"), F.col("p.b").alias("source_b"))
+        .agg(F.count("*").alias("common_shingles"))
+    )
+    ca = counts.select(F.col("grp").alias("source_a"),
+                       F.col("n_sh").alias("shingles_a"))
+    cb = counts.select(F.col("grp").alias("source_b"),
+                       F.col("n_sh").alias("shingles_b"))
+    return (
+        pairs.join(F.broadcast(ca), "source_a")
+        .join(F.broadcast(cb), "source_b")
+        .select(
+            "source_a", "source_b", "shingles_a", "shingles_b",
+            "common_shingles",
+            F.round(
+                F.col("common_shingles")
+                / (F.col("shingles_a") + F.col("shingles_b")
+                   - F.col("common_shingles")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
 # ------------------------------------------------------- decontamination
 
 def decontaminate(

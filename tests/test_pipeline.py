@@ -1082,3 +1082,45 @@ class TestCurationRecipe:
         )
         assert all(i == -1 and o == -1 for _s, i, o in res.stages)
         assert res.kept.count() <= 10  # plan still executes
+
+
+class TestSourceOverlap:
+    def test_planted_overlap_exact_jaccard(self, spark):
+        from graphite_clickhouse_spark.pipeline.dedup import source_overlap
+
+        df = spark.createDataFrame(
+            [(1, "a b c d", "s1"), (2, "b c d e", "s2"),
+             (3, "x y z w", "s3"), (4, "a b c", "s2")],
+            "doc_id long, text string, source string")
+        rows = {(r.source_a, r.source_b): r for r in source_overlap(df, n=3).collect()}
+        # s1={abc,bcd}, s2={bcd,cde,abc} -> common 2, union 3
+        assert set(rows) == {("s1", "s2")}  # zero-overlap pairs absent
+        r = rows[("s1", "s2")]
+        assert (r.shingles_a, r.shingles_b, r.common_shingles) == (2, 3, 2)
+        assert abs(r.jaccard - 2 / 3) < 1e-6
+
+    def test_hashed_mode_matches_string_mode(self, spark):
+        from graphite_clickhouse_spark.pipeline.dedup import source_overlap
+
+        df = spark.createDataFrame(
+            [(i, f"w{i % 4} w{(i + 1) % 4} w{(i + 2) % 4} w{(i + 3) % 5}",
+              f"s{i % 3}") for i in range(60)],
+            "doc_id long, text string, source string")
+        a = {(r.source_a, r.source_b): (r.common_shingles, r.jaccard)
+             for r in source_overlap(df, n=3).collect()}
+        b = {(r.source_a, r.source_b): (r.common_shingles, r.jaccard)
+             for r in source_overlap(df, n=3, hashed=True).collect()}
+        assert a == b and a  # the production hash path computes the same matrix
+
+    def test_no_document_level_join(self, spark):
+        """Scale guard: the plan must contain no SortMergeJoin (the two
+        final joins broadcast the per-source totals) — the pair explode
+        happens on per-shingle source-sets, never across documents."""
+        from graphite_clickhouse_spark.pipeline.dedup import source_overlap
+
+        df = spark.createDataFrame(
+            [(1, "a b c d", "s1"), (2, "b c d e", "s2")],
+            "doc_id long, text string, source string")
+        plan = source_overlap(df, n=3)._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" not in plan
+        assert plan.count("BroadcastHashJoin") == 2
