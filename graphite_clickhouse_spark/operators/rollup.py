@@ -53,7 +53,14 @@ class Pattern:
 
     def __post_init__(self) -> None:
         if self.regexp and self.regexp != ".*":
-            self._re = re.compile(self.regexp)
+            try:
+                self._re = re.compile(self.regexp)
+            except re.error as exc:
+                # one error type at the parse boundary: the reference's
+                # compile() wraps regexp.Compile errors the same way
+                raise ValueError(
+                    f"can't compile regexp {self.regexp!r}: {exc}"
+                ) from exc
         # reference sorts retention by age and drops precision<=0 heads
         self.retention = sorted(self.retention, key=lambda r: r.age)
 
@@ -144,10 +151,27 @@ class Rules:
         import json as _json
 
         doc = _json.loads(text)
+        if not isinstance(doc, dict) or not isinstance(doc.get("data", []), list):
+            raise ValueError("rollup JSON: top-level 'data' array expected")
         groups: list[dict] = []
         default_function = ""
         default_ret: list[Retention] = []
         for d in doc.get("data", []):
+            if not isinstance(d, dict):
+                raise ValueError(f"rollup JSON: row is not an object: {d!r}")
+            for key in ("regexp", "function", "rule_type"):
+                if d.get(key) is not None and not isinstance(d[key], str):
+                    # Go unmarshals these into string fields; any other
+                    # JSON type is a parse error there too
+                    raise ValueError(
+                        f"rollup JSON: {key} must be a string: {d[key]!r}"
+                    )
+            for key in ("age", "precision"):
+                if d.get(key) is not None and not isinstance(d[key], (str, int)) \
+                        or isinstance(d.get(key), bool):
+                    raise ValueError(
+                        f"rollup JSON: {key} must be a string: {d[key]!r}"
+                    )
             age = str(d.get("age", "") if d.get("age") is not None else "")
             prec = str(
                 d.get("precision", "") if d.get("precision") is not None else ""

@@ -469,3 +469,71 @@ class TestReferenceJSONGoldens:
         s = load_settings(f'[clickhouse]\nrollup-conf = "{conf_file}"\n')
         assert s.rules.lookup("metric.total", 100) == (60, "sum")
         assert s.rules.lookup("hourly.x", 4000) == (13600, "max")
+
+
+class TestRollupParserFuzz:
+    """Every rollup parser maps malformed input to ValueError only —
+    no re.error / TypeError / KeyError / IndexError escapes (the
+    decoder-boundary rule that has caught wire-parser leaks each round)."""
+
+    def test_bad_regexp_is_valueerror_everywhere(self):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            Rules.from_compact("[bad;avg;0:60")
+        with _pytest.raises(ValueError):
+            Rules.from_xml(
+                "<graphite_rollup><pattern><regexp>[bad</regexp>"
+                "<function>avg</function></pattern></graphite_rollup>"
+            )
+        with _pytest.raises(ValueError):
+            Rules.from_json(
+                '{"data": [{"regexp": "[bad", "function": "avg",'
+                ' "age": "0", "precision": "60", "is_default": 0}]}'
+            )
+
+    def test_from_json_fuzz_error_discipline(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        scalars = st.one_of(
+            st.none(), st.booleans(), st.integers(), st.text(max_size=8)
+        )
+        row = st.dictionaries(
+            st.sampled_from(
+                ["regexp", "function", "age", "precision", "is_default",
+                 "rule_type", "junk"]
+            ),
+            scalars, max_size=7,
+        )
+        doc = st.fixed_dictionaries({}, optional={
+            "data": st.lists(row, max_size=5),
+            "rows": st.integers(),
+            "meta": scalars,
+        })
+
+        @given(doc)
+        @settings(max_examples=300, deadline=None)
+        def run(d):
+            import json as _json
+
+            try:
+                Rules.from_json(_json.dumps(d))
+            except ValueError:
+                pass  # the one allowed failure mode
+
+        run()
+
+    def test_from_compact_fuzz_error_discipline(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @given(st.text(max_size=60))
+        @settings(max_examples=300, deadline=None)
+        def run(text):
+            try:
+                Rules.from_compact(text)
+            except ValueError:
+                pass
+
+        run()
