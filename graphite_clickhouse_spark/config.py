@@ -128,6 +128,10 @@ class Settings:
     tags_rules_path: str = ""
     tags_input_file: str = ""
     tags_output_path: str = ""
+    #: [clickhouse] tag-table: parquet dir of the tagger's (path, tags)
+    #: output — enables the legacy `_tag` browse (finder/tag.go WrapTag;
+    #: the reference activates it on the same key)
+    tag_table_path: str = ""
     #: sections/keys present in the file that have no Spark-side meaning
     ignored: list[str] = field(default_factory=list)
 
@@ -410,6 +414,7 @@ def load_settings(toml_text: str) -> Settings:
         })
     s.query_params.sort(key=lambda t: t["duration"])
     s.index_timeout_sec = parse_go_duration(ch.get("index-timeout", "1m"))
+    s.tag_table_path = str(ch.get("tag-table", "") or "")
     for cls in ("render", "find", "tags"):
         s.limiters[cls] = {
             "max": int(ch.get(f"{cls}-max-queries", 0)),
@@ -476,6 +481,11 @@ def engine_from_settings(spark, settings: Settings, points, path_index=None,
     from .render.pipeline import DataTableRoute, Engine
 
     cache = FindCache(settings.find_cache) if settings.find_cache else None
+    tag_table = None
+    if settings.tag_table_path:
+        tag_table = (
+            spark.read.parquet(settings.tag_table_path).select("path", "tags")
+        )
     routes = []
     for t in settings.data_tables:
         frame = (table_frames or {}).get(t.get("table", ""))
@@ -513,4 +523,5 @@ def engine_from_settings(spark, settings: Settings, points, path_index=None,
         index_use_daily=settings.index_use_daily,
         date_mode=settings.date_mode,
         tagged_autocomplete_days=settings.tagged_autocomplete_days,
+        tag_table=tag_table,
     )

@@ -131,6 +131,10 @@ class Engine:
     points: DataFrame
     path_index: DataFrame | None = None
     tagged_points: DataFrame | None = None  # points with a tags map column
+    #: legacy `_tag` browse table (path, tags array<string>) — the
+    #: tagger's output, served only when configured (reference tag-table,
+    #: finder/finder.go:92-94 WrapTag)
+    tag_table: DataFrame | None = None
     rules: Rules = field(default_factory=Rules.default)
     max_metrics_per_target: int = 15000  # reference default (L3)
     wildcard_min_distance: int = 0
@@ -267,6 +271,25 @@ class Engine:
         the real find, and results are re-attached (finder/prefix.go)."""
         if self.blacklist is not None and self.blacklist.matches(target):
             return self._empty_paths_df()
+        if self.tag_table is not None:
+            from ..plans.tagbrowse import (
+                is_tag_query,
+                parse_tag_query,
+                tag_series_paths,
+            )
+
+            t = target.strip()
+            if is_tag_query(t):
+                from ..plans.tagbrowse import TAG_SERIES, TAG_SERIES_ROOT
+
+                tb = parse_tag_query(t)
+                if tb.state not in (TAG_SERIES, TAG_SERIES_ROOT):
+                    # list/info nodes carry no series: every List() row is
+                    # '.'-suffixed, so Series() is empty (tag.go:300-330)
+                    return self._empty_paths_df()
+                return tag_series_paths(
+                    self.tag_table, tb, self.wildcard_min_distance
+                ).select("path")
         if target.lstrip().startswith("seriesByTag"):
             if self.tagged_points is None:
                 raise ValueError("no tagged points table configured")
@@ -429,7 +452,7 @@ class Engine:
             source, rules = self.select_data_table(
                 [req.target], req.from_ts, req.until_ts
             )
-        return self._fetch_series(
+        out = self._fetch_series(
             paths,
             req.from_ts,
             req.until_ts,
@@ -441,6 +464,23 @@ class Engine:
             rules=rules,
             limits=req.storage_limits,
         )
+        return self._abs_tag_prefix(out, req.target)
+
+    def _abs_tag_prefix(self, df: DataFrame, target: str) -> DataFrame:
+        """TagFinder.Abs (tag.go:333-339): series resolved through a
+        `_tag...` browse target display with the consumed query head
+        re-attached (fetch always uses the real storage path)."""
+        if self.tag_table is None:
+            return df
+        from ..plans.tagbrowse import is_tag_query, parse_tag_query
+
+        t = target.strip()
+        if not is_tag_query(t):
+            return df
+        prefix = parse_tag_query(t).tag_prefix
+        if not prefix:
+            return df
+        return df.withColumn("path", F.concat(F.lit(prefix), F.col("path")))
 
     def _fetch_series(
         self,
@@ -650,6 +690,26 @@ class Engine:
                 alias_pairs, "path string, target string"
             )
             fanned = series.join(F.broadcast(aliases), "path")
+            if self.tag_table is not None:
+                from ..plans.tagbrowse import is_tag_query, parse_tag_query
+
+                expr = None
+                for req, _ps in members:
+                    t = req.target.strip()
+                    if is_tag_query(t):
+                        pre = parse_tag_query(t).tag_prefix
+                        if pre:
+                            hit = F.concat(F.lit(pre), F.col("path"))
+                            cond = F.col("target") == req.target
+                            expr = (
+                                F.when(cond, hit)
+                                if expr is None
+                                else expr.when(cond, hit)
+                            )
+                if expr is not None:
+                    fanned = fanned.withColumn(
+                        "path", expr.otherwise(F.col("path"))
+                    )
             out = fanned if out is None else out.unionByName(fanned)
         return out if out is not None else self._empty_series_df().withColumn(
             "target", F.lit("")
@@ -670,6 +730,30 @@ def find_tree_rows(
     by trailing '.' as in finder/finder.go:115-122. from/until bound
     the daily index when present (finder/index.go:151-161). Shared by the
     HTTP /metrics/find handler and the e2e scenario harness."""
+    if engine.tag_table is not None:
+        from ..plans.tagbrowse import (
+            is_tag_query,
+            parse_tag_query,
+            tag_browse_rows,
+        )
+
+        if is_tag_query(query):
+            engine.storage_query_start()
+            return tag_browse_rows(
+                engine.tag_table, parse_tag_query(query),
+                engine.wildcard_min_distance,
+            )
+        if query == "*":
+            # the browse root: '_tag.' precedes the normal tree
+            # (TagFinder.List TagRoot, tag.go:255-259)
+            rows = find_tree_rows_plain(engine, query, from_ts, until_ts)
+            return [("_tag", False), *rows]
+    return find_tree_rows_plain(engine, query, from_ts, until_ts)
+
+
+def find_tree_rows_plain(
+    engine: Engine, query: str, from_ts: int = 0, until_ts: int = 0
+) -> list[tuple[str, bool]]:
     from ..plans.glob import glob_predicate, validate_glob
 
     idx = engine.path_index
