@@ -1945,6 +1945,48 @@ FROM l GROUP BY source, shard
 """
 
 
+def q_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget source mixing: keep a deterministic hash-ordered
+    prefix of each source until its token quota fills (the "300B web /
+    30B code" mixture spec). One window cumsum; supersets across budget
+    increases with the same salt."""
+    from graphite_clickhouse_spark.pipeline.sampling import budget_mix
+    from graphite_clickhouse_spark.pipeline.text import token_count
+    from graphite_clickhouse_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "n_tokens", token_count(F.col("text")).cast("long")
+    )
+    out = budget_mix(
+        docs, {"src0": 5000, "src1": 2000}, default_budget=1000, salt="bm"
+    )
+    return out.select("doc_id", "source", "n_tokens")
+
+
+SQL_BUDGET_MIX = """
+WITH d AS (
+    SELECT doc_id, source,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+           END AS n_tokens,
+           ('0x' || substr(md5('bm:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               AS coin
+    FROM documents
+), o AS (
+    SELECT doc_id, source, n_tokens,
+           sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY coin, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) - n_tokens AS cum_before
+    FROM d
+)
+SELECT doc_id, source, n_tokens FROM o
+WHERE cum_before < CASE WHEN source = 'src0' THEN 5000
+                        WHEN source = 'src1' THEN 2000
+                        ELSE 1000 END
+"""
+
+
 def q_unigram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style quality scoring (arXiv:1911.00359): mean negative
     log-probability of each document under the corpus's own unigram MLE
@@ -2185,7 +2227,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
     "semi_join_urgent": (q_semi_join_urgent, SQL_SEMI_JOIN_URGENT),
     "topk_orders_per_segment": (q_topk_orders_per_segment, SQL_TOPK_ORDERS_PER_SEGMENT),
-    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "budget_mix": (q_budget_mix, SQL_BUDGET_MIX),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
@@ -2227,6 +2269,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
     "sample_deterministic": (q_sample_deterministic, SQL_SAMPLE_DETERMINISTIC),
     "mix_sources": (q_mix_sources, _mix_sources_sql()),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
 }
 
 

@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "gopher_filter",
     "decontaminate",
     "source_overlap",
+    "budget_mix",
     "sample_deterministic",
     "mix_sources",
     "pack_sequences",

@@ -71,3 +71,57 @@ def mix_sources(
             F.col(source_col) == src, F.lit(int(float(rate) * _HASH_SPACE))
         ).otherwise(threshold_col)
     return df.filter(sample_hash(F.col(key_col), salt) < threshold_col)
+
+
+def budget_mix(
+    df: DataFrame,
+    budgets: dict[str, int],
+    token_col: str = "n_tokens",
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    default_budget: int = 0,
+    salt: str = "",
+) -> DataFrame:
+    """Token-BUDGET-based source mixing: keep a deterministic prefix of
+    each source until its token quota fills — how real mixtures are
+    specified ("300B tokens of web, 30B of code"), vs the rate-based
+    `mix_sources` ("3% of web").
+
+    Documents order by the consistent sampling coin hash(salt:key)
+    within their source (a uniform random-but-reproducible order), and a
+    document survives iff the cumulative tokens BEFORE it are inside the
+    source's budget — so every budget admits at least one document, the
+    overshoot is bounded by one document, and a bigger budget's
+    selection is a SUPERSET of a smaller one's with the same salt (the
+    staged-ablation property, same as rate sampling's monotonicity).
+
+    One window shuffle partitioned by source; the per-source cumsum is
+    the same pure integer math any engine reproduces. Skewed source
+    sizes skew the window partitions — at 100 TB pair a very large
+    source with `mix_sources` pre-thinning (rate ~ budget/source_tokens)
+    so the window sees only a few x budget of tokens, not the full
+    source.
+    """
+    from pyspark.sql import Window
+
+    coin = sample_hash(F.col(key_col), salt)
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(coin, key_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    budget = F.coalesce(
+        F.element_at(
+            F.create_map(
+                *[F.lit(x) for s, b in sorted(budgets.items()) for x in (s, int(b))]
+            ),
+            F.col(source_col).cast("string"),
+        ),
+        F.lit(int(default_budget)),
+    )
+    cum_before = F.sum(token_col).over(w) - F.col(token_col)
+    return (
+        df.withColumn("_cum_before", cum_before)
+        .filter(F.col("_cum_before") < budget)
+        .drop("_cum_before")
+    )

@@ -1124,3 +1124,43 @@ class TestSourceOverlap:
         plan = source_overlap(df, n=3)._jdf.queryExecution().executedPlan().toString()
         assert "SortMergeJoin" not in plan
         assert plan.count("BroadcastHashJoin") == 2
+
+
+class TestBudgetMix:
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            [(i, f"s{i % 2}", 100) for i in range(40)],
+            "doc_id long, source string, n_tokens long")
+
+    def test_budget_bounds_and_overshoot(self, spark):
+        from graphite_clickhouse_spark.pipeline.sampling import budget_mix
+
+        out = budget_mix(self._docs(spark), {"s0": 550, "s1": 300}).collect()
+        tok = {}
+        for r in out:
+            tok[r.source] = tok.get(r.source, 0) + r.n_tokens
+        # cum_before < budget: overshoot bounded by one document
+        assert tok == {"s0": 600, "s1": 300}
+
+    def test_monotone_supersets(self, spark):
+        from graphite_clickhouse_spark.pipeline.sampling import budget_mix
+
+        docs = self._docs(spark)
+        small = {r.doc_id for r in budget_mix(docs, {"s0": 300, "s1": 300}).collect()}
+        big = {r.doc_id for r in budget_mix(docs, {"s0": 900, "s1": 700}).collect()}
+        assert small < big  # staged-ablation property
+
+    def test_tiny_budget_admits_first_doc(self, spark):
+        from graphite_clickhouse_spark.pipeline.sampling import budget_mix
+
+        out = budget_mix(self._docs(spark), {"s0": 1}, default_budget=0).collect()
+        assert len(out) == 1 and out[0].source == "s0"
+
+    def test_deterministic_across_partitionings(self, spark):
+        from graphite_clickhouse_spark.pipeline.sampling import budget_mix
+
+        docs = self._docs(spark)
+        a = sorted(r.doc_id for r in budget_mix(docs, {"s0": 500, "s1": 500}).collect())
+        b = sorted(r.doc_id for r in budget_mix(
+            docs.repartition(7), {"s0": 500, "s1": 500}).collect())
+        assert a == b
