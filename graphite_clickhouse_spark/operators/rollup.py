@@ -76,7 +76,9 @@ def _tag_list_to_regexp(tag_list: str) -> str:
     part must come first, remaining tags sort lexically, and the
     produced shape is `^name\\?(.*&)?tag=val&(.*&)?tag2=val2(&.*)?$`
     (or `[\\?&]tag=val(&.*)?$` without a name part)."""
-    tags = [v for v in tag_list.split(";") if v]  # splitTags drops empties
+    # splitTags drops empties (pkg/dry RemoveEmptyStrings semantics,
+    # strings_test.go — whitespace-only elements are NOT empty and stay)
+    tags = [v for v in tag_list.split(";") if v]
     if not tags:
         return ".*"
     if "=" in tags[0]:

@@ -328,6 +328,9 @@ class GraphiteHandler(BaseHTTPRequestHandler):
             getattr(self, "settings", None), "storage_limits", None
         )
         tier_lim = None
+        # a v3_pb body's range is unknown at limiter time; _prepare_render
+        # re-selects the data tier once the frames are parsed
+        self._tier_deferred = q.get("format") == "carbonapi_v3_pb"
         tiers = getattr(self, "render_tiers", None) or ()
         if tiers:
             dur = self._render_duration(q)
@@ -820,7 +823,22 @@ class GraphiteHandler(BaseHTTPRequestHandler):
         resolve every target's paths under INDEX-timeout. The data fetch
         that follows runs under data-timeout with resolution memoized —
         the same two-query / two-timeout split the reference has between
-        its index and data ClickHouse queries."""
+        its index and data ClickHouse queries.
+
+        v3_pb POSTs carry their time range in the body, so the limiter
+        tiered on duration 0; now that the frames are parsed, re-select
+        the DATA tier (timeout + read limits) from the MAX duration
+        across the request's timeframes — getDataTimeout semantics
+        (render/data/multi_target.go:71-93, multi_target_test.go)."""
+        tiers = getattr(self, "render_tiers", None) or ()
+        if tiers and reqs and getattr(self, "_tier_deferred", False):
+            dur = max(max(0, r.until_ts - r.from_ts) for r in reqs)
+            for min_dur, _lim, timeout, limits in tiers:
+                if dur >= min_dur:
+                    self._tier_data_timeout = timeout
+                    self._tier_limits = limits
+                else:
+                    break
         for r in reqs:
             r.storage_limits = getattr(self, "_tier_limits", None)
         self._fetch_with_index_timeout(

@@ -275,3 +275,55 @@ def test_get_weighted_reference_table():
     ]
     for load, n, mx, want in table:
         assert get_weighted(n, mx, load) == want, (load, n, mx)
+
+
+class TestGetDataTimeoutReferenceTable:
+    """render/data/multi_target_test.go::Test_getDataTimeout ported: the
+    data tier follows the MAX duration across a request's timeframes
+    (v3_pb bodies tier at _prepare_render once frames are parsed)."""
+
+    def _handler(self, tiers):
+        import types
+
+        from graphite_clickhouse_spark.server import GraphiteHandler
+
+        h = object.__new__(GraphiteHandler)
+        # (min_duration_sec, limiter, data_timeout_sec, storage_limits)
+        h.render_tiers = tiers
+        h._tier_deferred = True
+        h._tier_data_timeout = tiers[0][2] if tiers else None
+        h._tier_limits = tiers[0][3] if tiers else None
+        h.settings = None
+        h.engine = types.SimpleNamespace(resolve=lambda r: [])
+        return h
+
+    def _run(self, tiers, frames):
+        from graphite_clickhouse_spark.render.pipeline import RenderRequest
+
+        h = self._handler(tiers)
+        reqs = [RenderRequest("m", f, u, max_data_points=10)
+                for f, u in frames]
+        h._prepare_render(reqs)
+        return h._tier_data_timeout
+
+    def test_reference_rows(self):
+        one = [(0, None, 1.0, None)]
+        two = [(0, None, 1.0, None), (3600, None, 60.0, None)]
+        three = [(0, None, 1.0, None), (3600, None, 60.0, None),
+                 (7200, None, 600.0, None)]
+        # one tier: its timeout regardless
+        assert self._run(one, [(1647198000, 1647234000)]) == 1.0
+        # 1h - 1s -> default tier
+        assert self._run(two, [(1647198000, 1647201600 - 1)]) == 1.0
+        # exactly 1h -> the 1h tier
+        assert self._run(two, [(1647198000, 1647201600)]) == 60.0
+        assert self._run(three, [(1647198000, 1647201600)]) == 60.0
+        # 2h 1s -> the 2h tier
+        assert self._run(three, [(1647198000, 1647205201)]) == 600.0
+
+    def test_max_across_timeframes(self):
+        three = [(0, None, 1.0, None), (3600, None, 60.0, None),
+                 (7200, None, 600.0, None)]
+        # a short frame plus a 3h frame: the MAX governs
+        got = self._run(three, [(0, 60), (1647198000, 1647198000 + 3 * 3600)])
+        assert got == 600.0
