@@ -2021,6 +2021,46 @@ GROUP BY doc_id
 """
 
 
+def q_ccnet_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail split: rank documents by unigram mean-NLL
+    (the perplexity proxy) and ntile into three equal-count quality
+    buckets with a deterministic id tiebreak."""
+    from graphite_clickhouse_spark.pipeline.lm import ccnet_partition
+    from graphite_clickhouse_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ccnet_partition(docs).select(
+        "doc_id", "n_tokens", "mean_nll", "bucket", "part"
+    )
+
+
+SQL_CCNET_PARTITION = """
+WITH t2 AS (
+    SELECT doc_id, word FROM (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+        FROM documents WHERE trim(text) <> ''
+    ) WHERE word <> ''
+), vocab AS (
+    SELECT word, count(*) AS cnt FROM t2 GROUP BY word
+), tot AS (
+    SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM vocab
+), scored AS (
+    SELECT doc_id, count(*) AS n_tokens,
+           -sum(ln(cnt / (SELECT total FROM tot))) / count(*) AS nll
+    FROM t2 JOIN vocab USING (word)
+    GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, round(nll, 6) AS mean_nll,
+       CAST(ntile(3) OVER (ORDER BY round(nll, 6), doc_id) AS INTEGER)
+           AS bucket,
+       CASE ntile(3) OVER (ORDER BY round(nll, 6), doc_id)
+            WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+       END AS part
+FROM scored
+"""
+
+
 def q_dsir_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-style importance weighting (arXiv:2302.03169): per-document
     mean log-likelihood ratio of the target-domain (source='src0')
@@ -2233,7 +2273,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
     "gopher_filter": (q_gopher_filter, _gopher_sql()),
-    "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "source_overlap": (q_source_overlap, SQL_SOURCE_OVERLAP),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
@@ -2253,6 +2292,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "quality_classifier": (q_quality_classifier, SQL_QUALITY_CLASSIFIER),
     "text_clean": (q_text_clean, SQL_TEXT_CLEAN),
     "unigram_quality": (q_unigram_quality, SQL_UNIGRAM_QUALITY),
+    "ccnet_partition": (q_ccnet_partition, SQL_CCNET_PARTITION),
     "dsir_weight": (q_dsir_weight, SQL_DSIR_WEIGHT),
     # ------------------------------------------------------------------
     # The round-3 driver recorded correctness rows for only the FIRST 50
@@ -2270,6 +2310,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "sample_deterministic": (q_sample_deterministic, SQL_SAMPLE_DETERMINISTIC),
     "mix_sources": (q_mix_sources, _mix_sources_sql()),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
 }
 
 

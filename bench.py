@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "decontaminate",
     "source_overlap",
     "budget_mix",
+    "ccnet_partition",
     "sample_deterministic",
     "mix_sources",
     "pack_sequences",

@@ -136,3 +136,47 @@ def dsir_importance(
             (F.sum("llr") / F.count(F.lit(1))).alias("mean_llr"),
         )
     )
+
+
+def ccnet_partition(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 3,
+) -> DataFrame:
+    """CCNet's head/middle/tail split (arXiv:1911.00359 §4.3): rank
+    documents by LM perplexity and cut the corpus into equal-count
+    quality buckets — head (lowest perplexity) is what most pipelines
+    keep or upsample. Perplexity here is the unigram mean-NLL proxy of
+    `unigram_logprob_score`; bucket = ntile over (mean_nll, id), which
+    is deterministic (the id tiebreak) and engine-portable.
+
+    Scale: ntile over a single global ORDER BY is one range-partitioned
+    sort of (doc_id, mean_nll) pairs — narrow rows, NOT documents; at
+    100 TB the sorted payload is ~16 bytes/doc. The labels join back to
+    full rows elsewhere (keep this frame skinny on purpose).
+    """
+    from pyspark.sql import Window
+
+    scored = unigram_logprob_score(df, text_col=text_col, id_col=id_col)
+    names = {1: "head", 2: "middle", 3: "tail"}
+    # rank on the QUANTIZED score: raw doubles accumulate in different
+    # orders on different engines/partitionings, and a 1-ulp flip at a
+    # bucket boundary would reassign documents; round(.,6) + id tiebreak
+    # makes the cut deterministic everywhere
+    tile = F.ntile(buckets).over(
+        Window.orderBy(F.round("mean_nll", 6), F.col(id_col))
+    )
+    out = scored.select(
+        id_col, "n_tokens", F.round("mean_nll", 6).alias("mean_nll"),
+        tile.alias("bucket"),
+    )
+    if buckets == 3:
+        out = out.withColumn(
+            "part",
+            F.element_at(
+                F.create_map(*[F.lit(x) for kv in names.items() for x in kv]),
+                F.col("bucket"),
+            ),
+        )
+    return out

@@ -1164,3 +1164,26 @@ class TestBudgetMix:
         b = sorted(r.doc_id for r in budget_mix(
             docs.repartition(7), {"s0": 500, "s1": 500}).collect())
         assert a == b
+
+
+class TestCCNetPartition:
+    def test_equal_buckets_and_ordering(self, spark):
+        from graphite_clickhouse_spark.pipeline.lm import ccnet_partition
+
+        docs = spark.createDataFrame(
+            [(i, ("common common word" if i < 4 else
+                  f"rare{i}x unique{i}y obscure{i}z")) for i in range(12)],
+            "doc_id long, text string")
+        rows = {r.doc_id: r for r in ccnet_partition(docs).collect()}
+        sizes = {}
+        for r in rows.values():
+            sizes[r.part] = sizes.get(r.part, 0) + 1
+        assert sizes == {"head": 4, "middle": 4, "tail": 4}
+        # the repeated-common-word docs are the most predictable -> head
+        for i in range(4):
+            assert rows[i].part == "head", rows[i]
+        # ordering is monotone: head nll <= middle nll <= tail nll
+        by_part = {p: [r.mean_nll for r in rows.values() if r.part == p]
+                   for p in ("head", "middle", "tail")}
+        assert max(by_part["head"]) <= min(by_part["middle"])
+        assert max(by_part["middle"]) <= min(by_part["tail"])
