@@ -271,6 +271,25 @@ class Engine:
         the real find, and results are re-attached (finder/prefix.go)."""
         if self.blacklist is not None and self.blacklist.matches(target):
             return self._empty_paths_df()
+        if target.lstrip().startswith("seriesByTag"):
+            if self.tagged_points is None:
+                raise ValueError("no tagged points table configured")
+            terms = parse_series_by_tag(target)
+            pred = tagged_predicate(
+                terms, F.col("tags"), self.tags_min_in_query, self.flags
+            )
+            return self.tagged_points.filter(pred).select("path").distinct()
+        if self.prefix is not None:
+            m = self.prefix.match(target)
+            if m.state == PARTIAL:
+                return self.spark.createDataFrame([(m.part,)], "path string")
+            if m.state != MATCHED:
+                return self._empty_paths_df()
+            target = m.inner_query
+        # tag browse AFTER prefix stripping — the reference's wrapper
+        # order is Blacklist(Prefix(Tag(base))), so with an extra-prefix
+        # the inner query is what the TagFinder sees (finder/finder.go:
+        # 92-97)
         if self.tag_table is not None:
             from ..plans.tagbrowse import (
                 is_tag_query,
@@ -287,24 +306,18 @@ class Engine:
                     # list/info nodes carry no series: every List() row is
                     # '.'-suffixed, so Series() is empty (tag.go:300-330)
                     return self._empty_paths_df()
-                return tag_series_paths(
+                found = tag_series_paths(
                     self.tag_table, tb, self.wildcard_min_distance
                 ).select("path")
-        if target.lstrip().startswith("seriesByTag"):
-            if self.tagged_points is None:
-                raise ValueError("no tagged points table configured")
-            terms = parse_series_by_tag(target)
-            pred = tagged_predicate(
-                terms, F.col("tags"), self.tags_min_in_query, self.flags
-            )
-            return self.tagged_points.filter(pred).select("path").distinct()
-        if self.prefix is not None:
-            m = self.prefix.match(target)
-            if m.state == PARTIAL:
-                return self.spark.createDataFrame([(m.part,)], "path string")
-            if m.state != MATCHED:
-                return self._empty_paths_df()
-            target = m.inner_query
+                if self.prefix is not None and self.prefix.prefix:
+                    # keep find_paths' contract: with an extra-prefix the
+                    # returned names are prefixed display names
+                    found = found.select(
+                        F.concat(
+                            F.lit(self.prefix.prefix + "."), F.col("path")
+                        ).alias("path")
+                    )
+                return found
         queries = [target]
         if self.try_split_query and ("{" in target or "}" in target):
             # split BEFORE the distance guard: each part is validated on
@@ -469,18 +482,33 @@ class Engine:
     def _abs_tag_prefix(self, df: DataFrame, target: str) -> DataFrame:
         """TagFinder.Abs (tag.go:333-339): series resolved through a
         `_tag...` browse target display with the consumed query head
-        re-attached (fetch always uses the real storage path)."""
+        re-attached (fetch always uses the real storage path). With an
+        extra-prefix the composition is Prefix(Tag(path)) — the engine
+        prefix stays outermost (finder wrapper order)."""
         if self.tag_table is None:
             return df
         from ..plans.tagbrowse import is_tag_query, parse_tag_query
 
         t = target.strip()
+        prefix_dot = self._prefix_dot
+        if prefix_dot and t.startswith(prefix_dot):
+            t = t[len(prefix_dot):]
         if not is_tag_query(t):
             return df
-        prefix = parse_tag_query(t).tag_prefix
-        if not prefix:
+        head = parse_tag_query(t).tag_prefix
+        if not head:
             return df
-        return df.withColumn("path", F.concat(F.lit(prefix), F.col("path")))
+        if prefix_dot:
+            # path column already carries prefix_dot (re-attached by
+            # _fetch_series); insert the tag head between it and the path
+            return df.withColumn(
+                "path",
+                F.concat(
+                    F.lit(prefix_dot + head),
+                    F.col("path").substr(F.lit(len(prefix_dot) + 1), F.length("path")),
+                ),
+            )
+        return df.withColumn("path", F.concat(F.lit(head), F.col("path")))
 
     def _fetch_series(
         self,
@@ -696,10 +724,21 @@ class Engine:
                 expr = None
                 for req, _ps in members:
                     t = req.target.strip()
+                    if prefix_dot and t.startswith(prefix_dot):
+                        t = t[len(prefix_dot):]
                     if is_tag_query(t):
                         pre = parse_tag_query(t).tag_prefix
                         if pre:
-                            hit = F.concat(F.lit(pre), F.col("path"))
+                            if prefix_dot:
+                                hit = F.concat(
+                                    F.lit(prefix_dot + pre),
+                                    F.col("path").substr(
+                                        F.lit(len(prefix_dot) + 1),
+                                        F.length("path"),
+                                    ),
+                                )
+                            else:
+                                hit = F.concat(F.lit(pre), F.col("path"))
                             cond = F.col("target") == req.target
                             expr = (
                                 F.when(cond, hit)

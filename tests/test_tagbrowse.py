@@ -239,3 +239,38 @@ def test_config_tag_table_enables_browse(spark, tmp_path):
     )
     rows = find_tree_rows(eng2, "*")
     assert ("_tag", False) not in rows
+
+
+def test_extra_prefix_composes_with_tag_browse(spark):
+    """Wrapper order Blacklist(Prefix(Tag(base))): with an extra-prefix
+    configured, the stripped inner query drives the tag browse and the
+    display composes prefix + tag head + path (finder/finder.go:92-97)."""
+    from graphite_clickhouse_spark.plans.guards import PrefixFinder
+    from graphite_clickhouse_spark.render.pipeline import (
+        Engine,
+        RenderRequest,
+    )
+    from graphite_clickhouse_spark.sources.tables import build_path_index
+
+    points = spark.createDataFrame(
+        [("cpu.load", 1.0, 60, 1)],
+        "path string, value double, time long, version long",
+    )
+    tag_frame = spark.createDataFrame(
+        [("cpu.load", ["t2"])], "path string, tags array<string>"
+    )
+    eng = Engine(
+        spark=spark,
+        points=points,
+        path_index=build_path_index(points.select("path")),
+        tag_table=tag_frame,
+        prefix=PrefixFinder("pre"),
+    )
+    # resolution: prefixed display names, like every other find
+    got = [r.path for r in eng.find_paths("pre._tag.t2.cpu.*").collect()]
+    assert got == ["pre.cpu.load"]
+    # render display: prefix stays outermost around the tag head
+    out = eng.render(
+        RenderRequest("pre._tag.t2.cpu.*", 0, 120, max_data_points=10)
+    ).collect()
+    assert [r.path for r in out] == ["pre._tag.t2.cpu.load"]
