@@ -274,3 +274,44 @@ def test_extra_prefix_composes_with_tag_browse(spark):
         RenderRequest("pre._tag.t2.cpu.*", 0, 120, max_data_points=10)
     ).collect()
     assert [r.path for r in out] == ["pre._tag.t2.cpu.load"]
+
+
+def test_parse_tag_query_fuzz_total():
+    """The parser is total over arbitrary dot-queries: it never raises,
+    the state is one of the five, tag_prefix is a '.'-terminated prefix
+    of the query, and prefix + series_query reassembles the input for
+    series states (the MakeSQL loop consumes whole '.'-groups)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    seg = st.text(
+        alphabet=st.sampled_from("ab*=_tg123"), min_size=0, max_size=6
+    )
+    query = st.lists(seg, min_size=1, max_size=8).map(".".join)
+
+    @given(query)
+    @settings(max_examples=400, deadline=None)
+    def run(q):
+        from graphite_clickhouse_spark.plans.tagbrowse import (
+            TAG_INFO_ROOT,
+            TAG_LIST,
+            TAG_LIST_PARAM,
+            TAG_SERIES,
+            TAG_SERIES_ROOT,
+            parse_tag_query,
+        )
+
+        tb = parse_tag_query(q)
+        assert tb.state in (
+            TAG_INFO_ROOT, TAG_LIST, TAG_LIST_PARAM, TAG_SERIES,
+            TAG_SERIES_ROOT,
+        )
+        if tb.tag_prefix:
+            assert tb.tag_prefix.endswith(".")
+            assert (q + ".").startswith(tb.tag_prefix) or q.startswith(
+                tb.tag_prefix
+            )
+        if tb.series_query:
+            assert tb.tag_prefix + tb.series_query == q
+
+    run()
