@@ -1626,6 +1626,60 @@ JOIN cnt cb ON cb.source = sb
 """
 
 
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) document fingerprints, k=5 char-grams, window=4:
+    per-doc gram count, fingerprint count, min/max fingerprint and a
+    mod-sum digest — portable md5 hash lane so DuckDB reproduces the
+    selection bit-for-bit."""
+    from graphite_clickhouse_spark.pipeline.text import winnow_fingerprints
+    from graphite_clickhouse_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = winnow_fingerprints(docs, k=5, window=4, portable=True)
+    fps = F.col("fingerprints")
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.size(fps).cast("long").alias("n_fps"),
+        F.when(F.size(fps) > 0, F.array_min(fps)).alias("fp_min"),
+        F.when(F.size(fps) > 0, F.array_max(fps)).alias("fp_max"),
+        F.aggregate(
+            fps, F.lit(0).cast("long"), lambda a, x: a + F.pmod(x, F.lit(1000003))
+        ).alias("fp_summod"),
+    )
+
+
+SQL_WINNOW_FINGERPRINTS = """
+WITH d AS (
+    SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS nm
+    FROM documents
+), g AS (
+    SELECT doc_id, nm, greatest(len(nm) - 4, 0) AS n_grams FROM d
+), h AS (
+    SELECT doc_id, n_grams,
+           CASE WHEN n_grams <= 0 THEN CAST([] AS BIGINT[])
+                ELSE list_transform(range(0, n_grams), i ->
+                    ('0x' || substr(md5(substr(nm, i + 1, 5)), 1, 15))::BIGINT)
+           END AS hs
+    FROM g
+), f AS (
+    SELECT doc_id, n_grams,
+           CASE WHEN len(hs) < 4 THEN list_sort(list_distinct(hs))
+                ELSE list_sort(list_distinct(list_transform(
+                    range(0, len(hs) - 3), j -> list_min(hs[j+1:j+4]))))
+           END AS fps
+    FROM h
+)
+SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(len(fps) AS BIGINT) AS n_fps,
+       CASE WHEN len(fps) > 0 THEN list_min(fps) END AS fp_min,
+       CASE WHEN len(fps) > 0 THEN list_max(fps) END AS fp_max,
+       CAST(coalesce(list_sum(list_transform(fps, x -> x % 1000003)), 0)
+            AS BIGINT) AS fp_summod
+FROM f
+"""
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals per document (top 2-gram fraction,
     duplicate 2-gram fraction) — map-only fold over sorted n-gram
@@ -2268,11 +2322,11 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "semi_join_urgent": (q_semi_join_urgent, SQL_SEMI_JOIN_URGENT),
     "topk_orders_per_segment": (q_topk_orders_per_segment, SQL_TOPK_ORDERS_PER_SEGMENT),
     "budget_mix": (q_budget_mix, SQL_BUDGET_MIX),
-    "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
     "gopher_filter": (q_gopher_filter, _gopher_sql()),
+    "winnow_fingerprints": (q_winnow_fingerprints, SQL_WINNOW_FINGERPRINTS),
     "source_overlap": (q_source_overlap, SQL_SOURCE_OVERLAP),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
@@ -2311,6 +2365,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "mix_sources": (q_mix_sources, _mix_sources_sql()),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+    "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
 }
 
 

@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "source_overlap",
     "budget_mix",
     "ccnet_partition",
+    "winnow_fingerprints",
     "sample_deterministic",
     "mix_sources",
     "pack_sequences",

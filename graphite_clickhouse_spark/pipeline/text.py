@@ -323,3 +323,73 @@ def clean_text(
         collapsed.alias("clean"),
         (F.length(raw) - F.length(collapsed)).alias("n_removed"),
     )
+
+
+def winnow_fingerprints(
+    df,
+    k: int = 5,
+    window: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    portable: bool = False,
+):
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every character k-gram of the
+    whitespace-normalized lowercased text, then in each window of
+    `window` consecutive hashes select the minimum. The fingerprint SET
+    is position-free, so the paper's rightmost-tie rule (which only
+    affects recorded positions) collapses to a plain window min. Any
+    match of length >= k + window - 1 between two documents is
+    guaranteed to share a fingerprint, with ~2/(window+1) of positions
+    selected.
+
+    Expression-only: one transform builds the hash array, one transform
+    + aggregate picks window minima, array_distinct dedups — no
+    shuffle at all until the caller aggregates. Returns
+    (id, n_grams, fingerprints array<bigint> sorted distinct); short
+    documents (< window k-grams) keep all their gram hashes, so every
+    non-empty document fingerprints.
+
+    `portable=True` swaps xxhash64 for the md5-derived 60-bit lane both
+    Spark and DuckDB compute identically (the oracle mode; xxhash64 is
+    the production default).
+    """
+    from pyspark.sql import functions as F
+
+    from ..pipeline.dedup import hash60_portable
+
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    n_grams = F.greatest(F.length(norm) - (k - 1), F.lit(0))
+
+    # hoist the normalized text through a projection barrier so the
+    # hash lambda does not re-normalize per element (CollapseProject)
+    base = df.select(
+        F.col(id_col).alias("id"), norm.alias("_norm"), n_grams.alias("n_grams")
+    )
+    nm = F.col("_norm")
+
+    def gh(i):
+        sub = nm.substr(i + F.lit(1), F.lit(k))
+        return hash60_portable(sub) if portable else F.xxhash64(sub)
+
+    hashes = F.when(
+        F.col("n_grams") <= 0, F.array().cast("array<bigint>")
+    ).otherwise(
+        F.transform(F.sequence(F.lit(0), F.col("n_grams") - 1), gh)
+    )
+    staged = base.select("id", "n_grams", hashes.alias("_h"))
+    h = F.col("_h")
+    w = window
+    # rightmost-min per window: left-to-right fold keeping <= winners
+    win_min = F.transform(
+        F.sequence(F.lit(0), F.size(h) - w),
+        lambda j: F.aggregate(
+            F.slice(h, j + F.lit(1), w),
+            F.lit(None).cast("bigint"),
+            lambda acc, x: F.when(acc.isNull() | (x <= acc), x).otherwise(acc),
+        ),
+    )
+    fps = F.when(
+        F.size(h) < w, F.array_sort(F.array_distinct(h))
+    ).otherwise(F.array_sort(F.array_distinct(win_min)))
+    return staged.select("id", "n_grams", fps.alias("fingerprints"))
