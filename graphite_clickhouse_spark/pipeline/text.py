@@ -362,8 +362,14 @@ def winnow_fingerprints(
     n_grams = F.greatest(F.length(norm) - (k - 1), F.lit(0))
 
     # hoist the normalized text through a projection barrier so the
-    # hash lambda does not re-normalize per element (CollapseProject)
-    base = df.select(
+    # hash lambda does not re-normalize per element (CollapseProject),
+    # and REPARTITION: a small corpus arrives as one parquet split,
+    # which would serialize the CPU-bound per-gram hashing onto one
+    # core (same trap tokens_projection documents); at scale the file
+    # count already provides the parallelism
+    sc = df.sparkSession.sparkContext
+    parts = max(df.rdd.getNumPartitions(), sc.defaultParallelism)
+    base = df.repartition(parts).select(
         F.col(id_col).alias("id"), norm.alias("_norm"), n_grams.alias("n_grams")
     )
     nm = F.col("_norm")
