@@ -132,6 +132,18 @@ def test_contract_registry_is_complete():
     assert set(oracles) == set(qs), set(qs) - set(oracles)
     missing_bench = [n for n in bench.BENCH_QUERIES if n not in qs]
     assert missing_bench == []
+    # the DRIVER records correctness for only the FIRST 50 queries()
+    # entries (observed in round 3: positions 50+ were silently absent
+    # from CORRECTNESS_r03.json). Only the explicitly-designated stable
+    # tail — driver-green for multiple rounds with untouched code — may
+    # sit past position 49; a new query landing there would never get a
+    # driver correctness row.
+    STABLE_TAIL = {
+        "lang_id", "fingerprint", "token_count", "sample_deterministic",
+        "mix_sources", "dedup_exact", "decontaminate", "text_quality",
+    }
+    overflow = [n for i, n in enumerate(qs) if i >= 50 and n not in STABLE_TAIL]
+    assert overflow == [], f"new queries outside the driver's top-50 gate: {overflow}"
     assert len(bench.BENCH_QUERIES) == len(set(bench.BENCH_QUERIES))
     # every oracle is non-trivial SQL over a registered table — or a
     # generate_series synthesis (the render_baseline_* queries reproduce
