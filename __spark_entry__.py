@@ -1680,6 +1680,64 @@ FROM f
 """
 
 
+def q_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level overlap pairs by shared winnowing fingerprints
+    (k=16 char-grams, window=8, >= 4 shared, rare-fingerprint filter at
+    df<=1000) with containment = shared / min fingerprint count —
+    catches partial containment that whole-document Jaccard misses.
+    k spans ~2.5 words so the tiny synthetic vocabulary stays
+    discriminating (k=5 makes every doc pair share boilerplate grams)."""
+    from graphite_clickhouse_spark.pipeline.text import winnow_overlap_pairs
+    from graphite_clickhouse_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winnow_overlap_pairs(
+        docs, k=16, window=8, min_shared=4, max_fp_df=1000, portable=True
+    )
+
+
+SQL_WINNOW_OVERLAP_PAIRS = """
+WITH d AS (
+    SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS nm
+    FROM documents
+), g AS (
+    SELECT doc_id, nm, greatest(len(nm) - 15, 0) AS n_grams FROM d
+), h AS (
+    SELECT doc_id, n_grams,
+           CASE WHEN n_grams <= 0 THEN CAST([] AS BIGINT[])
+                ELSE list_transform(range(0, n_grams), i ->
+                    ('0x' || substr(md5(substr(nm, i + 1, 16)), 1, 15))::BIGINT)
+           END AS hs
+    FROM g
+), f AS (
+    SELECT doc_id, n_grams,
+           CASE WHEN len(hs) < 8 THEN list_sort(list_distinct(hs))
+                ELSE list_sort(list_distinct(list_transform(
+                    range(0, len(hs) - 7), j -> list_min(hs[j+1:j+8]))))
+           END AS fps
+    FROM h
+), e AS (
+    SELECT doc_id, unnest(fps) AS fp FROM f
+), rare AS (
+    SELECT fp FROM e GROUP BY fp HAVING count(*) <= 1000
+), er AS (
+    SELECT e.doc_id, e.fp FROM e JOIN rare USING (fp)
+), p AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+    FROM er a JOIN er b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= 4
+), c AS (
+    SELECT doc_id, len(fps) AS n_fp FROM f
+)
+SELECT id_a, id_b, CAST(shared AS BIGINT) AS shared,
+       round(shared / least(ca.n_fp, cb.n_fp), 6) AS containment
+FROM p
+JOIN c ca ON ca.doc_id = id_a
+JOIN c cb ON cb.doc_id = id_b
+"""
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals per document (top 2-gram fraction,
     duplicate 2-gram fraction) — map-only fold over sorted n-gram
@@ -2322,11 +2380,11 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "semi_join_urgent": (q_semi_join_urgent, SQL_SEMI_JOIN_URGENT),
     "topk_orders_per_segment": (q_topk_orders_per_segment, SQL_TOPK_ORDERS_PER_SEGMENT),
     "budget_mix": (q_budget_mix, SQL_BUDGET_MIX),
-    "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
     "gopher_filter": (q_gopher_filter, _gopher_sql()),
     "winnow_fingerprints": (q_winnow_fingerprints, SQL_WINNOW_FINGERPRINTS),
+    "winnow_overlap_pairs": (q_winnow_overlap_pairs, SQL_WINNOW_OVERLAP_PAIRS),
     "source_overlap": (q_source_overlap, SQL_SOURCE_OVERLAP),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
@@ -2366,6 +2424,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
+    "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
 }
 
 

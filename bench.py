@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "budget_mix",
     "ccnet_partition",
     "winnow_fingerprints",
+    "winnow_overlap_pairs",
     "sample_deterministic",
     "mix_sources",
     "pack_sequences",

@@ -399,3 +399,72 @@ def winnow_fingerprints(
         F.size(h) < w, F.array_sort(F.array_distinct(h))
     ).otherwise(F.array_sort(F.array_distinct(win_min)))
     return staged.select("id", "n_grams", fps.alias("fingerprints"))
+
+
+def winnow_overlap_pairs(
+    df,
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 2,
+    max_fp_df: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    portable: bool = False,
+):
+    """Substring-level overlap pairs via shared winnowing fingerprints —
+    what MOSS does across submissions, and what set-level Jaccard ops
+    miss: a short quoted/contained passage barely moves whole-document
+    similarity but deterministically shares fingerprints.
+
+    Returns (id_a, id_b, shared, containment) with id_a < id_b,
+    shared >= min_shared; containment = shared / min(|fps_a|, |fps_b|)
+    (1.0 ~ one document's fingerprinted content is inside the other).
+
+    Scale shape: fingerprints are ~2/(window+1) of gram positions, so
+    the exploded (fp, id) stream is a small fraction of corpus text;
+    the pair join is keyed by fingerprint (bucketed, never all-pairs),
+    and fingerprints appearing in more than `max_fp_df` documents are
+    dropped first — boilerplate n-grams are the skew risk AND carry no
+    discriminative signal (the stopword cutoff every winnowing deployment
+    applies). Per-doc totals broadcast onto the pair aggregate.
+    """
+    from pyspark.sql import functions as F
+
+    # cache the fingerprinted frame: the per-doc totals, BOTH sides of
+    # the fp self-join, and the document-frequency filter all read it —
+    # without the cache each consumer re-runs the full (expensive)
+    # winnowing expression, the multi-reference recompute trap
+    # (at cluster scale: persist to a table instead)
+    fps = winnow_fingerprints(
+        df, k=k, window=window, text_col=text_col, id_col=id_col,
+        portable=portable,
+    ).select("id", F.col("fingerprints")).cache()
+    fps.count()
+    counts = fps.select("id", F.size("fingerprints").alias("n_fp"))
+    e = fps.select("id", F.explode("fingerprints").alias("fp"))
+    rare = (
+        e.groupBy("fp").agg(F.count(F.lit(1)).alias("df_"))
+        .filter(F.col("df_") <= max_fp_df)
+        .select("fp")
+    )
+    e = e.join(rare, "fp")
+    a, b = e.alias("a"), e.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.fp") == F.col("b.fp"))
+               & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+    ca = counts.select(F.col("id").alias("id_a"), F.col("n_fp").alias("n_a"))
+    cb = counts.select(F.col("id").alias("id_b"), F.col("n_fp").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(ca), "id_a")
+        .join(F.broadcast(cb), "id_b")
+        .select(
+            "id_a", "id_b", "shared",
+            F.round(
+                F.col("shared") / F.least(F.col("n_a"), F.col("n_b")), 6
+            ).alias("containment"),
+        )
+    )

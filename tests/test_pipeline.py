@@ -1245,3 +1245,43 @@ class TestWinnowFingerprints:
         b = winnow_fingerprints(docs, k=5, window=4, portable=True).collect()[0]
         assert a.n_grams == b.n_grams
         assert a.fingerprints and b.fingerprints
+
+
+class TestWinnowOverlapPairs:
+    def test_planted_containment(self, spark):
+        """A passage quoted inside an otherwise-different document is
+        exactly what set-level Jaccard misses and winnow overlap finds."""
+        from graphite_clickhouse_spark.pipeline.text import (
+            winnow_overlap_pairs,
+        )
+
+        passage = "the quick brown fox jumps over the lazy dog tonight"
+        filler = " ".join(f"w{i}q{i*7%13}z" for i in range(60))
+        docs = spark.createDataFrame(
+            [(1, passage), (2, filler + " " + passage),
+             (3, "completely unrelated text about other matters entirely "
+                 + " ".join(f"y{i}k" for i in range(40)))],
+            "doc_id long, text string")
+        rows = {(r.id_a, r.id_b): r
+                for r in winnow_overlap_pairs(docs, k=16, window=8,
+                                              min_shared=2).collect()}
+        assert (1, 2) in rows
+        # doc1 is CONTAINED in doc2: containment near 1.0
+        assert rows[(1, 2)].containment > 0.8
+        assert not any(3 in p for p in rows)
+
+    def test_max_fp_df_drops_boilerplate(self, spark):
+        from graphite_clickhouse_spark.pipeline.text import (
+            winnow_overlap_pairs,
+        )
+
+        boiler = "this exact boilerplate header appears everywhere always"
+        docs = spark.createDataFrame(
+            [(i, boiler + " " + " ".join(f"u{i}x{j}" for j in range(30)))
+             for i in range(6)],
+            "doc_id long, text string")
+        # with the boilerplate's fingerprints df-filtered out (df<=2 but
+        # they appear in 6 docs), no pair survives
+        out = winnow_overlap_pairs(docs, k=16, window=8, min_shared=2,
+                                   max_fp_df=2).collect()
+        assert out == []
