@@ -189,7 +189,16 @@ def _scalar_fold(op: str, a: float, b: float, bool_mode: bool) -> float:
     if op == "%":
         return math.fmod(a, b) if b != 0.0 else math.nan
     if op == "^":
-        return math.pow(a, b)
+        # Go's math.Pow never errors: overflow saturates to +/-Inf and a
+        # negative base with fractional exponent is NaN; CPython raises
+        # OverflowError/ValueError for those (fuzz-found on `10^309`)
+        try:
+            return math.pow(a, b)
+        except OverflowError:
+            neg = a < 0 and float(b).is_integer() and int(b) % 2 == 1
+            return -math.inf if neg else math.inf
+        except ValueError:
+            return math.nan
     if op == "atan2":
         return math.atan2(a, b)
     return {"+": a + b, "-": a - b, "*": a * b}[op]

@@ -1538,3 +1538,18 @@ class TestParserRobustness:
                 pass
 
         check()
+
+    def test_scalar_pow_saturates_like_go(self):
+        """Fuzz-found: `10^309` overflowed CPython's math.pow mid
+        constant-fold (Go's math.Pow saturates). Pin the found example
+        plus the sign/NaN edges."""
+        import math
+
+        from graphite_clickhouse_spark.plans.promql import _scalar_fold
+
+        assert _scalar_fold("^", 10.0, 309.0, False) == math.inf
+        assert _scalar_fold("^", -10.0, 309.0, False) == -math.inf  # odd power
+        assert _scalar_fold("^", -10.0, 310.0, False) == math.inf  # even power
+        assert math.isnan(_scalar_fold("^", -2.0, 0.5, False))  # NaN, not error
+        # the original found expression parses + folds without escaping
+        parse_promql("10^309")
