@@ -155,44 +155,70 @@ class Rules:
         doc = _json.loads(text)
         if not isinstance(doc, dict) or not isinstance(doc.get("data", []), list):
             raise ValueError("rollup JSON: top-level 'data' array expected")
+
+        def _parse_i32(s: str, row: dict) -> int:
+            # strconv.ParseInt(s, 10, 32): optional sign, decimal digits,
+            # bounded to int32 — integers >= 2^31 are a range error, not
+            # silently accepted (remote.go:42-52)
+            body = s[1:] if s[:1] in "+-" else s
+            if not (body.isascii() and body.isdigit()):
+                raise ValueError(f"can't parse retention row: {row!r}")
+            v = int(s)
+            if not (-(2 ** 31) <= v <= 2 ** 31 - 1):
+                raise ValueError(
+                    f"rollup JSON: retention value out of int32 range: {s!r}"
+                )
+            # Go then narrows with uint32(age) — two's-complement wrap
+            return v & 0xFFFFFFFF
+
         groups: list[dict] = []
         default_function = ""
         default_ret: list[Retention] = []
         for d in doc.get("data", []):
             if not isinstance(d, dict):
                 raise ValueError(f"rollup JSON: row is not an object: {d!r}")
-            for key in ("regexp", "function", "rule_type"):
+            for key in ("regexp", "function", "age", "precision"):
                 if d.get(key) is not None and not isinstance(d[key], str):
                     # Go unmarshals these into string fields; any other
-                    # JSON type is a parse error there too
+                    # JSON type (including a bare integer age/precision)
+                    # is an unmarshal error there too
                     raise ValueError(
                         f"rollup JSON: {key} must be a string: {d[key]!r}"
                     )
-            for key in ("age", "precision"):
-                if d.get(key) is not None and not isinstance(d[key], (str, int)) \
-                        or isinstance(d.get(key), bool):
-                    raise ValueError(
-                        f"rollup JSON: {key} must be a string: {d[key]!r}"
-                    )
-            age = str(d.get("age", "") if d.get("age") is not None else "")
-            prec = str(
-                d.get("precision", "") if d.get("precision") is not None else ""
-            )
-            has_ret = age != "" and prec != "" and prec != "0"
-            if has_ret and not (
-                age.isascii() and age.isdigit()
-                and prec.isascii() and prec.isdigit()
+            rt_raw = d.get("rule_type")
+            if rt_raw is not None:
+                # RuleType.UnmarshalJSON -> Set(lower(s)): anything other
+                # than the four known names is an error (rules.go:38-61)
+                if not isinstance(rt_raw, str) or rt_raw.lower() not in (
+                    RULE_ALL, RULE_PLAIN, RULE_TAGGED, RULE_TAG_LIST
+                ):
+                    raise ValueError(f"invalid rule type {rt_raw!r}")
+            isdef = d.get("is_default")
+            if isdef is not None and (
+                isinstance(isdef, bool)
+                or not isinstance(isdef, (int, float))
+                or (isinstance(isdef, float) and not isdef.is_integer())
             ):
-                raise ValueError(f"can't parse retention row: {d!r}")
-            if d.get("is_default") == 1:
+                # Go's IsDefault is an int field: a string "1", bool, or
+                # fractional number is an unmarshal error, never a
+                # silently-ignored pattern row
+                raise ValueError(
+                    f"rollup JSON: is_default must be an integer: {isdef!r}"
+                )
+            age = d.get("age") or ""
+            prec = d.get("precision") or ""
+            has_ret = age != "" and prec != "" and prec != "0"
+            if isdef == 1:
                 if d.get("function"):
                     default_function = d["function"]
                 if has_ret:
-                    default_ret.append(Retention(int(age), int(prec)))
+                    default_ret.append(
+                        Retention(_parse_i32(age, d), _parse_i32(prec, d))
+                    )
                 continue
             regexp = d.get("regexp", "") or ""
             function = d.get("function", "") or ""
-            rule_type = d.get("rule_type") or RULE_ALL
+            rule_type = (d.get("rule_type") or RULE_ALL).lower()
             if (
                 not groups
                 or groups[-1]["regexp"] != regexp
@@ -203,7 +229,9 @@ class Rules:
                     "rule_type": rule_type, "retention": [],
                 })
             if has_ret:
-                groups[-1]["retention"].append(Retention(int(age), int(prec)))
+                groups[-1]["retention"].append(
+                    Retention(_parse_i32(age, d), _parse_i32(prec, d))
+                )
         patterns: list[Pattern] = []
         for g in groups:
             regexp, rule_type = g["regexp"], g["rule_type"]

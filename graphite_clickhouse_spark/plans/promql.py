@@ -198,6 +198,17 @@ def _scalar_fold(op: str, a: float, b: float, bool_mode: bool) -> float:
             neg = a < 0 and float(b).is_integer() and int(b) % 2 == 1
             return -math.inf if neg else math.inf
         except ValueError:
+            # CPython raises ValueError for the 0^negative pole too, where
+            # Go's math.Pow returns +/-Inf: Pow(0, -1) == +Inf and
+            # Pow(-0, odd negative) == -Inf (pow special cases in Go's
+            # math/pow.go). Keep NaN only for negative base ^ fractional.
+            if a == 0.0 and b < 0.0:
+                neg = (
+                    math.copysign(1.0, a) < 0
+                    and float(b).is_integer()
+                    and int(b) % 2 == 1
+                )
+                return -math.inf if neg else math.inf
             return math.nan
     if op == "atan2":
         return math.atan2(a, b)

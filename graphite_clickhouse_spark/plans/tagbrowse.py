@@ -100,9 +100,12 @@ def parse_tag_query(query: str) -> TagBrowse:
     if len(qs0) > len(qs):
         tag_prefix = ".".join(qs0[: len(qs0) - len(qs)]) + "."
     if series_query == "":
+        # finder/tag.go:195-199: ANY last group with Param set lists in
+        # param mode — including `_tag.k=.v` with no trailing glob, which
+        # lists the value branch ('v.'), not the key branch ('k=.').
         state = (
             TAG_LIST_PARAM
-            if tag_qs and tag_qs[-1].param is not None and tag_qs[-1].value is None
+            if tag_qs and tag_qs[-1].param is not None
             else TAG_LIST
         )
         return TagBrowse(state, tag_qs, "", tag_prefix)

@@ -327,7 +327,9 @@ class GraphiteHandler(BaseHTTPRequestHandler):
         self._tier_limits = getattr(
             getattr(self, "settings", None), "storage_limits", None
         )
-        tier_lim = None
+        import contextlib
+
+        tier_lim, tier_matched = None, False
         # a v3_pb body's range is unknown at limiter time; _prepare_render
         # re-selects the data tier once the frames are parsed
         self._tier_deferred = q.get("format") == "carbonapi_v3_pb"
@@ -337,15 +339,69 @@ class GraphiteHandler(BaseHTTPRequestHandler):
             for min_dur, lim, timeout, limits in tiers:
                 if dur >= min_dur:
                     tier_lim, self._tier_data_timeout = lim, timeout
-                    self._tier_limits = limits
+                    self._tier_limits, tier_matched = limits, True
                 else:
                     break
         user = self.headers.get("X-Forwarded-User", "")
         if user and self.user_limiters and user in self.user_limiters:
+            # GetQueryLimiter: a user-limits user gets their own limiter
+            # regardless of tiers (multi_target.go:92-99); the tier's
+            # data-timeout/limits still apply (independent lookups)
             return self._limit("render")
-        if tier_lim is not None:
-            return tier_lim.enter()
+        if self._tier_deferred and tiers:
+            # GetQueryLimiter runs on the PARSED timeframes
+            # (render/handler.go:329): hold no limiter yet —
+            # _prepare_render enters the matched tier's limiter once the
+            # v3_pb frames exist, and this wrapper releases it on exit
+            return self._deferred_render_limit()
+        if tier_matched:
+            # a matched [[query-params]] tier uses ITS limiter — which is
+            # a no-op when the tier sets no concurrency caps
+            # (config.go:760-765 builds NewALimiter per tier; 0 caps ->
+            # NoopLimiter) — never the class limiter
+            return tier_lim.enter() if tier_lim is not None \
+                else contextlib.nullcontext()
         return self._limit("render")
+
+    def _deferred_render_limit(self):
+        """Limiter wrapper for v3_pb renders with [[query-params]] tiers:
+        entry is deferred to _prepare_render (which knows the parsed max
+        duration and calls _enter_deferred_limiter); exit here releases
+        whatever was entered."""
+        import contextlib
+
+        @contextlib.contextmanager
+        def cm():
+            self._deferred_limit_pending = True
+            self._deferred_limiter_cm = None
+            try:
+                yield
+            finally:
+                self._deferred_limit_pending = False
+                inner, self._deferred_limiter_cm = (
+                    self._deferred_limiter_cm, None
+                )
+                if inner is not None:
+                    inner.__exit__(None, None, None)
+
+        return cm()
+
+    def _enter_deferred_limiter(self, tier_lim, tier_matched: bool):
+        """Enter the limiter GetQueryLimiter would pick for the parsed
+        duration; a LimitExceeded here propagates as the same 503 an
+        up-front rejection gives."""
+        import contextlib
+
+        if not getattr(self, "_deferred_limit_pending", False):
+            return
+        self._deferred_limit_pending = False
+        if tier_matched:
+            inner = tier_lim.enter() if tier_lim is not None \
+                else contextlib.nullcontext()
+        else:
+            inner = self._limit("render")
+        inner.__enter__()
+        self._deferred_limiter_cm = inner
 
     def _limit(self, cls: str):
         import contextlib
@@ -833,12 +889,18 @@ class GraphiteHandler(BaseHTTPRequestHandler):
         tiers = getattr(self, "render_tiers", None) or ()
         if tiers and reqs and getattr(self, "_tier_deferred", False):
             dur = max(max(0, r.until_ts - r.from_ts) for r in reqs)
-            for min_dur, _lim, timeout, limits in tiers:
+            tier_lim, tier_matched = None, False
+            for min_dur, lim, timeout, limits in tiers:
                 if dur >= min_dur:
                     self._tier_data_timeout = timeout
                     self._tier_limits = limits
+                    tier_lim, tier_matched = lim, True
                 else:
                     break
+            # the concurrency limiter follows the SAME tier match
+            # (GetQueryLimiter over MultiTarget, multi_target.go:92-115)
+            # — not the duration-0 tier the URL suggested
+            self._enter_deferred_limiter(tier_lim, tier_matched)
         for r in reqs:
             r.storage_limits = getattr(self, "_tier_limits", None)
         self._fetch_with_index_timeout(

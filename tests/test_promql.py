@@ -1557,3 +1557,22 @@ class TestParserRobustness:
             parse_promql("10^309")
         except ValueError:
             pass
+
+    def test_scalar_pow_zero_base_pole_matches_go(self):
+        """CPython raises ValueError for 0^negative (a pole error), but
+        Go's math.Pow returns +Inf for Pow(0, -1) / Pow(+0, any negative)
+        and -Inf for Pow(-0, odd negative) — the IEEE 754 pow special
+        cases (Go math/pow.go)."""
+        import math
+
+        from graphite_clickhouse_spark.plans.promql import _scalar_fold
+
+        assert _scalar_fold("^", 0.0, -1.0, False) == math.inf
+        assert _scalar_fold("^", 0.0, -2.0, False) == math.inf
+        assert _scalar_fold("^", 0.0, -0.5, False) == math.inf
+        assert _scalar_fold("^", -0.0, -1.0, False) == -math.inf  # odd int
+        assert _scalar_fold("^", -0.0, -3.0, False) == -math.inf
+        assert _scalar_fold("^", -0.0, -2.0, False) == math.inf  # even int
+        assert _scalar_fold("^", -0.0, -0.5, False) == math.inf  # fractional
+        # negative NON-zero base with fractional exponent stays NaN
+        assert math.isnan(_scalar_fold("^", -2.0, 0.5, False))

@@ -327,3 +327,92 @@ class TestGetDataTimeoutReferenceTable:
         # a short frame plus a 3h frame: the MAX governs
         got = self._run(three, [(0, 60), (1647198000, 1647198000 + 3 * 3600)])
         assert got == 600.0
+
+
+class TestDeferredV3pbLimiter:
+    """A v3_pb render (range in the POST body) must be charged to the
+    CONCURRENCY LIMITER of the tier matched by the parsed max duration —
+    GetQueryLimiter over MultiTarget (multi_target.go:92-115) — not the
+    duration-0 tier the URL suggested."""
+
+    def _handler(self, tiers, limiters=None):
+        import types
+
+        from graphite_clickhouse_spark.server import GraphiteHandler
+
+        h = object.__new__(GraphiteHandler)
+        h.render_tiers = tiers
+        h.user_limiters = {}
+        h.limiters = limiters
+        h.settings = None
+        h.engine = types.SimpleNamespace(resolve=lambda r: [])
+
+        class _Headers(dict):
+            def get(self, k, d=""):
+                return dict.get(self, k, d)
+
+        h.headers = _Headers()
+        return h
+
+    def _render(self, h, frames, fmt="carbonapi_v3_pb"):
+        from graphite_clickhouse_spark.render.pipeline import RenderRequest
+
+        with h._render_limit({"format": fmt} if fmt else {}):
+            reqs = [RenderRequest("m", f, u, max_data_points=10)
+                    for f, u in frames]
+            h._prepare_render(reqs)
+            # the deferred limiter is held here, through the data fetch
+            held = h._deferred_limiter_cm
+        return held
+
+    def test_enters_matched_tier_limiter(self):
+        from graphite_clickhouse_spark.plans.limiter import RequestLimiter
+
+        lim1h = RequestLimiter(4)
+        tiers = ((3600, lim1h, 60.0, None),)
+        h = self._handler(tiers)
+        # 2h frame -> the 1h tier's limiter is held during the render
+        class Probe:
+            entered = exited = 0
+
+            def __enter__(self):
+                Probe.entered += 1
+
+            def __exit__(self, *a):
+                Probe.exited += 1
+
+        lim1h.enter = lambda: Probe()
+        held = self._render(h, [(0, 7200)])
+        # entered once, during the render; released when the with closed
+        assert held is not None and Probe.entered == 1
+        assert h._deferred_limiter_cm is None and Probe.exited == 1
+
+    def test_short_range_falls_to_class_limiter(self):
+        from graphite_clickhouse_spark.plans.limiter import (
+            ClassLimiters,
+            RequestLimiter,
+        )
+
+        lim1h = RequestLimiter(1)
+        tiers = ((3600, lim1h, 60.0, None),)
+        cls = ClassLimiters(render=1)
+        h = self._handler(tiers, limiters=cls)
+        # saturate the 1h tier's limiter: a SHORT v3_pb render must not
+        # be blocked by it (it belongs to the class limiter)
+        with lim1h.enter():
+            self._render(h, [(0, 60)])
+
+    def test_saturated_matched_tier_raises_503(self):
+        import pytest as _pytest
+
+        from graphite_clickhouse_spark.plans.limiter import (
+            LimitExceeded,
+            RequestLimiter,
+        )
+
+        lim1h = RequestLimiter(1, max_queue=0, queue_timeout_sec=0.05)
+        tiers = ((3600, lim1h, 60.0, None),)
+        h = self._handler(tiers)
+        with lim1h.enter():
+            with _pytest.raises(LimitExceeded):
+                self._render(h, [(0, 7200)])

@@ -461,6 +461,48 @@ class TestReferenceJSONGoldens:
             ("", "max", "all", [(0, 60)]),
         ]
 
+    def test_unmarshal_strictness_matches_go(self):
+        """parseJson parity (remote.go:17-52 + rules.go:38-61): integer
+        age/precision, string is_default, unknown rule_type, and
+        out-of-int32 retentions are all unmarshal/parse errors in Go —
+        never silently accepted."""
+        import json as _json
+
+        import pytest as _pytest
+
+        def row(**kw):
+            base = {"regexp": "^x", "function": "avg", "age": "0",
+                    "precision": "60", "is_default": 0}
+            base.update(kw)
+            return _json.dumps({"data": [base]})
+
+        # JSON integer into a Go string field is an unmarshal error
+        with _pytest.raises(ValueError):
+            Rules.from_json(row(age=3600))
+        with _pytest.raises(ValueError):
+            Rules.from_json(row(precision=60))
+        # string "1" into the int IsDefault field is an unmarshal error
+        # (NOT a silently-normal pattern row)
+        with _pytest.raises(ValueError):
+            Rules.from_json(row(is_default="1"))
+        with _pytest.raises(ValueError):
+            Rules.from_json(row(is_default=True))
+        # RuleType.Set rejects unknown names; known names are
+        # case-insensitive
+        with _pytest.raises(ValueError):
+            Rules.from_json(row(rule_type="bogus"))
+        assert Rules.from_json(row(rule_type="PLAIN")).patterns[0] \
+            .rule_type == "plain"
+        # ParseInt(..., 10, 32) bounds: 2^31 is a range error; 2^31-1 ok
+        with _pytest.raises(ValueError):
+            Rules.from_json(row(age=str(2 ** 31)))
+        ok = Rules.from_json(row(age=str(2 ** 31 - 1)))
+        assert ok.patterns[0].retention[0].age == 2 ** 31 - 1
+        # float is_default 1.0 unmarshals into a Go int (integral) —
+        # treated as the default row
+        got = Rules.from_json(row(is_default=1.0))
+        assert got.patterns[-1].regexp == ""
+
     def test_config_autodetects_json(self, tmp_path):
         from graphite_clickhouse_spark.config import load_settings
 

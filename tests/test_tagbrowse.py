@@ -27,10 +27,12 @@ class TestParseTagQuery:
             "_tag.*": TAG_LIST,
             "_tag.t1": TAG_LIST,
             "_tag.p1=": TAG_LIST_PARAM,
-            "_tag.p1=.*": TAG_LIST,
-            "_tag.p1=.v1": TAG_LIST,
+            # ANY last group with Param set lists in param mode
+            # (finder/tag.go:195-199 checks only Param != nil)
+            "_tag.p1=.*": TAG_LIST_PARAM,
+            "_tag.p1=.v1": TAG_LIST_PARAM,
             "_tag.t2._tag.*": TAG_LIST,
-            "_tag.t2._tag.t2._tag.p3=.*": TAG_LIST,
+            "_tag.t2._tag.t2._tag.p3=.*": TAG_LIST_PARAM,
             "_tag.t2.cpu.*": TAG_SERIES,
             "_tag.t2.*": TAG_SERIES_ROOT,
         }
@@ -81,6 +83,16 @@ class TestTagBrowseRows:
     def test_list_param_prefix(self, tag_frame):
         # `_tag.p3=` lists VALUES of the p3 key (TagListParam)
         assert self._rows(tag_frame, "_tag.p3=") == [
+            ("a", False), ("b", False)
+        ]
+
+    def test_list_param_with_value_stays_param_mode(self, tag_frame):
+        # `_tag.p3=.a` (no trailing glob): reference lists the VALUE
+        # branch 'a.' (state TagListParam because Param != nil), not the
+        # key branch 'p3=.' (finder/tag.go:195-199 + List:268-284)
+        assert self._rows(tag_frame, "_tag.p3=.a") == [("a", False)]
+        # '*' value -> all values of the key, still value-branch display
+        assert self._rows(tag_frame, "_tag.p3=.*") == [
             ("a", False), ("b", False)
         ]
 
