@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "autocomplete_values",
     "prom_label_values",
     "prom_plain_bridge",
+    "tagbrowse_list",
     "promql_range_select",
     "promql_rate_sum",
     "promql_hist_quantile",

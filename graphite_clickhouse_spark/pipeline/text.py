@@ -426,7 +426,11 @@ def winnow_overlap_pairs(
     and fingerprints appearing in more than `max_fp_df` documents are
     dropped first — boilerplate n-grams are the skew risk AND carry no
     discriminative signal (the stopword cutoff every winnowing deployment
-    applies). Per-doc totals broadcast onto the pair aggregate.
+    applies). The per-doc totals frame is one row per DOCUMENT, so it is
+    NOT broadcast (at billions of docs it cannot be); it joins the pair
+    aggregate as a plain shuffle join on the pair-participant ids — a set
+    already collapsed by the shared >= min_shared filter — and AQE is
+    free to pick a broadcast at runtime when the surviving side is small.
     """
     from pyspark.sql import functions as F
 
@@ -459,8 +463,8 @@ def winnow_overlap_pairs(
     ca = counts.select(F.col("id").alias("id_a"), F.col("n_fp").alias("n_a"))
     cb = counts.select(F.col("id").alias("id_b"), F.col("n_fp").alias("n_b"))
     return (
-        pairs.join(F.broadcast(ca), "id_a")
-        .join(F.broadcast(cb), "id_b")
+        pairs.join(ca, "id_a")
+        .join(cb, "id_b")
         .select(
             "id_a", "id_b", "shared",
             F.round(

@@ -157,6 +157,30 @@ def tag_series_paths(frame: DataFrame, tb: TagBrowse,
     return out
 
 
+def tag_list_frame(frame: DataFrame, tb: TagBrowse) -> DataFrame:
+    """The tag-listing plan for a TAG_LIST / TAG_LIST_PARAM browse as a
+    (name string) DataFrame (tagListSQL, tag.go:92-121): all-but-last
+    groups filter PATHS (arrayExists conjuncts), the last group filters
+    the exploded tag itself, and the display rewrite + distinct runs
+    JVM-side — one explode + hash-aggregate, map-side combined, so the
+    listing scales with distinct tags, not rows."""
+    qs = tb.tag_qs
+    if len(qs) == 1:
+        tags = frame.select(F.explode("tags").alias("tag"))
+        pred = qs[0].predicate(F.col("tag"))
+        if pred is not None:
+            tags = tags.filter(pred)
+    else:
+        base = _filter_paths(frame, qs[:-1])
+        tags = base.select(F.explode("tags").alias("tag"))
+        pred = qs[-1].predicate(F.col("tag"))
+        if pred is not None:
+            tags = tags.filter(pred)
+    return tags.select(
+        _display_tag(F.col("tag"), tb.state == TAG_LIST_PARAM).alias("name")
+    ).distinct()
+
+
 def tag_browse_rows(frame: DataFrame, tb: TagBrowse,
                     wildcard_min_distance: int = 0) -> list[tuple[str, bool]]:
     """Find-tree rows (name with the trailing-dot encoding already
@@ -167,21 +191,7 @@ def tag_browse_rows(frame: DataFrame, tb: TagBrowse,
     if tb.state == TAG_INFO_ROOT:
         return [("_tag", False)]
     if tb.state in (TAG_LIST, TAG_LIST_PARAM):
-        qs = tb.tag_qs
-        if len(qs) == 1:
-            tags = frame.select(F.explode("tags").alias("tag"))
-            pred = qs[0].predicate(F.col("tag"))
-            if pred is not None:
-                tags = tags.filter(pred)
-        else:
-            base = _filter_paths(frame, qs[:-1])
-            tags = base.select(F.explode("tags").alias("tag"))
-            pred = qs[-1].predicate(F.col("tag"))
-            if pred is not None:
-                tags = tags.filter(pred)
-        shown = tags.select(
-            _display_tag(F.col("tag"), tb.state == TAG_LIST_PARAM).alias("name")
-        ).distinct()
+        shown = tag_list_frame(frame, tb)
         return sorted((r.name, False) for r in shown.collect())
     # series modes: rows are the real paths; the root adds the nested
     # '_tag.' browse node

@@ -29,6 +29,28 @@ At 100 TB scale: state is hash-partitioned by path across executors by
 the stateful-operator shuffle; per-path state stays tiny (a handful of
 open buckets x ~10 doubles), so the state store grows with metric
 cardinality only — same shape as carbon-cache's per-metric buffers.
+
+**Per-executor state budget.** The state row for one path is 11 parallel
+arrays (8 B/slot) x B open buckets + 2 longs + per-row store overhead:
+``~88*B + ~250`` bytes in the JVM state store. B is bounded by
+``lateness_sec / step_sec + 1`` for a path receiving in-order points
+(older buckets flush as max_seen advances), so with the defaults
+(lateness=1h, step=1m: B<=61, ~5.6 KB/path) a 16 GB executor holds
+~2-3 M paths; at step=1h B<=2 (~0.4 KB/path), ~40 M paths. Size
+executors as ``paths_per_executor = total_paths /
+spark.sql.shuffle.partitions * partitions_per_executor`` and use the
+RocksDB state store provider
+(``spark.sql.streaming.stateStore.providerClass=...RocksDBStateStoreProvider``)
+beyond ~1 M paths/executor so state lives off-heap with incremental
+checkpoints — the default HDFS-backed store keeps every row on the JVM
+heap and doubles it during snapshot. The per-micro-batch PYTHON cost is
+transient: groups stream through Arrow one path at a time, so Python
+worker memory is O(one path's batch points), never O(state).
+
+If per-key lateness is NOT needed, streaming/rollup.py's watermark
+window is the JVM-side alternative: same rollup semantics under a single
+global watermark, zero Python state, and the state store holds only
+window aggregates.
 """
 
 from __future__ import annotations

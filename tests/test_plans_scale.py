@@ -364,3 +364,35 @@ class TestPackingPlanShape:
         stats_plan = plan_of(pack_stats(df, 256, num_shards=2))
         assert stats_plan.count("Exchange") <= 2
         assert "partial_count" in stats_plan or "partial_sum" in stats_plan
+
+
+class TestWinnowOverlapPlanShape:
+    def test_counts_frame_is_not_broadcast(self, spark):
+        """The per-document counts frame joined back onto the overlap
+        pairs is one row per DOCUMENT — at 100 TB it cannot broadcast.
+        Pin that no EXPLICIT broadcast hint is planted on it: the only
+        broadcast allowed in the OPTIMIZED plan is whatever AQE decides
+        at runtime (ResolvedHint must not appear on the counts join)."""
+        from graphite_clickhouse_spark.pipeline.text import (
+            winnow_overlap_pairs,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, ("abcdefgh" * 4)[i % 3:] + f"tail{i % 7}") for i in range(40)],
+            "doc_id long, text string",
+        )
+        out = winnow_overlap_pairs(
+            docs, k=4, window=3, min_shared=1, max_fp_df=100
+        )
+        optimized = (
+            out._jdf.queryExecution().optimizedPlan().toString()
+        )
+        # an F.broadcast() hint survives into the optimized plan as a
+        # ResolvedHint / hint-annotated join; none may exist here
+        assert "ResolvedHint" not in optimized, optimized
+        assert "broadcast" not in optimized.lower().replace(
+            "broadcasthashjoin", ""
+        ), optimized
+        # still produces the right answer
+        rows = out.collect()
+        assert all(r.containment <= 1.0 + 1e-9 for r in rows)

@@ -164,3 +164,56 @@ class TestStatefulResample:
         finally:
             q.stop()
         assert rows == {("m.a", 60): (4.0, 1)}
+
+
+class TestManyPathsStress:
+    def test_high_cardinality_state(self, spark, tmp_path):
+        """State-budget stress: 5000 distinct paths in one micro-batch,
+        each with an open bucket carried across to a second batch that
+        flushes everything. Exercises the per-key state store at a
+        cardinality where any O(paths) driver-side or per-group Python
+        leak would blow up, and pins exact per-path results."""
+        src = tmp_path / "in_many"
+        src.mkdir()
+        now = time_mod.time()
+        n = 5000
+        # batch 1: every path gets bucket 0 (two points) and bucket 120
+        # (one point); threshold = 120-60 = 60 closes ONLY bucket 0
+        _write_batchfile(
+            src, "b1.json",
+            [(f"m.p{i}", 0, float(i), 1) for i in range(n)]
+            + [(f"m.p{i}", 30, float(i) + 2.0, 1) for i in range(n)]
+            + [(f"m.p{i}", 120, 7.0, 1) for i in range(n)],
+            now - 20,
+        )
+        # batch 2: one point far ahead on every path flushes bucket 120
+        _write_batchfile(
+            src, "b2.json",
+            [(f"m.p{i}", 600, 1.0, 1) for i in range(n)],
+            now - 10,
+        )
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .json(str(src))
+        )
+        rolled = stateful_streaming_resample(
+            stream, step_sec=60, function="avg", lateness_sec=60
+        )
+        q = (
+            rolled.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("sf_many")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        got = {
+            (r.path, r.time): (r.value, r.points)
+            for r in spark.table("sf_many").collect()
+        }
+        # every path closed bucket 0 (avg(i, i+2) = i+1) and bucket 120
+        assert len(got) == 2 * n
+        for i in range(0, n, 997):  # spot-check a spread of paths
+            assert got[(f"m.p{i}", 0)] == (float(i) + 1.0, 2)
+            assert got[(f"m.p{i}", 120)] == (7.0, 1)
