@@ -539,11 +539,26 @@ class CarbonLineReceiver:
                 os.rename(part, p + ".txt")
             opened = self._time.monotonic()
 
+        drain_deadline = None
         try:
-            while not self._stopping.is_set():
+            while True:
+                # shutdown DRAINS: bytes the peer already sent (sitting in
+                # the kernel buffer or in flight) must reach the spool — a
+                # close() that aborts mid-read silently loses accepted
+                # data (found by the ingest bench: 53k of 2M lines gone).
+                # When stopping, keep reading until peer EOF, a 0.2 s idle
+                # gap, or the drain deadline for a peer that never stops.
+                if self._stopping.is_set() and drain_deadline is None:
+                    drain_deadline = self._time.monotonic() + self.drain_seconds
+                if drain_deadline is not None and (
+                    self._time.monotonic() >= drain_deadline
+                ):
+                    break
                 try:
                     chunk = conn.recv(65536)
                 except TimeoutError:
+                    if self._stopping.is_set():
+                        break  # stopping + idle socket: drained
                     chunk = None
                 except OSError:
                     break
@@ -563,14 +578,20 @@ class CarbonLineReceiver:
             flush()
             conn.close()
 
+    #: max seconds close() keeps reading from a peer that is still
+    #: actively sending (idle peers release after one 0.2 s recv timeout)
+    drain_seconds = 10.0
+
     def close(self):
         self._stopping.set()
         try:
             self._srv.close()
         except OSError:
             pass
+        # join budget covers the drain window plus flush time; an
+        # undersized join would return before the last spool file lands
         for t in self._threads:
-            t.join(timeout=5)
+            t.join(timeout=self.drain_seconds + 10)
 
 
 class CarbonUDPReceiver:
@@ -636,10 +657,16 @@ class CarbonUDPReceiver:
             opened = self._time.monotonic()
 
         try:
-            while not self._stopping.is_set():
+            while True:
+                # like the TCP receiver: close() DRAINS datagrams already
+                # in the kernel buffer (stop only on a post-stop idle
+                # timeout) — adding avoidable loss to a lossy transport
+                # is still a bug
                 try:
                     datagram, _addr = self._sock.recvfrom(65536)
                 except socket.timeout:
+                    if self._stopping.is_set():
+                        break
                     datagram = None
                 except OSError:
                     break
@@ -657,11 +684,13 @@ class CarbonUDPReceiver:
 
     def close(self):
         self._stopping.set()
+        # the recv loop drains the socket before this close lands; the
+        # join waits for the final flush
+        self._thread.join(timeout=10)
         try:
             self._sock.close()
         except OSError:
             pass
-        self._thread.join(timeout=5)
 
 
 class CarbonPickleReceiver(CarbonLineReceiver):

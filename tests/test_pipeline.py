@@ -1285,3 +1285,28 @@ class TestWinnowOverlapPairs:
         out = winnow_overlap_pairs(docs, k=16, window=8, min_shared=2,
                                    max_fp_df=2).collect()
         assert out == []
+
+
+class TestAnnRecallCurve:
+    """Coarse floors on the measured ANN recall curves (tools/
+    ann_recall.py regenerates RECALL.md from the same measure()): a
+    similarity.py change that silently degrades recall fails here
+    instead of just aging the artifact. Floors sit well under the
+    recorded sf0.1 values (IVF: .176/.446/.632/1.0; LSH 4x1 .150,
+    4x16 .914) so testdata regeneration noise doesn't flake."""
+
+    def test_curve_floors_and_shape(self, spark):
+        from tools.ann_recall import measure
+
+        m = measure(
+            spark, "/root/testdata/sf0.1", k=10, n_queries=20,
+            ivf_probes=(1, 8, 32), lsh_configs=((4, 1), (4, 16)),
+        )
+        ivf = m["ivf"]
+        # monotone in n_probe, exact at probe-all (k-means k=32)
+        assert ivf[1] <= ivf[8] <= ivf[32] == 1.0, ivf
+        assert ivf[8] >= 0.45, ivf
+        lsh = m["lsh"]
+        # OR-amplification: 16 tables far above 1; deployment shape >=0.8
+        assert lsh["4x16"] >= lsh["4x1"] + 0.3, lsh
+        assert lsh["4x16"] >= 0.8, lsh

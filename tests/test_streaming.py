@@ -295,6 +295,48 @@ class TestCarbonLineReceiver:
             rx.close()
 
 
+    def test_close_drains_in_flight_data(self, tmp_path):
+        """Shutdown must DRAIN: sendall() returning only means the bytes
+        reached kernel buffers — a close() that aborts the conn loop
+        mid-read loses accepted data. Found by the ingest bench (53k of
+        2M lines dropped when close() raced the drain); with the drain
+        fix, every line the peers sent before closing their sockets is
+        spooled, deterministically."""
+        import os
+        import socket
+        import threading
+
+        from graphite_clickhouse_spark.streaming.ingest import (
+            CarbonLineReceiver,
+        )
+
+        spool = str(tmp_path / "spool")
+        rx = CarbonLineReceiver(spool, rotate_lines=100_000)
+        host, port = rx.address
+        n_per_conn, n_conns = 100_000, 2
+        payload = b"".join(
+            b"m.drain %d %d\n" % (i, 60 + i) for i in range(n_per_conn)
+        )
+
+        def send():
+            with socket.create_connection((host, port), timeout=30) as s:
+                s.sendall(payload)
+
+        threads = [threading.Thread(target=send) for _ in range(n_conns)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        # immediately: no settle sleep — this is exactly the race
+        rx.close()
+        total = 0
+        for f in os.listdir(spool):
+            if f.endswith(".txt"):
+                with open(os.path.join(spool, f), "rb") as fh:
+                    total += sum(1 for _ in fh)
+        assert total == n_per_conn * n_conns
+
+
 class TestCarbonPickleReceiver:
     """Carbon pickle protocol (port-2004 framing) -> same spool path."""
 
