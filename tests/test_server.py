@@ -296,12 +296,30 @@ class TestConfiguredServer:
             f"&until={UNTIL_TS}&maxDataPoints=24&format=json"
         )
         assert json.loads(get(url))["metrics"]  # server healthy
-        # hold the single render slot; queue is 0 -> immediate 503
+        # the client can finish READING the response a beat before the
+        # handler thread exits the limiter with-block (HTTP close vs
+        # release ordering); under full-suite load that gap stretched to
+        # a flake. Wait for the slot to actually free before holding it.
         lim = srv.RequestHandlerClass.limiters.render
-        with lim.enter():
+        import time as _time
+
+        from graphite_clickhouse_spark.plans.limiter import LimitExceeded
+
+        ctx = None
+        for _ in range(200):
+            try:
+                ctx = lim.enter()
+                ctx.__enter__()
+                break
+            except LimitExceeded:
+                _time.sleep(0.05)
+        assert ctx is not None, "render slot never freed after request"
+        try:
             with pytest.raises(urllib.error.HTTPError) as ei:
                 urllib.request.urlopen(url, timeout=120)
             assert ei.value.code == 503
+        finally:
+            ctx.__exit__(None, None, None)
         assert json.loads(get(url))["metrics"]  # slot released
 
     def test_max_metrics_per_target_403(self, limited):

@@ -336,6 +336,33 @@ class TestCarbonLineReceiver:
                     total += sum(1 for _ in fh)
         assert total == n_per_conn * n_conns
 
+    def test_close_drains_accept_backlog(self, tmp_path):
+        """Sharper race: a client can connect + send + close entirely
+        inside the OS accept queue before accept() ever returns it — a
+        close() that aborts the accept loop strands the WHOLE
+        connection. The accept loop must drain its backlog on stop."""
+        import os
+        import socket
+
+        from graphite_clickhouse_spark.streaming.ingest import (
+            CarbonLineReceiver,
+        )
+
+        spool = str(tmp_path / "spool")
+        rx = CarbonLineReceiver(spool)
+        host, port = rx.address
+        with socket.create_connection((host, port), timeout=10) as s:
+            s.sendall(b"".join(
+                b"m.bk %d %d\n" % (i, 60 + i) for i in range(3000)
+            ))
+        rx.close()  # no settle: the connection may still be unaccepted
+        total = 0
+        for f in os.listdir(spool):
+            if f.endswith(".txt"):
+                with open(os.path.join(spool, f), "rb") as fh:
+                    total += sum(1 for _ in fh)
+        assert total == 3000
+
 
 class TestCarbonPickleReceiver:
     """Carbon pickle protocol (port-2004 framing) -> same spool path."""

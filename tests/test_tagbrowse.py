@@ -327,3 +327,54 @@ def test_parse_tag_query_fuzz_total():
             assert tb.tag_prefix + tb.series_query == q
 
     run()
+
+
+class TestParseTagQueryFuzz:
+    def test_parse_never_raises_and_prefix_reconstructs(self):
+        """Parser discipline: parse_tag_query accepts ANY `_tag...` string
+        without raising, lands in one of the five states, and the consumed
+        tag_prefix + series remainder re-concatenates to the query."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from graphite_clickhouse_spark.plans.tagbrowse import (
+            TAG_INFO_ROOT,
+            TAG_LIST,
+            TAG_LIST_PARAM,
+            TAG_SERIES,
+            TAG_SERIES_ROOT,
+            parse_tag_query,
+        )
+
+        seg = st.text(
+            st.sampled_from(list("abz01*=_?{}")), min_size=0, max_size=6
+        )
+        query = st.builds(
+            lambda segs: "_tag" + "".join("." + s for s in segs),
+            st.lists(seg, max_size=8),
+        )
+
+        @settings(max_examples=300, deadline=None)
+        @given(query)
+        def check(q):
+            tb = parse_tag_query(q)
+            assert tb.state in (
+                TAG_INFO_ROOT, TAG_LIST, TAG_LIST_PARAM,
+                TAG_SERIES, TAG_SERIES_ROOT,
+            )
+            if tb.state == TAG_INFO_ROOT:
+                assert q == "_tag"
+                return
+            # the consumed prefix plus the series remainder is the query
+            assert tb.tag_prefix + tb.series_query == q or (
+                tb.series_query == ""
+                and tb.tag_prefix.rstrip(".") == q.rstrip(".")
+            ), (q, tb.tag_prefix, tb.series_query)
+            # param mode iff the LAST group carries param
+            # (finder/tag.go:195-199)
+            if tb.series_query == "" and tb.tag_qs:
+                assert (tb.state == TAG_LIST_PARAM) == (
+                    tb.tag_qs[-1].param is not None
+                )
+
+        check()
