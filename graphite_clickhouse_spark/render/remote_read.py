@@ -180,7 +180,12 @@ def write_request_to_points(spark, serieses, version: int | None = None) -> Data
         )
         path = f"{name}?{tags}" if tags else name
         for ts_ms, value in samples:
-            rows.append((path, float(value), int(ts_ms // 1000)))
+            ts = int(ts_ms // 1000)
+            # same wire bound as carbon ingest (uint32 seconds): a hostile
+            # int64 timestamp would otherwise blow up timestamp_seconds
+            # (Math.multiplyExact long overflow) and kill the whole write
+            if 0 <= ts <= 4294967295:
+                rows.append((path, float(value), ts))
     df = spark.createDataFrame(rows, "path string, value double, time long")
     return (
         df.withColumn("date", F.to_date(F.timestamp_seconds(F.col("time"))))

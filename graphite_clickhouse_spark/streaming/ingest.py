@@ -108,6 +108,13 @@ def parse_carbon_lines(
             F.col("p")[2].try_cast("double").try_cast("long").alias("time"),
         )
         .filter(F.col("value").isNotNull() & F.col("time").isNotNull())
+        # carbon timestamps are uint32 on the reference wire
+        # (helper/point/point.go Timestamp uint32): out-of-range values
+        # are malformed lines, dropped like any other garbage. Without
+        # this bound a single poison line (|ts| > ~9.2e12 s) crashes the
+        # WHOLE micro-batch — timestamp_seconds multiplies to micros with
+        # Math.multiplyExact (found by the differential parse fuzz).
+        .filter(F.col("time").between(0, 4294967295))
         .withColumn("date", F.to_date(F.timestamp_seconds(F.col("time"))))
         .withColumn("version", ver)
     )

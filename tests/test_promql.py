@@ -1263,6 +1263,27 @@ class TestRemoteWrite:
             body += ld(1, ts)
         return body
 
+    def test_poison_timestamp_dropped_not_fatal(self, spark):
+        """A hostile int64 sample timestamp must be dropped like a bad
+        carbon line (uint32 wire bound), never reach timestamp_seconds —
+        whose micros multiplication kills the whole write job with
+        java.lang.ArithmeticException: long overflow (same poison-pill
+        class the ingest differential fuzz found)."""
+        from graphite_clickhouse_spark.render.remote_read import (
+            write_request_to_points,
+        )
+
+        rows = write_request_to_points(spark, [
+            ({"__name__": "vm"}, [
+                (5000, 1.0),                      # sane: kept
+                (2**62, 2.0),                     # absurd ms: dropped
+                (-5000, 3.0),                     # negative: dropped
+                (4294967295 * 1000 + 999, 4.0),   # uint32 max sec: kept
+            ]),
+        ], version=1).collect()
+        got = sorted((r.time, r.value) for r in rows)
+        assert got == [(5, 1.0), (4294967295, 4.0)]
+
     def test_write_then_query_roundtrip(self, spark, tmp_path):
         import urllib.request as rq
 

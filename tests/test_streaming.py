@@ -839,3 +839,85 @@ class TestRequestViewConsistency(TestLiveFrameRefresh):
         eng = Engine(spark=spark, points=pts,
                      path_index=build_path_index(pts.select("path")))
         assert eng.request_view() is eng  # static dataset: no copy churn
+
+
+class TestParseCarbonDifferentialFuzz:
+    def test_matches_independent_reference_parser(self, spark):
+        """Differential fuzz: parse_carbon_lines (JVM expressions) vs an
+        independent pure-Python reimplementation of the carbon plaintext
+        contract, over one hypothesis-generated corpus (garbage lines,
+        odd whitespace, tagged names in both spellings, huge/NaN/inf
+        values) run as a single Spark job."""
+        import math
+
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        def ref_normalize(path: str) -> str:
+            # carbon ';' spelling -> '?'+'&' (only when no '?' present),
+            # then sort the tag list
+            if ";" in path and "?" not in path:
+                name, _, rest = path.partition(";")
+                path = name + "?" + rest.replace(";", "&")
+            if "?" not in path:
+                return path
+            name, _, q = path.partition("?")
+            return name + "?" + "&".join(sorted(q.split("&")))
+
+        def ref_parse(line: str):
+            parts = line.strip().split()
+            if len(parts) != 3:
+                return None
+            path, v, t = parts
+            try:
+                value = float(v)
+            except ValueError:
+                return None
+            try:
+                ts = float(t)
+                if math.isnan(ts) or math.isinf(ts):
+                    return None
+                tsl = int(ts)  # truncate toward zero, like Spark's cast
+                # carbon timestamps are uint32 on the reference wire;
+                # out-of-range rows are dropped as malformed
+                if not (0 <= tsl <= 4294967295):
+                    return None
+            except ValueError:
+                return None
+            if math.isnan(value):
+                return None  # try_cast succeeds but value!=value filter?
+            return (ref_normalize(path), value, tsl)
+
+        corpus: list[str] = []
+        token = st.text(
+            st.sampled_from(list("abc.;?&=*{}01 \t-+ex")), max_size=12
+        )
+        num = st.one_of(
+            st.integers(-10**19, 10**19).map(str),
+            st.floats(allow_nan=False).map(repr),
+            st.just("nan"), st.just("inf"), st.just("x"),
+        )
+
+        @settings(max_examples=200, deadline=None)
+        @given(st.one_of(
+            token,  # arbitrary garbage
+            st.builds(lambda p, v, t: f"{p} {v} {t}",
+                      st.text(st.sampled_from(list("ab.;=?&c")), min_size=1,
+                              max_size=16),
+                      num, num),
+        ))
+        def collect(line):
+            corpus.append(line)
+
+        collect()
+        df = spark.createDataFrame([(l,) for l in corpus], "value string")
+        got = sorted(
+            (r.path, r.value, r.time)
+            for r in parse_carbon_lines(df, version=1).collect()
+            if r.value == r.value  # compare non-NaN values directly
+        )
+        want = sorted(
+            t for t in (ref_parse(l) for l in corpus)
+            if t is not None and t[1] == t[1]
+        )
+        assert got == want
