@@ -114,16 +114,26 @@ def apply_rules(paths: DataFrame, rules: list[TagRule], path_col: str = "path") 
     # rule's `tag = "prefix"` with no '=': legal, tagger/rule_test.go
     # uses them throughout) map to an empty value — F.get tolerates the
     # missing element where [1] raised ArrayIndexOutOfBounds
-    # (golden-test-found).
+    # (golden-test-found). Two rules emitting the same KEY with different
+    # values ("a=1" + "a=2": distinct strings, duplicate key) must not
+    # throw DUPLICATED_MAP_KEY and kill the batch — dedup keys keeping
+    # the lexically-last value (the array is sorted), via the same
+    # reversed-fold used by ingest.tags_map_from_path.
+    entry = (
+        "named_struct('key', split(kv, '=', 2)[0], 'value', "
+        "coalesce(get(split(kv, '=', 2), 1), ''))"
+    )
     return out.withColumn(
         "tags_map",
-        F.map_from_arrays(
-            F.transform("tags", lambda kv: F.split(kv, "=", 2)[0]),
-            F.transform(
-                "tags",
-                lambda kv: F.coalesce(F.get(F.split(kv, "=", 2), 1), F.lit("")),
-            ),
-        ),
+        F.expr(f"""
+            map_from_entries(aggregate(
+                reverse(tags),
+                cast(array() as array<struct<key: string, value: string>>),
+                (acc, kv) -> if(
+                    exists(acc, e -> e.key = split(kv, '=', 2)[0]),
+                    acc, array_append(acc, {entry}))
+            ))
+        """),
     )
 
 

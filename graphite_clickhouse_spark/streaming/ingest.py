@@ -70,15 +70,44 @@ def _normalize_tagged(col_name: str) -> F.Column:
 def tags_map_from_path(col_name: str) -> F.Column:
     """Tagged path -> MAP<STRING,STRING> including __name__
     (reference stores Tags Array(String) of 'k=v'; a map is the Spark-native
-    shape, SURVEY.md §1.2)."""
+    shape, SURVEY.md §1.2).
+
+    Duplicate tag keys keep the LAST occurrence, like graphite-web's
+    TaggedSeries.parse (a dict built left-to-right). A plain str_to_map
+    would instead throw DUPLICATED_MAP_KEY under Spark's default
+    mapKeyDedupPolicy=EXCEPTION and kill the whole batch on one hostile
+    path like `m?a=1&a=2` (found by the tagged-path differential fuzz);
+    the aggregate below folds the reversed entry list keeping
+    first-seen-of-reversed = last-of-original, so the map build can
+    never see a duplicate."""
     name = f"substring_index({col_name}, '?', 1)"
     query = f"substring({col_name}, length({name}) + 2)"
+    # one 'k=v' segment -> (k, v): split on the FIRST '=' only; a
+    # segment without '=' carries a NULL value (str_to_map parity)
+    entry = (
+        "named_struct('key', substring_index(x, '=', 1), 'value', "
+        "if(instr(x, '=') > 0, "
+        "substring(x, length(substring_index(x, '=', 1)) + 2), "
+        "cast(null as string)))"
+    )
+    # the accumulator is SEEDED with the __name__ entry, so a hostile
+    # `__name__=...` tag can never duplicate it (the name part of the
+    # path is authoritative) — and no map_concat remains to throw
+    dedup_entries = f"""
+        aggregate(
+            reverse(split({query}, '&')),
+            array(named_struct(
+                'key', '__name__', 'value', {name})),
+            (acc, x) -> if(
+                exists(acc, e -> e.key = substring_index(x, '=', 1)),
+                acc, array_append(acc, {entry}))
+        )
+    """
     return F.expr(
         f"""
         CASE WHEN instr({col_name}, '?') = 0
              THEN map('__name__', {col_name})
-        ELSE map_concat(map('__name__', {name}),
-                        str_to_map({query}, '&', '='))
+        ELSE map_from_entries({dedup_entries})
         END
         """
     )

@@ -921,3 +921,46 @@ class TestParseCarbonDifferentialFuzz:
             if t is not None and t[1] == t[1]
         )
         assert got == want
+
+
+class TestTagsMapDifferentialFuzz:
+    def test_matches_reference_and_survives_hostile_paths(self, spark):
+        """tags_map_from_path vs a pure-Python last-wins reference
+        (graphite-web's TaggedSeries.parse builds a dict left-to-right).
+        Duplicate tag keys, a hostile `__name__=` tag, empty segments,
+        and '=' inside values must all produce a map — never a
+        DUPLICATED_MAP_KEY batch abort (found by this fuzz's first
+        probes: `m?a=1&a=2` and `m?&` killed the job)."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        def ref(path):
+            if "?" not in path:
+                return {"__name__": path}
+            name, _, q = path.partition("?")
+            out = {}
+            for seg in q.split("&"):
+                k, eq, v = seg.partition("=")
+                out[k] = v if eq else None
+            out["__name__"] = name  # the name part is authoritative
+            return out
+
+        corpus = ["m?a=1&a=2", "m?&", "m?a", "m?=v", "m?a=b=c", "m?a=1&",
+                  "m??x=1", "plain.name", "m?", "m?__name__=evil&a=1"]
+
+        @settings(max_examples=200, deadline=None)
+        @given(st.text(st.sampled_from(list("ab.?&=_1")), min_size=1,
+                       max_size=14))
+        def collect(p):
+            corpus.append(p)
+
+        collect()
+        df = spark.createDataFrame([(p,) for p in corpus], "path string")
+        got = {
+            r.path: dict(r.m)
+            for r in df.select(
+                "path", tags_map_from_path("path").alias("m")
+            ).collect()
+        }
+        for p in set(corpus):
+            assert got[p] == ref(p), (p, got[p], ref(p))
