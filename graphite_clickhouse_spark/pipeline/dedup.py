@@ -184,10 +184,15 @@ def ngram_jaccard_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+    # the per-doc sets frame is one row per DOCUMENT — at corpus scale it
+    # cannot broadcast, so no hint: the candidate side has already
+    # collapsed (prefix filter + distinct), and AQE picks a broadcast at
+    # runtime when the surviving side is small (same reasoning as
+    # winnow_overlap_pairs' counts join)
     pairs = cands.join(
-        F.broadcast(sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))), "id_a"
+        sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
     ).join(
-        F.broadcast(sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))), "id_b"
+        sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b"
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = inter / (F.size("sh_a") + F.size("sh_b") - inter)
@@ -335,9 +340,13 @@ def minhash_dedup(
     ).cache()
     sigs.count()  # EAGER: the LSH self-join reads it from both sides
     cands = minhash_lsh_candidates(sigs, bands, rows_per_band)
+    # per-doc shingle sets joined back onto the banded candidates: one
+    # row per DOCUMENT, so no broadcast hint (cannot broadcast at corpus
+    # scale); the candidate side is already LSH-collapsed and AQE
+    # broadcasts at runtime when it is small
     pairs = (
-        cands.join(F.broadcast(sets.withColumnsRenamed({"id": "id_a", "sh": "sh_a"})), "id_a")
-        .join(F.broadcast(sets.withColumnsRenamed({"id": "id_b", "sh": "sh_b"})), "id_b")
+        cands.join(sets.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
+        .join(sets.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
     )
     # pure-JVM set intersection over the ~50-element sorted arrays; a
     # Python kernel here would be Arrow-shipped AND evaluated twice
@@ -453,9 +462,12 @@ def minhash_dedup_portable(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+    # per-doc hash sets: no broadcast hint (one row per document — AQE
+    # decides at runtime once the Hamming-bucket join has collapsed the
+    # candidate side)
     pairs = cands.join(
-        F.broadcast(hsets.withColumnsRenamed({"id": "id_a", "hs": "hs_a"})), "id_a"
-    ).join(F.broadcast(hsets.withColumnsRenamed({"id": "id_b", "hs": "hs_b"})), "id_b")
+        hsets.withColumnsRenamed({"id": "id_a", "hs": "hs_a"}), "id_a"
+    ).join(hsets.withColumnsRenamed({"id": "id_b", "hs": "hs_b"}), "id_b")
     inter = F.size(F.array_intersect("hs_a", "hs_b"))
     union = F.size("hs_a") + F.size("hs_b") - inter
     return pairs.select(
