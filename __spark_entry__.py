@@ -907,6 +907,79 @@ ORDER BY query, name
 """
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detect+mask audit (pipeline/text.py::pii_scrub): emails,
+    intl-format phones and IPv4s are masked with typed placeholders and
+    counted per document. The synthetic corpus carries no PII, so the
+    query INJECTS deterministic doc_id-derived spans (same construction
+    in the DuckDB oracle) and the real scrub operator runs on top —
+    the synthetic-asset pattern the multimodal queries use."""
+    from graphite_clickhouse_spark.pipeline.text import pii_scrub
+    from graphite_clickhouse_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    email = F.when(
+        did % 3 == 0,
+        F.concat(F.lit(" u"), s(did), F.lit("@ex-"), s(did % 7), F.lit(".org")),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        did % 5 == 0,
+        F.concat(F.lit(" +1-555-"), F.lpad(s(did % 10000), 4, "0"),
+                 F.lit("-0199")),
+    ).otherwise(F.lit(""))
+    ip = F.when(
+        did % 7 == 0,
+        F.concat(F.lit(" 10.0."), s(did % 256), F.lit("."), s((did * 3) % 256)),
+    ).otherwise(F.lit(""))
+    injected = docs.select(
+        "doc_id",
+        F.concat(F.substring("text", 1, 40), email, phone, ip).alias("text"),
+    )
+    return pii_scrub(injected).select(
+        F.col("id").alias("doc_id"), "clean_text",
+        "n_emails", "n_phones", "n_ipv4",
+    )
+
+
+SQL_PII_SCRUB = r"""
+WITH injected AS (
+    SELECT doc_id,
+           substr(text, 1, 40)
+           || CASE WHEN doc_id % 3 = 0
+                   THEN ' u' || CAST(doc_id AS VARCHAR) || '@ex-'
+                        || CAST(doc_id % 7 AS VARCHAR) || '.org'
+                   ELSE '' END
+           || CASE WHEN doc_id % 5 = 0
+                   THEN ' +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                        || '-0199'
+                   ELSE '' END
+           || CASE WHEN doc_id % 7 = 0
+                   THEN ' 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+                        || CAST((doc_id * 3) % 256 AS VARCHAR)
+                   ELSE '' END AS text
+    FROM documents
+)
+SELECT doc_id,
+       regexp_replace(
+           regexp_replace(
+               regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g'),
+               '\+\d{1,2}-\d{3}-\d{3,4}-\d{4}', '<PHONE>', 'g'),
+           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'
+       ) AS clean_text,
+       CAST(len(regexp_extract_all(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(text,
+           '\+\d{1,2}-\d{3}-\d{3,4}-\d{4}')) AS INT) AS n_phones,
+       CAST(len(regexp_extract_all(text,
+           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ipv4
+FROM injected
+"""
+
+
 # ---------------------------------------------------------------------------
 # generic OLAP (scans/joins/windows on the TPC-H-ish tables)
 # ---------------------------------------------------------------------------
@@ -2484,7 +2557,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "promql_rate_sum": (q_promql_rate_sum, SQL_PROMQL_RATE_SUM),
     "promql_hist_quantile": (q_promql_hist_quantile, SQL_PROMQL_HIST_QUANTILE),
     "tagger_rules": (q_tagger_rules, SQL_TAGGER_RULES),
-    "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
+    "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "semi_join_urgent": (q_semi_join_urgent, SQL_SEMI_JOIN_URGENT),
     "topk_orders_per_segment": (q_topk_orders_per_segment, SQL_TOPK_ORDERS_PER_SEGMENT),
     "budget_mix": (q_budget_mix, SQL_BUDGET_MIX),
@@ -2531,6 +2604,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "autocomplete_values": (q_autocomplete_values, SQL_AUTOCOMPLETE_VALUES),
     "autocomplete_tags": (q_autocomplete_tags, SQL_AUTOCOMPLETE_TAGS),
     "prom_label_values": (q_prom_label_values, SQL_PROM_LABEL_VALUES),
+    "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
 }
 
 

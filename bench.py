@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "prom_label_values",
     "prom_plain_bridge",
     "tagbrowse_list",
+    "pii_scrub",
     "promql_range_select",
     "promql_rate_sum",
     "promql_hist_quantile",

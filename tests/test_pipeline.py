@@ -1310,3 +1310,40 @@ class TestAnnRecallCurve:
         # OR-amplification: 16 tables far above 1; deployment shape >=0.8
         assert lsh["4x16"] >= lsh["4x1"] + 0.3, lsh
         assert lsh["4x16"] >= 0.8, lsh
+
+
+class TestPiiScrub:
+    def test_masking_counts_and_edges(self, spark):
+        from graphite_clickhouse_spark.pipeline.text import pii_scrub
+
+        df = spark.createDataFrame(
+            [
+                (1, "reach me at bob.smith+x@corp-mail.example.org today"),
+                (2, "call +1-555-123-4567 or +44-207-946-0958 now"),
+                (3, "host 192.168.0.1 and 10.0.255.3 respond"),
+                (4, "no pii here at all"),
+                (5, "a@b.io via 127.0.0.1 on +1-555-000-0000"),
+                (6, ""),
+                # version strings must NOT count as IPv4 (3 groups only)
+                (7, "spark 4.1.2 released"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {r.id: r for r in pii_scrub(df).collect()}
+        assert got[1].n_emails == 1 and "<EMAIL>" in got[1].clean_text
+        assert "bob" not in got[1].clean_text
+        assert got[2].n_phones == 2 and got[2].clean_text.count("<PHONE>") == 2
+        assert got[3].n_ipv4 == 2 and got[3].clean_text.count("<IP>") == 2
+        assert (got[4].n_emails, got[4].n_phones, got[4].n_ipv4) == (0, 0, 0)
+        assert got[4].clean_text == "no pii here at all"
+        assert (got[5].n_emails, got[5].n_phones, got[5].n_ipv4) == (1, 1, 1)
+        assert got[6].clean_text == "" and got[6].n_emails == 0
+        assert got[7].n_ipv4 == 0 and got[7].clean_text == "spark 4.1.2 released"
+
+    def test_plan_is_row_local(self, spark):
+        """Expression-only: no shuffle, no join — scales with the scan."""
+        from graphite_clickhouse_spark.pipeline.text import pii_scrub
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        plan = pii_scrub(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "Join" not in plan
