@@ -964,3 +964,27 @@ class TestTagsMapDifferentialFuzz:
         }
         for p in set(corpus):
             assert got[p] == ref(p), (p, got[p], ref(p))
+
+
+class TestTimestampWireBounds:
+    def test_uint32_extremes_parse_write_compact(self, spark, tmp_path):
+        """The accepted timestamp extremes (0 and 2^32-1, the reference's
+        uint32 wire range) flow through parse -> partitioned write ->
+        compact; one-past-the-edge and negatives drop as malformed."""
+        lines = [
+            "m.zero 1.0 0",
+            "m.max 2.0 4294967295",     # 2106-02-07, the wire maximum
+            "m.over 3.0 4294967296",    # one past: dropped
+            "m.neg 4.0 -1",             # dropped
+        ]
+        parsed = parse_carbon_lines(lines_df(spark, lines), version=1)
+        got = {(r.path, r.time, str(r.date)) for r in parsed.collect()}
+        assert got == {
+            ("m.zero", 0, "1970-01-01"),
+            ("m.max", 4294967295, "2106-02-07"),
+        }
+        job = IngestJob(str(tmp_path / "out"), version=1)
+        job.write_batch(parsed)
+        job.compact(spark)
+        rows = {(r.path, r.time) for r in job.read_points(spark).collect()}
+        assert rows == {("m.zero", 0), ("m.max", 4294967295)}
