@@ -253,7 +253,18 @@ def glob_predicate(col: Column, query: str) -> Column | None:
     rest = query[len(prefix) :]
     if rest == "*":
         return col.startswith(prefix)
-    pred = col.rlike("^" + glob_to_regexp(query) + "$")
+    pattern = "^" + glob_to_regexp(query) + "$"
+    # the rlike pattern compiles LAZILY inside the Spark job: an invalid
+    # one (GlobToRegexp never escapes regex metachars, reference
+    # where.go:61-72, so e.g. '[]!&)' produces garbage) would surface as
+    # a PatternSyntaxException that ABORTS the job and killed the HTTP
+    # handler thread without a response (found by the server fuzz).
+    # Validate at plan-build time -> GlobError -> 400.
+    try:
+        re.compile(pattern)
+    except re.error as exc:
+        raise GlobError(f"invalid glob {query!r}: {exc}")
+    pred = col.rlike(pattern)
     if prefix:
         pred = col.startswith(prefix) & pred
     return pred

@@ -263,6 +263,25 @@ class GraphiteHandler(BaseHTTPRequestHandler):
                 self._error(403, str(exc))
             else:
                 self._error(getattr(exc, "http_status", 400), str(exc))
+        except Exception as exc:  # noqa: BLE001 — last-resort guard
+            # NEVER die without a response: an unmapped exception here
+            # previously killed the handler thread mid-request and the
+            # client saw a bare connection drop (found by the HTTP fuzz:
+            # a glob regex invalid only in the JVM dialect surfaced as
+            # Py4JJavaError(PatternSyntaxException) at job execution).
+            # Known client-caused JVM errors map to 400; anything else is
+            # an honest 500, matching how the reference surfaces an
+            # unexpected ClickHouse error body.
+            msg = str(exc)
+            try:
+                if "PatternSyntaxException" in msg:
+                    self._error(400, "invalid regular expression in query")
+                else:
+                    self._error(
+                        500, f"internal error: {type(exc).__name__}"
+                    )
+            except Exception:  # headers already sent mid-stream: give up
+                pass
 
     def _fetch_with_timeout(self, fn, what: str):
         """Apply the data-timeout to a fetch action (0 = off); a
