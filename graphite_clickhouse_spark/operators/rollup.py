@@ -195,13 +195,13 @@ class Rules:
                     raise ValueError(f"invalid rule type {rt_raw!r}")
             isdef = d.get("is_default")
             if isdef is not None and (
-                isinstance(isdef, bool)
-                or not isinstance(isdef, (int, float))
-                or (isinstance(isdef, float) and not isdef.is_integer())
+                isinstance(isdef, bool) or not isinstance(isdef, int)
             ):
-                # Go's IsDefault is an int field: a string "1", bool, or
-                # fractional number is an unmarshal error, never a
-                # silently-ignored pattern row
+                # Go's IsDefault is an int field: a string "1", a bool, or
+                # ANY number written with a fraction point is an unmarshal
+                # error there ("cannot unmarshal number 1.0 into ... int"),
+                # so integral floats like 1.0 must be rejected too — Go
+                # json decides by the literal's spelling, not its value
                 raise ValueError(
                     f"rollup JSON: is_default must be an integer: {isdef!r}"
                 )

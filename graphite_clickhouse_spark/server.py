@@ -271,10 +271,19 @@ class GraphiteHandler(BaseHTTPRequestHandler):
             # Py4JJavaError(PatternSyntaxException) at job execution).
             # Known client-caused JVM errors map to 400; anything else is
             # an honest 500, matching how the reference surfaces an
-            # unexpected ClickHouse error body.
-            msg = str(exc)
+            # unexpected ClickHouse error body.  Always log the full
+            # traceback first — a swallowed 500 with no log makes real
+            # server bugs undiagnosable.
+            import logging
+            import traceback
+
+            logging.getLogger(__name__).error(
+                "unhandled error serving %s:\n%s",
+                getattr(self, "path", "?"),
+                traceback.format_exc(),
+            )
             try:
-                if "PatternSyntaxException" in msg:
+                if self._is_jvm_pattern_error(exc):
                     self._error(400, "invalid regular expression in query")
                 else:
                     self._error(
@@ -282,6 +291,32 @@ class GraphiteHandler(BaseHTTPRequestHandler):
                     )
             except Exception:  # headers already sent mid-stream: give up
                 pass
+
+    @staticmethod
+    def _is_jvm_pattern_error(exc: BaseException) -> bool:
+        """True iff the exception is a Py4J-surfaced JVM
+        PatternSyntaxException (directly or anywhere in its cause chain)
+        — the Python-valid/Java-invalid regex dialect gap that rlike
+        compiles lazily inside the job.  Typed check, not a substring
+        match on str(exc): an unrelated error whose MESSAGE merely quotes
+        'PatternSyntaxException' must stay a 500."""
+        try:
+            from py4j.protocol import Py4JJavaError
+        except Exception:  # pragma: no cover — py4j ships with pyspark
+            return False
+        if not isinstance(exc, Py4JJavaError):
+            return False
+        try:
+            jexc = exc.java_exception
+            seen = 0
+            while jexc is not None and seen < 16:
+                if "PatternSyntaxException" in jexc.getClass().getName():
+                    return True
+                jexc = jexc.getCause()
+                seen += 1
+        except Exception:
+            return False
+        return False
 
     def _fetch_with_timeout(self, fn, what: str):
         """Apply the data-timeout to a fetch action (0 = off); a

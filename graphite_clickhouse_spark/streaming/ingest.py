@@ -539,26 +539,43 @@ class CarbonLineReceiver:
         import socket
         import threading
 
-        while True:
-            try:
-                conn, _addr = self._srv.accept()
-            except socket.timeout:
-                # stop only once the accept BACKLOG is drained: a client
-                # can connect+send+close entirely inside the OS queue
-                # before accept() ever returns it — aborting here on
-                # _stopping would strand that data (found by the verify
-                # drive: a whole 3k-line connection vanished when close()
-                # raced the accept)
-                if self._stopping.is_set():
-                    return
-                continue
-            except OSError:
-                return
+        def spawn(conn):
             t = threading.Thread(
                 target=self._conn_loop, args=(conn,), daemon=True
             )
             t.start()
             self._threads.append(t)
+
+        while True:
+            if self._stopping.is_set():
+                # Drain ONLY the backlog that already exists: a client can
+                # connect+send+close entirely inside the OS queue before
+                # accept() ever returns it — aborting without this drain
+                # strands that data (found by the verify drive: a whole
+                # 3k-line connection vanished when close() raced the
+                # accept).  But the drain must CONVERGE under live
+                # traffic: reconnecting senders (the normal carbon case)
+                # would otherwise keep a "wait until idle" loop accepting
+                # brand-new connections forever and close() would hang.
+                # Non-blocking accept-until-EWOULDBLOCK takes exactly the
+                # queued connections; the wall-clock cap bounds shutdown
+                # even against a connect flood racing the drain.
+                self._srv.setblocking(False)
+                deadline = self._time.monotonic() + self.backlog_drain_seconds
+                while self._time.monotonic() < deadline:
+                    try:
+                        conn, _addr = self._srv.accept()
+                    except (BlockingIOError, OSError):
+                        break
+                    spawn(conn)
+                return
+            try:
+                conn, _addr = self._srv.accept()
+            except socket.timeout:
+                continue
+            except OSError:
+                return
+            spawn(conn)
 
     def _extract(self, buf: bytes) -> tuple[list[bytes], bytes]:
         """Split complete plaintext lines off the buffer."""
@@ -637,26 +654,32 @@ class CarbonLineReceiver:
     #: max seconds close() keeps reading from a peer that is still
     #: actively sending (idle peers release after one 0.2 s recv timeout)
     drain_seconds = 10.0
+    #: max seconds the stopping accept loop spends taking already-queued
+    #: connections off the OS backlog before it stops accepting entirely
+    backlog_drain_seconds = 2.0
 
     def close(self):
+        """Ordered shutdown that terminates under active traffic:
+
+        1. the accept loop drains the already-queued OS backlog
+           (non-blocking, wall-clock capped) and exits — it does NOT
+           wait for reconnecting senders to go idle, which previously
+           made close() hang forever under a live carbon feed;
+        2. with the accept loop gone the listener closes, so late
+           connectors get a hard refusal instead of a silent queue;
+        3. conn threads are joined — the set is fixed now (only the
+           accept loop ever appends), and each exits on peer EOF, a
+           0.2 s idle gap, or its own drain_seconds deadline.
+        """
         self._stopping.set()
-        # join BEFORE closing the listener: the accept loop must first
-        # drain its backlog (queued connections carry spooled-nowhere
-        # data), and it may spawn conn threads while we join — iterate
-        # until the thread set is stable. Budget per thread covers the
-        # drain window plus flush time.
-        joined: set = set()
-        while True:
-            pending = [t for t in self._threads if id(t) not in joined]
-            if not pending:
-                break
-            for t in pending:
-                t.join(timeout=self.drain_seconds + 10)
-                joined.add(id(t))
+        accept_thread = self._threads[0]
+        accept_thread.join(timeout=self.backlog_drain_seconds + 5)
         try:
             self._srv.close()
         except OSError:
             pass
+        for t in self._threads[1:]:
+            t.join(timeout=self.drain_seconds + 10)
 
 
 class CarbonUDPReceiver:

@@ -139,13 +139,12 @@ def test_contract_registry_is_complete():
     # sit past position 49; a new query landing there would never get a
     # driver correctness row.
     STABLE_TAIL = {
-        # round-5 rotation: each driver-green in CORRECTNESS_r04.json,
-        # code untouched since; the former tail (lang_id et al.) moved
-        # into the top-50 window to re-earn driver rows
-        "version_dedup", "storage_merge", "consolidate_last",
-        "gapfill_grid", "find_glob", "index_tree", "tagged_find",
-        "autocomplete_values", "autocomplete_tags", "prom_label_values",
-        "tpch_q1",
+        # round-6 rotation: each driver-green in CORRECTNESS_r05.json,
+        # code untouched since; the r5 tail (version_dedup et al.) moved
+        # back into the top-50 window to re-earn driver rows
+        "lang_id", "fingerprint", "token_count", "sample_deterministic",
+        "mix_sources", "dedup_exact", "decontaminate", "text_quality",
+        "tfidf_top_terms", "text_clean", "quality_classifier",
     }
     overflow = [n for i, n in enumerate(qs) if i >= 50 and n not in STABLE_TAIL]
     assert overflow == [], f"new queries outside the driver's top-50 gate: {overflow}"
@@ -159,3 +158,46 @@ def test_contract_registry_is_complete():
             "customer", "supplier", "part", "nation", "region",
             "generate_series",
         )), name
+
+
+def test_stable_tail_plans_unchanged(spark):
+    """CONTENT-AWARE tail guard (r5 judge finding #1): the name-based
+    overflow check above cannot see a semantic edit to a SHARED module
+    under a tail query (r5: plans/glob.py changed while find_glob sat in
+    the tail).  Catalyst's optimized logical plan is downstream of the
+    query function and every module in its dependency cone, so pinning
+    its normalized hash at a fixed tiny SF catches any result-affecting
+    drift.  If this fails after an INTENTIONAL change: rotate the query
+    into the top-50 window (driver re-certification) and re-pin via
+    `python tools/pin_tail_fingerprints.py`."""
+    import json
+
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"
+        ),
+    )
+    from pin_tail_fingerprints import FP_SF_DIR, plan_fingerprint, tail_names
+
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "stable_tail_fingerprints.json")
+    ) as fh:
+        pinned = json.load(fh)["fingerprints"]
+
+    tail = tail_names(entrymod)
+    assert sorted(pinned) == sorted(tail), (
+        "pin file out of date with the registry tail — run "
+        "tools/pin_tail_fingerprints.py after a rotation"
+    )
+    qs = entrymod.queries()
+    drifted = {
+        name: fp
+        for name in tail
+        if (fp := plan_fingerprint(qs[name](spark, FP_SF_DIR))) != pinned[name]
+    }
+    assert drifted == {}, (
+        f"stable-tail query plans drifted since pinning: {sorted(drifted)} — "
+        "rotate them into the driver's top-50 window and re-pin"
+    )

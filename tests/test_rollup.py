@@ -498,10 +498,14 @@ class TestReferenceJSONGoldens:
             Rules.from_json(row(age=str(2 ** 31)))
         ok = Rules.from_json(row(age=str(2 ** 31 - 1)))
         assert ok.patterns[0].retention[0].age == 2 ** 31 - 1
-        # float is_default 1.0 unmarshals into a Go int (integral) —
-        # treated as the default row
-        got = Rules.from_json(row(is_default=1.0))
-        assert got.patterns[-1].regexp == ""
+        # Go json.Unmarshal decides by the literal's SPELLING: any number
+        # written with a fraction point — 1.0 included — fails to
+        # unmarshal into the int IsDefault field ("cannot unmarshal
+        # number 1.0"), so integral floats are errors here too
+        with _pytest.raises(ValueError):
+            Rules.from_json(row(is_default=1.0))
+        with _pytest.raises(ValueError):
+            Rules.from_json(row(is_default=0.5))
 
     def test_config_autodetects_json(self, tmp_path):
         from graphite_clickhouse_spark.config import load_settings

@@ -1036,3 +1036,39 @@ class TestHttpErrorDisciplineFuzz:
             base + "/metrics/find?format=json&query=ev.*"
         )
         assert ok == 200
+
+
+class TestLastResortGuardTyping:
+    """The 400-vs-500 decision for unmapped exceptions must be TYPED
+    (Py4JJavaError whose JVM cause chain contains
+    PatternSyntaxException), not a substring match on str(exc): an
+    unrelated error whose message merely QUOTES the class name must stay
+    a 500 (r5 ADVICE)."""
+
+    def test_message_quoting_class_name_is_not_a_pattern_error(self):
+        from graphite_clickhouse_spark.server import GraphiteHandler
+
+        exc = RuntimeError(
+            "storage said: java.util.regex.PatternSyntaxException happened"
+        )
+        assert not GraphiteHandler._is_jvm_pattern_error(exc)
+
+    def test_real_jvm_pattern_error_detected(self, spark):
+        from py4j.protocol import Py4JJavaError
+        from pyspark.sql import functions as F
+
+        from graphite_clickhouse_spark.server import GraphiteHandler
+
+        df = spark.createDataFrame([("abc",)], "s string")
+        with pytest.raises(Py4JJavaError) as ei:
+            # valid in Python's re dialect ("[]...]" puts ] in the
+            # class), invalid in java.util.regex — the exact gap the
+            # HTTP fuzz found; compiled lazily INSIDE the job
+            df.filter(F.col("s").rlike("[]!&)")).count()
+        assert GraphiteHandler._is_jvm_pattern_error(ei.value)
+
+    def test_plain_exceptions_are_not_pattern_errors(self):
+        from graphite_clickhouse_spark.server import GraphiteHandler
+
+        assert not GraphiteHandler._is_jvm_pattern_error(ValueError("x"))
+        assert not GraphiteHandler._is_jvm_pattern_error(Exception())

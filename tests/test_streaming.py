@@ -363,6 +363,56 @@ class TestCarbonLineReceiver:
                     total += sum(1 for _ in fh)
         assert total == 3000
 
+    def test_close_terminates_under_reconnecting_senders(self, tmp_path):
+        """close() must CONVERGE under live traffic: reconnecting senders
+        (the normal carbon case — agents reconnect on any error) used to
+        keep the accept loop alive forever, because it only stopped on a
+        0.2 s fully-idle accept window and close() joined every newly
+        spawned conn thread 'until stable'.  Now the stopping accept loop
+        takes only the already-queued backlog (wall-clock capped), so
+        shutdown is bounded no matter how aggressively clients reconnect.
+        """
+        import socket
+        import threading
+        import time
+
+        from graphite_clickhouse_spark.streaming.ingest import (
+            CarbonLineReceiver,
+        )
+
+        spool = str(tmp_path / "spool")
+        rx = CarbonLineReceiver(spool, rotate_lines=1000)
+        host, port = rx.address
+        stop_sending = threading.Event()
+
+        def reconnect_forever():
+            i = 0
+            while not stop_sending.is_set():
+                try:
+                    with socket.create_connection((host, port), timeout=2) as s:
+                        s.sendall(b"m.recon %d 60\n" % i)
+                except OSError:
+                    # post-close: connection refused — keep hammering
+                    time.sleep(0.01)
+                i += 1
+
+        threads = [
+            threading.Thread(target=reconnect_forever, daemon=True)
+            for _ in range(4)
+        ]
+        for t in threads:
+            t.start()
+        time.sleep(0.3)  # let a steady reconnect stream establish
+        t0 = time.monotonic()
+        rx.close()
+        elapsed = time.monotonic() - t0
+        stop_sending.set()
+        for t in threads:
+            t.join(timeout=5)
+        # bound: backlog drain cap + accept-join margin + conn-thread
+        # joins (each conn here is instantly EOF, so this is loose)
+        assert elapsed < rx.backlog_drain_seconds + 15, elapsed
+
 
 class TestCarbonPickleReceiver:
     """Carbon pickle protocol (port-2004 framing) -> same spool path."""
