@@ -236,13 +236,11 @@ class IngestJob:
 
     # -- streaming --------------------------------------------------------
 
-    def start_text_stream(
-        self, spark: SparkSession, input_dir: str, checkpoint_dir: str, available_now: bool = True
+    def _start_parsed_stream(
+        self, parsed: DataFrame, checkpoint_dir: str, available_now: bool
     ):
-        """Tail a directory of carbon plaintext files. Swap
-        `.format("text")` for `"kafka"` + the same parse for production."""
-        lines = spark.readStream.format("text").load(input_dir)
-        parsed = parse_carbon_lines(lines, version=self.version)
+        """Shared tail of every source variant: the parsed-points stream
+        feeds the same foreachBatch upsert regardless of transport."""
         writer = (
             parsed.writeStream.outputMode("append")
             .option("checkpointLocation", checkpoint_dir)
@@ -251,6 +249,32 @@ class IngestJob:
         if available_now:
             writer = writer.trigger(availableNow=True)
         return writer.start()
+
+    def start_text_stream(
+        self, spark: SparkSession, input_dir: str, checkpoint_dir: str, available_now: bool = True
+    ):
+        """Tail a directory of carbon plaintext files. Swap
+        `.format("text")` for `"kafka"` + the same parse for production."""
+        lines = spark.readStream.format("text").load(input_dir)
+        parsed = parse_carbon_lines(lines, version=self.version)
+        return self._start_parsed_stream(parsed, checkpoint_dir, available_now)
+
+    def start_record_stream(
+        self, records: DataFrame, checkpoint_dir: str, available_now: bool = True
+    ):
+        """Kafka-record-shaped source: a streaming DataFrame with the
+        connector's schema (key binary, value binary, topic, partition,
+        offset, timestamp, ...) where each record's VALUE is one carbon
+        plaintext line — the carbon-relay-to-Kafka deployment shape. In
+        production `records` is exactly
+        `spark.readStream.format("kafka").option(...).load()`; everything
+        downstream of the value cast is byte-identical to the text-spool
+        path (same parse, same dedup, same three-table upsert), which
+        tests/test_streaming.py pins by comparing table contents across
+        the two transports."""
+        lines = records.select(F.col("value").cast("string").alias("value"))
+        parsed = parse_carbon_lines(lines, version=self.version)
+        return self._start_parsed_stream(parsed, checkpoint_dir, available_now)
 
     # -- maintenance ------------------------------------------------------
 

@@ -1072,3 +1072,145 @@ class TestLastResortGuardTyping:
 
         assert not GraphiteHandler._is_jvm_pattern_error(ValueError("x"))
         assert not GraphiteHandler._is_jvm_pattern_error(Exception())
+
+
+class TestV3pbBodyFuzz:
+    """r6: hostile carbonapi_v3_pb POST bodies through the REAL server —
+    the reference's Unmarshal error path answers 400
+    (render/reply/v3_pb.go:25-62 via render/handler.go); ours must map
+    every decoder escape to a clean status, never a connection drop, and
+    stay alive after the barrage. Complements the r5 query-param fuzz
+    (TestHttpErrorDisciplineFuzz) which never exercised POST bodies."""
+
+    ALLOWED = {200, 400, 403, 404, 503, 504}
+
+    # hand-built protobuf fragments (MultiFetchRequest: metrics=1 rep msg;
+    # FetchRequest: name=1 str, start=2, stop=3, pathexpr=5 str, mdp=6)
+    @staticmethod
+    def _fetch(target=b"ev.*", start=0, stop=600, mdp=10):
+        import struct as _s
+
+        def varint(v):
+            out = bytearray()
+            while True:
+                b = v & 0x7F
+                v >>= 7
+                if v:
+                    out.append(b | 0x80)
+                else:
+                    out.append(b)
+                    return bytes(out)
+
+        inner = (b"\x0a" + varint(len(target)) + target
+                 + b"\x10" + varint(start) + b"\x18" + varint(stop)
+                 + b"\x30" + varint(mdp))
+        return b"\x0a" + varint(len(inner)) + inner
+
+    NASTY_BODIES = [
+        b"",                                   # empty message: zero targets
+        b"\xff" * 64,                          # endless varint continuation
+        b"\x0a",                               # key then EOF
+        b"\x0a\xff\xff\xff\x7f" + b"xx",       # length far past the buffer
+        b"\x08\x01",                           # field 1 with WRONG wire type
+        b"\x0a\x04\x0a\x02\xff\xfe",           # invalid UTF-8 in the target
+        b"\x0a\x02\x10\xff",                   # nested truncated varint
+        b"\x0d\x00\x00",                       # fixed32 cut short
+        b"\x0a\x0b\x0a\x04ev.*\x10"            # huge start_time (10-byte
+        + b"\xff\xff\xff\xff\xff\xff\xff\xff\xff\x01",  # varint, ~2^64)
+        b"\x0f\x00",                           # reserved wire type 7
+    ]
+
+    @pytest.fixture(scope="class")
+    def base(self, spark):
+        from graphite_clickhouse_spark.render.pipeline import Engine
+        from graphite_clickhouse_spark.server import serve_background
+
+        points = points_from_events(spark, SF)
+        engine = Engine(
+            spark=spark, points=points,
+            path_index=build_path_index(points.select("path")),
+        )
+        srv, base = serve_background(engine)
+        yield base
+        srv.shutdown()
+
+    def _post(self, base, path, body):
+        import urllib.error
+        import urllib.request
+
+        req = urllib.request.Request(base + path, data=body, method="POST")
+        try:
+            with urllib.request.urlopen(req, timeout=120) as r:
+                return r.status
+        except urllib.error.HTTPError as e:
+            return e.code
+
+    def test_hostile_v3pb_bodies_never_drop_connection(self, base):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        corpus = list(self.NASTY_BODIES)
+        # a plausible prefix followed by random garbage finds wire-type
+        # confusion the curated list misses
+        @settings(max_examples=40, deadline=None)
+        @given(st.binary(min_size=0, max_size=40))
+        def collect(b):
+            corpus.append(b"\x0a" + bytes([len(b) % 0x80]) + b)
+            corpus.append(b)
+
+        collect()
+        endpoints = [
+            "/render?format=carbonapi_v3_pb",
+            "/metrics/find?format=carbonapi_v3_pb",
+        ]
+        bad = []
+        for i, body in enumerate(corpus):
+            ep = endpoints[i % len(endpoints)]
+            try:
+                code = self._post(base, ep, body)
+            except Exception as exc:  # connection drop = handler died
+                bad.append((ep, body[:16], f"DROP {type(exc).__name__}"))
+                continue
+            if code not in self.ALLOWED:
+                bad.append((ep, body[:16], code))
+        assert bad == [], bad[:10]
+
+    def test_valid_body_still_renders_after_barrage(self, base):
+        code = self._post(
+            base, "/render?format=carbonapi_v3_pb", self._fetch()
+        )
+        assert code == 200
+
+    def test_many_fetch_requests_bounded(self, base):
+        """An absurd metrics count must answer cleanly (2xx or a limiter
+        4xx/5xx), not wedge the server."""
+        body = b"".join(self._fetch() for _ in range(200))
+        code = self._post(base, "/render?format=carbonapi_v3_pb", body)
+        assert code in self.ALLOWED
+        assert self._post(
+            base, "/render?format=carbonapi_v3_pb", self._fetch()
+        ) == 200
+
+    def test_content_length_overstates_body(self, base):
+        """Content-Length larger than the bytes actually sent: the read
+        returns short on client close; the server must still answer (or
+        close cleanly), then keep serving."""
+        import socket
+        from urllib.parse import urlparse
+
+        u = urlparse(base)
+        with socket.create_connection((u.hostname, u.port), timeout=10) as s:
+            s.sendall(
+                b"POST /render?format=carbonapi_v3_pb HTTP/1.0\r\n"
+                b"Content-Length: 10000\r\n\r\n" + b"\x0a\x02"
+            )
+            s.shutdown(socket.SHUT_WR)
+            s.settimeout(30)
+            try:
+                first = s.recv(64)
+            except OSError:
+                first = b""
+        # whatever happened on that socket, the server is still alive
+        assert self._post(
+            base, "/render?format=carbonapi_v3_pb", self._fetch()
+        ) == 200

@@ -1,0 +1,159 @@
+#!/usr/bin/env python
+"""HTTP request-latency envelope for the real server under concurrency
+(SURVEY §7.3 known-hard #7; r5 judge next-round #4).
+
+The throughput bench (bench.py) measures analytical wall time; a
+DEPLOYMENT decision also needs the interactive envelope: what p50/p95
+does a dashboard see for small `/render` and `/metrics/find` requests
+against a warm server when many arrive at once?  The reference answers
+small queries in single-digit ms because ClickHouse keeps its index hot;
+our floor is a Spark job round-trip (~100-300 ms on this box), except on
+the find-cache hit path which never touches Spark — measured separately
+because it is the reference's own answer to find latency (SO3,
+find/handler.go:136-149).
+
+Protocol: a warm session + warm server, C concurrent client threads
+(default 32) each firing N sequential requests per workload; per-request
+wall times aggregated to p50/p95/p99/max + requests/s.  Workloads:
+
+  - render_small   : one-target /render, 1-day range, maxDataPoints=100
+  - find_small     : /metrics/find glob, cache BYPASSED (?noCache=1) —
+                     the honest Spark-job-per-request number
+  - find_cache_hit : the same find with the cache warm — every request
+                     is an in-process cache hit (X-Cached-Find asserted)
+
+Writes BENCH_LATENCY.json and prints it as one JSON line.  Run SOLO:
+ambient load on this shared box inflates tails; loadavg is recorded.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import threading
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CONCURRENCY = int(os.environ.get("SPARK_GRAFT_LATENCY_CONCURRENCY", "32"))
+PER_THREAD = int(os.environ.get("SPARK_GRAFT_LATENCY_N", "8"))
+
+FROM_TS, UNTIL_TS = 1704067200, 1704153600  # one day inside the testdata
+
+
+def percentile(xs: list[float], p: float) -> float:
+    xs = sorted(xs)
+    i = min(len(xs) - 1, max(0, int(round(p / 100 * (len(xs) - 1)))))
+    return xs[i]
+
+
+def fire(base: str, path: str, expect_header: str | None = None):
+    t0 = time.monotonic()
+    with urllib.request.urlopen(base + path, timeout=120) as r:
+        r.read()
+        ok_hdr = expect_header is None or r.headers.get(expect_header)
+    return time.monotonic() - t0, bool(ok_hdr)
+
+
+def run_workload(base: str, path: str, expect_header: str | None = None):
+    lat: list[float] = []
+    hdr_ok: list[bool] = []
+    lock = threading.Lock()
+
+    def worker():
+        mine = []
+        ok = []
+        for _ in range(PER_THREAD):
+            el, h = fire(base, path, expect_header)
+            mine.append(el)
+            ok.append(h)
+        with lock:
+            lat.extend(mine)
+            hdr_ok.extend(ok)
+
+    threads = [threading.Thread(target=worker) for _ in range(CONCURRENCY)]
+    t0 = time.monotonic()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.monotonic() - t0
+    return {
+        "n": len(lat),
+        "concurrency": CONCURRENCY,
+        "p50_ms": round(percentile(lat, 50) * 1000, 1),
+        "p95_ms": round(percentile(lat, 95) * 1000, 1),
+        "p99_ms": round(percentile(lat, 99) * 1000, 1),
+        "max_ms": round(max(lat) * 1000, 1),
+        "req_per_s": round(len(lat) / wall, 1),
+        "header_ok": all(hdr_ok),
+    }
+
+
+def main() -> None:
+    from graphite_clickhouse_spark.plans.findcache import CacheConfig, FindCache
+    from graphite_clickhouse_spark.render.pipeline import Engine
+    from graphite_clickhouse_spark.server import serve_background
+    from graphite_clickhouse_spark.session import get_spark
+    from graphite_clickhouse_spark.sources.tables import (
+        build_path_index,
+        points_from_events,
+        tagged_points_from_events,
+    )
+
+    spark = get_spark("latency-bench")
+    points = points_from_events(spark, SF_DIR)
+    engine = Engine(
+        spark=spark,
+        points=points,
+        path_index=build_path_index(points.select("path")),
+        tagged_points=tagged_points_from_events(spark, SF_DIR),
+        find_cache=FindCache(CacheConfig()),
+    )
+    srv, base = serve_background(engine)
+
+    render_q = (
+        f"/render?format=json&from={FROM_TS}&until={UNTIL_TS}"
+        f"&target=ev.purchase.u1&maxDataPoints=100"
+    )
+    find_q = f"/metrics/find?format=json&query=ev.*.u1&from={FROM_TS}&until={UNTIL_TS}"
+
+    # warm: session JIT, parquet footers, python workers, and the find
+    # cache entry the hit workload will ride
+    for _ in range(3):
+        fire(base, render_q)
+        fire(base, find_q + "&noCache=1")
+    fire(base, find_q)
+
+    load0 = os.getloadavg()[0]
+    results = {
+        "render_small": run_workload(base, render_q),
+        "find_small": run_workload(base, find_q + "&noCache=1"),
+        "find_cache_hit": run_workload(base, find_q, expect_header="X-Cached-Find"),
+    }
+    srv.shutdown()
+    spark.stop()
+
+    out = {
+        "metric": "HTTP request latency under concurrency (warm server)",
+        "unit": "ms",
+        "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+        "concurrency": CONCURRENCY,
+        "per_thread": PER_THREAD,
+        "workloads": results,
+        "loadavg_before": round(load0, 1),
+        "loadavg_after": round(os.getloadavg()[0], 1),
+    }
+    line = json.dumps(out)
+    with open(
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "BENCH_LATENCY.json"), "w"
+    ) as fh:
+        fh.write(line + "\n")
+    print(line)
+
+
+if __name__ == "__main__":
+    main()
