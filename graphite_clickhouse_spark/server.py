@@ -1170,7 +1170,16 @@ def make_server(
         attrs["user_limiters"] = settings.user_limiters()
         attrs["render_tiers"] = tuple(settings.render_tiers())
     handler = type("BoundHandler", (GraphiteHandler,), attrs)
-    srv = ThreadingHTTPServer((host, port), handler)
+
+    class _Server(ThreadingHTTPServer):
+        # socketserver's default listen backlog is 5: a burst of
+        # concurrent connects overflows it and the surplus SYNs sit in
+        # kernel retransmit (measured as exact ~1s/2s latency cliffs on
+        # otherwise-1ms find-cache hits in BENCH_LATENCY). The reference
+        # (Go net/http) listens with the OS maximum; match that intent.
+        request_queue_size = 128
+
+    srv = _Server((host, port), handler)
     tls = getattr(settings, "server_tls", None) if settings is not None else None
     if tls:
         import ssl
