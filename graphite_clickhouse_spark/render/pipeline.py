@@ -556,6 +556,19 @@ class Engine:
             # then grids at its own precision (query.go:385-392)
             step = max_step(steps)
         from_al, until_al = align_from_until(from_ts, until_ts, step)
+        if until_al < from_al:
+            # Empty fetch window: an inverted request range (from in the
+            # future — "midnight tomorrow" with default until=now), or a
+            # valid-but-narrow window swallowed by a coarse rollup step
+            # (ceil(from,step) > floor(until,step)). The reference's
+            # inverted-range rejection is DEAD CODE (handler.go:318's
+            # inner `err != nil` can never be true there), so ClickHouse
+            # just evaluates an empty BETWEEN and the client sees an
+            # empty render — match that de-facto wire behavior. Without
+            # this guard the dense-grid sequence() throws
+            # IllegalArgumentException mid-job (found by the r6
+            # time-param fuzz) and the request died as a 500.
+            return self._empty_series_df()
 
         if tagged and self.tagged_points is not None:
             source = self.tagged_points

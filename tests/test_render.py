@@ -514,3 +514,37 @@ class TestSelectDataTableReferenceTables:
         for targets, want in cases:
             src, _ = eng.select_data_table(targets, tf[0], tf[1], now=now)
             assert src == want, (targets, src, want)
+
+
+class TestEmptyFetchWindow:
+    """Inverted or rollup-swallowed fetch windows render EMPTY, matching
+    the reference's de-facto wire behavior: handler.go:318's
+    inverted-range rejection is dead code (its inner `err != nil` can
+    never be true), so ClickHouse evaluates an empty BETWEEN and the
+    client gets an empty render. Before r6 the dense-grid sequence()
+    threw IllegalArgumentException mid-job (found by the time-param
+    fuzz via from='midnight tomorrow')."""
+
+    def test_from_after_until_renders_empty(self, engine):
+        out = engine.render(
+            RenderRequest("test.*", RNOW + 1000, RNOW - 1000, max_data_points=10)
+        )
+        assert out.collect() == []
+
+    def test_narrow_window_swallowed_by_coarse_step(self, spark):
+        # step 3600 vs a 50s window between multiples: ceil(from,3600) >
+        # floor(until,3600)+3599 can't happen, but ceil(from) > until
+        # can: from=100, until=150 -> from_al=3600 > until_al=3599
+        points = spark.createDataFrame(
+            [("m.x", 120, 1.0, 1)],
+            "path string, time long, value double, version long",
+        )
+        eng = Engine(
+            spark=spark,
+            points=points,
+            path_index=build_path_index(points.select("path")),
+            rules=Rules([Pattern(regexp="", function="avg",
+                                 retention=[Retention(0, 3600)])]),
+        )
+        out = eng.render(RenderRequest("m.x", 100, 150, max_data_points=10))
+        assert out.collect() == []

@@ -1214,3 +1214,171 @@ class TestV3pbBodyFuzz:
         assert self._post(
             base, "/render?format=carbonapi_v3_pb", self._fetch()
         ) == 200
+
+
+class TestRemoteReadWriteBodyFuzz:
+    """r6: hostile snappy/prompb bodies through the REAL /api/v1/read and
+    /api/v1/write endpoints (the one POST surface the r5/r6 fuzzes did
+    not cover). Every decoder escape must surface as a clean status from
+    the ALLOWED set — never a connection drop — and the server must stay
+    alive after the barrage."""
+
+    ALLOWED = {200, 204, 400, 403, 404, 503, 504}
+
+    @pytest.fixture(scope="class")
+    def base(self, spark, tmp_path_factory):
+        from graphite_clickhouse_spark.render.pipeline import Engine
+        from graphite_clickhouse_spark.server import serve_background
+        from graphite_clickhouse_spark.streaming.ingest import IngestJob
+
+        points = points_from_events(spark, SF)
+        engine = Engine(
+            spark=spark, points=points,
+            path_index=build_path_index(points.select("path")),
+            tagged_points=tagged_points_from_events(spark, SF),
+            ingest=IngestJob(str(tmp_path_factory.mktemp("rw")), version=1),
+        )
+        srv, base = serve_background(engine)
+        yield base
+        srv.shutdown()
+
+    def _post(self, base, path, body):
+        import urllib.error
+        import urllib.request
+
+        req = urllib.request.Request(base + path, data=body, method="POST")
+        try:
+            with urllib.request.urlopen(req, timeout=120) as r:
+                return r.status
+        except urllib.error.HTTPError as e:
+            return e.code
+
+    def test_hostile_bodies(self, base):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from graphite_clickhouse_spark.functions.snappy import compress
+
+        # valid ReadRequest with a matcher regex that compiles in Python
+        # but not in the JVM dialect: the lazily-compiled rlike must come
+        # back as a 400 through the typed last-resort guard, not a drop
+        def matcher(mtype, name, value):
+            nb, vb = name.encode(), value.encode()
+            m = (b"\x08" + bytes([mtype]) + b"\x12" + bytes([len(nb)]) + nb
+                 + b"\x1a" + bytes([len(vb)]) + vb)
+            return m
+
+        def query(ms, start=0, end=10**9):
+            inner = b"\x08" + bytes([start]) + b"\x10\x80\x89\x7a"
+            for m in ms:
+                inner += b"\x1a" + bytes([len(m)]) + m
+            return b"\x0a" + bytes([len(inner)]) + inner
+
+        corpus = [
+            b"",                                    # not snappy at all
+            b"\xff\xff\xff\xff",                    # bad uvarint header
+            b"garbage not snappy",                  #
+            compress(b"\xff" * 32),                 # snappy of bad protobuf
+            compress(b"\x0a"),                      # truncated message
+            compress(b"\x08\x01"),                  # wrong wire type
+            compress(query([matcher(99, "k", "v")])),   # unknown matcher type
+            compress(query([matcher(2, "name", "[]!&)")])),  # JVM-invalid regex
+            compress(query([matcher(2, "name", "(")])),      # both-invalid regex
+        ]
+
+        @settings(max_examples=30, deadline=None)
+        @given(st.binary(min_size=0, max_size=60))
+        def collect(b):
+            corpus.append(b)
+            corpus.append(compress(b))
+
+        collect()
+        bad = []
+        for i, body in enumerate(corpus):
+            ep = "/api/v1/read" if i % 2 == 0 else "/api/v1/write"
+            try:
+                code = self._post(base, ep, body)
+            except Exception as exc:
+                bad.append((ep, body[:12], f"DROP {type(exc).__name__}"))
+                continue
+            if code not in self.ALLOWED:
+                bad.append((ep, body[:12], code))
+        assert bad == [], bad[:10]
+
+    def test_write_poison_timestamps_bounded(self, base):
+        """A WriteRequest sample with a timestamp beyond the uint32 wire
+        range must not poison the ingest batch (the r5 timestamp bug
+        class at the remote-write boundary)."""
+        from graphite_clickhouse_spark.functions.snappy import compress
+        from graphite_clickhouse_spark.render.remote_read import (
+            parse_write_request,
+        )
+        import struct as _s
+
+        # TimeSeries{labels:[{__name__,pz}], samples:[{v=1.0, ts=2^62ms}]}
+        lab = b"\x0a\x08\x12\x02pz\x0a\x02" + b"\x08" * 0  # built below
+        name = b"\x0a\x0e" + b"\x0a\x08__name__" + b"\x12\x02pz"
+        sample = b"\x09" + _s.pack("<d", 1.0) + b"\x10" + b"\x80" * 8 + b"\x40"
+        ts = b"\x0a" + bytes([len(name) + len(sample) + 2]) \
+            + name + b"\x12" + bytes([len(sample)]) + sample
+        body = compress(ts)
+        code = self._post(base, "/api/v1/write", body)
+        assert code in self.ALLOWED
+        # server alive and the read side still answers
+        assert self._post(base, "/api/v1/read", b"junk") in self.ALLOWED
+
+    def test_valid_read_after_barrage(self, base):
+        from graphite_clickhouse_spark.functions.snappy import compress
+
+        # ReadRequest{Query{start=0, end big, matchers:[EQ name ev]}}
+        m = b"\x08\x00" + b"\x12\x08__name__" + b"\x1a\x02ev"
+        q = b"\x08\x00\x10\x80\x89\x7a" + b"\x1a" + bytes([len(m)]) + m
+        body = compress(b"\x0a" + bytes([len(q)]) + q)
+        assert self._post(base, "/api/v1/read", body) == 200
+
+
+class TestRenderTimeParamFuzz:
+    """r6: hostile from/until/maxDataPoints values (the r5 param fuzz
+    covered target/query expressions only)."""
+
+    ALLOWED = {200, 400, 403, 404, 503, 504}
+
+    NASTY_TIMES = [
+        "99999999999999999999", "-1", "1e309", "0x10", "  ", "%00",
+        "midnight+", "now-now", "-0d", "🎈", "1.5.2", "+",
+        "-99999999d", "20380119", "midnight tomorrow",
+    ]
+    NASTY_MDP = ["0", "-5", "1" * 60, "nan", "1e3", "", "🎈"]
+
+    def test_hostile_time_params(self, base_url):
+        import urllib.error
+        import urllib.parse
+        import urllib.request
+
+        def status(url):
+            try:
+                with urllib.request.urlopen(url, timeout=120) as r:
+                    return r.status
+            except urllib.error.HTTPError as e:
+                return e.code
+
+        bad = []
+        for i, t in enumerate(self.NASTY_TIMES):
+            q = urllib.parse.quote(t, safe="")
+            key = "from" if i % 2 == 0 else "until"
+            url = (f"{base_url}/render?format=json&target=ev.*.u1&"
+                   f"{key}={q}")
+            code = status(url)
+            if code not in self.ALLOWED:
+                bad.append((key, t, code))
+        for m in self.NASTY_MDP:
+            q = urllib.parse.quote(m, safe="")
+            url = (f"{base_url}/render?format=json&from=0&until=600&"
+                   f"target=ev.*.u1&maxDataPoints={q}")
+            code = status(url)
+            if code not in self.ALLOWED:
+                bad.append(("maxDataPoints", m, code))
+        assert bad == [], bad
+        assert status(
+            f"{base_url}/metrics/find?format=json&query=ev.*"
+        ) == 200
