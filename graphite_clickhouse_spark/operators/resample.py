@@ -83,22 +83,44 @@ def resample(
     )
 
 
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _literal_lookup(pairs: list[tuple[str, str]], path_col: str):
+    """(path -> value) as ONE map-literal expression. For dashboard-sized
+    path sets this replaces the per-request createDataFrame + broadcast
+    join of the function table: the join cost a py4j-heavy RDD build at
+    plan time and a broadcast-materialization job at run time, ~40% of a
+    small render's wall clock (r6 latency profile). One F.expr call =
+    one py4j round trip, and the lookup rides the existing scan."""
+    entries = ", ".join(f"{_sql_str(p)}, {_sql_str(v)}" for p, v in pairs)
+    return F.expr(f"element_at(map({entries}), {path_col})")
+
+
 def resample_grouped(
     df: DataFrame,
     from_ts: int,
     until_ts: int,
     step: int,
-    path_functions: DataFrame,
+    path_functions,
     path_col: str = "path",
     time_col: str = "time",
     value_col: str = "value",
 ) -> DataFrame:
     """Per-path aggregation function (rollup rules give each metric its own
-    function). ``path_functions`` is a small (path, agg_function) DataFrame —
-    broadcast-joined, then each function group aggregates in one pass using
-    conditional aggregates (no per-group job fan-out, single shuffle).
-    """
-    joined = df.join(F.broadcast(path_functions), path_col)
+    function). ``path_functions`` is either a small (path, agg_function)
+    DataFrame — broadcast-joined — or a list of (path, agg_function)
+    pairs, inlined as a map-literal lookup (no join, no broadcast; the
+    caller guarantees df is already restricted to exactly those paths).
+    Each function group then aggregates in one pass using conditional
+    aggregates (no per-group job fan-out, single shuffle)."""
+    if isinstance(path_functions, list):
+        joined = df.withColumn(
+            "agg_function", _literal_lookup(path_functions, path_col)
+        )
+    else:
+        joined = df.join(F.broadcast(path_functions), path_col)
     order = F.struct(F.col(time_col), *([F.col("version")] if "version" in df.columns else []))
     v = F.col(value_col)
     fn = F.col("agg_function")
@@ -140,11 +162,25 @@ def resample_grouped_dynamic(
     render/data/data.go:134-142 SetSteps).
 
     ``path_specs`` is a small (path, step, agg_function) DataFrame —
-    broadcast-joined; the bucket floors to the per-row step (absolute
-    alignment t - t%precision, rules.go:381-389). Still one scan + one
-    shuffle for all groups.
+    broadcast-joined — or a list of (path, step, agg_function) triples,
+    inlined as two map-literal lookups (same contract as
+    resample_grouped: the caller already restricted df to these paths).
+    The bucket floors to the per-row step (absolute alignment
+    t - t%precision, rules.go:381-389). Still one scan + one shuffle for
+    all groups.
     """
-    joined = df.join(F.broadcast(path_specs), path_col)
+    if isinstance(path_specs, list):
+        joined = df.withColumn(
+            "step",
+            _literal_lookup(
+                [(p, str(int(s))) for p, s, _fn in path_specs], path_col
+            ).cast("long"),
+        ).withColumn(
+            "agg_function",
+            _literal_lookup([(p, fn) for p, _s, fn in path_specs], path_col),
+        )
+    else:
+        joined = df.join(F.broadcast(path_specs), path_col)
     order = F.struct(F.col(time_col), *([F.col("version")] if "version" in df.columns else []))
     v = F.col(value_col)
     fn = F.col("agg_function")

@@ -586,18 +586,30 @@ class Engine:
             for (precision, fn), group_paths in groups.items()
             for p in group_paths
         ]
-        pf = self.spark.createDataFrame(
-            path_fn, "path string, step long, agg_function string"
-        )
+        # Dashboard-sized path sets (the isin threshold below) skip the
+        # function-table DataFrame entirely: createDataFrame costs a
+        # py4j-heavy RDD build at plan time and the broadcast join a
+        # materialization job at run time — ~40% of a small render's
+        # wall clock (r6 latency profile). The per-path function/step
+        # instead inline as ONE map-literal expression riding the scan
+        # (operators/resample.py::_literal_lookup). Large targets keep
+        # the broadcast-table shape, the reference's external-data temp
+        # table (render/data/query.go:363-380). append-empty-series
+        # needs the path universe as a frame for gap fill's left join,
+        # so it keeps the table too.
+        small = len(paths) <= 1000
+        pf = None
+        if not small or self.append_empty_series:
+            pf = self.spark.createDataFrame(
+                path_fn, "path string, step long, agg_function string"
+            )
         # path restriction: a literal In() pushes into the Parquet scan
         # (row-group pruning on path min/max) but serializes every name
         # into the plan — fine for dashboards, not for 15k-metric targets.
         # Past the threshold the broadcast semi-join inside
-        # resample_grouped* (points ⋈ pf) carries the restriction alone,
-        # the reference's external-data temp table (render/data/
-        # query.go:363-380); a min/max path range filter keeps coarse
-        # row-group pruning.
-        if len(paths) <= 1000:
+        # resample_grouped* (points ⋈ pf) carries the restriction alone;
+        # a min/max path range filter keeps coarse row-group pruning.
+        if small:
             pts = source.filter(F.col("path").isin(paths))
         else:
             pts = source.filter(
@@ -619,7 +631,9 @@ class Engine:
             # !isAggregated; pinned by tests/agg_internal "Deduplication
             # not work with internal aggregation")
             agged = resample_grouped(
-                pts, from_al, until_al, step, pf.drop("step")
+                pts, from_al, until_al, step,
+                pf.drop("step") if pf is not None
+                else [(p, fn) for p, _s, fn in path_fn],
             )
             # the path universe feeds gap fill only when empty series are
             # kept: its left-join cannot broadcast (left side of LEFT
@@ -632,13 +646,25 @@ class Engine:
             # unaggregated path: Sort -> Uniq (max-version per exact
             # (path,time)) -> client rollup, as query.go:243-269
             deduped = dedup_versions(pts)
-            agged = resample_grouped_dynamic(deduped, from_al, until_al, pf)
+            agged = resample_grouped_dynamic(
+                deduped, from_al, until_al,
+                pf if pf is not None else path_fn,
+            )
             series = gap_fill_arrays_dynamic(
                 agged.drop("agg_function"), from_al, until_al,
                 pf if self.append_empty_series else None,
             )
-        out = series.join(F.broadcast(pf.select("path", "agg_function")), "path")\
-            .withColumnRenamed("agg_function", "function")
+        if pf is not None:
+            out = series.join(
+                F.broadcast(pf.select("path", "agg_function")), "path"
+            ).withColumnRenamed("agg_function", "function")
+        else:
+            from ..operators.resample import _literal_lookup
+
+            out = series.withColumn(
+                "function",
+                _literal_lookup([(p, fn) for p, _s, fn in path_fn], "path"),
+            )
         all_nan = F.forall("values", lambda v: F.isnan(v))
         if not self.append_empty_series:
             # drop metrics with no points in range (all buckets gap-filled
