@@ -64,18 +64,16 @@ def gap_fill_arrays(
     construction stays in JVM codegen (no Python).
     """
     start, stop, count = fill_nulls_bounds(from_ts, until_ts, step)
-    pairs = points.filter(
-        (F.col("time") >= start) & (F.col("time") < stop)
-    ).groupBy("path").agg(
-        F.map_from_entries(
-            F.collect_list(F.struct(F.col("time"), F.col("value")))
-        ).alias("by_time")
+    # single-F.expr clauses: request-time plan-build cost (see
+    # resample_grouped — same driver-thread py4j-chatter rationale)
+    pairs = points.where(f"time >= {start} AND time < {stop}").groupBy("path").agg(
+        F.expr("map_from_entries(collect_list(struct(time, value))) AS by_time")
     )
     if paths is not None:
         pairs = paths.join(pairs, "path", "left")
-    idx = F.sequence(F.lit(start), F.lit(stop - step), F.lit(step))
-    values = F.transform(
-        idx, lambda t: F.coalesce(F.element_at(F.col("by_time"), t), F.lit(float("nan")))
+    values = F.expr(
+        f"transform(sequence({start}L, {stop - step}L, {step}L), "
+        f"t -> coalesce(element_at(by_time, t), cast('NaN' AS double)))"
     )
     return pairs.select(
         "path",

@@ -121,27 +121,32 @@ def resample_grouped(
         )
     else:
         joined = df.join(F.broadcast(path_functions), path_col)
-    order = F.struct(F.col(time_col), *([F.col("version")] if "version" in df.columns else []))
-    v = F.col(value_col)
-    fn = F.col("agg_function")
-    bucketed = joined.filter(F.col(time_col).between(from_ts, until_ts)).groupBy(
-        F.col(path_col), time_bucket(F.col(time_col), step), fn.alias("agg_function")
+    # Whole clauses as single F.expr strings: this function runs at HTTP
+    # request time on the driver thread, and per-Column py4j round trips
+    # were the dominant plan-build cost of a small render (r6 latency
+    # profile — the GIL serializes plan building across handler threads,
+    # so chatty expression construction caps saturation throughput).
+    order_cols = time_col + (", version" if "version" in df.columns else "")
+    agged = (
+        joined.where(f"{time_col} BETWEEN {int(from_ts)} AND {int(until_ts)}")
+        .groupBy(
+            F.col(path_col),
+            F.expr(f"{time_col} - {time_col} % {int(step)} AS time"),
+            F.col("agg_function"),
+        )
+        .agg(
+            F.expr(f"avg({value_col}) AS _avg"),
+            F.expr(f"sum({value_col}) AS _sum"),
+            F.expr(f"min({value_col}) AS _min"),
+            F.expr(f"max({value_col}) AS _max"),
+            F.expr(f"min_by({value_col}, struct({order_cols})) AS _any"),
+            F.expr(f"max_by({value_col}, struct({order_cols})) AS _anyLast"),
+        )
     )
-    agged = bucketed.agg(
-        F.avg(v).alias("_avg"),
-        F.sum(v).alias("_sum"),
-        F.min(v).alias("_min"),
-        F.max(v).alias("_max"),
-        F.min_by(v, order).alias("_any"),
-        F.max_by(v, order).alias("_anyLast"),
-    )
-    value = (
-        F.when(fn == "avg", F.col("_avg"))
-        .when(fn == "sum", F.col("_sum"))
-        .when(fn == "min", F.col("_min"))
-        .when(fn == "max", F.col("_max"))
-        .when(fn == "any", F.col("_any"))
-        .when(fn == "anyLast", F.col("_anyLast"))
+    value = F.expr(
+        "CASE agg_function WHEN 'avg' THEN _avg WHEN 'sum' THEN _sum "
+        "WHEN 'min' THEN _min WHEN 'max' THEN _max WHEN 'any' THEN _any "
+        "WHEN 'anyLast' THEN _anyLast END"
     )
     return agged.select(path_col, "time", value.alias(value_col), "agg_function")
 
