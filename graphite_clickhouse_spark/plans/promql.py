@@ -990,7 +990,15 @@ def parse_promql(expr: str):
 
 def _canon(labels: F.Column) -> F.Column:
     """Canonical group key: sorted `k=v` strings (maps are not directly
-    groupable/orderable in Spark; an array<string> is)."""
+    groupable/orderable in Spark; an array<string> is). Single-F.expr
+    when given a plain column name: this runs per HTTP request on the
+    GIL-serialized driver thread, where chatty per-Column py4j calls cap
+    concurrent query throughput (r6 latency profile)."""
+    if isinstance(labels, str):
+        return F.expr(
+            f"array_sort(transform(map_entries({labels}), "
+            f"e -> concat(e.key, '=', e.value)))"
+        )
     return F.array_sort(
         F.transform(
             F.map_entries(labels),
@@ -1030,19 +1038,32 @@ def _eval_indices(time_col: F.Column, start: int, step: int, window: int,
 def _explode_to_grid(pts: DataFrame, start: int, step: int, window: int,
                      n_evals: int) -> DataFrame:
     """points(path, tags, time, value[, version]) -> one row per
-    (sample, eval index j) with j in the sample's service range."""
-    j_min, j_max = _eval_indices(F.col("time"), start, step, window, n_evals)
+    (sample, eval index j) with j in the sample's service range.
+
+    Built as two F.expr strings (the _eval_indices math inlined
+    verbatim) — request-time plan-build cost, same driver-thread py4j
+    rationale as _canon."""
+    start, step, window = int(start), int(step), int(window)
+    jmin = (
+        f"greatest(CASE WHEN time <= {start} THEN 0 "
+        f"ELSE cast(floor((time - {start} + {step} - 1) / {step}) AS int) "
+        f"END, 0)"
+    )
+    jmax = (
+        f"least(cast(floor((time + {window} - {start} + {step} - 1) / "
+        f"{step}) AS int) - 1, {int(n_evals) - 1})"
+    )
     return (
-        pts.withColumn("j_min", j_min)
-        .withColumn("j_max", j_max)
-        .filter(F.col("j_min") <= F.col("j_max"))
-        .withColumn("j", F.explode(F.sequence("j_min", "j_max")))
+        pts.withColumn("j_min", F.expr(jmin))
+        .withColumn("j_max", F.expr(jmax))
+        .where("j_min <= j_max")
+        .withColumn("j", F.expr("explode(sequence(j_min, j_max))"))
         .drop("j_min", "j_max")
     )
 
 
 def _grid_time(start: int, step: int) -> F.Column:
-    return (F.lit(start) + F.col("j").cast("long") * F.lit(step)).alias("t")
+    return F.expr(f"{int(start)} + cast(j AS long) * {int(step)}").alias("t")
 
 
 class Evaluator:
@@ -1286,7 +1307,7 @@ class Evaluator:
             )
         inner = Evaluator(self.tagged, t0, t1, res, self.lookback).eval(sub.expr)
         return inner.select(
-            F.array_join(_canon(F.col("labels")), ",").alias("path"),
+            F.array_join(_canon("labels"), ",").alias("path"),
             F.col("labels").alias("tags"),
             (F.col("t") + F.lit(o)).alias("time"),
             "value",
@@ -1545,7 +1566,7 @@ class Evaluator:
             )
             return (
                 child.withColumn("labels", keep2)
-                .withColumn("gkey", _canon(F.col("labels")))
+                .withColumn("gkey", _canon("labels"))
                 .groupBy("gkey", "t")
                 .agg(F.count("*").cast("double").alias("value"),
                      F.first("labels").alias("labels"))
@@ -1565,7 +1586,7 @@ class Evaluator:
                 else F.col("value").asc()
             )
             w = Window.partitionBy("gkey", "t").orderBy(
-                order, _canon(F.col("labels"))
+                order, _canon("labels")
             )
             return (
                 child.withColumn("gkey", _canon(keep))
@@ -1594,7 +1615,7 @@ class Evaluator:
             agg = F.percentile("value", F.lit(phi))
         return (
             child.withColumn("labels", keep)
-            .withColumn("gkey", _canon(F.col("labels")))
+            .withColumn("gkey", _canon("labels"))
             .groupBy("gkey", "t")
             .agg(agg.alias("value"), F.first("labels").alias("labels"))
             .select("labels", "t", "value")
@@ -1620,7 +1641,7 @@ class Evaluator:
                 child
                 .withColumn("labels", F.map_filter(F.col("labels"),
                                                    lambda k, _: k != "le"))
-                .withColumn("gkey", _canon(F.col("labels")))
+                .withColumn("gkey", _canon("labels"))
                 .groupBy("gkey", "t")
                 .agg(F.first("labels").alias("labels"))
                 .select("labels", "t", sat.alias("value"))
@@ -1634,7 +1655,7 @@ class Evaluator:
             child.filter(le_str.isNotNull())
             .withColumn("le", le)
             .withColumn("labels", keep)
-            .withColumn("gkey", _canon(F.col("labels")))
+            .withColumn("gkey", _canon("labels"))
             .groupBy("gkey", "t")
             .agg(
                 F.sort_array(
@@ -2041,6 +2062,6 @@ def eval_promql(tagged: DataFrame, expr, start: int, end: int,
     out = ev.eval(node)
     return out.select(
         "labels",
-        F.array_join(_canon(F.col("labels")), ",").alias("series"),
+        F.array_join(_canon("labels"), ",").alias("series"),
         "t", "value",
     ).orderBy("series", "t")

@@ -133,12 +133,19 @@ def main() -> None:
         f"&target=ev.purchase.u1&maxDataPoints=100"
     )
     find_q = f"/metrics/find?format=json&query=ev.*.u1&from={FROM_TS}&until={UNTIL_TS}"
+    # PromQL instant query over the tagged table — the Grafana
+    # Prometheus-datasource request shape (one selector, one timestamp)
+    prom_q = (
+        "/api/v1/query?query=ev%7Btype%3D%22purchase%22%2Cuser%3D%22u1%22%7D"
+        f"&time={UNTIL_TS}"
+    )
 
     # warm: session JIT, parquet footers, python workers, and the find
     # cache entry the hit workload will ride
     for _ in range(3):
         fire(base, render_q)
         fire(base, find_q + "&noCache=1")
+        fire(base, prom_q)
     fire(base, find_q)
 
     load0 = os.getloadavg()[0]
@@ -148,6 +155,7 @@ def main() -> None:
         "find_cache_hit": run_workload(base, find_q, expect_header="X-Cached-Find"),
         "find_small": run_workload(base, find_q + "&noCache=1"),
         "render_small": run_workload(base, render_q),
+        "prom_instant": run_workload(base, prom_q),
     }
     srv.shutdown()
     spark.stop()
