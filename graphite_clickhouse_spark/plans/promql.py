@@ -1098,29 +1098,27 @@ class Evaluator:
         o = int(getattr(sel, "offset", 0))
         from .prometheus import decoded_tags
 
-        df = (
-            self.tagged.filter(pred)
-            .filter(
-                (F.col("time") > F.lit(self.start - window - o))
-                & (F.col("time") <= F.lit(self.end - o))
-            )
-            # matching ran on the RAW stored tags; the label sets the
-            # evaluator carries (grouping keys, output series) are the
-            # prometheus view, which URL-decodes (labels.go:28-50)
-            .select("path", decoded_tags("tags").alias("tags"),
-                    "time", "value", "version")
+        # matching ran on the RAW stored tags; the label sets the
+        # evaluator carries (grouping keys, output series) are the
+        # prometheus view, which URL-decodes (labels.go:28-50).
+        # Single where-string + select (request-path py4j economy,
+        # same rationale as _explode_to_grid)
+        return self.tagged.filter(pred).where(
+            f"time > {self.start - window - o} AND time <= {self.end - o}"
+        ).select(
+            "path",
+            decoded_tags("tags").alias("tags"),
+            (F.expr(f"time + {o}") if o else F.col("time")).alias("time"),
+            "value",
+            "version",
         )
-        if o:
-            df = df.withColumn("time", F.col("time") + F.lit(o))
-        return df
 
     def _dedup(self, pts: DataFrame) -> DataFrame:
         """ReplacingMergeTree read-side dedup: per (path, time) keep the
         max-version sample (same contract as operators.dedup)."""
-        w = F.struct(F.col("version").alias("v"), F.col("value").alias("x"))
         return pts.groupBy("path", "time").agg(
-            F.max(w).getField("x").alias("value"),
-            F.first("tags").alias("tags"),
+            F.expr("max(struct(version AS v, value AS x)).x AS value"),
+            F.expr("first(tags) AS tags"),
         )
 
     # -- node dispatch
