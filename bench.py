@@ -152,6 +152,10 @@ def main() -> None:
             # built so one rep's memory doesn't skew the next timing
             spark.catalog.clearCache()
             if len(times) >= reps:
+                # REPS=1 (min-of-1, supported for quick smoke runs) has no
+                # second rep to converge against — accept the single rep
+                if len(times) < 2:
+                    break
                 fastest_two = sorted(times)[:2]
                 if fastest_two[1] <= 1.2 * fastest_two[0]:
                     break
@@ -202,9 +206,10 @@ def main() -> None:
         result["failures"] = failures
     spark.stop()
     line = json.dumps(result)
-    # ALSO persist next to the repo: the r2 driver round recorded only the
-    # last ~4 KB of stdout and truncated the JSON mid-line; a file artifact
-    # survives any stdout capture limits
+    # Full detail (per-rep spreads, loadavg maps, convergence metadata)
+    # goes to BENCH_LOCAL.json: the driver records only the last ~2 KB of
+    # stdout, and rounds 2-6 all captured `parsed: null` because the one
+    # ~8 KB JSON line truncated mid-line.
     try:
         with open(
             os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -213,7 +218,23 @@ def main() -> None:
             fh.write(line + "\n")
     except OSError:
         pass
-    print(line)
+    # full line to stderr for humans watching the run (the driver does not
+    # capture stderr — the per-query progress lines above prove it)
+    print(line, file=sys.stderr)
+    # FINAL stdout line: a compact (~1.5 KB) summary that fits whole inside
+    # the driver's tail capture — totals + per-query seconds rounded to
+    # 10 ms, nothing else.  This is the line the driver parses.
+    compact = {
+        "metric": "suite-sec",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "unconverged": unconverged,
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+    }
+    if failures:
+        compact["failed"] = sorted(failures)
+    print(json.dumps(compact, separators=(",", ":")), flush=True)
 
 
 if __name__ == "__main__":

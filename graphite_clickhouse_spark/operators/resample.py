@@ -94,7 +94,14 @@ def _literal_lookup(pairs: list[tuple[str, str]], path_col: str):
     plan time and a broadcast-materialization job at run time, ~40% of a
     small render's wall clock (r6 latency profile). One F.expr call =
     one py4j round trip, and the lookup rides the existing scan."""
-    entries = ", ".join(f"{_sql_str(p)}, {_sql_str(v)}" for p, v in pairs)
+    # Defensive last-wins dedup: Spark's default
+    # spark.sql.mapKeyDedupPolicy=EXCEPTION turns a duplicated path into
+    # a runtime DUPLICATE_MAP_KEY job abort (a 500 on the render path).
+    # Resolvers return distinct paths today, so this is belt-and-braces
+    # for future call sites (r6 advisor).
+    entries = ", ".join(
+        f"{_sql_str(p)}, {_sql_str(v)}" for p, v in dict(pairs).items()
+    )
     return F.expr(f"element_at(map({entries}), {path_col})")
 
 

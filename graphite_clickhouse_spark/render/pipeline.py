@@ -568,6 +568,13 @@ class Engine:
             # this guard the dense-grid sequence() throws
             # IllegalArgumentException mid-job (found by the r6
             # time-param fuzz) and the request died as a 500.
+            # The reference still ISSUES that empty-BETWEEN storage
+            # query, so injected storage-fault delays must fire here too
+            # (inside the caller's data-timeout guard) — otherwise
+            # fault-injection behavior silently diverges for From>=Until
+            # requests (r6 advisor). The scan-limit check is moot on a
+            # zero-row result and is intentionally skipped.
+            self.storage_query_start()
             return self._empty_series_df()
 
         if tagged and self.tagged_points is not None:

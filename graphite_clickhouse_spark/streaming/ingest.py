@@ -524,6 +524,10 @@ class CarbonLineReceiver:
         self._time = time
         t = threading.Thread(target=self._accept_loop, daemon=True)
         t.start()
+        # dedicated attribute (not a positional slot in _threads): close()
+        # must know which thread is the one-and-only appender of conn
+        # threads so it can snapshot the rest only after this one exits
+        self._accept_thread = t
         self._threads.append(t)
 
     # distinguishes the three transports' files in a shared spool dir
@@ -696,14 +700,29 @@ class CarbonLineReceiver:
            0.2 s idle gap, or its own drain_seconds deadline.
         """
         self._stopping.set()
-        accept_thread = self._threads[0]
+        accept_thread = self._accept_thread
         accept_thread.join(timeout=self.backlog_drain_seconds + 5)
         try:
             self._srv.close()
         except OSError:
             pass
-        for t in self._threads[1:]:
-            t.join(timeout=self.drain_seconds + 10)
+        # The accept loop is the ONLY appender of conn threads, so the
+        # list is fixed once it has exited — but its join above is
+        # timeout-bounded, and a conn thread appended after a one-shot
+        # snapshot would never be joined (its spool flush lost). Keep
+        # re-snapshotting until the accept thread is gone AND no new
+        # threads appeared, with a hard pass cap so a wedged accept
+        # loop can't hang close() forever (r6 advisor).
+        joined = 0
+        for _pass in range(4):
+            threads = list(self._threads)
+            for t in threads[joined:]:
+                if t is not accept_thread:
+                    t.join(timeout=self.drain_seconds + 10)
+            joined = len(threads)
+            if not accept_thread.is_alive() and len(self._threads) == joined:
+                break
+            accept_thread.join(timeout=1.0)
 
 
 class CarbonUDPReceiver:
