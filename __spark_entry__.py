@@ -12,6 +12,16 @@ graphite_clickhouse_spark/sources/tables.py.
 Aggregate doubles are rounded (6dp ratios/avgs, 2dp big sums) on BOTH
 sides so Spark/DuckDB float summation-order differences cannot flip the
 value hash.
+
+SESSION CONFIG MATTERS FOR TIMING (not correctness): run these queries
+under ``graphite_clickhouse_spark.session.get_spark``, or copy its
+config. In a default-config session hot queries measure up to ~4x
+slower (render_resample_multi: 3.4 s vs 0.75 s, r6 measurement) because
+the default 240 MB JIT code cache fills mid-suite and HotSpot falls
+back to interpreted execution — ``get_spark`` sets
+``-XX:ReservedCodeCacheSize=2g`` plus Arrow transfers, UTC session
+timezone, and ``spark.sql.legacy.parquet.nanosAsLong=true`` (the
+testdata's TIMESTAMP(NANOS) columns need it to load at all).
 """
 
 from __future__ import annotations
@@ -954,11 +964,25 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         did % 7 == 0,
         F.concat(F.lit(" 10.0."), s(did % 256), F.lit("."), s((did * 3) % 256)),
     ).otherwise(F.lit(""))
+    # r7: international group spellings exercise the second phone-pattern
+    # branch. Appended AFTER the ip span: the greedy group repetition
+    # would otherwise swallow a following space-led digit run (e.g. the
+    # "10" of " 10.0.x.y") as an extra phone group — identically in all
+    # three regex engines, but semantically wrong.
+    phone_intl_sp = F.when(
+        did % 17 == 0,
+        F.concat(F.lit(" +44 20 7946 "), F.lpad(s(did % 10000), 4, "0")),
+    ).otherwise(F.lit(""))
+    phone_intl_hy = F.when(
+        did % 19 == 0,
+        F.concat(F.lit(" +49-30-"), F.lpad(s(did % 100), 2, "0"),
+                 F.lit("-"), F.lpad(s((did * 7) % 10000), 4, "0")),
+    ).otherwise(F.lit(""))
     injected = docs.select(
         "doc_id",
         F.concat(
             F.substring("text", 1, 40), email, phone, phone_paren,
-            phone_dotted, ip,
+            phone_dotted, ip, phone_intl_sp, phone_intl_hy,
         ).alias("text"),
     )
     return pii_scrub(injected).select(
@@ -989,6 +1013,13 @@ WITH injected AS (
            || CASE WHEN doc_id % 7 = 0
                    THEN ' 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.'
                         || CAST((doc_id * 3) % 256 AS VARCHAR)
+                   ELSE '' END
+           || CASE WHEN doc_id % 17 = 0
+                   THEN ' +44 20 7946 ' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                   ELSE '' END
+           || CASE WHEN doc_id % 19 = 0
+                   THEN ' +49-30-' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                        || '-' || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0')
                    ELSE '' END AS text
     FROM documents
 ),
@@ -1008,10 +1039,10 @@ m1 AS (
 m2 AS (
     SELECT doc_id, n_emails,
            CAST(len(regexp_extract_all(t1,
-               '(?:\+\d{1,2}[-. ])?(?:\(\d{3}\) ?|\d{3}[-. ])\d{3,4}[-. ]\d{4}'))
+               '(?:\+\d{1,2}[-. ])?(?:\(\d{3}\) ?|\d{3}[-. ])\d{3,4}[-. ]\d{4}|\+\d{1,3}(?:[-. ]\d{2,4}){2,4}'))
                AS INT) AS n_phones,
            regexp_replace(t1,
-               '(?:\+\d{1,2}[-. ])?(?:\(\d{3}\) ?|\d{3}[-. ])\d{3,4}[-. ]\d{4}',
+               '(?:\+\d{1,2}[-. ])?(?:\(\d{3}\) ?|\d{3}[-. ])\d{3,4}[-. ]\d{4}|\+\d{1,3}(?:[-. ]\d{2,4}){2,4}',
                '<PHONE>', 'g') AS t2
     FROM m1
 )

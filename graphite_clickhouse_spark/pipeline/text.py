@@ -479,12 +479,20 @@ def winnow_overlap_pairs(
 #: (DuckDB oracle / ClickHouse), and Python re — character classes,
 #: bounded quantifiers, non-capturing alternation; no lookaround or
 #: possessive quantifiers, which would diverge across the three engines.
-#: The phone pattern covers the common North-American-style spellings:
-#: an optional +CC prefix, then (ddd) ddd-dddd / ddd-ddd(d)-dddd with
-#: '-', '.' or ' ' separators.
+#: The phone pattern's first branch covers the common
+#: North-American-style spellings: an optional +CC prefix, then
+#: (ddd) ddd-dddd / ddd-ddd(d)-dddd with '-', '.' or ' ' separators.
+#: The second branch (r7) covers international group spellings like
+#: "+44 20 7946 0958" / "+49-30-12-3456": a mandatory +CC then 2-4
+#: separator-led groups of 2-4 digits. Branch order matters and is
+#: identical in all three engines (leftmost-first alternation), so the
+#: NANP branch wins where both could match at the same start.
 PII_PATTERNS = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
-    "phone": r"(?:\+\d{1,2}[-. ])?(?:\(\d{3}\) ?|\d{3}[-. ])\d{3,4}[-. ]\d{4}",
+    "phone": (
+        r"(?:\+\d{1,2}[-. ])?(?:\(\d{3}\) ?|\d{3}[-. ])\d{3,4}[-. ]\d{4}"
+        r"|\+\d{1,3}(?:[-. ]\d{2,4}){2,4}"
+    ),
     "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
 }
 

@@ -1382,6 +1382,41 @@ class TestPiiScrub:
             assert "<PHONE>" in got[i].clean_text, (i, got[i])
         assert got[6].n_phones == 0, got[6]
 
+    def test_phone_international_spellings(self, spark):
+        """r7: the second phone branch — +CC then 2-4 separator-led
+        groups of 2-4 digits — covers space/hyphen-grouped international
+        spellings the NANP branch can't (2-digit area codes, uneven
+        groups). One pinned row per spelling."""
+        from graphite_clickhouse_spark.pipeline.text import pii_scrub
+
+        df = spark.createDataFrame(
+            [
+                (1, "london +44 20 7946 0958 office"),        # space groups
+                (2, "berlin +49-30-12-3456 desk"),            # hyphen groups
+                (3, "zurich +41.44.668.1800 line"),           # dot groups
+                (4, "ops +44 20 7946 0958 and +49-30-12-3456"),
+                # NOT phones: 1-digit groups / no +CC prefix
+                (5, "ref +1 2 3 and 20 7946 0958"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {r.id: r for r in pii_scrub(df).collect()}
+        for i in (1, 2, 3):
+            assert got[i].n_phones == 1, (i, got[i])
+            assert "<PHONE>" in got[i].clean_text, (i, got[i])
+        assert got[4].n_phones == 2, got[4]
+        assert got[5].n_phones == 0, got[5]
+        # documented greedy edge: a space-led digit run directly after an
+        # international phone is swallowed as an extra group — identical
+        # in Java regex / RE2 / Python re; injection sites must not place
+        # digit-leading spans right after a phone span
+        r = pii_scrub(
+            spark.createDataFrame(
+                [(1, "x +44 20 7946 0958 1234 y")], "doc_id long, text string"
+            )
+        ).collect()[0]
+        assert r.clean_text == "x <PHONE> y" and r.n_phones == 1
+
     def test_plan_is_row_local(self, spark):
         """Expression-only: no shuffle, no join — scales with the scan."""
         from graphite_clickhouse_spark.pipeline.text import pii_scrub
