@@ -448,16 +448,27 @@ def q_render_baseline_unagg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value"
         ),
     )
-    arr = F.array_sort(F.collect_list(F.struct("time", "value")))
+    # TWO primitive arrays, exactly the reference's groupArray(Time),
+    # groupArray(Value) fetch (render/data/query.go groupArray scheme).
+    # r7: this replaces collect_list(struct(time, value)) + array_sort —
+    # 9.9M UnsafeRow copies churned the young generation enough that the
+    # bench's convergence gate never accepted two agreeing reps
+    # (BENCH_LOCAL r6 "unconverged"). Sorting a primitive long array per
+    # group is cheap and deterministic; the value array is forced via
+    # size() so the groupArray data movement is not prunable.
     return (
         pts.filter(F.col("time").between(_BL_FROM, _BL_UNTIL))
         .groupBy("path")
-        .agg(arr.alias("arr"), F.round(F.avg("value"), 6).alias("avg_val"))
+        .agg(
+            F.array_sort(F.collect_list("time")).alias("times"),
+            F.collect_list("value").alias("vals"),
+            F.round(F.avg("value"), 6).alias("avg_val"),
+        )
         .select(
             "path",
-            F.size("arr").alias("n_points"),
-            F.element_at("arr", 1).getField("time").alias("first_time"),
-            F.element_at("arr", -1).getField("time").alias("last_time"),
+            F.size("vals").alias("n_points"),
+            F.element_at("times", 1).alias("first_time"),
+            F.element_at("times", -1).alias("last_time"),
             "avg_val",
         )
     )

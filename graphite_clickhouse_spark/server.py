@@ -367,6 +367,32 @@ class GraphiteHandler(BaseHTTPRequestHandler):
         except Exception:
             return 0
 
+    #: map each request class to a FAIR scheduler pool (requires a
+    #: session with spark.scheduler.mode=FAIR; pools are created on
+    #: demand with equal weight). DEFAULT OFF: the r7 mixed-workload
+    #: measurement (tools/latency_bench.py run_mixed,
+    #: BENCH_LATENCY.json) found NO win — find p50 under a c16 render
+    #: storm was 445 ms without pools vs 469 ms with, and the storm's
+    #: render throughput dropped 17.4 -> 15.8 req/s. Interactive find
+    #: latency on this engine is bound by driver-side plan building
+    #: (GIL-serialized py4j), which task-slot fair share cannot touch;
+    #: the render storm's stages are many short jobs, so finds never
+    #: actually starve under FIFO. Kept as a class attribute so a
+    #: deployment with long-stage renders can flip it and re-measure.
+    scheduler_pools = False
+
+    def _set_scheduler_pool(self, cls: str) -> None:
+        if not self.scheduler_pools:
+            return
+        try:
+            # pinned-thread mode (the PySpark default) makes this
+            # per-request-thread; the thread dies with the request
+            self.engine.spark.sparkContext.setLocalProperty(
+                "spark.scheduler.pool", cls
+            )
+        except Exception:
+            pass
+
     def _render_limit(self, q: dict):
         """Render limiter choice with [[query-params]] duration tiers
         (config.go GetQueryParam: the LARGEST tier whose duration <= the
@@ -374,6 +400,7 @@ class GraphiteHandler(BaseHTTPRequestHandler):
         A per-user user-limits override replaces the LIMITER only — the
         tier data-timeout still applies, as in the reference where
         GetQueryParam and the user limiter lookup are independent."""
+        self._set_scheduler_pool("render")
         self._tier_data_timeout = None
         # the default tier's read limits come from the [clickhouse] url
         # query string; a matching [[query-params]] tier overrides them
@@ -460,6 +487,7 @@ class GraphiteHandler(BaseHTTPRequestHandler):
     def _limit(self, cls: str):
         import contextlib
 
+        self._set_scheduler_pool(cls)
         # a user named in user-limits gets their own limiter in place of
         # the class one (render/data/multi_target.go:95-125; username from
         # the X-Forwarded-User header, render/handler.go:273)

@@ -32,6 +32,15 @@ def get_spark(
         .config("spark.ui.showConsoleProgress", "false")
         # testdata parquet carries TIMESTAMP(NANOS); map to long nanoseconds
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Deliberately NOT spark.scheduler.mode=FAIR: the r7
+        # mixed-workload measurement (BENCH_LATENCY.json
+        # mixed_find_under_render_storm) showed per-request-class FAIR
+        # pools do not help — find p50 under a c16 render storm was
+        # 445 ms (FIFO-equivalent) vs 469 ms (pools), with render
+        # throughput 17.4 vs 15.8 req/s. Interactive latency here is
+        # plan-build (driver GIL) bound, not task-slot starved. The
+        # mapping stays available: server.GraphiteHandler.scheduler_pools
+        # + extra_conf={"spark.scheduler.mode": "FAIR"}.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         # complex expression trees generate a LOT of JIT'd classes; the
         # default 240m code cache fills mid-suite and HotSpot silently

@@ -1,0 +1,200 @@
+#!/usr/bin/env python
+"""Two-decade documents-axis scaling for the pair-finding operators
+(r6 judge next-round #3).
+
+BENCH_SCALING's 10x density run showed the worst per-query ratios on the
+per-gram-hash / pair-join operators (winnow_fingerprints 6.3x,
+dedup_clusters 5.4x, minhash_dedup 5.3x, ngram_jaccard 4.7x at 10x
+data).  Those are linear-per-unit-work amortized over 32 cores — but one
+decade cannot distinguish "linear with a big constant" from "quietly
+super-linear".  This tool adds the second decade: the same four queries
+at 1x, 10x and 100x the documents corpus (documents axis ONLY; every
+other table symlinked verbatim as in namespace_bench.py), reporting the
+PER-DECADE ratio t(10x)/t(1x) vs t(100x)/t(10x).  Linear work =>
+flat-or-falling per-decade ratios; a compounding ratio would expose a
+hidden quadratic.
+
+Replica scheme — the part that must be right for the measurement to
+mean anything (r4 lesson: a constant per-replica perturbation collapses
+replicas into manufactured near-dup clusters):
+
+- doc_id += k * 1e9 per replica k.
+- Replica text passes an INJECTIVE per-k letter substitution drawn from
+  a pool of digits/punctuation: within a replica both members of a real
+  near-dup pair get the SAME mapping, so within-replica pair structure
+  is preserved exactly, while any cross-replica shingle containing one
+  of the 12 mapped letters (the most frequent ones — i.e. virtually all
+  shingles) diverges.  Crucially every k in 0..99 gets a DISTINCT
+  mapping: offset and stride into the pool are varied so mappings repeat
+  only at k = lcm(35, 24) = 840.  Reusing a 13-entry translate table
+  (the 10x tool's scheme) at 100 replicas would hand ~8 replicas the
+  identical mapping — every document would acquire ~8 cross-replica
+  EXACT duplicates and the pair count would blow up quadratically by
+  construction, not by any property of the engine.
+
+Output: BENCH_SCALING_2D.json; the round notes fold a table into
+BENCH_SCALING.md.  Protocol matches scale_bench.py: min of REPS per
+scale, base measured before AND after the ladder (elementwise min) for
+warm-state symmetry; run SOLO.
+"""
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SCALES = (10, 100)
+REPS = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
+
+#: the four worst 10x scalers from BENCH_SCALING.md — all pure
+#: documents-table operators (per-gram hashing + bucketed pair joins)
+PAIR_QUERIES = [
+    "winnow_fingerprints",
+    "minhash_dedup",
+    "ngram_jaccard",
+    "dedup_clusters",
+]
+
+#: the 12 most frequent letters; mapping them guarantees essentially
+#: every shingle is touched, so cross-replica shingles diverge
+_SRC = "etaoinsrhdlu"
+#: substitution pool: digits + punctuation only — a letter target would
+#: merge with that letter's genuine occurrences and perturb
+#: WITHIN-replica gram structure.  PRIME length (31): every stride
+#: 1..30 generates 12 distinct targets, and the (offset, stride) pair —
+#: hence the mapping — repeats only at k = lcm(31, 30) = 930.
+_POOL = "0123456789!#$%&()*+,/:;<=>?@[]^_{|}~"[:31]
+assert len(_POOL) == 31
+_STRIDES = list(range(1, len(_POOL)))
+
+
+def replica_mapping(k: int) -> tuple[str, str]:
+    """Injective letter substitution for replica k; distinct mappings for
+    all k < lcm(31, 30) = 930."""
+    if k == 0:
+        return "", ""  # replica 0: verbatim
+    n = len(_POOL)
+    off = (k * 13) % n
+    stride = _STRIDES[k % len(_STRIDES)]
+    to = "".join(_POOL[(off + i * stride) % n] for i in range(len(_SRC)))
+    assert len(set(to)) == len(_SRC)  # injective within the mapping
+    return _SRC, to
+
+
+def scale_dir(scale: int) -> str:
+    return os.path.join(REPO, ".scale", f"docs{scale}x")
+
+
+def build_docs_replica(spark, scale: int) -> None:
+    from pyspark.sql import functions as F
+
+    from graphite_clickhouse_spark.sources.tables import TABLES, load_table
+
+    out_dir = scale_dir(scale)
+    os.makedirs(out_dir, exist_ok=True)
+    for name in TABLES:
+        dst = os.path.join(out_dir, f"{name}.parquet")
+        if os.path.exists(dst) or os.path.islink(dst):
+            continue
+        if name != "documents":
+            os.symlink(os.path.join(BASE_SF, f"{name}.parquet"), dst)
+            continue
+        df = load_table(spark, BASE_SF, "documents")
+        parts = []
+        for k in range(scale):
+            d = df.withColumn("doc_id", F.col("doc_id") + F.lit(k * 10**9))
+            src, to = replica_mapping(k)
+            if src:
+                d = d.withColumn("text", F.translate("text", src, to))
+            parts.append(d)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        # multiple output splits: a single-file corpus serializes the
+        # CPU-bound per-gram hashing stage (measured 5x in r4)
+        out.repartition(32).write.mode("overwrite").parquet(dst)
+        print(f"# built documents {scale}x -> {dst}", file=sys.stderr)
+
+
+def time_suite(spark, qs, sf_dir, label) -> tuple[dict, dict]:
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name in PAIR_QUERIES:
+        times = []
+        n = 0
+        for _ in range(REPS):
+            t0 = time.monotonic()
+            try:
+                n = len(qs[name](spark, sf_dir).collect())
+            except Exception as exc:
+                print(f"# {name}@{label}: FAILED {exc}", file=sys.stderr)
+                times = []
+                break
+            times.append(time.monotonic() - t0)
+            spark.catalog.clearCache()
+        if times:
+            timings[name] = round(min(times), 3)
+            rows[name] = n
+            print(f"# {name}@{label}: {timings[name]}s ({n} rows)",
+                  file=sys.stderr)
+    return timings, rows
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from graphite_clickhouse_spark.session import get_spark
+
+    spark = get_spark("docs-scale-bench")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    for scale in SCALES:
+        build_docs_replica(spark, scale)
+    qs = entrymod.queries()
+
+    # warm-state symmetry: base, ladder up, base again; elementwise min
+    t1, r1 = time_suite(spark, qs, BASE_SF, "1x")
+    t10, r10 = time_suite(spark, qs, scale_dir(10), "10x")
+    t100, r100 = time_suite(spark, qs, scale_dir(100), "100x")
+    t1b, _ = time_suite(spark, qs, BASE_SF, "1x-rewarm")
+    t1 = {
+        n: min(t1.get(n, float("inf")), t1b.get(n, float("inf")))
+        for n in PAIR_QUERIES
+        if n in t1 or n in t1b
+    }
+    decade1 = {
+        n: round(t10[n] / t1[n], 2)
+        for n in PAIR_QUERIES if n in t1 and n in t10 and t1[n] > 0
+    }
+    decade2 = {
+        n: round(t100[n] / t10[n], 2)
+        for n in PAIR_QUERIES if n in t10 and n in t100 and t10[n] > 0
+    }
+    result = {
+        "axis": "documents (1x / 10x / 100x corpus, injective per-replica "
+                "letter substitution; spine tables symlinked)",
+        "scales": list(SCALES),
+        "reps": REPS,
+        "base_sf_dir": BASE_SF,
+        "sec_1x": t1,
+        "sec_10x": t10,
+        "sec_100x": t100,
+        "rows_1x": r1,
+        "rows_10x": r10,
+        "rows_100x": r100,
+        "decade1_ratio_10x_over_1x": decade1,
+        "decade2_ratio_100x_over_10x": decade2,
+        "loadavg": round(os.getloadavg()[0], 1),
+    }
+    spark.stop()
+    with open(os.path.join(REPO, "BENCH_SCALING_2D.json"), "w") as fh:
+        json.dump(result, fh, indent=1)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
