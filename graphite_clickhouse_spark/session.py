@@ -30,6 +30,16 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
+        # PySpark 4's DataFrame-debugging wrapper does a conf.get +
+        # PySparkCurrentOrigin.set/clear (≈4 extra JVM round trips plus a
+        # Python stack walk) around EVERY DataFrame API call, purely to
+        # enrich error messages with the Python call site. Plan building
+        # runs on the GIL-serialized driver thread at HTTP request time,
+        # so this tax caps concurrent throughput: disabling it cut a
+        # small render's plan-build from 350 to 190 py4j round trips
+        # (~136 -> ~105 ms, r7 profile). Errors keep their full JVM
+        # context; only the Python-line annotation is lost.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         # testdata parquet carries TIMESTAMP(NANOS); map to long nanoseconds
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Deliberately NOT spark.scheduler.mode=FAIR: the r7
