@@ -1424,3 +1424,88 @@ class TestPiiScrub:
         df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
         plan = pii_scrub(df)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan and "Join" not in plan
+
+    def test_three_engine_differential(self, spark):
+        """The oracle contract silently depends on PII_PATTERNS meaning
+        the SAME thing in Java regex (Spark), RE2 (DuckDB) and Python re
+        (this reference implementation). Differential fuzz over one
+        seeded corpus, single Spark job + single DuckDB query — the
+        pattern every hand-rolled parser/encoder pair in this repo uses,
+        because its first run historically finds real divergence."""
+        import random
+        import re as pyre
+
+        import duckdb
+
+        from graphite_clickhouse_spark.pipeline.text import (
+            PII_PATTERNS,
+            pii_scrub,
+        )
+
+        rng = random.Random(0x9117)
+        # digit-heavy alphabet: separators, +CC markers, parens, a few
+        # letters/@/dots so email/ipv4 interplay gets exercised too
+        alphabet = "00112233445566778899+-.()  @abxyz."
+        docs = [
+            (i, "".join(rng.choice(alphabet)
+                        for _ in range(rng.randrange(0, 48))))
+            for i in range(400)
+        ]
+        base = len(docs)
+        docs += [  # pinned tricky spellings (r7 review set)
+            (base + 0, "+44 20 7946 0958"),
+            (base + 1, "+44 20 7946 0958 1234 y"),   # greedy trailing group
+            (base + 2, "+1 212 555 0198"),            # both branches match
+            (base + 3, "+49-30-12-3456 and 10.0.0.1"),
+            (base + 4, "a@10.1.2.3.net +41.44.668.1800"),
+            (base + 5, "(555) 123-4567 vs +1 (555) 123-4567"),
+            (base + 6, "+123 45 67"),
+            (base + 7, "++44 20 79 46 .. +1 2 3"),
+        ]
+
+        def py_scrub(text: str):
+            out = []
+            for kind, token in (("email", "<EMAIL>"), ("phone", "<PHONE>"),
+                                ("ipv4", "<IP>")):
+                pat = pyre.compile(PII_PATTERNS[kind])
+                out.append(len(pat.findall(text)))
+                text = pat.sub(token, text)
+            return text, tuple(out)
+
+        expected = {i: py_scrub(t) for i, t in docs}
+
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {r.id: r for r in pii_scrub(df).collect()}
+        for i, t in docs:
+            exp_text, (ne, np_, nip) = expected[i]
+            r = got[i]
+            assert (r.clean_text, r.n_emails, r.n_phones, r.n_ipv4) == (
+                exp_text, ne, np_, nip,
+            ), (i, t, r, expected[i])
+
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t(id BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO t VALUES (?, ?)", docs)
+        e, p, ip = (PII_PATTERNS[k].replace("'", "''")
+                    for k in ("email", "phone", "ipv4"))
+        rows = con.execute(f"""
+            WITH m1 AS (
+                SELECT id, CAST(len(regexp_extract_all(text, '{e}')) AS INT) AS ne,
+                       regexp_replace(text, '{e}', '<EMAIL>', 'g') AS t1
+                FROM t
+            ), m2 AS (
+                SELECT id, ne,
+                       CAST(len(regexp_extract_all(t1, '{p}')) AS INT) AS np,
+                       regexp_replace(t1, '{p}', '<PHONE>', 'g') AS t2
+                FROM m1
+            )
+            SELECT id, ne, np,
+                   CAST(len(regexp_extract_all(t2, '{ip}')) AS INT) AS nip,
+                   regexp_replace(t2, '{ip}', '<IP>', 'g') AS clean
+            FROM m2
+        """).fetchall()
+        for i, ne, np_, nip, clean in rows:
+            exp_text, counts = expected[i]
+            assert (clean, (ne, np_, nip)) == (exp_text, counts), (
+                i, dict(docs)[i], (clean, ne, np_, nip), expected[i],
+            )
