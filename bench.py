@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "prom_plain_bridge",
     "tagbrowse_list",
     "pii_scrub",
+    "paragraph_dedup",
     "promql_range_select",
     "promql_rate_sum",
     "promql_hist_quantile",

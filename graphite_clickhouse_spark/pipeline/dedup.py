@@ -842,3 +842,80 @@ def dedup_clusters(
             f"(component diameter > 2^{max_iter}); raise max_iter"
         )
     return labels.select("id", F.col("label").alias("canonical_id"))
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Repeated-paragraph removal — the RefinedWeb/Dolma line-level dedup
+    stage: a paragraph (separator-delimited block) that appears in
+    >= ``min_docs`` DISTINCT documents is boilerplate (headers, footers,
+    licenses, navigation) and is struck from every document; paragraph
+    order within each document is preserved and singletons pass through.
+
+    -> (id, clean_text, n_paragraphs, n_removed). Documents whose every
+    paragraph is boilerplate come back with clean_text '' (kept, so the
+    caller can filter or audit them; the C4/RefinedWeb reports track the
+    removal rate, which is sum(n_removed)/sum(n_paragraphs)).
+
+    100 TB shape: posexplode -> hash-aggregate on the NORMALIZED
+    paragraph (count(DISTINCT doc) with map-side partial agg) ->
+    left-anti-shaped join back on the paragraph key -> re-assemble per
+    doc. One explode, two shuffles, both keyed on bounded-cardinality
+    values; no pairwise work at any point (frequency, not similarity —
+    the near-dup operators above handle fuzzy matches). Grouping keys
+    here are the normalized paragraph strings themselves, which is exact
+    at any scale; swap the key for xxhash64(norm) to shrink shuffle
+    width when paragraphs are long — the plan shape is unchanged.
+    """
+    norm = F.regexp_replace(F.trim(F.lower(F.col("para"))), r"\s+", " ")
+    paras = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.split(F.col(text_col), F.lit(sep))).alias(
+                "pos", "para"
+            ),
+        )
+        .withColumn("norm", norm)
+        .filter(F.col("norm") != "")
+    )
+    repeated = (
+        paras.groupBy("norm")
+        .agg(F.countDistinct("id").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("norm", F.lit(True).alias("_repeated"))
+    )
+    flagged = paras.join(repeated, "norm", "left")
+    per_doc = flagged.groupBy("id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_paragraphs"),
+        F.count(F.col("_repeated")).cast("int").alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("_repeated").isNull(),
+                            F.struct(F.col("pos"), F.col("para")),
+                        )
+                    )
+                ),
+                lambda s: s["para"],
+            ),
+            sep,
+        ).alias("clean_text"),
+    )
+    # docs that were entirely empty/whitespace still get a row
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(per_doc, "id", "left")
+        .select(
+            "id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_paragraphs", F.lit(0)).alias("n_paragraphs"),
+            F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+        )
+    )

@@ -145,7 +145,7 @@ def test_contract_registry_is_complete():
         "version_dedup", "storage_merge", "consolidate_last",
         "gapfill_grid", "find_glob", "index_tree", "tagged_find",
         "autocomplete_values", "autocomplete_tags", "prom_label_values",
-        "tpch_q1",
+        "tpch_q1", "topk_orders_per_segment",
     }
     overflow = [n for i, n in enumerate(qs) if i >= 50 and n not in STABLE_TAIL]
     assert overflow == [], f"new queries outside the driver's top-50 gate: {overflow}"

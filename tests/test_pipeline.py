@@ -1509,3 +1509,64 @@ class TestPiiScrub:
             assert (clean, (ne, np_, nip)) == (exp_text, counts), (
                 i, dict(docs)[i], (clean, ne, np_, nip), expected[i],
             )
+
+
+class TestParagraphDedup:
+    """pipeline/dedup.py::paragraph_dedup — RefinedWeb/Dolma-style
+    repeated-paragraph (boilerplate) removal."""
+
+    def _run(self, spark, rows, **kw):
+        from graphite_clickhouse_spark.pipeline.dedup import paragraph_dedup
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return {r.id: r for r in paragraph_dedup(df, **kw).collect()}
+
+    def test_boilerplate_removed_order_preserved(self, spark):
+        got = self._run(spark, [
+            (1, "FOOTER\n\nalpha one\n\nbeta two\n\nFOOTER"),
+            (2, "gamma three\n\nfooter\n\ndelta four"),
+            (3, "unique only"),
+        ])
+        # 'footer' appears in docs 1 and 2 (normalization lowercases and
+        # within-doc duplicates count once) -> struck from both; content
+        # order preserved
+        assert got[1].clean_text == "alpha one\n\nbeta two"
+        assert (got[1].n_paragraphs, got[1].n_removed) == (4, 2)
+        assert got[2].clean_text == "gamma three\n\ndelta four"
+        assert (got[2].n_paragraphs, got[2].n_removed) == (3, 1)
+        assert got[3].clean_text == "unique only"
+        assert (got[3].n_paragraphs, got[3].n_removed) == (1, 0)
+
+    def test_within_doc_repeat_is_not_boilerplate(self, spark):
+        # the same paragraph twice in ONE doc: distinct-doc count is 1,
+        # so both copies survive (frequency is across documents)
+        got = self._run(spark, [(1, "dup\n\nmiddle\n\ndup")])
+        assert got[1].clean_text == "dup\n\nmiddle\n\ndup"
+        assert (got[1].n_paragraphs, got[1].n_removed) == (3, 0)
+
+    def test_all_boilerplate_doc_and_empty_doc(self, spark):
+        got = self._run(spark, [
+            (1, "same\n\nsame"),
+            (2, "same"),
+            (3, ""),
+            (4, "   \n\n  "),
+        ])
+        assert got[1].clean_text == "" and got[1].n_removed == 2
+        assert got[2].clean_text == "" and got[2].n_removed == 1
+        assert (got[3].n_paragraphs, got[3].clean_text) == (0, "")
+        assert (got[4].n_paragraphs, got[4].clean_text) == (0, "")
+
+    def test_min_docs_threshold(self, spark):
+        rows = [(i, "twice\n\nkeep" + str(i)) for i in (1, 2)]
+        assert self._run(spark, rows, min_docs=3)[1].n_removed == 0
+        assert self._run(spark, rows, min_docs=2)[1].n_removed == 1
+
+    def test_normalization_whitespace_and_case(self, spark):
+        got = self._run(spark, [
+            (1, "Shared  Para\n\nown one"),
+            (2, "shared para\n\nown two"),
+        ])
+        # differing case/inner-whitespace spellings are the SAME
+        # paragraph for frequency purposes
+        assert got[1].clean_text == "own one"
+        assert got[2].clean_text == "own two"
