@@ -1114,12 +1114,12 @@ WITH injected AS (
     FROM injected
 ), paras AS (
     SELECT doc_id, s.pos AS pos, s.para AS para,
-           regexp_replace(trim(lower(s.para)), '\s+', ' ', 'g') AS norm
+           regexp_replace(trim(lower(s.para)), '[ \t\n\x0B\f\r]+', ' ', 'g') AS norm
     FROM (SELECT doc_id,
                  unnest(list_transform(generate_series(1, len(parts)),
                         i -> struct_pack(pos := i, para := parts[i]))) AS s
           FROM split)
-    WHERE regexp_replace(trim(lower(s.para)), '\s+', ' ', 'g') <> ''
+    WHERE regexp_replace(trim(lower(s.para)), '[ \t\n\x0B\f\r]+', ' ', 'g') <> ''
 ), repeated AS (
     SELECT norm FROM paras GROUP BY norm HAVING count(DISTINCT doc_id) >= 2
 ), flagged AS (
@@ -1279,9 +1279,9 @@ SQL_TEXT_QUALITY = f"""
 WITH t AS (
     SELECT doc_id, text,
            CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-                ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks,
+                ELSE regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') END AS toks,
            CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
-                ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS ltoks
+                ELSE regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') END AS ltoks
     FROM documents
 )
 SELECT doc_id,
@@ -1289,7 +1289,7 @@ SELECT doc_id,
        len(toks) AS n_tokens,
        round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
              / greatest(length(text), 1), 6) AS alpha_ratio,
-       round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+       round(length(regexp_replace(text, '[A-Za-z0-9 \\t\\n\\x0B\\f\\r]', '', 'g'))
              / greatest(length(text), 1), 6) AS punct_ratio,
        round(len(list_filter(ltoks, t -> list_contains({STOPWORDS_EN}, t)))
              / greatest(len(toks), 1), 6) AS stopword_ratio,
@@ -1310,7 +1310,7 @@ SQL_LANG_ID = """
 WITH t AS (
     SELECT doc_id,
            CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
-                ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS ltoks
+                ELSE regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') END AS ltoks
     FROM documents
 ), hits AS (
     SELECT doc_id,
@@ -1348,8 +1348,8 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_TOKEN_COUNT = """
 SELECT doc_id,
        CASE WHEN trim(text) = '' THEN 0
-            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_ws_tokens,
-       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens
+            ELSE len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) END AS n_ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]')) AS n_bpe_tokens
 FROM documents
 """
 
@@ -1367,7 +1367,7 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_TFIDF_TOP_TERMS = """
 WITH toks AS (
     SELECT doc_id,
-           unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+           unnest(string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS term
     FROM documents WHERE trim(text) <> ''
 ),
 tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
@@ -1399,7 +1399,7 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_FINGERPRINT = """
 SELECT doc_id,
        md5(text) AS fp_raw,
-       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp_norm
+       md5(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS fp_norm
 FROM documents
 """
 
@@ -1421,7 +1421,7 @@ WITH sh AS (
     SELECT doc_id AS id, unnest(list_distinct(
         list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
                        i -> array_to_string(toks[i:i+2], ' ')))) AS shingle
-    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS toks
           FROM documents WHERE trim(text) <> '')
 ), sizes AS (
     SELECT id, count(*) AS n_sh FROM sh GROUP BY id
@@ -1900,7 +1900,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_DECONTAMINATE = """
 WITH toks AS (
-    SELECT doc_id AS id, regexp_split_to_array(trim(text), '\\s+') AS t
+    SELECT doc_id AS id, regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS t
     FROM documents
 ), dg AS (
     SELECT id, unnest(list_distinct(list_transform(
@@ -1934,7 +1934,7 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_SOURCE_OVERLAP = """
 WITH toks AS (
-    SELECT source, regexp_split_to_array(trim(text), '\\s+') AS t
+    SELECT source, regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS t
     FROM documents
 ), sh AS (
     SELECT DISTINCT source,
@@ -1984,7 +1984,7 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_WINNOW_FINGERPRINTS = """
 WITH d AS (
-    SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS nm
+    SELECT doc_id, regexp_replace(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g') AS nm
     FROM documents
 ), g AS (
     SELECT doc_id, nm, greatest(len(nm) - 4, 0) AS n_grams FROM d
@@ -2031,7 +2031,7 @@ def q_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_WINNOW_OVERLAP_PAIRS = """
 WITH d AS (
-    SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS nm
+    SELECT doc_id, regexp_replace(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g') AS nm
     FROM documents
 ), g AS (
     SELECT doc_id, nm, greatest(len(nm) - 15, 0) AS n_grams FROM d
@@ -2091,7 +2091,7 @@ SQL_REPETITION_STATS = """
 WITH toks AS (
     SELECT doc_id AS id,
            CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
-                ELSE regexp_split_to_array(trim(text), '\\s+') END AS t
+                ELSE regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') END AS t
     FROM documents
 ), grams AS (
     SELECT id,
@@ -2144,7 +2144,7 @@ def _gopher_sql() -> str:
 WITH toks AS (
     SELECT doc_id AS id,
            CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
-                ELSE regexp_split_to_array(trim(text), '\\s+') END AS t
+                ELSE regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') END AS t
     FROM documents
 ), base AS (
     SELECT id, t, len(t) AS n_words,
@@ -2214,7 +2214,7 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MINHASH_CTES = """
 WITH toks AS (
-    SELECT doc_id AS id, regexp_split_to_array(trim(text), '\\s+') AS t
+    SELECT doc_id AS id, regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS t
     FROM documents
 ), grams AS (
     SELECT id, list_distinct(
@@ -2316,7 +2316,7 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_SIMHASH_PAIRS = """
 WITH toks AS (
-    SELECT doc_id AS id, regexp_split_to_array(trim(text), '\\s+') AS t
+    SELECT doc_id AS id, regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS t
     FROM documents
 ), th AS (
     SELECT id, len(t) AS n_tok,
@@ -2362,7 +2362,7 @@ SQL_PACK_SEQUENCES = """
 WITH d AS (
     SELECT doc_id, source,
            CASE WHEN trim(text) = '' THEN 0
-                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+                ELSE len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) END AS n_tokens,
            ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 2 AS shard
     FROM documents
 ), o AS (
@@ -2412,7 +2412,7 @@ SQL_BUDGET_MIX = """
 WITH d AS (
     SELECT doc_id, source,
            CASE WHEN trim(text) = '' THEN 0
-                ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                ELSE len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+'))
            END AS n_tokens,
            ('0x' || substr(md5('bm:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
                AS coin
@@ -2451,7 +2451,7 @@ SQL_UNIGRAM_QUALITY = """
 WITH t2 AS (
     SELECT doc_id, word FROM (
         SELECT doc_id,
-               unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+               unnest(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS word
         FROM documents WHERE trim(text) <> ''
     ) WHERE word <> ''
 ), vocab AS (
@@ -2483,7 +2483,7 @@ SQL_CCNET_PARTITION = """
 WITH t2 AS (
     SELECT doc_id, word FROM (
         SELECT doc_id,
-               unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+               unnest(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS word
         FROM documents WHERE trim(text) <> ''
     ) WHERE word <> ''
 ), vocab AS (
@@ -2525,7 +2525,7 @@ SQL_DSIR_WEIGHT = """
 WITH t2 AS (
     SELECT doc_id, source, word FROM (
         SELECT doc_id, source,
-               unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+               unnest(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS word
         FROM documents WHERE trim(text) <> ''
     ) WHERE word <> ''
 ), vocab AS (
@@ -2575,10 +2575,10 @@ WITH dirty AS (
 )
 SELECT doc_id,
        trim(regexp_replace(regexp_replace(text, '\\p{Cc}', ' ', 'g'),
-                           '\\s+', ' ', 'g')) AS clean,
+                           '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS clean,
        length(text) - length(
            trim(regexp_replace(regexp_replace(text, '\\p{Cc}', ' ', 'g'),
-                               '\\s+', ' ', 'g'))
+                               '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))
        ) AS n_removed
 FROM dirty
 """
@@ -2632,15 +2632,15 @@ SQL_QUALITY_CLASSIFIER = f"""
 WITH t AS (
     SELECT doc_id, text,
            CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-                ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks,
+                ELSE regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') END AS toks,
            CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
-                ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS ltoks
+                ELSE regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') END AS ltoks
     FROM documents
 ), f AS (
     SELECT doc_id,
            length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
                / greatest(length(text), 1) AS alpha_ratio,
-           length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+           length(regexp_replace(text, '[A-Za-z0-9 \\t\\n\\x0B\\f\\r]', '', 'g'))
                / greatest(length(text), 1) AS punct_ratio,
            len(list_filter(ltoks, t -> list_contains({STOPWORDS_EN}, t)))
                / greatest(len(toks), 1) AS stopword_ratio,

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .text import WS_RE
+
 
 # ---------------------------------------------------------------- exact
 
@@ -57,7 +59,7 @@ def word_ngrams_from_tokens(toks: Column, n: int) -> Column:
 
 def word_ngrams(text: Column, n: int) -> Column:
     """Distinct word n-gram shingles as array<string> (space-joined)."""
-    return word_ngrams_from_tokens(F.split(F.trim(text), r"\s+"), n)
+    return word_ngrams_from_tokens(F.split(F.trim(text), WS_RE), n)
 
 
 
@@ -80,7 +82,7 @@ def tokens_projection(
     parts = max(df.rdd.getNumPartitions(), sc.defaultParallelism)
     return df.repartition(parts).select(
         F.col(id_col).alias("id"),
-        F.split(F.trim(F.col(text_col)), r"\s+").alias("toks"),
+        F.split(F.trim(F.col(text_col)), WS_RE).alias("toks"),
     )
 
 
@@ -536,7 +538,7 @@ def simhash(
     # type-hint variant of pandas_udf
     _fp_from_hashes = F.pandas_udf(_make_simhash_kernel(bits), "long")
 
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = F.split(F.trim(F.col(text_col)), WS_RE)
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
     return df.select(
         F.col(id_col).alias("id"), _fp_from_hashes(hashes).alias("simhash")
@@ -872,7 +874,7 @@ def paragraph_dedup(
     at any scale; swap the key for xxhash64(norm) to shrink shuffle
     width when paragraphs are long — the plan shape is unchanged.
     """
-    norm = F.regexp_replace(F.trim(F.lower(F.col("para"))), r"\s+", " ")
+    norm = F.regexp_replace(F.trim(F.lower(F.col("para"))), WS_RE, " ")
     paras = (
         df.select(
             F.col(id_col).alias("id"),

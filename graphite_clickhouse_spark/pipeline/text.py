@@ -31,16 +31,27 @@ STOPWORDS = {
     "es": ["el", "la", "los", "que", "de"],
 }
 
-#: BPE-ish pre-tokenizer: word pieces, digit runs, punctuation singles —
+#: Java's ASCII \s set, spelled out. The three regex engines this
+#: repo's oracles span DISAGREE about \s: Java regex (Spark) matches
+#: [ \t\n\x0B\f\r], RE2 (DuckDB) lacks \x0B, and Python re adds every
+#: Unicode space (NBSP and friends). Spelling out Java's exact set keeps
+#: Spark behavior identical while making the DuckDB oracles and the
+#: Python reference kernels agree on vertical-tab / NBSP text (r7
+#: finding — verified: RE2 leaves 'a\x0bb' intact under \s+, Python
+#: collapses NBSP under \s+).
+WS_CHARS = r" \t\n\x0B\f\r"
+WS_RE = "[" + WS_CHARS + "]+"
+
+#: BPE-ish pre-tokenizer: word pieces, digit runs, punctuation singles --
 #: the GPT-2 style pre-split shape, minus unicode categories.
-BPE_ISH_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+BPE_ISH_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9" + WS_CHARS + "]"
 
 
 def tokens(text: Column) -> Column:
     """Whitespace tokens (empty-string input -> empty array)."""
     t = F.trim(text)
     return F.when(t == "", F.array().cast("array<string>")).otherwise(
-        F.split(t, r"\s+")
+        F.split(t, WS_RE)
     )
 
 
@@ -67,7 +78,7 @@ def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     n_tokens = token_count(text)
     n_chars = F.length(text)
     alpha_chars = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
-    punct_chars = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", ""))
+    punct_chars = F.length(F.regexp_replace(text, "[A-Za-z0-9" + WS_CHARS + "]", ""))
     sw = stopword_hits(text)
     return df.select(
         F.col(id_col),
@@ -103,7 +114,7 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     """Deterministic document fingerprints: md5 of the raw text plus a
     normalized md5 (lowercased, whitespace collapsed) for near-identity."""
     text = F.col(text_col)
-    normalized = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    normalized = F.regexp_replace(F.lower(F.trim(text)), WS_RE, " ")
     return df.select(
         F.col(id_col),
         F.md5(text).alias("fp_raw"),
@@ -317,7 +328,7 @@ def clean_text(
     # \p{Cc} = Unicode control category (C0 + C1), same class DuckDB's
     # RE2 exposes — keeps the oracle bit-identical
     no_ctl = F.regexp_replace(raw, r"\p{Cc}", " ")
-    collapsed = F.trim(F.regexp_replace(no_ctl, r"\s+", " "))
+    collapsed = F.trim(F.regexp_replace(no_ctl, WS_RE, " "))
     return df.select(
         F.col(id_col),
         collapsed.alias("clean"),
@@ -358,7 +369,7 @@ def winnow_fingerprints(
 
     from ..pipeline.dedup import hash60_portable
 
-    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), WS_RE, " ")
     n_grams = F.greatest(F.length(norm) - (k - 1), F.lit(0))
 
     # hoist the normalized text through a projection barrier so the

@@ -1570,3 +1570,48 @@ class TestParagraphDedup:
         # paragraph for frequency purposes
         assert got[1].clean_text == "own one"
         assert got[2].clean_text == "own two"
+
+
+class TestWhitespaceClassEngineParity:
+    """r7: the three regex engines disagree about \\s (Java has ASCII VT,
+    RE2 does not, Python adds all Unicode spaces), so every tokenizer /
+    normalizer spells out Java's exact set (text.py::WS_CHARS). Pin that
+    vertical-tab text now normalizes IDENTICALLY in Spark and DuckDB —
+    before the fix RE2 left 'a\\x0bb' un-collapsed and any VT-bearing
+    corpus would have value-hash-diverged from its oracle."""
+
+    def test_vertical_tab_agrees_across_engines(self, spark):
+        import duckdb
+
+        from graphite_clickhouse_spark.pipeline.text import (
+            WS_CHARS,
+            fingerprint,
+        )
+
+        docs = [(1, "a\x0bb  c"), (2, "plain words"), (3, "tab\there")]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {r.doc_id: r.fp_norm for r in fingerprint(df).collect()}
+
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t(doc_id BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO t VALUES (?, ?)", docs)
+        cls = "[" + WS_CHARS.replace("\\", "\\") + "]+"
+        rows = con.execute(
+            f"SELECT doc_id, md5(regexp_replace(lower(trim(text)), "
+            f"'{cls}', ' ', 'g')) FROM t"
+        ).fetchall()
+        for i, fp in rows:
+            assert got[i] == fp, (i, docs)
+
+    def test_ws_chars_is_exactly_javas_ascii_set(self):
+        import re
+
+        from graphite_clickhouse_spark.pipeline.text import WS_CHARS, WS_RE
+
+        # the class chars resolve to Java's \s membership set
+        pat = re.compile(WS_RE)
+        for ch in " \t\n\x0b\f\r":
+            assert pat.fullmatch(ch), repr(ch)
+        # NBSP is NOT whitespace here (Python \s would accept it; Java
+        # and RE2 would not — the class keeps the strict intersection+VT)
+        assert not pat.match("\xa0")
