@@ -1444,7 +1444,12 @@ class TestPiiScrub:
 
         rng = random.Random(0x9117)
         # digit-heavy alphabet: separators, +CC markers, parens, a few
-        # letters/@/dots so email/ipv4 interplay gets exercised too
+        # letters/@/dots so email/ipv4 interplay gets exercised too.
+        # ASCII ONLY by design: Python's \b is Unicode (\w includes é)
+        # while Java-default and RE2 \b are ASCII, so a non-ASCII letter
+        # before a digit run flips the ipv4 \b match in the PYTHON
+        # REFERENCE only — Spark and the DuckDB oracle (the contract
+        # pair) agree with each other either way.
         alphabet = "00112233445566778899+-.()  @abxyz."
         docs = [
             (i, "".join(rng.choice(alphabet)
