@@ -873,7 +873,13 @@ def paragraph_dedup(
     here are the normalized paragraph strings themselves, which is exact
     at any scale; swap the key for xxhash64(norm) to shrink shuffle
     width when paragraphs are long — the plan shape is unchanged.
+
+    NULL text behaves like empty text (0 paragraphs, clean_text '').
     """
+    if min_docs < 2:
+        # min_docs=1 would mark EVERY paragraph "repeated" and erase the
+        # corpus; that is never the boilerplate semantics, so fail loud
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
     norm = F.regexp_replace(F.trim(F.lower(F.col("para"))), WS_RE, " ")
     paras = (
         df.select(

@@ -1576,6 +1576,20 @@ class TestParagraphDedup:
         assert got[1].clean_text == "own one"
         assert got[2].clean_text == "own two"
 
+    def test_null_text_and_min_docs_guard(self, spark):
+        import pytest as _pytest
+
+        from graphite_clickhouse_spark.pipeline.dedup import paragraph_dedup
+
+        df = spark.createDataFrame(
+            [(1, None), (2, "real para")], "doc_id long, text string"
+        )
+        got = {r.id: r for r in paragraph_dedup(df).collect()}
+        assert (got[1].n_paragraphs, got[1].clean_text) == (0, "")
+        assert got[2].clean_text == "real para"
+        with _pytest.raises(ValueError, match="min_docs"):
+            paragraph_dedup(df, min_docs=1)
+
 
 class TestWhitespaceClassEngineParity:
     """r7: the three regex engines disagree about \\s (Java has ASCII VT,
