@@ -41,9 +41,14 @@ def main() -> int:
     import __spark_entry__ as entrymod
     from pyspark.sql import SparkSession
 
+    # SPARK_GRAFT_ORACLE_SHUFFLE lets a robustness pass re-verify all
+    # queries under a cluster-like partition count (e.g. 256): results
+    # must be partition-count independent or an operator is leaking
+    # partitioning into its semantics
+    shuffle = os.environ.get("SPARK_GRAFT_ORACLE_SHUFFLE", "16")
     spark = (
         SparkSession.builder.master("local[16]")
-        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.sql.shuffle.partitions", shuffle)
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "16g")
         .getOrCreate()
