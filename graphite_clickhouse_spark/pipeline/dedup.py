@@ -700,6 +700,7 @@ def decontaminate(
     n: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hashed: bool = True,
 ) -> DataFrame:
     """Benchmark decontamination: flag training documents sharing ANY
     word n-gram with a benchmark/eval corpus (the public n-gram-overlap
@@ -708,6 +709,14 @@ def decontaminate(
     Scale shape: the benchmark side is tiny relative to the corpus, so
     its distinct grams BROADCAST and the overlap check is a broadcast
     semi-join on the exploded corpus grams — the corpus never shuffles.
+    With ``hashed`` (the default, r7) both sides join on xxhash64 of the
+    gram instead of the ~60-byte gram string: the broadcast table and
+    the join keys shrink ~8x, which is what keeps a large eval suite
+    (every benchmark's every gram) under the broadcast threshold at
+    100 TB. No false negatives ever; a false positive needs a 64-bit
+    collision between a corpus gram and a bench gram (expected extra
+    hits = |corpus grams| x |bench grams| / 2^64 — single digits even at
+    1e12 x 1e8). Pass hashed=False to join on the exact strings.
     Returns (id, n_gram_hits, contaminated); documents with fewer than n
     tokens cannot collide and report 0.
     """
@@ -720,8 +729,11 @@ def decontaminate(
         tokens_projection(benchmark, text_col, id_col)
         .filter(F.size("toks") >= n)
         .select(F.explode(word_ngrams_from_tokens(F.col("toks"), n)).alias("gram"))
-        .distinct()
     )
+    if hashed:
+        doc_grams = doc_grams.select("id", F.xxhash64("gram").alias("gram"))
+        bench_grams = bench_grams.select(F.xxhash64("gram").alias("gram"))
+    bench_grams = bench_grams.distinct()
     hits = (
         doc_grams.join(F.broadcast(bench_grams), "gram")
         .groupBy("id")

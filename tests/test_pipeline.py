@@ -566,6 +566,23 @@ class TestDecontaminate:
                 ._jdf.queryExecution().executedPlan().toString())
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
+        # r7 default: the broadcast side carries xxhash64 longs, not the
+        # ~60-byte gram strings — ~8x smaller eval-gram table at scale
+        assert "xxhash64" in plan
+
+    def test_hashed_matches_exact_strings(self, docs, spark):
+        """hashed=True must be output-identical to the exact string join
+        (no false negatives by construction; a false positive needs a
+        64-bit xxhash collision between a corpus and a bench gram)."""
+        from pyspark.sql import functions as F
+
+        from graphite_clickhouse_spark.pipeline.dedup import decontaminate
+
+        bench = docs.filter(F.col("doc_id") % 7 == 0)
+        a = sorted(map(tuple, decontaminate(docs, bench, n=5).collect()))
+        b = sorted(map(tuple,
+                       decontaminate(docs, bench, n=5, hashed=False).collect()))
+        assert a == b and any(r[2] for r in a)  # some contamination seen
 
 
 class TestIvfPartitionedStorage:
