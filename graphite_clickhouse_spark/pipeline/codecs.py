@@ -690,11 +690,24 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray]:
                 i += 17 + len(vals)
         elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline)
             _prec, fh, fw, nc = struct.unpack_from(">BHHB", seg, 0)
+            if fw == 0 or fh == 0:
+                # T.81 B.2.2: Y may be 0 only with a DNL marker, which
+                # baseline profiles don't carry — reject at the boundary
+                raise CodecError("SOF with zero frame dimensions")
             comps = []
             for ci in range(nc):
                 cid, hv, tq_ = struct.unpack_from("BBB", seg, 6 + 3 * ci)
-                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF,
-                              "tq": tq_})
+                h, v = hv >> 4, hv & 0xF
+                # T.81 B.2.2: sampling factors are 1..4. A zero factor
+                # reached the scan decoder's MCU-grid division and the
+                # ZeroDivisionError escaped the CodecError boundary —
+                # a job-aborting poison pill on hostile bytes (found by
+                # the r7 fresh-seed fuzz rerun)
+                if not (1 <= h <= 4 and 1 <= v <= 4):
+                    raise CodecError(
+                        f"SOF sampling factors out of range: {h}x{v}"
+                    )
+                comps.append({"id": cid, "h": h, "v": v, "tq": tq_})
             frame = {"w": fw, "h": fh, "comps": comps}
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):

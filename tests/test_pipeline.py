@@ -931,6 +931,37 @@ class TestJpegCodec:
 
         check()
 
+    def test_zero_sampling_factor_is_codec_error(self):
+        """Pinned r7 fuzz find: a bit-flip that zeroes an SOF sampling
+        factor reached the MCU-grid division and ZeroDivisionError
+        escaped the typed-error boundary. Both falsifying byte strings
+        pinned verbatim (one zeroes v, one zeroes h via 0x10->0x00)."""
+        import pytest as _pytest
+
+        from graphite_clickhouse_spark.pipeline import codecs
+
+        prefix = (
+            b"\xff\xd8\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01"
+            b"\x00\x00\xff\xdb\x00C\x00\x10\x0b\x0c\x0e\x0c\n\x10\x0e\r\x0e"
+            b"\x12\x11\x10\x13\x18(\x1a\x18\x16\x16\x181#%\x1d(:3=<9387@H"
+            b"\\N@DWE78PmQW_bghg>Mqypdx\\egc"
+        )
+        suffix = (
+            b"\xff\xc4\x00\x14\x00\x01\x00\x00\x00\x00\x00\x00\x00\x00\x00"
+            b"\x00\x00\x00\x00\x00\x00\x06\xff\xc4\x00\x17\x10\x00\x00\x04"
+            b"\x00\x00\x00\x00\x00\x00\x00\x00\x00\x00\x00\x00\x00\x00\x02"
+            b"\x04a\xff\xda\x00\x08\x01\x01\x00\x00?\x00\x1eTl?\xff\xd9"
+        )
+        sof_v0 = b"\xff\xc0\x00\x0b\x08\x00\x08\x00\x08\x01\x01\x10\x00"
+        sof_h0 = b"\xff\xc0\x00\x0b\x08\x00\x08\x00\x08\x01\x01\x00\x00"
+        for sof in (sof_v0, sof_h0):
+            with _pytest.raises(codecs.CodecError, match="sampling factors"):
+                codecs.decode_jpeg(prefix + sof + suffix)
+        # zero frame dimensions are equally rejected at the boundary
+        sof_w0 = b"\xff\xc0\x00\x0b\x08\x00\x08\x00\x00\x01\x01\x11\x00"
+        with _pytest.raises(codecs.CodecError, match="zero frame"):
+            codecs.decode_jpeg(prefix + sof_w0 + suffix)
+
 
 class TestCodecFuzz:
     """Every decoder maps malformed containers to CodecError — the same
