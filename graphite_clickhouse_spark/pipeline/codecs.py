@@ -44,7 +44,12 @@ def _codec_boundary(fn):
         except CodecError:
             raise
         except (struct.error, zlib.error, IndexError, KeyError,
-                EOFError, StopIteration, ValueError) as exc:
+                EOFError, StopIteration, ValueError,
+                # hostile header fields can reach arithmetic (the r7
+                # JPEG zero-sampling-factor find was a ZeroDivisionError
+                # leak); stdlib wave raises bare RuntimeError from
+                # chunk.py on corrupt containers
+                ArithmeticError, RuntimeError) as exc:
             raise CodecError(f"corrupt container: {exc}") from exc
 
     return wrapped
@@ -89,6 +94,10 @@ def decode_bmp(data: bytes) -> tuple[int, int, np.ndarray]:
         raise CodecError(f"unsupported BMP: bpp={bpp} compression={compression}")
     top_down = h_raw < 0
     h = -h_raw if top_down else h_raw
+    if w <= 0 or h == 0:
+        # a negative width would flow into np.frombuffer's count, where
+        # count=-1 means "read everything" — reject, don't reinterpret
+        raise CodecError(f"invalid BMP dimensions: {w}x{h}")
     nbytes = bpp // 8
     row_size = (w * nbytes + 3) & ~3
     if pix_off + row_size * h > len(data):
