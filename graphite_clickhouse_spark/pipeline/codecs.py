@@ -47,9 +47,13 @@ def _codec_boundary(fn):
                 EOFError, StopIteration, ValueError,
                 # hostile header fields can reach arithmetic (the r7
                 # JPEG zero-sampling-factor find was a ZeroDivisionError
-                # leak); stdlib wave raises bare RuntimeError from
-                # chunk.py on corrupt containers
-                ArithmeticError, RuntimeError) as exc:
+                # leak).  RuntimeError is deliberately NOT in this tuple:
+                # the one stdlib source of bare RuntimeError on corrupt
+                # input (wave/chunk.py) is caught narrowly at the wave
+                # call site in decode_wav; catching it here would also
+                # swallow RecursionError / NotImplementedError and mask
+                # genuine implementation bugs as "corrupt container".
+                ArithmeticError) as exc:
             raise CodecError(f"corrupt container: {exc}") from exc
 
     return wrapped

@@ -887,16 +887,27 @@ def paragraph_dedup(
     width when paragraphs are long — the plan shape is unchanged.
 
     NULL text behaves like empty text (0 paragraphs, clean_text '').
+    Blank / whitespace-only paragraphs are ALWAYS stripped from
+    clean_text (even when unique) and are excluded from both
+    n_paragraphs and n_removed — only non-blank blocks count.  ``sep``
+    is treated as a LITERAL separator on both the split and the
+    reassembly side (regex metacharacters in sep are quoted before the
+    split, matching the literal array_join below).
     """
     if min_docs < 2:
         # min_docs=1 would mark EVERY paragraph "repeated" and erase the
         # corpus; that is never the boilerplate semantics, so fail loud
         raise ValueError(f"min_docs must be >= 2, got {min_docs}")
     norm = F.regexp_replace(F.trim(F.lower(F.col("para"))), WS_RE, " ")
+    # F.split takes a Java regex but array_join reassembles with the
+    # literal string — quote the separator (java.util.regex
+    # Pattern.quote scheme: \Q...\E with embedded \E split out) so a
+    # sep like '.' or '|' splits literally and round-trips.
+    sep_rx = "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
     paras = (
         df.select(
             F.col(id_col).alias("id"),
-            F.posexplode(F.split(F.col(text_col), F.lit(sep))).alias(
+            F.posexplode(F.split(F.col(text_col), F.lit(sep_rx))).alias(
                 "pos", "para"
             ),
         )

@@ -963,6 +963,46 @@ class TestJpegCodec:
             codecs.decode_jpeg(prefix + sof_w0 + suffix)
 
 
+class TestCodecBoundaryDoesNotMaskBugs:
+    """r7 ADVICE: the boundary's broad RuntimeError catch also swallowed
+    RecursionError / NotImplementedError, converting genuine
+    implementation bugs into 'corrupt container'.  Those must escape."""
+
+    def test_implementation_bugs_escape(self):
+        import pytest as _pytest
+
+        from graphite_clickhouse_spark.pipeline.codecs import _codec_boundary
+
+        @_codec_boundary
+        def stub_decode(data):
+            raise NotImplementedError("decoder TODO")
+
+        with _pytest.raises(NotImplementedError):
+            stub_decode(b"x")
+
+        @_codec_boundary
+        def recursive_decode(data):
+            return recursive_decode(data)
+
+        with _pytest.raises(RecursionError):
+            recursive_decode(b"x")
+
+    def test_wave_runtimeerror_still_converted(self):
+        # stdlib chunk.py raises bare RuntimeError on corrupt seeks —
+        # that specific case keeps its narrow catch inside decode_wav
+        import pytest as _pytest
+
+        from graphite_clickhouse_spark.pipeline import codecs
+
+        wav = codecs.encode_wav([0] * 64, 8000)
+        # truncate inside the data chunk so chunk.skip() seeks past EOF
+        for cut in (13, 21, 37, len(wav) - 3):
+            try:
+                codecs.decode_wav(wav[:cut])
+            except codecs.CodecError:
+                pass
+
+
 class TestCodecFuzz:
     """Every decoder maps malformed containers to CodecError — the same
     typed-error contract the JPEG fuzz pins, across all four formats."""
@@ -1637,6 +1677,31 @@ class TestParagraphDedup:
         assert got[2].clean_text == "real para"
         with _pytest.raises(ValueError, match="min_docs"):
             paragraph_dedup(df, min_docs=1)
+
+    def test_regex_metachar_separator_is_literal(self, spark):
+        # r7 ADVICE: sep reached F.split as a raw regex — '|' would have
+        # split between every character and '.' would have matched any
+        # char.  sep is now Pattern.quote()d, so metachar separators
+        # split literally and round-trip through array_join.
+        got = self._run(spark, [
+            (1, "shared block|own one"),
+            (2, "shared block|own two"),
+        ], sep="|")
+        assert got[1].clean_text == "own one"
+        assert got[2].clean_text == "own two"
+        got = self._run(spark, [
+            (1, "same.keep a.b"),   # '.' sep: 3 paras ('same','keep a','b')
+            (2, "same.keep c"),
+        ], sep=".")
+        assert got[1].clean_text == "keep a.b"
+        assert (got[1].n_paragraphs, got[1].n_removed) == (3, 1)
+        assert got[2].clean_text == "keep c"
+        # pathological: a separator containing \E must still quote
+        got = self._run(spark, [
+            (1, "x\\Ey\\Ez"), (2, "x\\Eown")
+        ], sep="\\E")
+        assert got[1].clean_text == "y\\Ez"
+        assert got[2].clean_text == "own"
 
 
 class TestWhitespaceClassEngineParity:

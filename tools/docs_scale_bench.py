@@ -25,8 +25,9 @@ replicas into manufactured near-dup clusters):
   is preserved exactly, while any cross-replica shingle containing one
   of the 12 mapped letters (the most frequent ones — i.e. virtually all
   shingles) diverges.  Crucially every k in 0..99 gets a DISTINCT
-  mapping: offset and stride into the pool are varied so mappings repeat
-  only at k = lcm(35, 24) = 840.  Reusing a 13-entry translate table
+  mapping: offset and stride into the 31-char (prime-length) pool are
+  varied across 30 strides, so mappings repeat only at
+  k = lcm(31, 30) = 930.  Reusing a 13-entry translate table
   (the 10x tool's scheme) at 100 replicas would hand ~8 replicas the
   identical mapping — every document would acquire ~8 cross-replica
   EXACT duplicates and the pair count would blow up quadratically by
