@@ -42,6 +42,13 @@ STOPWORDS = {
 WS_CHARS = r" \t\n\x0B\f\r"
 WS_RE = "[" + WS_CHARS + "]+"
 
+#: target candidate-pair rows per partition of winnow_overlap_pairs'
+#: pair-count aggregation.  250k pairs build a ~25 MB hash map — inside
+#: the per-task managed-memory budget even at a 2 GiB / 32-thread heap
+#: (SPILL.md's constraint probe), so the exchange widens with the
+#: measured pair volume instead of spilling at a fixed session width.
+PAIRS_PER_PARTITION = 250_000
+
 #: BPE-ish pre-tokenizer: word pieces, digit runs, punctuation singles --
 #: the GPT-2 style pre-split shape, minus unicode categories.
 BPE_ISH_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9" + WS_CHARS + "]"
@@ -433,44 +440,103 @@ def winnow_overlap_pairs(
 
     Scale shape: fingerprints are ~2/(window+1) of gram positions, so
     the exploded (fp, id) stream is a small fraction of corpus text;
-    the pair join is keyed by fingerprint (bucketed, never all-pairs),
-    and fingerprints appearing in more than `max_fp_df` documents are
+    pairs are generated per fingerprint BUCKET (never all-pairs), and
+    fingerprints appearing in more than `max_fp_df` documents are
     dropped first — boilerplate n-grams are the skew risk AND carry no
-    discriminative signal (the stopword cutoff every winnowing deployment
-    applies). The per-doc totals frame is one row per DOCUMENT, so it is
-    NOT broadcast (at billions of docs it cannot be); it joins the pair
-    aggregate as a plain shuffle join on the pair-participant ids — a set
-    already collapsed by the shared >= min_shared filter — and AQE is
-    free to pick a broadcast at runtime when the surviving side is small.
+    discriminative signal (the stopword cutoff every winnowing
+    deployment applies).  r8 reshape (the one 2 GiB spiller in
+    SPILL.md): the fp self-join (two sort-merge sorts over the full
+    exploded stream, each spilling under constrained memory) is
+    replaced by ONE groupBy(fp) -> sorted collect_list whose buffer is
+    bounded by max_fp_df ids (8 KB at the default 1000), followed by a
+    STREAMED combination explode (posexplode + slice; whole-stage
+    codegen pipelines generator output, so no d^2 array is ever
+    resident).  The hot-fp filter is a broadcast ANTI join: the hot set
+    (df > max_fp_df) is the small boilerplate vocabulary — at 100 TB it
+    is the eval-suite-sized side that must fit under the broadcast
+    threshold, while the rare set (which the old shape shuffle-joined)
+    is nearly all fingerprints.  Total: 3 shuffles (fp count, fp lists,
+    pair count), zero join sorts.  The per-doc totals frame is one row
+    per DOCUMENT, so it is NOT broadcast (at billions of docs it
+    cannot be); it joins the pair aggregate as a plain shuffle join on
+    the pair-participant ids — a set already collapsed by the
+    shared >= min_shared filter — and AQE is free to pick a broadcast
+    at runtime when the surviving side is small.
     """
     from pyspark.sql import functions as F
 
-    # cache the fingerprinted frame: the per-doc totals, BOTH sides of
-    # the fp self-join, and the document-frequency filter all read it —
-    # without the cache each consumer re-runs the full (expensive)
-    # winnowing expression, the multi-reference recompute trap
+    # cache the fingerprinted frame: the per-doc totals, the hot-fp
+    # count, and the pair generation all read it — without the cache
+    # each consumer re-runs the full (expensive) winnowing expression,
+    # the multi-reference recompute trap
     # (at cluster scale: persist to a table instead)
     fps = winnow_fingerprints(
         df, k=k, window=window, text_col=text_col, id_col=id_col,
         portable=portable,
     ).select("id", F.col("fingerprints")).cache()
-    fps.count()
     counts = fps.select("id", F.size("fingerprints").alias("n_fp"))
     e = fps.select("id", F.explode("fingerprints").alias("fp"))
-    rare = (
-        e.groupBy("fp").agg(F.count(F.lit(1)).alias("df_"))
-        .filter(F.col("df_") <= max_fp_df)
-        .select("fp")
+    # hot fps are counted BEFORE any list is collected so a
+    # 1M-document boilerplate fingerprint costs a 16-byte count buffer,
+    # never a 1M-element list on one reducer.  The same count aggregate
+    # yields the EXACT pair volume (sum of C(df,2) over kept fps) for
+    # free — that number sizes the pair-aggregation exchange below.
+    # This ONE action materializes both caches (fps feeds counts_fp),
+    # so it replaces — not adds to — the old eager fps.count().
+    counts_fp = e.groupBy("fp").agg(F.count(F.lit(1)).alias("df_")).cache()
+    n_pairs = counts_fp.select(
+        F.sum(
+            F.when(
+                F.col("df_") <= max_fp_df,
+                F.col("df_") * (F.col("df_") - 1) / 2,
+            )
+        ).alias("n")
+    ).first()["n"]
+    hot = counts_fp.filter(F.col("df_") > max_fp_df).select("fp")
+    buckets = (
+        e.join(F.broadcast(hot), "fp", "left_anti")
+        .groupBy("fp")
+        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
     )
-    e = e.join(rare, "fp")
-    a, b = e.alias("a"), e.alias("b")
+    # sorted ids => id_a < id_b by construction; slice(ids, i+2, ...)
+    # is every id after position i (posexplode's i is 0-based, slice is
+    # 1-based)
+    raw_pairs = (
+        buckets.select(
+            F.posexplode("ids").alias("i", "id_a"), F.col("ids")
+        )
+        .select(
+            "id_a",
+            F.explode(
+                F.slice(
+                    F.col("ids"), F.col("i") + F.lit(2), F.size("ids")
+                )
+            ).alias("id_b"),
+        )
+    )
+    # Width the pair aggregation by the measured pair volume, not the
+    # session's shuffle width.  Repartitioning on the group keys hoists
+    # BOTH aggregation passes behind the exchange (raw pairs stream to
+    # the shuffle writer, which holds no per-key state), and each
+    # post-exchange hash map sees ~PAIRS_PER_PARTITION entries — a few
+    # tens of MB — regardless of corpus size.  Pre-exchange partial
+    # aggregation would be pure overhead here anyway: a pair occurs at
+    # most once per fingerprint bucket, so map-side combining across
+    # buckets hits only by coincidence while its hash map grows with
+    # every pair in the task (the 2 GiB spiller in the r7 SPILL.md).
+    sc = df.sparkSession.sparkContext
+    width = max(
+        sc.defaultParallelism, int((n_pairs or 0) // PAIRS_PER_PARTITION) + 1
+    )
     pairs = (
-        a.join(b, (F.col("a.fp") == F.col("b.fp"))
-               & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        raw_pairs.repartition(width, "id_a", "id_b")
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("shared"))
         .filter(F.col("shared") >= min_shared)
     )
+    # counts_fp stays cached: `hot` reads it lazily when the caller
+    # executes the returned plan (same lifetime convention as `fps`)
     ca = counts.select(F.col("id").alias("id_a"), F.col("n_fp").alias("n_a"))
     cb = counts.select(F.col("id").alias("id_b"), F.col("n_fp").alias("n_b"))
     return (

@@ -388,11 +388,16 @@ class TestWinnowOverlapPlanShape:
             out._jdf.queryExecution().optimizedPlan().toString()
         )
         # an F.broadcast() hint survives into the optimized plan as a
-        # ResolvedHint / hint-annotated join; none may exist here
+        # hint-annotated join.  The ONE allowed explicit broadcast is
+        # the hot-fingerprint LeftAnti filter (its right side is the
+        # boilerplate vocabulary — small by construction); every Inner
+        # join (pair agg x per-doc counts) must stay hint-free so AQE
+        # picks the strategy at runtime.
         assert "ResolvedHint" not in optimized, optimized
-        assert "broadcast" not in optimized.lower().replace(
-            "broadcasthashjoin", ""
-        ), optimized
+        for line in optimized.splitlines():
+            if "strategy=broadcast" in line:
+                assert "LeftAnti" in line, line
+                assert "Join Inner" not in line, line
         # still produces the right answer
         rows = out.collect()
         assert all(r.containment <= 1.0 + 1e-9 for r in rows)
