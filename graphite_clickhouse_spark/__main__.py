@@ -90,6 +90,12 @@ def main(argv=None):
     )
     ap.add_argument("--check", action="store_true",
                     help="validate config + engine wiring, then exit")
+    ap.add_argument("--warmup", action="store_true",
+                    help="fire one representative query per request "
+                         "class (find/render/promql) before announcing "
+                         "the listener — trades slower startup for a "
+                         "fast first dashboard load (see "
+                         "BENCH_LATENCY.json cold_start)")
     ap.add_argument("--build-tags", action="store_true",
                     help="run the tagger batch job ([tags] rules over the "
                          "metric namespace) and exit — the reference's "
@@ -213,7 +219,15 @@ def main(argv=None):
             available_now=False,
         )
 
-    from .server import make_server
+    from .server import make_server, warmup_engine
+
+    if args.warmup:
+        timings = warmup_engine(engine)
+        print(
+            "warmup: "
+            + " ".join(f"{k}={v}s" for k, v in timings.items()),
+            file=sys.stderr,
+        )
 
     host, _, port = args.listen.partition(":")
     srv = make_server(engine, host, int(port or 9090), settings=settings)

@@ -1182,6 +1182,67 @@ class GraphiteHandler(BaseHTTPRequestHandler):
         self._send(json.dumps(vals).encode(), "application/json", headers=hdrs)
 
 
+def warmup_engine(engine, now_ts: int | None = None) -> dict[str, float]:
+    """Fire one representative query per request class through the
+    engine BEFORE the listener opens — the cold-start mitigation the
+    reference never needs (graphite-clickhouse.go:518-559 is a Go
+    binary that serves its first request at native speed, while a fresh
+    Spark driver pays session init + first-job scheduling + JIT on the
+    first real dashboard load; measured in BENCH_LATENCY.json
+    'cold_start').
+
+    Three classes, matching the interactive surface: find (path-index
+    glob resolution), render (points fetch + resample + gapfill +
+    reply), PromQL instant (tagged-table selector).  Results are
+    discarded; ALL exceptions are swallowed — an empty or odd store
+    still warms the JVM, the whole-stage-codegen compiler, the parquet
+    footer cache, and the Python worker pool, and a warmup failure must
+    never block serving.  Returns per-class seconds for the startup
+    log."""
+    import time as _time
+
+    from .render.pipeline import RenderRequest
+
+    timings: dict[str, float] = {}
+
+    def _phase(name, fn):
+        t0 = _time.monotonic()
+        try:
+            fn()
+        except Exception:  # noqa: BLE001 — warmup is best-effort by contract
+            pass
+        timings[name] = round(_time.monotonic() - t0, 3)
+
+    # anchor the warmup window to the store's own newest point so the
+    # render/promql phases compile the REAL fetch+resample+gapfill
+    # codegen over non-empty data, not a vacuous future window (this
+    # first tiny agg is itself useful: it pays the parquet-footer read
+    # and first-job scheduling cost)
+    now = int(now_ts if now_ts is not None else _time.time())
+    try:
+        from pyspark.sql import functions as _F
+
+        t_max = engine.points.agg(_F.max("time")).first()[0]
+        if t_max:
+            now = int(t_max)
+    except Exception:  # noqa: BLE001
+        pass
+    req = RenderRequest("*", now - 3600, now, max_data_points=100,
+                        use_cache=False)
+    _phase("find", lambda: engine.resolve(req))
+    _phase("render", lambda: engine.render(req).collect())
+    if engine.tagged_points is not None:
+        from .plans.promql import eval_promql
+
+        _phase(
+            "promql",
+            lambda: eval_promql(
+                engine.tagged_points, "up", now, now, 1
+            ).collect(),
+        )
+    return timings
+
+
 def make_server(
     engine: Engine, host: str = "127.0.0.1", port: int = 0, settings=None
 ) -> ThreadingHTTPServer:

@@ -42,6 +42,41 @@ def get(url: str) -> bytes:
         return resp.read()
 
 
+class TestWarmupEngine:
+    """server.py::warmup_engine — the opt-in cold-start mitigation
+    (BENCH_LATENCY.json cold_start): one representative query per
+    request class, best-effort by contract."""
+
+    def test_covers_all_classes_and_swallows_nothing_fatal(self, spark):
+        from graphite_clickhouse_spark.server import warmup_engine
+
+        points = points_from_events(spark, SF)
+        engine = Engine(
+            spark=spark,
+            points=points,
+            path_index=build_path_index(points.select("path")),
+            tagged_points=tagged_points_from_events(spark, SF),
+        )
+        timings = warmup_engine(engine)
+        assert set(timings) == {"find", "render", "promql"}
+        assert all(v >= 0 for v in timings.values())
+
+    def test_untagged_engine_and_empty_store(self, spark):
+        from graphite_clickhouse_spark.server import warmup_engine
+
+        empty = points_from_events(spark, SF).limit(0)
+        engine = Engine(
+            spark=spark,
+            points=empty,
+            path_index=build_path_index(empty.select("path")),
+            tagged_points=None,
+        )
+        # no tagged table -> promql phase skipped; empty store -> the
+        # max(time) probe returns NULL and the phases still complete
+        timings = warmup_engine(engine)
+        assert set(timings) == {"find", "render"}
+
+
 class TestRender:
     def test_json(self, base_url):
         body = get(

@@ -258,11 +258,20 @@ def main() -> None:
         "loadavg_before": round(load0, 1),
         "loadavg_after": round(os.getloadavg()[0], 1),
     }
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BENCH_LATENCY.json",
+    )
+    # preserve the cold-start section (tools/cold_start_bench.py owns it)
+    try:
+        with open(path) as fh:
+            prev = json.load(fh)
+        if "cold_start" in prev:
+            out["cold_start"] = prev["cold_start"]
+    except (OSError, ValueError):
+        pass
     line = json.dumps(out)
-    with open(
-        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                     "BENCH_LATENCY.json"), "w"
-    ) as fh:
+    with open(path, "w") as fh:
         fh.write(line + "\n")
     print(line)
 
