@@ -141,10 +141,19 @@ def main() -> None:
         "points_after_compact": n_after,
         "loadavg_1m": round(os.getloadavg()[0], 1),
     }
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(repo, "BENCH_INGEST.json")
+    # preserve the freshness section (tools/freshness_bench.py owns it)
+    try:
+        with open(path) as f:
+            prev = json.load(f)
+        if "freshness" in prev:
+            result["freshness"] = prev["freshness"]
+    except (OSError, ValueError):
+        pass
     line = json.dumps(result)
     print(line)
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(repo, "BENCH_INGEST.json"), "w") as f:
+    with open(path, "w") as f:
         f.write(line + "\n")
     spark.stop()
 
