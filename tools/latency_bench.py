@@ -245,6 +245,12 @@ def main() -> None:
             base, srv, render_q, find_q + "&noCache=1"
         ),
     }
+    # A/B: the r8 render plan-build cache off (pre-r8 behavior) — same
+    # server, same warm state, render workload only
+    engine.plan_cache_enabled = False
+    engine._plan_cache.clear()
+    results["render_small_plan_cache_off"] = run_workload(base, render_q)
+    engine.plan_cache_enabled = True
     srv.shutdown()
     spark.stop()
 
