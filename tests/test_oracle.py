@@ -139,13 +139,13 @@ def test_contract_registry_is_complete():
     # sit past position 49; a new query landing there would never get a
     # driver correctness row.
     STABLE_TAIL = {
-        # round-7 rotation: each driver-green in CORRECTNESS_r06.json,
-        # code untouched since; the r6 tail (lang_id et al.) moved
-        # back into the top-50 window to re-earn driver rows
-        "version_dedup", "storage_merge", "consolidate_last",
-        "gapfill_grid", "find_glob", "index_tree", "tagged_find",
-        "autocomplete_values", "autocomplete_tags", "prom_label_values",
-        "tpch_q1", "topk_orders_per_segment",
+        # round-8 rotation: each driver-green in CORRECTNESS_r07.json,
+        # code untouched since; the r7 tail (version_dedup et al.)
+        # moved back into the top-50 window to re-earn driver rows
+        "lang_id", "fingerprint", "token_count", "sample_deterministic",
+        "mix_sources", "dedup_exact", "decontaminate", "text_quality",
+        "tfidf_top_terms", "text_clean", "quality_classifier",
+        "tagbrowse_list",
     }
     overflow = [n for i, n in enumerate(qs) if i >= 50 and n not in STABLE_TAIL]
     assert overflow == [], f"new queries outside the driver's top-50 gate: {overflow}"
