@@ -1142,6 +1142,157 @@ FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
 """
 
 
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-span statistics (pipeline/dedup.py::
+    duplicate_spans): the Lee et al. 2021 ExactSubstr signal in its
+    fixed k-token-window form — windows of 8 tokens whose normalized
+    text occurs in >= 2 distinct documents, reported per document as
+    (n_spans, n_dup_spans, dup_fraction). The synthetic corpus has
+    natural signal at k=8 (repeated sentence fragments across sources:
+    ~9% of windows, ~10% of docs at sf0.01), so no injection is
+    needed. Portable md5-lane hashing for the DuckDB twin."""
+    from graphite_clickhouse_spark.pipeline.dedup import duplicate_spans
+    from graphite_clickhouse_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = duplicate_spans(docs, k=8, min_docs=2, portable=True)
+    return out.select(
+        F.col("id").alias("doc_id"), "n_spans", "n_dup_spans",
+        "dup_fraction",
+    )
+
+
+SQL_DUP_SPANS = r"""
+WITH d AS (
+    SELECT doc_id,
+           string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+') AS t
+    FROM documents
+), g AS (
+    SELECT doc_id, greatest(len(t) - 7, 0) AS n_spans, t FROM d
+), e AS (
+    SELECT doc_id,
+           unnest(list_transform(range(0, n_spans), i ->
+               ('0x' || substr(md5(array_to_string(t[i+1:i+8], ' ')), 1, 15))::BIGINT
+           )) AS h
+    FROM g
+), repeated AS (
+    SELECT h FROM e GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+), per_doc AS (
+    SELECT e.doc_id, CAST(count(r.h) AS INT) AS n_dup_spans
+    FROM e LEFT JOIN repeated r ON e.h = r.h
+    GROUP BY e.doc_id
+)
+SELECT g.doc_id,
+       CAST(g.n_spans AS INT) AS n_spans,
+       coalesce(p.n_dup_spans, 0) AS n_dup_spans,
+       round(CASE WHEN g.n_spans > 0
+                  THEN coalesce(p.n_dup_spans, 0) / g.n_spans
+                  ELSE 0.0 END, 6) AS dup_fraction
+FROM g LEFT JOIN per_doc p ON p.doc_id = g.doc_id
+"""
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + keep-first dedup (pipeline/urls.py): the
+    crawl pipeline's same-page collapse. The synthetic corpus has no
+    URL column, so the query INJECTS one deterministically from doc_id
+    (the synthetic-asset pattern): five spelling variants of
+    http://site{h}.com/page/{p} — scheme/case/port/www noise, a
+    trailing slash, tracking params with per-doc unique values — of
+    which four must collapse to the same canonical and the ?id=k
+    variant must stay distinct per k. Output: one row per canonical
+    URL with the duplicate count and the kept (minimum) doc_id."""
+    from graphite_clickhouse_spark.pipeline.urls import url_dedup
+    from graphite_clickhouse_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    # five consecutive doc_ids form one URL group: each contributes one
+    # spelling variant of the SAME page, so variants 0/1/2/4 must
+    # collapse (n_dups=4, keep_id = the group's smallest id) and the
+    # ?id=k variant stays its own canonical
+    group = F.floor(did / 5)
+    host = s(group % 20)
+    page = s(F.floor(group / 20) % 50)
+    variant = did % 5
+    url = (
+        F.when(variant == 0, F.concat(
+            F.lit("https://WWW.Site"), host, F.lit(".com:443/page/"),
+            page, F.lit("?utm_source=feed&ref=rss#frag")))
+        .when(variant == 1, F.concat(
+            F.lit("http://site"), host, F.lit(".com/page/"), page))
+        .when(variant == 2, F.concat(
+            F.lit("http://site"), host, F.lit(".com:80/page/"), page,
+            F.lit("/")))
+        .when(variant == 3, F.concat(
+            F.lit("https://site"), host, F.lit(".com/page/"), page,
+            F.lit("?id="), s(did % 3)))
+        .otherwise(F.concat(
+            F.lit("http://site"), host, F.lit(".com/page/"), page,
+            F.lit("?fbclid=x"), s(did)))
+    )
+    injected = docs.select("doc_id", url.alias("url"))
+    return url_dedup(injected).orderBy("canonical_url")
+
+
+SQL_URL_DEDUP = r"""
+WITH injected AS (
+    SELECT doc_id,
+           CASE doc_id % 5
+             WHEN 0 THEN 'https://WWW.Site' || CAST((doc_id // 5) % 20 AS VARCHAR)
+                         || '.com:443/page/' || CAST((doc_id // 100) % 50 AS VARCHAR)
+                         || '?utm_source=feed&ref=rss#frag'
+             WHEN 1 THEN 'http://site' || CAST((doc_id // 5) % 20 AS VARCHAR)
+                         || '.com/page/' || CAST((doc_id // 100) % 50 AS VARCHAR)
+             WHEN 2 THEN 'http://site' || CAST((doc_id // 5) % 20 AS VARCHAR)
+                         || '.com:80/page/' || CAST((doc_id // 100) % 50 AS VARCHAR) || '/'
+             WHEN 3 THEN 'https://site' || CAST((doc_id // 5) % 20 AS VARCHAR)
+                         || '.com/page/' || CAST((doc_id // 100) % 50 AS VARCHAR)
+                         || '?id=' || CAST(doc_id % 3 AS VARCHAR)
+             ELSE 'http://site' || CAST((doc_id // 5) % 20 AS VARCHAR)
+                  || '.com/page/' || CAST((doc_id // 100) % 50 AS VARCHAR)
+                  || '?fbclid=x' || CAST(doc_id AS VARCHAR)
+           END AS url
+    FROM documents
+), c1 AS (  -- fragment
+    SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM injected
+), c2 AS (  -- scheme://host head: lowercase, https->http, www., ports
+    SELECT doc_id,
+           CASE WHEN head = '' THEN u ELSE
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(lower(head), '^https:', 'http:'),
+                 '^(http://)www\.', '\1'),
+               ':(?:80|443)$', '')
+             || regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*', '')
+           END AS u
+    FROM (SELECT doc_id, u,
+                 regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?]*)', 1) AS head
+          FROM c1)
+), c3 AS (  -- tracking params: mid ('&p='), leading-with-successor, sole
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(u,
+                 '&(?:utm_[a-z]+|fbclid|gclid|msclkid|ref|referrer)=[^&#]*', '', 'g'),
+               '\?(?:utm_[a-z]+|fbclid|gclid|msclkid|ref|referrer)=[^&#]*&', '?'),
+             '\?(?:utm_[a-z]+|fbclid|gclid|msclkid|ref|referrer)=[^&#]*$', '') AS u
+    FROM c2
+), c4 AS (  -- trailing slash: non-root path, then bare root
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(u, '(://[^/?]+/[^?]*[^/?])/(\?|$)', '\1\2'),
+             '(://[^/?]+)/(\?|$)', '\1\2') AS u
+    FROM c3
+)
+SELECT u AS canonical_url,
+       CAST(count(*) AS INT) AS n_dups,
+       min(doc_id) AS keep_id
+FROM c4 GROUP BY u ORDER BY canonical_url
+"""
+
+
 # ---------------------------------------------------------------------------
 # generic OLAP (scans/joins/windows on the TPC-H-ish tables)
 # ---------------------------------------------------------------------------
@@ -2728,8 +2879,14 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     # r8-touched (separator quoting) -> must stay in-window
     "paragraph_dedup": (q_paragraph_dedup, SQL_PARAGRAPH_DEDUP),
+    # NEW in r8 (must earn driver rows -> in-window): exact
+    # duplicate-span statistics (Lee et al. ExactSubstr, fixed-window
+    # form) and URL canonicalization + keep-first dedup.
+    # pack_sequences and unigram_quality (r7-driver-green, untouched
+    # this round) moved to the tail to make room.
+    "dup_spans": (q_dup_spans, SQL_DUP_SPANS),
+    "url_dedup": (q_url_dedup, SQL_URL_DEDUP),
     "semi_join_urgent": (q_semi_join_urgent, SQL_SEMI_JOIN_URGENT),
-    "budget_mix": (q_budget_mix, SQL_BUDGET_MIX),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
     "gopher_filter": (q_gopher_filter, _gopher_sql()),
@@ -2751,7 +2908,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "multimodal_wav_decode": (q_multimodal_wav_decode, SQL_MULTIMODAL_WAV_DECODE),
     "minhash_dedup": (q_minhash_dedup, SQL_MINHASH_DEDUP),
     "simhash_pairs": (q_simhash_pairs, SQL_SIMHASH_PAIRS),
-    "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "unigram_quality": (q_unigram_quality, SQL_UNIGRAM_QUALITY),
     "ccnet_partition": (q_ccnet_partition, SQL_CCNET_PARTITION),
     "dsir_weight": (q_dsir_weight, SQL_DSIR_WEIGHT),
@@ -2778,6 +2934,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "text_clean": (q_text_clean, SQL_TEXT_CLEAN),
     "quality_classifier": (q_quality_classifier, SQL_QUALITY_CLASSIFIER),
     "tagbrowse_list": (q_tagbrowse_list, SQL_TAGBROWSE_LIST),
+    "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
+    "budget_mix": (q_budget_mix, SQL_BUDGET_MIX),
 }
 
 

@@ -52,6 +52,8 @@ BENCH_QUERIES = [
     "tagbrowse_list",
     "pii_scrub",
     "paragraph_dedup",
+    "dup_spans",
+    "url_dedup",
     "promql_range_select",
     "promql_rate_sum",
     "promql_hist_quantile",

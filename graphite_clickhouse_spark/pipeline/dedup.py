@@ -950,3 +950,99 @@ def paragraph_dedup(
             F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
         )
     )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    k: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    portable: bool = False,
+) -> DataFrame:
+    """Exact duplicate-span statistics — the token-window formulation of
+    Lee et al. 2021 ("Deduplicating Training Data Makes Language Models
+    Better", the ExactSubstr pass): a k-token window whose exact
+    normalized text occurs in >= ``min_docs`` DISTINCT documents is a
+    duplicated span; the per-document duplicated fraction is the signal
+    the paper thresholds on (their suffix-array finds variable-length
+    matches >= 50 tokens; fixed k-token windows with stride 1 flag the
+    same regions — any duplicate substring of >= k tokens contains a
+    duplicated window — at hash-join cost instead of a distributed
+    suffix array).
+
+    -> (id, n_spans, n_dup_spans, dup_fraction): windows per document,
+    windows occurring in >= min_docs documents, and their ratio
+    (0.0 for documents shorter than k tokens; dup_fraction rounded to
+    6 dp for cross-engine float stability).
+
+    100 TB shape: identical to paragraph_dedup — one explode (stride-1
+    windows are ~n_tokens rows, the same volume winnowing already
+    proves out), one count-distinct hash aggregation keyed on the span
+    HASH (64-bit key, not the span text: the shuffle carries 8 bytes
+    per window no matter how long the tokens are), one join back, one
+    per-doc aggregation. No pairwise work; boilerplate-heavy spans are
+    exactly the high-df keys and the aggregation is the only place
+    they concentrate (count buffers, not lists).
+
+    ``portable=True`` swaps xxhash64 for the md5 60-bit lane the DuckDB
+    oracle computes bit-identically (hash60_portable).
+    """
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), WS_RE, " ")
+    toks = F.split(norm, " ")
+    # empty text splits to [""] (1 token < k) and NULL text's
+    # size() is NULL — greatest() skips NULLs, so both land on 0
+    n_spans = F.greatest(F.size(toks) - (k - 1), F.lit(0))
+    # hoist tokens through a projection barrier (CollapseProject would
+    # re-split per window) and repartition: a single-split corpus would
+    # serialize the per-window hashing (the winnowing lesson)
+    sc = df.sparkSession.sparkContext
+    parts = max(df.rdd.getNumPartitions(), sc.defaultParallelism)
+    base = df.repartition(parts).select(
+        F.col(id_col).alias("id"),
+        toks.alias("_toks"),
+        n_spans.alias("n_spans"),
+    )
+    tk = F.col("_toks")
+
+    def span_hash(i):
+        span = F.concat_ws(" ", F.slice(tk, i + F.lit(1), F.lit(k)))
+        return hash60_portable(span) if portable else F.xxhash64(span)
+
+    spans = F.when(
+        F.col("n_spans") <= 0, F.array().cast("array<bigint>")
+    ).otherwise(
+        F.transform(F.sequence(F.lit(0), F.col("n_spans") - 1), span_hash)
+    )
+    staged = base.select("id", "n_spans", spans.alias("_h"))
+    e = staged.select(
+        "id", F.explode("_h").alias("h")
+    )
+    repeated = (
+        e.groupBy("h")
+        .agg(F.countDistinct("id").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("h", F.lit(True).alias("_rep"))
+    )
+    per_doc = (
+        e.join(repeated, "h", "left")
+        .groupBy("id")
+        .agg(F.count(F.col("_rep")).cast("int").alias("n_dup_spans"))
+    )
+    return (
+        staged.select("id", "n_spans")
+        .join(per_doc, "id", "left")
+        .select(
+            "id",
+            F.col("n_spans").cast("int").alias("n_spans"),
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            F.round(
+                F.when(F.col("n_spans") > 0,
+                       F.coalesce("n_dup_spans", F.lit(0))
+                       / F.col("n_spans")).otherwise(F.lit(0.0)),
+                6,
+            ).alias("dup_fraction"),
+        )
+    )

@@ -1,0 +1,102 @@
+"""URL canonicalization + URL-level dedup — the keep-first-per-URL
+stage every web-crawl training pipeline runs before content dedup
+(CCNet/C4/Dolma all dedup by canonical URL: the same page is fetched
+many times across snapshots with tracking query params, scheme/host
+case noise, fragments, and trailing-slash variants).
+
+Spark-first: canonicalization is a fixed chain of `regexp_replace` /
+`lower` expressions (JVM-side, whole-stage codegen, zero UDF), chosen
+to mean the same thing in Java regex (Spark) and RE2 (the DuckDB
+oracle / ClickHouse) — character classes and bounded alternation only,
+no lookaround. Dedup is one hash aggregation on the canonical string
+(or its xxhash64 at 100 TB — same plan shape, narrower shuffle).
+
+The canonical form (the common subset of the published pipelines):
+
+  1. drop the fragment (`#...`);
+  2. lowercase the scheme and host (path/query case is significant);
+  3. fold `https` to `http` (snapshot-crawl dedup treats them as one
+     resource) and strip a leading `www.`;
+  4. strip explicit default ports (`:80` / `:443`);
+  5. remove tracking parameters (`utm_*`, `fbclid`, `gclid`,
+     `msclkid`, `ref`, `referrer`) wherever they sit in the query;
+  6. tidy separators the removals leave behind (`?&` -> `?`,
+     `&&` -> `&`, trailing `?`/`&`);
+  7. drop one trailing slash from a non-root path, and the bare root
+     slash itself.
+
+Scheme-less strings (no '://') can't distinguish host from path, so
+only the fragment/tracking rules (1, 5, 6) apply to them.
+
+Reference scope note: graphite-clickhouse has no URL surface — this
+module is part of the training-data-pipeline extension the build brief
+adds as first-class (like pipeline/dedup.py and pipeline/text.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: tracking parameters removed during canonicalization (step 5)
+TRACKING_PARAMS = r"(?:utm_[a-z]+|fbclid|gclid|msclkid|ref|referrer)"
+
+
+def canonical_url(col: Column) -> Column:
+    """Canonicalize a URL column (pure expressions; see module doc).
+
+    Every regex below is Java/RE2-portable; tests/test_pipeline.py pins
+    the Spark output against the DuckDB twin on hostile inputs."""
+    # 1. fragment
+    u = F.regexp_replace(col, r"#.*$", "")
+    # 2-4. scheme://host[:port] head: lowercase, https->http, strip
+    # www. and default ports.  Lowercasing only the head keeps path
+    # and query case significant, so split head/tail first.
+    head = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?]*)", 1))
+    tail = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*", "")
+    head = F.regexp_replace(head, r"^https:", "http:")
+    head = F.regexp_replace(head, r"^(http://)www\.", "$1")
+    head = F.regexp_replace(head, r":(?:80|443)$", "")
+    u = F.when(head == "", u).otherwise(F.concat(head, tail))
+    # 5+6. tracking params, exactly (no lookaround, Java/RE2-portable):
+    # (a) '&param=...' anywhere — removal keeps the query well-formed;
+    # (b) a LEADING '?param=...&' hands '?' to its successor;
+    # (c) a sole '?param=...' drops with its '?'.
+    u = F.regexp_replace(u, r"&" + TRACKING_PARAMS + r"=[^&#]*", "")
+    u = F.regexp_replace(u, r"\?" + TRACKING_PARAMS + r"=[^&#]*&", "?")
+    u = F.regexp_replace(u, r"\?" + TRACKING_PARAMS + r"=[^&#]*$", "")
+    # 7. trailing slash: non-root path ('/a/b/' -> '/a/b') and the bare
+    # root ('http://h/' == 'http://h', RFC 3986 §6.2.3)
+    u = F.regexp_replace(u, r"(://[^/?]+/[^?]*[^/?])/(\?|$)", "$1$2")
+    u = F.regexp_replace(u, r"(://[^/?]+)/(\?|$)", "$1$2")
+    return u
+
+
+def url_dedup(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep-first-per-canonical-URL: -> (canonical_url, n_dups,
+    keep_id) with one row per canonical URL, `keep_id` = the smallest
+    document id claiming it (deterministic winner — crawl pipelines
+    keep the earliest snapshot), `n_dups` = how many documents
+    collapsed into it.
+
+    100 TB shape: ONE hash aggregation keyed on the canonical string —
+    map-side partial aggregation collapses per-task duplicates before
+    the exchange, and URL cardinality is ~documents, so the shuffle is
+    bounded by the table itself. No join, no window. Swap the group
+    key for xxhash64(canonical) to shrink shuffle width when URLs are
+    long; the plan shape is unchanged."""
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            canonical_url(F.col(url_col)).alias("canonical_url"),
+        )
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_dups"),
+            F.min("id").alias("keep_id"),
+        )
+    )

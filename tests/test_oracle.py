@@ -145,7 +145,7 @@ def test_contract_registry_is_complete():
         "lang_id", "fingerprint", "token_count", "sample_deterministic",
         "mix_sources", "dedup_exact", "decontaminate", "text_quality",
         "tfidf_top_terms", "text_clean", "quality_classifier",
-        "tagbrowse_list",
+        "tagbrowse_list", "pack_sequences", "budget_mix",
     }
     overflow = [n for i, n in enumerate(qs) if i >= 50 and n not in STABLE_TAIL]
     assert overflow == [], f"new queries outside the driver's top-50 gate: {overflow}"

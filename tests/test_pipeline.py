@@ -1747,3 +1747,125 @@ class TestWhitespaceClassEngineParity:
         # NBSP is NOT whitespace here (Python \s would accept it; Java
         # and RE2 would not — the class keeps the strict intersection+VT)
         assert not pat.match("\xa0")
+
+
+class TestDuplicateSpans:
+    """pipeline/dedup.py::duplicate_spans — exact k-token duplicate-span
+    statistics (Lee et al. 2021 ExactSubstr, fixed-window form)."""
+
+    def _run(self, spark, rows, **kw):
+        from graphite_clickhouse_spark.pipeline.dedup import duplicate_spans
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return {r.id: r for r in duplicate_spans(df, **kw).collect()}
+
+    def test_shared_window_flagged(self, spark):
+        shared = "one two three four"  # k=4 -> exactly one shared window
+        got = self._run(spark, [
+            (1, shared + " uniqA endA"),
+            (2, "prefixB " + shared + " uniqB"),
+            (3, "totally different words here now"),
+        ], k=4)
+        # doc1: 3 windows, 1 duplicated (the 'one two three four' window)
+        assert (got[1].n_spans, got[1].n_dup_spans) == (3, 1)
+        assert (got[2].n_spans, got[2].n_dup_spans) == (3, 1)
+        assert got[3].n_dup_spans == 0
+        assert abs(got[1].dup_fraction - round(1 / 3, 6)) < 1e-9
+
+    def test_long_shared_run_flags_all_contained_windows(self, spark):
+        # a duplicate substring of m >= k tokens contains m-k+1
+        # duplicated windows — the paper's coverage property
+        run = " ".join(f"w{i}" for i in range(10))  # 10 shared tokens
+        got = self._run(spark, [(1, run + " tailX"), (2, run + " tailY")],
+                        k=4)
+        assert got[1].n_spans == 8
+        assert got[1].n_dup_spans == 7  # 10-4+1 windows inside the run
+        assert got[2].n_dup_spans == 7
+
+    def test_case_and_whitespace_normalized(self, spark):
+        got = self._run(spark, [
+            (1, "Alpha  Beta\tGamma Delta"),
+            (2, "alpha beta gamma delta"),
+        ], k=4)
+        assert got[1].n_dup_spans == 1 and got[2].n_dup_spans == 1
+
+    def test_within_doc_repeat_not_duplicate(self, spark):
+        text = "a b c d x y z a b c d"  # window 'a b c d' twice, ONE doc
+        got = self._run(spark, [(1, text)], k=4)
+        assert got[1].n_dup_spans == 0
+
+    def test_short_null_empty_and_guard(self, spark):
+        import pytest as _pytest
+
+        from graphite_clickhouse_spark.pipeline.dedup import duplicate_spans
+
+        got = self._run(spark, [(1, "too short"), (2, ""), (3, None)], k=8)
+        for i in (1, 2, 3):
+            assert (got[i].n_spans, got[i].n_dup_spans,
+                    got[i].dup_fraction) == (0, 0, 0.0)
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with _pytest.raises(ValueError, match="min_docs"):
+            duplicate_spans(df, min_docs=1)
+
+    def test_portable_matches_xxhash_semantics(self, spark):
+        rows = [(1, "one two three four five six"),
+                (2, "zero one two three four five")]
+        a = self._run(spark, rows, k=4, portable=False)
+        b = self._run(spark, rows, k=4, portable=True)
+        for i in (1, 2):
+            assert (a[i].n_spans, a[i].n_dup_spans) == (
+                b[i].n_spans, b[i].n_dup_spans)
+
+
+class TestUrlCanonicalizeAndDedup:
+    """pipeline/urls.py — canonicalization chain + keep-first dedup."""
+
+    CASES = [
+        # (raw, canonical)
+        ("HTTPS://WWW.Example.com:443/Path/Sub/?utm_source=x&id=5#frag",
+         "http://example.com/Path/Sub?id=5"),
+        ("http://example.com/Path/Sub?id=5",
+         "http://example.com/Path/Sub?id=5"),
+        ("https://example.com:443/a/", "http://example.com/a"),
+        ("http://example.com:80/", "http://example.com"),
+        ("http://example.com", "http://example.com"),
+        ("http://h.io/p?utm_a=1&utm_b=2", "http://h.io/p"),
+        ("http://h.io/p?a=1&fbclid=xyz&b=2", "http://h.io/p?a=1&b=2"),
+        ("http://h.io/p?gclid=1&keep=2", "http://h.io/p?keep=2"),
+        # path/query case is significant; ref param goes, REF= stays
+        # (params are case-sensitive like the published pipelines)
+        ("http://h.io/P?REF=x", "http://h.io/P?REF=x"),
+        ("http://h.io/p?ref=x", "http://h.io/p"),
+        # no scheme: the host/port/slash rules anchor on '://' (a bare
+        # string can't distinguish host from path), so only the
+        # fragment/tracking rules apply
+        ("example.com/a/", "example.com/a/"),
+        ("example.com/a?utm_q=1#f", "example.com/a"),
+    ]
+
+    def test_canonical_cases(self, spark):
+        from graphite_clickhouse_spark.pipeline.urls import canonical_url
+
+        df = spark.createDataFrame(
+            [(i, raw) for i, (raw, _want) in enumerate(self.CASES)],
+            "i long, url string",
+        )
+        got = {r.i: r.c for r in df.select(
+            "i", canonical_url(F.col("url")).alias("c")).collect()}
+        for i, (raw, want) in enumerate(self.CASES):
+            assert got[i] == want, (raw, got[i], want)
+
+    def test_dedup_keeps_min_id(self, spark):
+        from graphite_clickhouse_spark.pipeline.urls import url_dedup
+
+        df = spark.createDataFrame([
+            (7, "https://www.site.com/a?utm_x=1"),
+            (3, "http://site.com/a"),
+            (9, "http://site.com/a/"),
+            (4, "http://other.com/b"),
+        ], "doc_id long, url string")
+        got = {r.canonical_url: r for r in url_dedup(df).collect()}
+        assert got["http://site.com/a"].n_dups == 3
+        assert got["http://site.com/a"].keep_id == 3
+        assert got["http://other.com/b"].n_dups == 1
+        assert got["http://other.com/b"].keep_id == 4
