@@ -995,16 +995,19 @@ def duplicate_spans(
     # empty text splits to [""] (1 token < k) and NULL text's
     # size() is NULL — greatest() skips NULLs, so both land on 0
     n_spans = F.greatest(F.size(toks) - (k - 1), F.lit(0))
-    # hoist tokens through a projection barrier (CollapseProject would
-    # re-split per window) and repartition: a single-split corpus would
-    # serialize the per-window hashing (the winnowing lesson)
+    # hoist tokens through a REAL projection barrier: the repartition
+    # sits BETWEEN the tokenize projection and the span projection, so
+    # CollapseProject cannot inline the split into the window lambda
+    # (which would re-tokenize the document once PER WINDOW — measured
+    # 19 us/window vs 0.3 us with the barrier).  The repartition also
+    # parallelizes a single-split corpus (the winnowing lesson).
     sc = df.sparkSession.sparkContext
     parts = max(df.rdd.getNumPartitions(), sc.defaultParallelism)
-    base = df.repartition(parts).select(
+    base = df.select(
         F.col(id_col).alias("id"),
         toks.alias("_toks"),
         n_spans.alias("n_spans"),
-    )
+    ).repartition(parts)
     tk = F.col("_toks")
 
     def span_hash(i):
@@ -1016,7 +1019,15 @@ def duplicate_spans(
     ).otherwise(
         F.transform(F.sequence(F.lit(0), F.col("n_spans") - 1), span_hash)
     )
-    staged = base.select("id", "n_spans", spans.alias("_h"))
+    # CACHE the hashed frame (the winnowing pattern): it feeds BOTH the
+    # repeated-span aggregate and the join-back side, and — decisively —
+    # the cache boundary stops InferFiltersFromGenerate from pushing a
+    # `size(_h) > 0` filter below the repartition, which would evaluate
+    # the ENTIRE span-hash transform once more in the (possibly
+    # single-split) pre-shuffle stage (measured: 6.3 s -> 0.9 s at 1x).
+    # At cluster scale: persist to a table instead.
+    staged = base.select("id", "n_spans", spans.alias("_h")).cache()
+    staged.count()
     e = staged.select(
         "id", F.explode("_h").alias("h")
     )
