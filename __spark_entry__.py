@@ -1255,8 +1255,9 @@ WITH injected AS (
                   || '?fbclid=x' || CAST(doc_id AS VARCHAR)
            END AS url
     FROM documents
-), c1 AS (  -- fragment
-    SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM injected
+), c1 AS (  -- fragment ((?s) + \z anchors: see pipeline/urls.py — bare
+            -- '$' diverges between Java and RE2 on trailing newlines)
+    SELECT doc_id, regexp_replace(url, '(?s)#.*', '') AS u FROM injected
 ), c2 AS (  -- scheme://host head: lowercase, https->http, www., ports
     SELECT doc_id,
            CASE WHEN head = '' THEN u ELSE
@@ -1264,7 +1265,7 @@ WITH injected AS (
                regexp_replace(
                  regexp_replace(lower(head), '^https:', 'http:'),
                  '^(http://)www\.', '\1'),
-               ':(?:80|443)$', '')
+               ':(?:80|443)\z', '')
              || regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*', '')
            END AS u
     FROM (SELECT doc_id, u,
@@ -1277,13 +1278,13 @@ WITH injected AS (
                regexp_replace(u,
                  '&(?:utm_[a-z]+|fbclid|gclid|msclkid|ref|referrer)=[^&#]*', '', 'g'),
                '\?(?:utm_[a-z]+|fbclid|gclid|msclkid|ref|referrer)=[^&#]*&', '?'),
-             '\?(?:utm_[a-z]+|fbclid|gclid|msclkid|ref|referrer)=[^&#]*$', '') AS u
+             '\?(?:utm_[a-z]+|fbclid|gclid|msclkid|ref|referrer)=[^&#]*\z', '') AS u
     FROM c2
 ), c4 AS (  -- trailing slash: non-root path, then bare root
     SELECT doc_id,
            regexp_replace(
-             regexp_replace(u, '(://[^/?]+/[^?]*[^/?])/(\?|$)', '\1\2'),
-             '(://[^/?]+)/(\?|$)', '\1\2') AS u
+             regexp_replace(u, '(://[^/?]+/[^?]*[^/?])/(\?|\z)', '\1\2'),
+             '(://[^/?]+)/(\?|\z)', '\1\2') AS u
     FROM c3
 )
 SELECT u AS canonical_url,

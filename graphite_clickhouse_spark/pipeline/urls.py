@@ -47,8 +47,12 @@ def canonical_url(col: Column) -> Column:
 
     Every regex below is Java/RE2-portable; tests/test_pipeline.py pins
     the Spark output against the DuckDB twin on hostile inputs."""
-    # 1. fragment
-    u = F.regexp_replace(col, r"#.*$", "")
+    # 1. fragment — (?s) so a fragment containing newlines is removed to
+    # the true end of the string; bare '$' would also diverge across
+    # engines on trailing newlines (Java '$' matches BEFORE a final \n,
+    # RE2 '$' is end-of-text), which is why every end anchor in this
+    # chain is \z or (?s).*
+    u = F.regexp_replace(col, r"(?s)#.*", "")
     # 2-4. scheme://host[:port] head: lowercase, https->http, strip
     # www. and default ports.  Lowercasing only the head keeps path
     # and query case significant, so split head/tail first.
@@ -56,7 +60,7 @@ def canonical_url(col: Column) -> Column:
     tail = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*", "")
     head = F.regexp_replace(head, r"^https:", "http:")
     head = F.regexp_replace(head, r"^(http://)www\.", "$1")
-    head = F.regexp_replace(head, r":(?:80|443)$", "")
+    head = F.regexp_replace(head, r":(?:80|443)\z", "")
     u = F.when(head == "", u).otherwise(F.concat(head, tail))
     # 5+6. tracking params, exactly (no lookaround, Java/RE2-portable):
     # (a) '&param=...' anywhere — removal keeps the query well-formed;
@@ -64,11 +68,11 @@ def canonical_url(col: Column) -> Column:
     # (c) a sole '?param=...' drops with its '?'.
     u = F.regexp_replace(u, r"&" + TRACKING_PARAMS + r"=[^&#]*", "")
     u = F.regexp_replace(u, r"\?" + TRACKING_PARAMS + r"=[^&#]*&", "?")
-    u = F.regexp_replace(u, r"\?" + TRACKING_PARAMS + r"=[^&#]*$", "")
+    u = F.regexp_replace(u, r"\?" + TRACKING_PARAMS + r"=[^&#]*\z", "")
     # 7. trailing slash: non-root path ('/a/b/' -> '/a/b') and the bare
     # root ('http://h/' == 'http://h', RFC 3986 §6.2.3)
-    u = F.regexp_replace(u, r"(://[^/?]+/[^?]*[^/?])/(\?|$)", "$1$2")
-    u = F.regexp_replace(u, r"(://[^/?]+)/(\?|$)", "$1$2")
+    u = F.regexp_replace(u, r"(://[^/?]+/[^?]*[^/?])/(\?|\z)", "$1$2")
+    u = F.regexp_replace(u, r"(://[^/?]+)/(\?|\z)", "$1$2")
     return u
 
 

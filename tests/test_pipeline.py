@@ -1869,3 +1869,113 @@ class TestUrlCanonicalizeAndDedup:
         assert got["http://site.com/a"].keep_id == 3
         assert got["http://other.com/b"].n_dups == 1
         assert got["http://other.com/b"].keep_id == 4
+
+
+class TestUrlCanonicalDifferentialFuzz:
+    """canonical_url crosses two regex engines (Java in Spark, RE2 in
+    the DuckDB oracle); every pattern in the chain must mean the same
+    thing in both. One hypothesis corpus, ONE Spark job and ONE DuckDB
+    query, element-wise compare (the r5 differential-fuzz pattern that
+    found the ANSI poison-pill classes). End anchors are \\z / (?s)
+    precisely because bare '$' diverges on trailing newlines."""
+
+    #: DuckDB mirror of pipeline/urls.py::canonical_url — kept in sync
+    #: with the url_dedup oracle in __spark_entry__.py
+    DUCK_CHAIN = r"""
+    WITH c1 AS (
+        SELECT i, regexp_replace(u, '(?s)#.*', '') AS u FROM corpus
+    ), c2 AS (
+        SELECT i,
+               CASE WHEN head = '' THEN u ELSE
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(lower(head), '^https:', 'http:'),
+                     '^(http://)www\.', '\1'),
+                   ':(?:80|443)\z', '')
+                 || regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*', '')
+               END AS u
+        FROM (SELECT i, u,
+                     regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?]*)', 1) AS head
+              FROM c1)
+    ), c3 AS (
+        SELECT i,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(u,
+                     '&(?:utm_[a-z]+|fbclid|gclid|msclkid|ref|referrer)=[^&#]*', '', 'g'),
+                   '\?(?:utm_[a-z]+|fbclid|gclid|msclkid|ref|referrer)=[^&#]*&', '?'),
+                 '\?(?:utm_[a-z]+|fbclid|gclid|msclkid|ref|referrer)=[^&#]*\z', '') AS u
+        FROM c2
+    )
+    SELECT i,
+           regexp_replace(
+             regexp_replace(u, '(://[^/?]+/[^?]*[^/?])/(\?|\z)', '\1\2'),
+             '(://[^/?]+)/(\?|\z)', '\1\2') AS u
+    FROM c3 ORDER BY i
+    """
+
+    def _corpus(self):
+        from hypothesis import strategies as st
+
+        # URL-shaped composites plus raw hostile text (ASCII printable +
+        # newline/tab; non-ASCII excluded — Python str == DuckDB UTF-8
+        # == Java String for BMP text, and the regexes are ASCII classes,
+        # but the lower() of non-ASCII differs between engines by locale
+        # rules, which is a known non-goal for crawl URLs)
+        atom = st.text(
+            alphabet=st.sampled_from(
+                "abczABCZ019.-_~%/&?=#:+@ \t\n!$'()*,;[]"
+            ),
+            max_size=12,
+        )
+        scheme = st.sampled_from(
+            ["http", "https", "HTTPS", "ftp", "hTtP", ""]
+        )
+        host = st.sampled_from(
+            ["www.Ex.com", "EX.com:443", "ex.com:80", "ex.com:8080",
+             "WWW.ex.com", "", "w w\n.com"]
+        )
+        tracking = st.sampled_from(
+            ["utm_source=a", "utm_x=", "fbclid=1&utm_a=2", "ref=x",
+             "REF=x", "id=1", "gclid", "msclkid=&z=1", ""]
+        )
+        composite = st.builds(
+            lambda s, h, p, q, f: (f"{s}://{h}" if s else h)
+            + f"/{p}" + (f"?{q}" if q else "") + (f"#{f}" if f else ""),
+            scheme, host, atom, tracking, atom,
+        )
+        return st.lists(st.one_of(atom, composite), min_size=1, max_size=24)
+
+    def test_spark_matches_duckdb(self, spark):
+        import duckdb
+        from hypothesis import HealthCheck, given, settings
+
+        from graphite_clickhouse_spark.pipeline.urls import canonical_url
+
+        corpora: list[list[str]] = []
+
+        @settings(max_examples=60, deadline=None,
+                  suppress_health_check=list(HealthCheck))
+        @given(self._corpus())
+        def gather(urls):
+            corpora.append(urls)
+
+        gather()
+        rows = [(i, u) for i, u in enumerate(
+            u for urls in corpora for u in urls)]
+        sdf = spark.createDataFrame(rows, "i long, u string").select(
+            "i", canonical_url(F.col("u")).alias("c")
+        )
+        got_spark = {r.i: r.c for r in sdf.collect()}
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE corpus(i BIGINT, u VARCHAR)"
+        )
+        con.executemany("INSERT INTO corpus VALUES (?, ?)", rows)
+        got_duck = dict(con.execute(self.DUCK_CHAIN).fetchall())
+        assert len(got_spark) == len(got_duck) == len(rows)
+        for i, raw in rows:
+            assert got_spark[i] == got_duck[i], (
+                f"engine divergence on {raw!r}: "
+                f"spark={got_spark[i]!r} duckdb={got_duck[i]!r}"
+            )
