@@ -456,3 +456,85 @@ class TestPairVerifyJoinsNotBroadcastHinted:
         self._assert_no_hint(
             ngram_jaccard_pairs(self._docs(spark), n=3, threshold=0.5)
         )
+
+
+class TestWinnowPairAggExchangeShape:
+    """r8 spill reshape: the pair-count aggregation must sit BEHIND a
+    repartition on its group keys (both aggregation passes post-exchange,
+    zero per-key state in the bucket stage — SPILL.md), and the hot-fp
+    filter must be the broadcast LeftAnti, never a shuffle join of the
+    (nearly-all-fingerprints) rare set."""
+
+    def test_pair_agg_behind_group_key_repartition(self, spark):
+        from graphite_clickhouse_spark.pipeline.text import (
+            winnow_overlap_pairs,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, ("abcdefgh" * 4)[i % 3:] + f"t{i % 5}") for i in range(30)],
+            "doc_id long, text string",
+        )
+        out = winnow_overlap_pairs(docs, k=4, window=3, min_shared=1,
+                                   max_fp_df=100)
+        optimized = out._jdf.queryExecution().optimizedPlan().toString()
+        # the width is data-derived, so match the shape, not the number
+        import re as _re
+
+        assert _re.search(
+            r"RepartitionByExpression \[id_a#\d+L, id_b#\d+L\]", optimized
+        ), optimized
+        assert "LeftAnti" in optimized, optimized
+
+
+class TestDupSpansPlanShape:
+    """duplicate_spans' 100 TB shape: frequency aggregation on the span
+    hash, no pairwise work, no explicit broadcast of per-document
+    frames, and the hashed frame cached so the expensive window
+    transform is evaluated once (the InferFiltersFromGenerate pushdown
+    would otherwise re-run it below the repartition)."""
+
+    def test_no_pairwise_no_doc_broadcast_cached_once(self, spark):
+        from graphite_clickhouse_spark.pipeline.dedup import duplicate_spans
+
+        docs = spark.createDataFrame(
+            [(i, " ".join(f"w{j % 11}" for j in range(i, i + 20)))
+             for i in range(25)],
+            "doc_id long, text string",
+        )
+        out = duplicate_spans(docs, k=4)
+        optimized = out._jdf.queryExecution().optimizedPlan().toString()
+        assert "ResolvedHint" not in optimized
+        assert "strategy=broadcast" not in optimized, optimized
+        # all joins are key-equijoins (no cartesian/theta pair blowup)
+        assert "Cartesian" not in optimized
+        # the hashed frame is served from cache — the span transform
+        # must not appear more than once OUTSIDE the InMemoryRelation's
+        # own cached-plan dump
+        head = optimized.split("InMemoryRelation", 1)[0]
+        assert head.count("md5") == 0 and head.count("xxhash64") <= 0, head
+        # correct output on this corpus: overlapping windows repeat
+        rows = {r.id: r for r in out.collect()}
+        assert all(r.n_spans == 17 for r in rows.values())
+        assert any(r.n_dup_spans > 0 for r in rows.values())
+
+
+class TestUrlDedupPlanShape:
+    """url_dedup is ONE hash aggregation over the canonical expression:
+    no join, no window, no UDF — the canonicalization chain must stay
+    inside the scan projection (whole-stage codegen)."""
+
+    def test_single_aggregate_no_join(self, spark):
+        from graphite_clickhouse_spark.pipeline.urls import url_dedup
+
+        df = spark.createDataFrame(
+            [(i, f"https://www.h{i % 4}.com/p?utm_s=x") for i in range(20)],
+            "doc_id long, url string",
+        )
+        out = url_dedup(df)
+        optimized = out._jdf.queryExecution().optimizedPlan().toString()
+        assert "Join" not in optimized, optimized
+        assert "Window" not in optimized, optimized
+        assert optimized.count("Aggregate") == 2 or \
+            optimized.count("Aggregate") == 1, optimized  # partial+final or one
+        physical = out._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in physical  # no Python UDF
