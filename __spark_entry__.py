@@ -1163,9 +1163,13 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_DUP_SPANS = r"""
-WITH d AS (
+WITH d AS (  -- collapse BEFORE trim: trim() strips only spaces in both
+             -- engines, so trim-first leaves edge \t/\n that split into
+             -- phantom ''-tokens (matches pipeline/dedup.py)
     SELECT doc_id,
-           string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+') AS t
+           string_split(trim(regexp_replace(lower(text),
+                                            '[ \t\n\x0B\f\r]+', ' ', 'g')),
+                        ' ') AS t
     FROM documents
 ), g AS (
     SELECT doc_id, greatest(len(t) - 7, 0) AS n_spans, t FROM d
@@ -1189,6 +1193,72 @@ SELECT g.doc_id,
                   THEN coalesce(p.n_dup_spans, 0) / g.n_spans
                   ELSE 0.0 END, 6) AS dup_fraction
 FROM g LEFT JOIN per_doc p ON p.doc_id = g.doc_id
+"""
+
+
+def q_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-span REMOVAL (pipeline/dedup.py::
+    remove_duplicate_spans): the acting half of Lee et al. 2021
+    ExactSubstr — every token under a k=8-token window shared by >= 2
+    distinct documents is cut from all but the window's keeper (the
+    smallest doc_id containing it), and the survivors reassemble into
+    clean_text. Same natural corpus signal as dup_spans (~9% of windows
+    duplicated at k=8), portable md5-lane hashing for the DuckDB twin."""
+    from graphite_clickhouse_spark.pipeline.dedup import (
+        remove_duplicate_spans,
+    )
+    from graphite_clickhouse_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = remove_duplicate_spans(docs, k=8, min_docs=2, portable=True)
+    return out.select(
+        F.col("id").alias("doc_id"), "n_tokens", "n_removed", "clean_text",
+    )
+
+
+SQL_SPAN_REMOVAL = r"""
+WITH d AS (  -- collapse BEFORE trim (phantom edge tokens; see dup_spans)
+    SELECT doc_id,
+           CASE WHEN text IS NULL
+                     OR trim(regexp_replace(lower(text),
+                                            '[ \t\n\x0B\f\r]+', ' ', 'g')) = ''
+                THEN []::VARCHAR[]
+                ELSE string_split(trim(regexp_replace(lower(text),
+                                                      '[ \t\n\x0B\f\r]+',
+                                                      ' ', 'g')),
+                                  ' ') END AS t
+    FROM documents
+), g AS (
+    SELECT doc_id, len(t) AS n_tokens, t,
+           greatest(len(t) - 7, 0) AS n_spans
+    FROM d
+), e AS (
+    SELECT doc_id, s.i AS i, s.h AS h
+    FROM (SELECT doc_id,
+                 unnest(list_transform(range(0, n_spans), i ->
+                     struct_pack(i := i,
+                                 h := ('0x' || substr(md5(
+                                     array_to_string(t[i+1:i+8], ' ')
+                                 ), 1, 15))::BIGINT))) AS s
+          FROM g)
+), keepers AS (
+    SELECT h, min(doc_id) AS keeper FROM e
+    GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+), rem AS (
+    SELECT DISTINCT doc_id, pos
+    FROM (SELECT e.doc_id, unnest(range(e.i, e.i + 8)) AS pos
+          FROM e JOIN keepers k ON e.h = k.h AND e.doc_id <> k.keeper)
+), remd AS (
+    SELECT doc_id, list_sort(list(pos)) AS removed FROM rem GROUP BY doc_id
+)
+SELECT g.doc_id,
+       CAST(g.n_tokens AS INT) AS n_tokens,
+       CAST(coalesce(len(r.removed), 0) AS INT) AS n_removed,
+       coalesce(array_to_string(  -- DuckDB: [] stringifies to NULL,
+           list_filter(g.t, (x, i) ->  -- Spark concat_ws gives ''
+               NOT list_contains(coalesce(r.removed, []), i - 1)),
+           ' '), '') AS clean_text
+FROM g LEFT JOIN remd r ON r.doc_id = g.doc_id
 """
 
 
@@ -1291,6 +1361,88 @@ SELECT u AS canonical_url,
        CAST(count(*) AS INT) AS n_dups,
        min(doc_id) AS keep_id
 FROM c4 GROUP BY u ORDER BY canonical_url
+"""
+
+
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML boilerplate stripping (pipeline/html.py): the crawl
+    pipeline's HTML→text stage. The synthetic corpus is plain text, so
+    the query INJECTS a deterministic HTML page around each document
+    (the synthetic-asset pattern): style + script blocks whose content
+    must vanish (including `<`/`&&`/a fake close-tag string literal
+    inside the JS), an entity-bearing heading, a comment wrapping
+    markup, and an entity tail — then extracts and reports the
+    boilerplate-density signal."""
+    from graphite_clickhouse_spark.pipeline.html import html_extract
+    from graphite_clickhouse_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = lambda c: c.cast("string")  # noqa: E731
+    did = F.col("doc_id")
+    body = F.coalesce(F.col("text"), F.lit(""))
+    page = F.concat(
+        F.lit("<html><head><title>Doc "), s(did),
+        F.lit('</title><style type="text/css">body{color:#333}</style>'
+              '<script>if (a<b && c>d) { t = "</div>"; }</script>'
+              "</head><body><h1>Heading &amp; section "),
+        s(did % 5),
+        F.lit("</h1><p>"), F.substring(body, 1, 60),
+        F.lit("</p><!-- crawl note <b>"), s(did % 3),
+        F.lit('</b> --><div class="main">'), F.substring(body, 61, 80),
+        F.lit(" &lt;end&gt;&nbsp;tail</div></body></html>"),
+    )
+    injected = docs.select("doc_id", page.alias("html"))
+    return html_extract(injected).select(
+        F.col("id").alias("doc_id"), "clean_text",
+        "n_chars_raw", "n_chars_clean", "text_ratio",
+    )
+
+
+SQL_HTML_EXTRACT = r"""
+WITH injected AS (
+    SELECT doc_id,
+           '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+           || '</title><style type="text/css">body{color:#333}</style>'
+           || '<script>if (a<b && c>d) { t = "</div>"; }</script>'
+           || '</head><body><h1>Heading &amp; section '
+           || CAST(doc_id % 5 AS VARCHAR)
+           || '</h1><p>' || substr(coalesce(text, ''), 1, 60)
+           || '</p><!-- crawl note <b>' || CAST(doc_id % 3 AS VARCHAR)
+           || '</b> --><div class="main">' || substr(coalesce(text, ''), 61, 80)
+           || ' &lt;end&gt;&nbsp;tail</div></body></html>' AS html
+    FROM documents
+), c1 AS (  -- script/style with content, BEFORE the comment pass
+    SELECT doc_id, html AS raw,
+           regexp_replace(
+             regexp_replace(html, '(?is)<script\b[^>]*>.*?</script[^>]*>', '', 'g'),
+             '(?is)<style\b[^>]*>.*?</style[^>]*>', '', 'g') AS u
+    FROM injected
+), c2 AS (  -- comments, then every remaining tag -> one space
+    SELECT doc_id, raw,
+           regexp_replace(
+             regexp_replace(u, '(?s)<!--.*?-->', '', 'g'),
+             '</?[A-Za-z!][^>]*>', ' ', 'g') AS u
+    FROM c1
+), c3 AS (  -- running-text entities, &amp; strictly LAST
+    SELECT doc_id, raw,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             regexp_replace(regexp_replace(regexp_replace(u,
+               '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+               '&#39;', chr(39), 'g'), '&apos;', chr(39), 'g'),
+               '&nbsp;', ' ', 'g'), '&amp;', '&', 'g') AS u
+    FROM c2
+), done AS (
+    SELECT doc_id, raw,
+           trim(regexp_replace(u, '[ \t\n\x0B\f\r]+', ' ', 'g')) AS clean_text
+    FROM c3
+)
+SELECT doc_id, clean_text,
+       CAST(length(raw) AS INT) AS n_chars_raw,
+       CAST(length(clean_text) AS INT) AS n_chars_clean,
+       round(CASE WHEN length(raw) > 0
+                  THEN length(clean_text) / length(raw)
+                  ELSE 0.0 END, 6) AS text_ratio
+FROM done
 """
 
 
@@ -2428,6 +2580,62 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs)
 
 
+def q_cluster_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivor selection (pipeline/dedup.py::
+    cluster_best_keep): near-dup components from the portable-minhash
+    pair set, then per cluster keep the member maximizing n_chars
+    (ties to the smallest id); pairless documents are singleton
+    clusters of themselves. The stage real pipelines run after
+    dedup_clusters — keep the BEST copy, not the first."""
+    from graphite_clickhouse_spark.pipeline.dedup import (
+        cluster_best_keep,
+        minhash_dedup_portable,
+    )
+    from graphite_clickhouse_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_dedup_portable(docs, n=3, num_hashes=32, bands=16,
+                                   threshold=0.5)
+    return cluster_best_keep(docs, pairs, quality_col="n_chars")
+
+
+# independent re-derivation: the Spark side is a (quality, -id) struct
+# max inside one aggregation; the oracle ranks with a window — different
+# decompositions agreeing is what makes the oracle meaningful
+SQL_CLUSTER_KEEP = _MINHASH_CTES.replace(
+    "WITH toks", "WITH RECURSIVE toks", 1
+) + """
+, p AS (
+    SELECT id_a, id_b FROM verified WHERE jaccard >= 0.5
+), e AS (
+    SELECT id_a AS src, id_b AS dst FROM p
+    UNION SELECT id_b, id_a FROM p
+), n AS (
+    SELECT DISTINCT src AS id FROM e
+), reach AS (
+    SELECT id, id AS r FROM n
+    UNION
+    SELECT reach.id, e.dst AS r FROM reach JOIN e ON e.src = reach.r
+), comp AS (
+    SELECT id, min(r) AS canonical_id FROM reach GROUP BY id
+), memb AS (
+    SELECT d.doc_id AS id,
+           coalesce(c.canonical_id, d.doc_id) AS canonical_id,
+           d.n_chars AS q
+    FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+), ranked AS (
+    SELECT canonical_id, id, q,
+           row_number() OVER (PARTITION BY canonical_id
+                              ORDER BY q DESC, id ASC) AS rn,
+           count(*) OVER (PARTITION BY canonical_id) AS n_members
+    FROM memb
+)
+SELECT canonical_id, CAST(n_members AS INT) AS n_members,
+       id AS keep_id, q AS keep_quality
+FROM ranked WHERE rn = 1
+"""
+
+
 # the reach CTE is recursive: the WITH needs the RECURSIVE keyword
 SQL_DEDUP_CLUSTERS = _MINHASH_CTES.replace(
     "WITH toks", "WITH RECURSIVE toks", 1
@@ -2877,7 +3085,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "promql_rate_sum": (q_promql_rate_sum, SQL_PROMQL_RATE_SUM),
     "promql_hist_quantile": (q_promql_hist_quantile, SQL_PROMQL_HIST_QUANTILE),
     "tagger_rules": (q_tagger_rules, SQL_TAGGER_RULES),
-    "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     # r8-touched (separator quoting) -> must stay in-window
     "paragraph_dedup": (q_paragraph_dedup, SQL_PARAGRAPH_DEDUP),
     # NEW in r8 (must earn driver rows -> in-window): exact
@@ -2886,7 +3093,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # pack_sequences and unigram_quality (r7-driver-green, untouched
     # this round) moved to the tail to make room.
     "dup_spans": (q_dup_spans, SQL_DUP_SPANS),
+    "span_removal": (q_span_removal, SQL_SPAN_REMOVAL),
     "url_dedup": (q_url_dedup, SQL_URL_DEDUP),
+    "html_extract": (q_html_extract, SQL_HTML_EXTRACT),
     "semi_join_urgent": (q_semi_join_urgent, SQL_SEMI_JOIN_URGENT),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
@@ -2896,6 +3105,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "winnow_overlap_pairs": (q_winnow_overlap_pairs, SQL_WINNOW_OVERLAP_PAIRS),
     "source_overlap": (q_source_overlap, SQL_SOURCE_OVERLAP),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
+    "cluster_keep": (q_cluster_keep, SQL_CLUSTER_KEEP),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
     "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
     "ivf_assign": (q_ivf_assign, SQL_IVF_ASSIGN),
@@ -2910,8 +3120,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "minhash_dedup": (q_minhash_dedup, SQL_MINHASH_DEDUP),
     "simhash_pairs": (q_simhash_pairs, SQL_SIMHASH_PAIRS),
     "unigram_quality": (q_unigram_quality, SQL_UNIGRAM_QUALITY),
-    "ccnet_partition": (q_ccnet_partition, SQL_CCNET_PARTITION),
-    "dsir_weight": (q_dsir_weight, SQL_DSIR_WEIGHT),
     # ------------------------------------------------------------------
     # STABLE TAIL (positions 50+, outside the driver's recording window;
     # tools/correctness_local.py re-verifies ALL entries each round and
@@ -2937,6 +3145,13 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "tagbrowse_list": (q_tagbrowse_list, SQL_TAGBROWSE_LIST),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "budget_mix": (q_budget_mix, SQL_BUDGET_MIX),
+    # joined the tail when html_extract / span_removal / cluster_keep
+    # entered the window (same r8 session): each driver-green r7 and
+    # its module (pipeline/lm.py, pii_scrub's expression chain in
+    # pipeline/text.py) untouched since
+    "dsir_weight": (q_dsir_weight, SQL_DSIR_WEIGHT),
+    "ccnet_partition": (q_ccnet_partition, SQL_CCNET_PARTITION),
+    "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
 }
 
 

@@ -53,7 +53,9 @@ BENCH_QUERIES = [
     "pii_scrub",
     "paragraph_dedup",
     "dup_spans",
+    "span_removal",
     "url_dedup",
+    "html_extract",
     "promql_range_select",
     "promql_rate_sum",
     "promql_hist_quantile",
@@ -81,6 +83,7 @@ BENCH_QUERIES = [
     "unigram_quality",
     "dsir_weight",
     "dedup_clusters",
+    "cluster_keep",
     "fingerprint",
     "ngram_jaccard",
     "ann_cosine_topk",

@@ -990,7 +990,10 @@ def duplicate_spans(
     """
     if min_docs < 2:
         raise ValueError(f"min_docs must be >= 2, got {min_docs}")
-    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), WS_RE, " ")
+    # collapse BEFORE trim: trim() strips only spaces (not \t/\n) in
+    # both Spark and DuckDB, so trim-first leaves edge whitespace that
+    # the collapse turns into phantom ''-tokens at the text boundaries
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), WS_RE, " "))
     toks = F.split(norm, " ")
     # empty text splits to [""] (1 token < k) and NULL text's
     # size() is NULL — greatest() skips NULLs, so both land on 0
@@ -1056,4 +1059,168 @@ def duplicate_spans(
                 6,
             ).alias("dup_fraction"),
         )
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    k: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    portable: bool = False,
+) -> DataFrame:
+    """Exact duplicate-span REMOVAL — the acting half of the Lee et al.
+    2021 ExactSubstr pass (``duplicate_spans`` is the measuring half):
+    every token covered by a k-token window whose normalized text occurs
+    in >= ``min_docs`` DISTINCT documents is cut from every document
+    EXCEPT the span's keeper, then the survivors are reassembled.
+
+    Keeper rule (deterministic, engine-neutral): per duplicated window
+    text, the smallest document id containing it keeps ALL its
+    occurrences; other documents lose every token position the window
+    covers. A token falling under several duplicated windows is removed
+    if ANY of them says remove. This is the paper's remove-all-but-one
+    semantics in window form (their suffix array cuts one canonical
+    byte-range; position-set union over fixed windows cuts the same
+    regions without global offsets).
+
+    -> (id, n_tokens, n_removed, clean_text): normalized token count,
+    tokens cut, and the reassembled text (single-space joined — the
+    same normalization the span hashing used). NULL/empty text yields
+    (0, 0, '').
+
+    100 TB shape: the measuring half's plan plus one bounded explode —
+    windows explode once (~n_tokens rows carrying an 8-byte hash), the
+    duplicated-window aggregation is the same count-distinct + min
+    hash-agg, and the removal explode multiplies only DUPLICATED
+    non-keeper windows by k before a distinct+collect per doc. The
+    rebuild is a row-local array filter over sorted removed positions.
+    No pairwise work anywhere; boilerplate-heavy spans concentrate in
+    count/min buffers, never lists.
+
+    ``portable=True`` swaps xxhash64 for the md5 60-bit lane the DuckDB
+    oracle computes bit-identically (hash60_portable).
+    """
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    # collapse BEFORE trim (see duplicate_spans — phantom edge tokens)
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), WS_RE, " "))
+    # '' and NULL both mean zero tokens here (unlike duplicate_spans'
+    # [''] — the rebuild must not resurrect a phantom empty token)
+    toks = F.when(
+        norm.isNull() | (norm == ""), F.array().cast("array<string>")
+    ).otherwise(F.split(norm, " "))
+    # projection barrier (see duplicate_spans): the repartition keeps
+    # CollapseProject from inlining the tokenizer into the per-window
+    # lambda, and parallelizes a single-split corpus
+    sc = df.sparkSession.sparkContext
+    parts = max(df.rdd.getNumPartitions(), sc.defaultParallelism)
+    base = df.select(
+        F.col(id_col).alias("id"), toks.alias("_toks")
+    ).repartition(parts)
+    tk = F.col("_toks")
+    n_spans = F.greatest(F.size(tk) - (k - 1), F.lit(0))
+
+    def span_hash(i):
+        span = F.concat_ws(" ", F.slice(tk, i + F.lit(1), F.lit(k)))
+        return hash60_portable(span) if portable else F.xxhash64(span)
+
+    spans = F.when(
+        n_spans <= 0, F.array().cast("array<bigint>")
+    ).otherwise(F.transform(F.sequence(F.lit(0), n_spans - 1), span_hash))
+    # cache: feeds the window aggregate, the removal join AND the
+    # rebuild; the boundary also stops InferFiltersFromGenerate from
+    # re-evaluating the span transform below the repartition (the
+    # dup_spans lesson). At cluster scale: persist to a table instead.
+    staged = base.select("id", "_toks", spans.alias("_h")).cache()
+    staged.count()
+    e = staged.select("id", F.posexplode("_h").alias("i", "h"))
+    keepers = (
+        e.groupBy("h")
+        .agg(
+            F.countDistinct("id").alias("n_docs"),
+            F.min("id").alias("keeper"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+        .select("h", "keeper")
+    )
+    removed = (
+        e.join(keepers, "h")
+        .filter(F.col("id") != F.col("keeper"))
+        .select(
+            "id",
+            F.explode(
+                F.sequence(F.col("i"), F.col("i") + (k - 1))
+            ).alias("pos"),
+        )
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_set("pos")).alias("_rm"))
+    )
+    rm = F.coalesce(F.col("_rm"), F.array().cast("array<int>"))
+    return (
+        staged.join(removed, "id", "left")
+        .select(
+            "id",
+            F.size("_toks").cast("int").alias("n_tokens"),
+            F.size(rm).cast("int").alias("n_removed"),
+            F.concat_ws(
+                " ",
+                F.filter(
+                    "_toks", lambda t, i: ~F.array_contains(rm, i)
+                ),
+            ).alias("clean_text"),
+        )
+    )
+
+
+def cluster_best_keep(
+    df: DataFrame,
+    pairs: DataFrame,
+    quality_col: str = "n_chars",
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Quality-aware survivor selection — the stage after clustering:
+    real pipelines do NOT keep the smallest-id member of a near-dup
+    cluster, they keep the BEST copy (longest / highest quality score;
+    Dolma and RefinedWeb both select the representative by a quality
+    signal). Resolves ``pairs`` into connected components
+    (dedup_clusters) and picks, per cluster, the member maximizing
+    ``quality_col`` (ties break to the smallest id — deterministic).
+
+    Documents in no pair form singleton clusters of themselves, so the
+    output enumerates EVERY cluster: -> (canonical_id, n_members,
+    keep_id, keep_quality). The keep-list is the keep_id column; the
+    drop-list is members minus keepers.
+
+    100 TB shape: dedup_clusters' O(log diameter) rounds over the edge
+    list, then ONE broadcast-or-shuffle join of the (id, canonical)
+    labels onto the corpus — labels number |V(pairs)|, far smaller than
+    the corpus — and ONE hash aggregation per cluster. The argmax is an
+    aggregation buffer (max over a (quality, -id) struct), never a
+    sort or a window over the corpus.
+    """
+    clusters = dedup_clusters(
+        pairs, max_iter=max_iter, checkpoint_dir=checkpoint_dir
+    )
+    member = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(quality_col).alias("q"),
+        )
+        .join(clusters, "id", "left")
+        .select(
+            "id", "q",
+            F.coalesce("canonical_id", F.col("id")).alias("canonical_id"),
+        )
+    )
+    # lexicographic struct max = argmax(quality, then smallest id):
+    # negating the id turns "min id wins ties" into a max
+    best = F.max(F.struct(F.col("q").alias("q"), (-F.col("id")).alias("nid")))
+    return member.groupBy("canonical_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_members"),
+        (-best.getField("nid")).alias("keep_id"),
+        best.getField("q").alias("keep_quality"),
     )

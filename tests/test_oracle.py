@@ -146,6 +146,10 @@ def test_contract_registry_is_complete():
         "mix_sources", "dedup_exact", "decontaminate", "text_quality",
         "tfidf_top_terms", "text_clean", "quality_classifier",
         "tagbrowse_list", "pack_sequences", "budget_mix",
+        # joined the tail when html_extract / span_removal / cluster_keep
+        # entered the window (same r8 session): each driver-green in
+        # CORRECTNESS_r07.json, its module untouched since
+        "dsir_weight", "ccnet_partition", "pii_scrub",
     }
     overflow = [n for i, n in enumerate(qs) if i >= 50 and n not in STABLE_TAIL]
     assert overflow == [], f"new queries outside the driver's top-50 gate: {overflow}"

@@ -1979,3 +1979,293 @@ class TestUrlCanonicalDifferentialFuzz:
                 f"engine divergence on {raw!r}: "
                 f"spark={got_spark[i]!r} duckdb={got_duck[i]!r}"
             )
+
+
+class TestHtmlExtract:
+    """pipeline/html.py — HTML→text extraction chain."""
+
+    CASES = [
+        # (html, text)
+        ("<p>hello <b>world</b></p>", "hello world"),
+        # script/style vanish WITH content, incl. `<`/`&&`/fake closer
+        ('<script>if(a<b&&c>d){x="</div>";}</script>after', "after"),
+        ("<style>p{color:red}</style>text", "text"),
+        ('<script\n type="x">\nmulti\nline\n</script >tail', "tail"),
+        # comments take their markup with them
+        ("<!-- note <b>bold</b> -->kept", "kept"),
+        # unterminated containers keep their text (truncated pages)
+        ("<p>cut <script>alert(1) rest", "cut alert(1) rest"),
+        ("<!-- unclosed <p>x</p>", "x"),
+        # tag -> space preserves word boundaries
+        ("<td>a</td><td>b</td>", "a b"),
+        # entity subset; &amp; decodes LAST (single-pass semantics)
+        ("x &lt;tag&gt; &quot;q&quot; &#39;s&#39; &nbsp;y &amp; z",
+         'x <tag> "q" \'s\' y & z'),
+        ("&amp;lt; stays encoded", "&lt; stays encoded"),
+        # whitespace normalization
+        ("  a\t\tb\n\nc  ", "a b c"),
+        ("plain text untouched", "plain text untouched"),
+        ("", ""),
+        # '<' that opens no tag ([A-Za-z!]) is literal text
+        ("1 < 2 and 2 > 1", "1 < 2 and 2 > 1"),
+    ]
+
+    def test_cases(self, spark):
+        from graphite_clickhouse_spark.pipeline.html import html_to_text
+
+        df = spark.createDataFrame(
+            [(i, h) for i, (h, _want) in enumerate(self.CASES)],
+            "i long, h string",
+        )
+        got = {r.i: r.c for r in df.select(
+            "i", html_to_text(F.col("h")).alias("c")).collect()}
+        for i, (h, want) in enumerate(self.CASES):
+            assert got[i] == want, (h, got[i], want)
+
+    def test_html_extract_frame(self, spark):
+        from graphite_clickhouse_spark.pipeline.html import html_extract
+
+        df = spark.createDataFrame(
+            [(1, "<p>ab</p>"), (2, None), (3, "cd")],
+            "doc_id long, html string",
+        )
+        got = {r.id: r for r in html_extract(df).collect()}
+        assert got[1].clean_text == "ab"
+        assert (got[1].n_chars_raw, got[1].n_chars_clean) == (9, 2)
+        # NULL html -> empty row, not a NULL row
+        assert got[2].clean_text == ""
+        assert (got[2].n_chars_raw, got[2].n_chars_clean,
+                got[2].text_ratio) == (0, 0, 0.0)
+        assert got[3].text_ratio == 1.0
+
+    def test_no_shuffle_no_udf(self, spark):
+        """Row-local chain: the plan must contain no Exchange and no
+        Python evaluation — the property that makes it free at 100 TB."""
+        from graphite_clickhouse_spark.pipeline.html import html_extract
+
+        df = spark.createDataFrame([(1, "<p>x</p>")], "doc_id long, html string")
+        plan = html_extract(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "Python" not in plan
+
+
+class TestHtmlExtractDifferentialFuzz:
+    """html_to_text crosses two regex engines (Java in Spark, RE2 in
+    the DuckDB oracle); one hypothesis corpus, ONE Spark job and ONE
+    DuckDB query, element-wise compare (the canonical_url pattern)."""
+
+    #: DuckDB mirror of pipeline/html.py::html_to_text — kept in sync
+    #: with the html_extract oracle in __spark_entry__.py
+    DUCK_CHAIN = r"""
+    WITH c1 AS (
+        SELECT i,
+               regexp_replace(
+                 regexp_replace(h, '(?is)<script\b[^>]*>.*?</script[^>]*>', '', 'g'),
+                 '(?is)<style\b[^>]*>.*?</style[^>]*>', '', 'g') AS u
+        FROM corpus
+    ), c2 AS (
+        SELECT i,
+               regexp_replace(
+                 regexp_replace(u, '(?s)<!--.*?-->', '', 'g'),
+                 '</?[A-Za-z!][^>]*>', ' ', 'g') AS u
+        FROM c1
+    ), c3 AS (
+        SELECT i,
+               regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                 regexp_replace(regexp_replace(regexp_replace(u,
+                   '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+                   '&#39;', chr(39), 'g'), '&apos;', chr(39), 'g'),
+                   '&nbsp;', ' ', 'g'), '&amp;', '&', 'g') AS u
+        FROM c2
+    )
+    SELECT i, trim(regexp_replace(u, '[ \t\n\x0B\f\r]+', ' ', 'g')) AS u
+    FROM c3 ORDER BY i
+    """
+
+    def _corpus(self):
+        from hypothesis import strategies as st
+
+        # HTML-shaped composites plus raw hostile text (ASCII printable
+        # + whitespace; same non-ASCII carve-out as the URL fuzz —
+        # ASCII patterns, engine-neutral for BMP text)
+        atom = st.text(
+            alphabet=st.sampled_from(
+                "abczABCZ019 \t\n<>&;/!-=\"'{}()#.%"
+            ),
+            max_size=14,
+        )
+        tag = st.sampled_from(
+            ["p", "DIV", "td", "script", "style", "b", "h1", "!DOCTYPE",
+             "a href='x'", "img src=y"]
+        )
+        ent = st.sampled_from(
+            ["&amp;", "&lt;", "&gt;", "&nbsp;", "&#39;", "&apos;",
+             "&amp;lt;", "&bogus;", "&", ""]
+        )
+        composite = st.builds(
+            lambda t, a, e, b: f"<{t}>{a}{e}</{t.split(' ')[0]}>{b}",
+            tag, atom, ent, atom,
+        )
+        frag = st.sampled_from(
+            ["<!--", "-->", "<script>", "</script>", "<style>",
+             "</style >", "<", ">", "</", "<!"]
+        )
+        return st.lists(
+            st.one_of(atom, composite, frag), min_size=1, max_size=24
+        ).map(lambda parts: "".join(parts))
+
+    def test_spark_matches_duckdb(self, spark):
+        import duckdb
+        from hypothesis import HealthCheck, given, settings
+
+        from graphite_clickhouse_spark.pipeline.html import html_to_text
+
+        corpora: list[str] = []
+
+        @settings(max_examples=80, deadline=None,
+                  suppress_health_check=list(HealthCheck))
+        @given(self._corpus())
+        def gather(doc):
+            corpora.append(doc)
+
+        gather()
+        rows = [(i, h) for i, h in enumerate(corpora)]
+        sdf = spark.createDataFrame(rows, "i long, h string").select(
+            "i", html_to_text(F.col("h")).alias("c")
+        )
+        got_spark = {r.i: r.c for r in sdf.collect()}
+        con = duckdb.connect()
+        con.execute("CREATE TABLE corpus(i BIGINT, h VARCHAR)")
+        con.executemany("INSERT INTO corpus VALUES (?, ?)", rows)
+        got_duck = dict(con.execute(self.DUCK_CHAIN).fetchall())
+        assert len(got_spark) == len(got_duck) == len(rows)
+        for i, raw in rows:
+            assert got_spark[i] == got_duck[i], (
+                f"engine divergence on {raw!r}: "
+                f"spark={got_spark[i]!r} duckdb={got_duck[i]!r}"
+            )
+
+
+class TestRemoveDuplicateSpans:
+    """pipeline/dedup.py::remove_duplicate_spans — the acting half of
+    the ExactSubstr pass (duplicate_spans measures, this cuts)."""
+
+    def _run(self, spark, rows, k=3, min_docs=2):
+        from graphite_clickhouse_spark.pipeline.dedup import (
+            remove_duplicate_spans,
+        )
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return {
+            r.id: r
+            for r in remove_duplicate_spans(df, k=k, min_docs=min_docs).collect()
+        }
+
+    def test_keeper_keeps_others_lose(self, spark):
+        got = self._run(spark, [
+            (1, "a b c d e"),        # keeper (min id) of the shared span
+            (2, "a b c x y"),        # shares window 'a b c' -> loses 0..2
+            (3, "q r s t u"),        # untouched
+        ])
+        assert got[1].clean_text == "a b c d e"
+        assert (got[1].n_tokens, got[1].n_removed) == (5, 0)
+        assert got[2].clean_text == "x y"
+        assert (got[2].n_tokens, got[2].n_removed) == (5, 3)
+        assert got[3].n_removed == 0
+
+    def test_overlapping_windows_union(self, spark):
+        # doc 2 shares FOUR tokens => two overlapping windows at k=3;
+        # the position union removes 4 tokens, not 6
+        got = self._run(spark, [
+            (1, "a b c d tail"),
+            (2, "a b c d x"),
+        ])
+        assert got[2].clean_text == "x"
+        assert got[2].n_removed == 4
+
+    def test_fully_emptied_doc(self, spark):
+        got = self._run(spark, [
+            (1, "a b c"),
+            (2, "a b c"),
+        ])
+        assert got[1].clean_text == "a b c"
+        assert got[2].clean_text == ""
+        assert (got[2].n_tokens, got[2].n_removed) == (3, 3)
+
+    def test_keeper_keeps_internal_repeats(self, spark):
+        # the keeper retains ALL its occurrences of the shared window
+        got = self._run(spark, [
+            (1, "a b c z a b c"),
+            (2, "a b c w w w w"),
+        ])
+        assert got[1].clean_text == "a b c z a b c"
+        assert got[2].clean_text == "w w w w"
+
+    def test_null_and_empty_text(self, spark):
+        got = self._run(spark, [
+            (1, None),
+            (2, ""),
+            (3, "   \t  "),
+            (4, "short"),
+        ])
+        for i in (1, 2, 3):
+            assert (got[i].n_tokens, got[i].n_removed, got[i].clean_text) \
+                == (0, 0, "")
+        assert got[4].clean_text == "short"
+
+    def test_normalization_matches_measuring_half(self, spark):
+        # case/whitespace-folded text forms the spans, and the REBUILT
+        # text is the normalized form (single-space, lowercased)
+        got = self._run(spark, [
+            (1, "A  B\tC d"),
+            (2, "a b c\nZ"),
+        ])
+        assert got[1].clean_text == "a b c d"
+        assert got[2].clean_text == "z"
+
+    def test_min_docs_guard(self, spark):
+        import pytest
+
+        from graphite_clickhouse_spark.pipeline.dedup import (
+            remove_duplicate_spans,
+        )
+
+        df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            remove_duplicate_spans(df, min_docs=1)
+
+
+class TestClusterBestKeep:
+    """pipeline/dedup.py::cluster_best_keep — quality-argmax survivor
+    selection over connected components + singletons."""
+
+    def test_best_quality_wins_ties_to_min_id(self, spark):
+        from graphite_clickhouse_spark.pipeline.dedup import cluster_best_keep
+
+        docs = spark.createDataFrame(
+            [(1, 10), (2, 50), (3, 50), (4, 7), (5, 99)],
+            "doc_id long, n_chars long",
+        )
+        # component {1,2,3} (canonical 1): 2 and 3 tie on quality 50 ->
+        # keep 2 (smaller id); component {4}: pairless singleton keeps
+        # itself; {5} singleton
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3)], "id_a long, id_b long"
+        )
+        got = {r.canonical_id: r for r in cluster_best_keep(docs, pairs).collect()}
+        assert got[1].keep_id == 2 and got[1].n_members == 3
+        assert got[1].keep_quality == 50
+        assert got[4].keep_id == 4 and got[4].n_members == 1
+        assert got[5].keep_id == 5 and got[5].keep_quality == 99
+
+    def test_every_cluster_enumerated(self, spark):
+        from graphite_clickhouse_spark.pipeline.dedup import cluster_best_keep
+
+        docs = spark.createDataFrame(
+            [(i, i) for i in range(8)], "doc_id long, n_chars long"
+        )
+        pairs = spark.createDataFrame([(0, 1), (2, 3)], "id_a long, id_b long")
+        rows = cluster_best_keep(docs, pairs).collect()
+        # 2 merged clusters + 4 singletons
+        assert len(rows) == 6
+        assert sum(r.n_members for r in rows) == 8

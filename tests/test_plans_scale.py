@@ -538,3 +538,59 @@ class TestUrlDedupPlanShape:
             optimized.count("Aggregate") == 1, optimized  # partial+final or one
         physical = out._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in physical  # no Python UDF
+
+
+class TestSpanRemovalPlanShape:
+    """remove_duplicate_spans' 100 TB shape mirrors duplicate_spans:
+    key-equijoins only (no cartesian pair work), no per-document
+    broadcast, and the hashed frame cached so the window transform
+    evaluates once; the rebuild is a row-local array filter."""
+
+    def test_no_pairwise_cached_once(self, spark):
+        from graphite_clickhouse_spark.pipeline.dedup import (
+            remove_duplicate_spans,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, " ".join(f"w{j % 11}" for j in range(i, i + 20)))
+             for i in range(25)],
+            "doc_id long, text string",
+        )
+        out = remove_duplicate_spans(docs, k=4)
+        optimized = out._jdf.queryExecution().optimizedPlan().toString()
+        assert "ResolvedHint" not in optimized
+        assert "strategy=broadcast" not in optimized, optimized
+        assert "Cartesian" not in optimized
+        head = optimized.split("InMemoryRelation", 1)[0]
+        assert head.count("md5") == 0 and head.count("xxhash64") <= 0, head
+        # correct output on this corpus: every doc keeps <= its tokens,
+        # and at least one non-keeper lost covered tokens
+        rows = {r.id: r for r in out.collect()}
+        assert all(r.n_removed <= r.n_tokens for r in rows.values())
+        assert any(r.n_removed > 0 for r in rows.values())
+        # keeper invariance: the minimum doc id never loses tokens to a
+        # span IT keeps — doc 0 holds min-id for every span it contains
+        assert rows[0].n_removed == 0
+
+
+class TestClusterBestKeepPlanShape:
+    """cluster_best_keep adds ONE join (labels onto corpus) and ONE
+    aggregation on top of dedup_clusters — no window over the corpus,
+    no sort, no Python."""
+
+    def test_argmax_is_aggregate_not_window(self, spark):
+        from graphite_clickhouse_spark.pipeline.dedup import cluster_best_keep
+
+        docs = spark.createDataFrame(
+            [(i, i * 3 % 17) for i in range(20)],
+            "doc_id long, n_chars long",
+        )
+        pairs = spark.createDataFrame(
+            [(0, 1), (1, 2), (5, 6)], "id_a long, id_b long"
+        )
+        out = cluster_best_keep(docs, pairs)
+        optimized = out._jdf.queryExecution().optimizedPlan().toString()
+        assert "Window" not in optimized, optimized
+        assert "Sort" not in optimized, optimized
+        physical = out._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in physical

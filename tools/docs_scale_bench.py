@@ -54,13 +54,17 @@ SCALES = (10, 100)
 REPS = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
 
 #: the four worst 10x scalers from BENCH_SCALING.md — all pure
-#: documents-table operators (per-gram hashing + bucketed pair joins)
+#: documents-table operators (per-gram hashing + bucketed pair joins).
+#: Override with SPARK_GRAFT_SCALE_QUERIES=a,b,c to ladder a different
+#: documents-axis set (e.g. the r8 operators) without re-running these;
+#: pair it with SPARK_GRAFT_SCALE_OUT to write a separate artifact.
 PAIR_QUERIES = [
-    "winnow_fingerprints",
-    "minhash_dedup",
-    "ngram_jaccard",
-    "dedup_clusters",
+    q for q in os.environ.get(
+        "SPARK_GRAFT_SCALE_QUERIES",
+        "winnow_fingerprints,minhash_dedup,ngram_jaccard,dedup_clusters",
+    ).split(",") if q
 ]
+OUT_PATH = os.environ.get("SPARK_GRAFT_SCALE_OUT", "BENCH_SCALING_2D.json")
 
 #: the 12 most frequent letters; mapping them guarantees essentially
 #: every shingle is touched, so cross-replica shingles diverge
@@ -191,8 +195,9 @@ def main() -> None:
         "decade2_ratio_100x_over_10x": decade2,
         "loadavg": round(os.getloadavg()[0], 1),
     }
+    result["queries"] = PAIR_QUERIES
     spark.stop()
-    with open(os.path.join(REPO, "BENCH_SCALING_2D.json"), "w") as fh:
+    with open(os.path.join(REPO, OUT_PATH), "w") as fh:
         json.dump(result, fh, indent=1)
     print(json.dumps(result))
 
