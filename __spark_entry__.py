@@ -1944,6 +1944,91 @@ SELECT vec_id, cid AS centroid_id FROM (
 """
 
 
+def q_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One spherical-Lloyd refinement step (pipeline/similarity.py::
+    kmeans_refine) from the same 8 seed centroids ivf_assign uses:
+    assign → integer-quantized per-cell mean → reassign. Output is the
+    before/after assignment per vector with a moved flag — the
+    convergence signal an IVF maintenance job monitors. The per-cell
+    reduction is an exact integer sum of 1e-6-quantized unit vectors,
+    which is what makes a float iterative algorithm hash-comparable
+    across engines."""
+    from graphite_clickhouse_spark.pipeline.similarity import (
+        ivf_assign,
+        kmeans_refine,
+    )
+    from graphite_clickhouse_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents0 = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid")
+    )
+    cents1 = kmeans_refine(emb, cents0, iters=1)
+    a0 = ivf_assign(emb, cents0).select(
+        "vec_id", F.col("centroid_id").alias("cell0")
+    )
+    a1 = ivf_assign(emb, cents1).select(
+        "vec_id", F.col("centroid_id").alias("cell1")
+    )
+    return a0.join(a1, "vec_id").select(
+        "vec_id", "cell0", "cell1",
+        (F.col("cell0") != F.col("cell1")).alias("moved"),
+    )
+
+
+SQL_KMEANS_REFINE = """
+WITH e AS (
+    SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+    FROM embeddings
+), c0 AS (
+    SELECT vec_id AS cid, v AS cvec FROM e WHERE vec_id < 8
+), a0 AS (
+    SELECT vec_id, cid AS cell0 FROM (
+        SELECT e.vec_id, c0.cid,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(e.v, c0.cvec) DESC, c0.cid
+               ) AS rn
+        FROM e CROSS JOIN c0
+    ) WHERE rn = 1
+), nq AS (  -- unit-normalize, then quantize to exact integers: the
+            -- per-cell sum below must be order-independent
+    SELECT vec_id,
+           CASE WHEN nrm > 0
+                THEN list_transform(v, x -> CAST(round(x / nrm * 1000000)
+                                                 AS BIGINT))
+                ELSE list_transform(v, x -> 0::BIGINT) END AS q
+    FROM (SELECT vec_id, v,
+                 sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+          FROM e)
+), mem AS (
+    SELECT a0.cell0 AS cell, u.s.pos AS pos, u.s.qv AS qv
+    FROM (SELECT vec_id,
+                 unnest(list_transform(range(1, len(q) + 1),
+                        i -> struct_pack(pos := i, qv := q[i]))) AS s
+          FROM nq) u
+    JOIN a0 ON a0.vec_id = u.vec_id
+), c1 AS (  -- un-normalized integer sum IS the centroid (cosine is
+            -- scale-invariant)
+    SELECT cell AS cid, list(s ORDER BY pos) AS cvec
+    FROM (SELECT cell, pos, sum(qv)::DOUBLE AS s FROM mem
+          GROUP BY cell, pos)
+    GROUP BY cell
+), a1 AS (
+    SELECT vec_id, cid AS cell1 FROM (
+        SELECT e.vec_id, c1.cid,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(e.v, c1.cvec) DESC, c1.cid
+               ) AS rn
+        FROM e CROSS JOIN c1
+    ) WHERE rn = 1
+)
+SELECT a0.vec_id, a0.cell0, a1.cell1, a0.cell0 <> a1.cell1 AS moved
+FROM a0 JOIN a1 ON a0.vec_id = a1.vec_id
+"""
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup (arXiv:2303.09540): IVF-cell
     clustering, within-cell cosine pairs, greedy smallest-id keep rule —
@@ -3084,7 +3169,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "promql_range_select": (q_promql_range_select, SQL_PROMQL_RANGE_SELECT),
     "promql_rate_sum": (q_promql_rate_sum, SQL_PROMQL_RATE_SUM),
     "promql_hist_quantile": (q_promql_hist_quantile, SQL_PROMQL_HIST_QUANTILE),
-    "tagger_rules": (q_tagger_rules, SQL_TAGGER_RULES),
     # r8-touched (separator quoting) -> must stay in-window
     "paragraph_dedup": (q_paragraph_dedup, SQL_PARAGRAPH_DEDUP),
     # NEW in r8 (must earn driver rows -> in-window): exact
@@ -3110,6 +3194,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
     "ivf_assign": (q_ivf_assign, SQL_IVF_ASSIGN),
     "ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
+    "kmeans_refine": (q_kmeans_refine, SQL_KMEANS_REFINE),
     "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
     "embedding_neardup_lsh": (q_embedding_neardup_lsh, _embedding_neardup_lsh_sql()),
     "semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
@@ -3152,6 +3237,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dsir_weight": (q_dsir_weight, SQL_DSIR_WEIGHT),
     "ccnet_partition": (q_ccnet_partition, SQL_CCNET_PARTITION),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
+    "tagger_rules": (q_tagger_rules, SQL_TAGGER_RULES),
 }
 
 

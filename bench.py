@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "dsir_weight",
     "dedup_clusters",
     "cluster_keep",
+    "kmeans_refine",
     "fingerprint",
     "ngram_jaccard",
     "ann_cosine_topk",

@@ -514,3 +514,72 @@ def semantic_dedup(
         .join(dropped.withColumn("__drop", F.lit(True)), "id", "left")
         .select("id", "cell", F.coalesce(~F.col("__drop"), F.lit(True)).alias("keep"))
     )
+
+
+def kmeans_refine(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    iters: int = 1,
+    quant: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "centroid_id",
+    centroid_vec: str = "centroid",
+) -> DataFrame:
+    """Refine IVF centroids with ``iters`` spherical-Lloyd steps as pure
+    DataFrame ops — the in-pipeline alternative to retraining with
+    pyspark.ml when centroids drift as a corpus grows (assign → per-cell
+    mean of unit-normalized members → reassign; the cosine-metric Lloyd
+    update, Dhillon & Modha 2001's spherical k-means).
+
+    Determinism device (what makes the refinement ORACLE-CHECKABLE and
+    retry-stable): members are unit-normalized, then each dimension is
+    quantized to 1/``quant`` and the per-cell reduction is an INTEGER
+    sum — exact and order-independent, immune to the float-sum
+    nondeterminism of partition-order-dependent double addition (a
+    different partitioning, speculative re-execution, or another engine
+    would otherwise round differently and flip boundary assignments).
+    The un-normalized integer sum IS the new centroid: cosine is
+    scale-invariant, so dividing by the member count or re-normalizing
+    cannot change any subsequent argmax. Quantization bias is < 1/quant
+    per dimension — 1e-6 by default, orders below any real assignment
+    margin.
+
+    Cells that lose all members simply disappear (k shrinks) — the
+    standard empty-cell degeneracy; reseed explicitly if k must hold.
+
+    100 TB shape: each iteration is ivf_assign's zero-Exchange literal
+    argmax over the scan, one posexplode (rows × dim, the same volume
+    any per-dim stat pays), and one (cell, dim)-keyed integer hash
+    aggregation — k×dim groups, map-side combined. No pairwise work,
+    no window, no Python.
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    out = centroids
+    for _ in range(iters):
+        assigned = ivf_assign(
+            corpus, out, id_col=id_col, vec_col=vec_col,
+            centroid_id=centroid_id, centroid_vec=centroid_vec,
+        )
+        v = F.col(vec_col).cast("array<double>")
+        nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+        q = F.transform(
+            v,
+            lambda x: F.round(
+                F.when(nrm > 0, x / nrm).otherwise(F.lit(0.0)) * quant
+            ).cast("long"),
+        )
+        out = (
+            assigned.select(F.col(centroid_id), F.posexplode(q).alias("pos", "qv"))
+            .groupBy(centroid_id, "pos")
+            .agg(F.sum("qv").alias("s"))
+            .groupBy(centroid_id)
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "s"))),
+                    lambda t: t["s"].cast("double"),
+                ).alias(centroid_vec)
+            )
+        )
+    return out

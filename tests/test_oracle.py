@@ -150,6 +150,9 @@ def test_contract_registry_is_complete():
         # entered the window (same r8 session): each driver-green in
         # CORRECTNESS_r07.json, its module untouched since
         "dsir_weight", "ccnet_partition", "pii_scrub",
+        # joined when kmeans_refine entered the window: driver-green r7,
+        # pipeline/tagger.py untouched since
+        "tagger_rules",
     }
     overflow = [n for i, n in enumerate(qs) if i >= 50 and n not in STABLE_TAIL]
     assert overflow == [], f"new queries outside the driver's top-50 gate: {overflow}"

@@ -2269,3 +2269,77 @@ class TestClusterBestKeep:
         # 2 merged clusters + 4 singletons
         assert len(rows) == 6
         assert sum(r.n_members for r in rows) == 8
+
+
+class TestKmeansRefine:
+    """pipeline/similarity.py::kmeans_refine — spherical-Lloyd step with
+    integer-quantized cell sums (the cross-engine determinism device)."""
+
+    def _frames(self, spark, vecs, seeds):
+        emb = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<float>",
+        )
+        cents = spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(seeds)],
+            "centroid_id int, centroid array<float>",
+        )
+        return emb, cents
+
+    def test_one_step_recenters(self, spark):
+        from graphite_clickhouse_spark.pipeline.similarity import (
+            ivf_assign, kmeans_refine,
+        )
+
+        # two tight direction clusters; seed 1 sits BETWEEN them so the
+        # x-cluster initially splits across seeds — after one step the
+        # centroids recenter and each cluster lands in one cell
+        vecs = [[1, 0.05], [1, -0.05], [1, 0.0],       # x cluster
+                [0.05, 1], [-0.05, 1], [0.0, 1]]       # y cluster
+        seeds = [[1.0, 0.0], [0.8, 0.6]]
+        emb, cents = self._frames(spark, vecs, seeds)
+        refined = kmeans_refine(emb, cents, iters=1)
+        got = {
+            r.vec_id: r.centroid_id
+            for r in ivf_assign(emb, refined).collect()
+        }
+        assert len({got[0], got[1], got[2]}) == 1
+        assert len({got[3], got[4], got[5]}) == 1
+        assert got[0] != got[3]
+
+    def test_partitioning_invariance(self, spark):
+        """The integer-sum reduction must make the refined centroids a
+        pure function of the data — identical under any partitioning
+        (the float-sum order trap this operator is designed around)."""
+        from graphite_clickhouse_spark.pipeline.similarity import kmeans_refine
+
+        import random
+
+        rng = random.Random(7)
+        vecs = [[rng.uniform(-1, 1) for _ in range(8)] for _ in range(60)]
+        seeds = vecs[:4]
+        emb, cents = self._frames(spark, vecs, seeds)
+        a = kmeans_refine(emb.repartition(1), cents, iters=2).collect()
+        b = kmeans_refine(emb.repartition(13), cents, iters=2).collect()
+        fa = {r.centroid_id: list(r.centroid) for r in a}
+        fb = {r.centroid_id: list(r.centroid) for r in b}
+        assert fa == fb  # exact equality, not approx — integers underneath
+
+    def test_empty_cell_disappears(self, spark):
+        from graphite_clickhouse_spark.pipeline.similarity import kmeans_refine
+
+        # all vectors point +x; the -x seed captures nothing and drops
+        vecs = [[1, 0.01], [1, -0.01], [1, 0.02]]
+        seeds = [[1.0, 0.0], [-1.0, 0.0]]
+        emb, cents = self._frames(spark, vecs, seeds)
+        refined = kmeans_refine(emb, cents, iters=1)
+        assert refined.count() == 1
+
+    def test_iters_guard(self, spark):
+        import pytest
+
+        from graphite_clickhouse_spark.pipeline.similarity import kmeans_refine
+
+        emb, cents = self._frames(spark, [[1.0, 0.0]], [[1.0, 0.0]])
+        with pytest.raises(ValueError):
+            kmeans_refine(emb, cents, iters=0)
