@@ -2892,6 +2892,64 @@ def q_unigram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bigram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated-bigram LM quality score (pipeline/lm.py::
+    bigram_logprob_score): the order-2 step of the CCNet recipe — mean
+    NLL under a Jelinek-Mercer mix of the corpus's own bigram MLE and
+    its unigram distribution (lam=0.5: exactly binary-representable, so
+    both engines embed the identical literal). Documents with < 2
+    tokens report (0, 0.0)."""
+    from graphite_clickhouse_spark.pipeline.lm import bigram_logprob_score
+    from graphite_clickhouse_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_logprob_score(docs, lam=0.5)
+
+
+SQL_BIGRAM_QUALITY = r"""
+WITH arr AS (
+    SELECT doc_id,
+           regexp_split_to_array(trim(lower(text)), '[ \t\n\x0B\f\r]+') AS t
+    FROM documents
+), bg AS (
+    SELECT doc_id, s.w1 AS w1, s.w2 AS w2
+    FROM (SELECT doc_id,
+                 unnest(list_transform(range(2, len(t) + 1),
+                        i -> struct_pack(w1 := t[i-1], w2 := t[i]))) AS s
+          FROM arr) u
+    WHERE s.w1 <> '' AND s.w2 <> ''
+), t2 AS (
+    SELECT doc_id, word FROM (
+        SELECT doc_id, unnest(t) AS word FROM arr
+        WHERE len(t) > 0
+    ) WHERE word <> ''
+), uni AS (
+    SELECT word, count(*) AS cnt_u FROM t2 GROUP BY word
+), tot AS (
+    SELECT CAST(sum(cnt_u) AS DOUBLE) AS total FROM uni
+), bi AS (
+    SELECT w1, w2, count(*) AS cnt_bi FROM bg GROUP BY w1, w2
+), ctx AS (
+    SELECT w1, sum(cnt_bi) AS cnt_ctx FROM bi GROUP BY w1
+), nll AS (  -- 0.5*bi/ctx + 0.5*uni/N, operator order as in Spark
+    SELECT b.w1, b.w2,
+           -ln(0.5 * b.cnt_bi / c.cnt_ctx
+               + 0.5 * u.cnt_u / (SELECT total FROM tot)) AS nll
+    FROM bi b JOIN ctx c USING (w1) JOIN uni u ON u.word = b.w2
+), per AS (
+    SELECT bg.doc_id,
+           CAST(count(*) AS INT) AS n_bigrams,
+           round(sum(n.nll) / count(*), 6) AS mean_nll
+    FROM bg JOIN nll n ON n.w1 = bg.w1 AND n.w2 = bg.w2
+    GROUP BY bg.doc_id
+)
+SELECT d.doc_id,
+       coalesce(p.n_bigrams, 0) AS n_bigrams,
+       coalesce(p.mean_nll, 0.0) AS mean_nll
+FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
+"""
+
+
 SQL_UNIGRAM_QUALITY = """
 WITH t2 AS (
     SELECT doc_id, word FROM (
@@ -3165,7 +3223,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "prom_label_values": (q_prom_label_values, SQL_PROM_LABEL_VALUES),
     "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
     "topk_orders_per_segment": (q_topk_orders_per_segment, SQL_TOPK_ORDERS_PER_SEGMENT),
-    "prom_plain_bridge": (q_prom_plain_bridge, SQL_PROM_PLAIN_BRIDGE),
     "promql_range_select": (q_promql_range_select, SQL_PROMQL_RANGE_SELECT),
     "promql_rate_sum": (q_promql_rate_sum, SQL_PROMQL_RATE_SUM),
     "promql_hist_quantile": (q_promql_hist_quantile, SQL_PROMQL_HIST_QUANTILE),
@@ -3205,6 +3262,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "minhash_dedup": (q_minhash_dedup, SQL_MINHASH_DEDUP),
     "simhash_pairs": (q_simhash_pairs, SQL_SIMHASH_PAIRS),
     "unigram_quality": (q_unigram_quality, SQL_UNIGRAM_QUALITY),
+    "bigram_quality": (q_bigram_quality, SQL_BIGRAM_QUALITY),
     # ------------------------------------------------------------------
     # STABLE TAIL (positions 50+, outside the driver's recording window;
     # tools/correctness_local.py re-verifies ALL entries each round and
@@ -3238,6 +3296,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "ccnet_partition": (q_ccnet_partition, SQL_CCNET_PARTITION),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "tagger_rules": (q_tagger_rules, SQL_TAGGER_RULES),
+    # joined when bigram_quality entered the window: driver-green r7,
+    # plans/prometheus.py untouched since
+    "prom_plain_bridge": (q_prom_plain_bridge, SQL_PROM_PLAIN_BRIDGE),
 }
 
 

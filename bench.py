@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "quality_classifier",
     "text_clean",
     "unigram_quality",
+    "bigram_quality",
     "dsir_weight",
     "dedup_clusters",
     "cluster_keep",

@@ -180,3 +180,88 @@ def ccnet_partition(
             ),
         )
     return out
+
+
+def bigram_logprob_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.5,
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Per document: adjacent-pair count and mean negative log-probability
+    under a Jelinek-Mercer-interpolated BIGRAM model trained on the corpus
+    itself — the order-2 step of the CCNet recipe (the module docstring's
+    claim that the distributed-counting skeleton is identical at any
+    order, made concrete):
+
+        p(w2 | w1) = lam * cnt(w1 w2)/cnt(w1 ·)  +  (1-lam) * cnt(w2)/N
+
+    The interpolation term keeps unseen-in-context pairs finite the same
+    way CCNet's KenLM backoff does. Documents with fewer than two tokens
+    score (0, 0.0) — no bigram evidence, not missing rows.
+
+    Cross-engine note: ``lam`` should be exactly representable in binary
+    (0.5, 0.25, 0.75) when the score feeds a hash-compared oracle — the
+    Spark side embeds ``1 - lam`` as a driver-computed double literal and
+    e.g. 1 - 0.9 is 0.09999999999999998, which another engine's literal
+    0.1 will not reproduce. The score is rounded to 6 dp, same as
+    ccnet_partition's determinism rationale.
+
+    Plan shape (the unigram shape at order 2): ONE pair explode ->
+    (w1,w2)-keyed hash aggregation for the bigram table, its context
+    marginal re-aggregated FROM that table (not the corpus), the unigram
+    vocabulary from the token explode, the assembled model (bigram ⋈
+    context ⋈ unigram — model-sized, not corpus-sized) broadcast back
+    onto the pair stream, one per-document aggregate. Pass
+    broadcast_model=False at extreme vocabulary sizes to let AQE pick a
+    shuffle join.
+    """
+    if not 0.0 < lam <= 1.0:
+        raise ValueError(f"lam must be in (0, 1], got {lam}")
+    toks = tokens(F.lower(F.col(text_col)))
+    pair = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+    )
+    stream = (
+        df.select(id_col, F.explode(pair).alias("bg"))
+        .select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+    uni = _token_stream(df, text_col, id_col).groupBy("word").agg(
+        F.count(F.lit(1)).alias("cnt_u")
+    ).cache()
+    total = uni.agg(F.sum("cnt_u")).collect()[0][0] or 0
+    bi = stream.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("cnt_bi")
+    ).cache()
+    ctx = bi.groupBy("w1").agg(F.sum("cnt_bi").alias("cnt_ctx"))
+    p = (
+        F.lit(lam) * F.col("cnt_bi") / F.col("cnt_ctx")
+        + F.lit(1.0 - lam) * F.col("cnt_u") / F.lit(float(total))
+    )
+    model = (
+        bi.join(ctx, "w1")
+        .join(uni.withColumnRenamed("word", "w2"), "w2")
+        .select("w1", "w2", (-F.log(p)).alias("nll"))
+    )
+    if broadcast_model:
+        model = F.broadcast(model)
+    per = (
+        stream.join(model, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_bigrams"),
+            F.round(F.sum("nll") / F.count(F.lit(1)), 6).alias("mean_nll"),
+        )
+    )
+    return (
+        df.select(id_col).join(per, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("mean_nll", F.lit(0.0)).alias("mean_nll"),
+        )
+    )

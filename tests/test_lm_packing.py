@@ -264,3 +264,59 @@ class TestPackingDifferential:
                 assert got[i] == (
                     off, start_chunk, end_chunk, end_chunk - start_chunk + 1
                 ), (seed, i, src, tok, w)
+
+
+class TestBigramLogprobScore:
+    """pipeline/lm.py::bigram_logprob_score — order-2 CCNet scoring with
+    Jelinek-Mercer interpolation, hand-computed values."""
+
+    def test_hand_computed(self, spark):
+        import math
+
+        from graphite_clickhouse_spark.pipeline.lm import bigram_logprob_score
+
+        # corpus: "a a b" + "b b"  =>  uni a:2 b:3 N=5
+        # bigrams (a,a):1 (a,b):1 (b,b):1; contexts a:2 b:1
+        # p(a|a)=.5*1/2+.5*2/5=.45  p(b|a)=.25+.3=.55  p(b|b)=.5+.3=.8
+        df = spark.createDataFrame(
+            [(1, "a a b"), (2, "b b")], "doc_id long, text string"
+        )
+        got = {r.doc_id: r for r in bigram_logprob_score(df, lam=0.5).collect()}
+        want1 = round(-(math.log(0.45) + math.log(0.55)) / 2, 6)
+        want2 = round(-math.log(0.8), 6)
+        assert got[1].n_bigrams == 2 and abs(got[1].mean_nll - want1) < 1e-9
+        assert got[2].n_bigrams == 1 and abs(got[2].mean_nll - want2) < 1e-9
+
+    def test_short_docs_report_zero(self, spark):
+        from graphite_clickhouse_spark.pipeline.lm import bigram_logprob_score
+
+        df = spark.createDataFrame(
+            [(1, "solo"), (2, ""), (3, None), (4, "x y")],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r for r in bigram_logprob_score(df).collect()}
+        for i in (1, 2, 3):
+            assert (got[i].n_bigrams, got[i].mean_nll) == (0, 0.0)
+        assert got[4].n_bigrams == 1
+        # every input doc appears exactly once
+        assert len(got) == 4
+
+    def test_case_and_whitespace_folding(self, spark):
+        from graphite_clickhouse_spark.pipeline.lm import bigram_logprob_score
+
+        a = spark.createDataFrame([(1, "Foo  Bar")], "doc_id long, text string")
+        b = spark.createDataFrame([(1, "foo bar")], "doc_id long, text string")
+        ra = bigram_logprob_score(a).collect()[0]
+        rb = bigram_logprob_score(b).collect()[0]
+        assert (ra.n_bigrams, ra.mean_nll) == (rb.n_bigrams, rb.mean_nll)
+
+    def test_lam_guard(self, spark):
+        import pytest
+
+        from graphite_clickhouse_spark.pipeline.lm import bigram_logprob_score
+
+        df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            bigram_logprob_score(df, lam=0.0)
+        with pytest.raises(ValueError):
+            bigram_logprob_score(df, lam=1.5)

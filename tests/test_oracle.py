@@ -153,6 +153,9 @@ def test_contract_registry_is_complete():
         # joined when kmeans_refine entered the window: driver-green r7,
         # pipeline/tagger.py untouched since
         "tagger_rules",
+        # joined when bigram_quality entered the window: driver-green r7,
+        # plans/prometheus.py untouched since
+        "prom_plain_bridge",
     }
     overflow = [n for i, n in enumerate(qs) if i >= 50 and n not in STABLE_TAIL]
     assert overflow == [], f"new queries outside the driver's top-50 gate: {overflow}"

@@ -127,6 +127,32 @@ def build_docs_replica(spark, scale: int) -> None:
         print(f"# built documents {scale}x -> {dst}", file=sys.stderr)
 
 
+#: measurement action: "collect" (default — the bench action) or
+#: "checksum" for operators whose OUTPUT is wide (span_removal /
+#: html_extract return full document texts: at 100x a collect() moves
+#: ~400 MB through py4j and the rung measures driver transfer, not the
+#: operator). The checksum aggregates xxhash64 over EVERY column of
+#: EVERY row — full evaluation, no count()-style subtree pruning, tiny
+#: result — i.e. the emit-to-a-sink cost a cluster actually pays.
+ACTION = os.environ.get("SPARK_GRAFT_SCALE_ACTION", "collect")
+
+
+def _evaluate(df) -> int:
+    if ACTION == "checksum":
+        from pyspark.sql import functions as F
+
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal accumulator: ANSI mode aborts a long sum of 2^63
+            # hashes on overflow
+            F.sum(
+                F.xxhash64(F.struct(*df.columns)).cast("decimal(38,0)")
+            ).alias("chk"),
+        ).collect()[0]
+        return int(row["n"])
+    return len(df.collect())
+
+
 def time_suite(spark, qs, sf_dir, label) -> tuple[dict, dict]:
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
@@ -136,7 +162,7 @@ def time_suite(spark, qs, sf_dir, label) -> tuple[dict, dict]:
         for _ in range(REPS):
             t0 = time.monotonic()
             try:
-                n = len(qs[name](spark, sf_dir).collect())
+                n = _evaluate(qs[name](spark, sf_dir))
             except Exception as exc:
                 print(f"# {name}@{label}: FAILED {exc}", file=sys.stderr)
                 times = []
@@ -196,6 +222,7 @@ def main() -> None:
         "loadavg": round(os.getloadavg()[0], 1),
     }
     result["queries"] = PAIR_QUERIES
+    result["action"] = ACTION
     spark.stop()
     with open(os.path.join(REPO, OUT_PATH), "w") as fh:
         json.dump(result, fh, indent=1)

@@ -41,6 +41,16 @@ def plan_fingerprint(df) -> str:
     import hashlib
     import re
 
+    # fingerprint from a CLEAN cache state: CacheManager substitutes any
+    # live InMemoryRelation whose subtree matches into THIS plan during
+    # optimization, so a fingerprint taken while earlier queries' caches
+    # are alive differs from the same query fingerprinted fresh (r8
+    # finding: ccnet_partition/dsir_weight drifted whenever a prior test
+    # left the lm.py vocabulary frames cached). Queries that cache
+    # DURING their own build (the lm.py family) stay deterministic:
+    # their self-created entries are the same every time when the slate
+    # starts empty.
+    df.sparkSession.catalog.clearCache()
     s = df._jdf.queryExecution().optimizedPlan().toString()
     s = re.sub(r"#\d+", "#N", s)
     s = re.sub(r"\b([A-Za-z]\w*?)_\d+\b", r"\1_N", s)

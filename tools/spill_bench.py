@@ -52,6 +52,9 @@ SPILL_QUERIES = [
     "storage_merge",
     "source_overlap",
     "semantic_dedup",
+    # r8: the new heavy-state operator — per-doc collect_set of removed
+    # positions + a count-distinct window aggregation
+    "span_removal",
 ]
 
 
