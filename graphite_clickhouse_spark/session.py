@@ -51,7 +51,17 @@ def get_spark(
         # plan-build (driver GIL) bound, not task-slot starved. The
         # mapping stays available: server.GraphiteHandler.scheduler_pools
         # + extra_conf={"spark.scheduler.mode": "FAIR"}.
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # 16g, NOT a bigger slice of the box: every heavy contract query
+        # runs spill-free even at 2g (SPILL.json), and on this host a
+        # 48g heap is actively pathological — as G1 grows the heap into
+        # never-touched pages instead of collecting, first-touch page
+        # faults make the SAME query degrade run-over-run inside one
+        # session (measured r8: dup_spans@10x 12 -> 21 -> 45 -> 45 s at
+        # 48g vs 10.7 -> 4.3 -> 3.9 -> 3.2 s at 16g; system time
+        # exceeding user time fleet-wide was the tell). Override with
+        # SPARK_GRAFT_DRIVER_MEM for corpora whose per-task state needs
+        # it — sizing guidance lives in SPILL.md.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         # complex expression trees generate a LOT of JIT'd classes; the
         # default 240m code cache fills mid-suite and HotSpot silently
         # falls back to interpreted execution (measured 6x slowdowns on

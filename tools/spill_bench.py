@@ -169,7 +169,7 @@ def main() -> None:
         "metric": "heavy-shuffle queries under constrained executor memory",
         "corpus": CORPUS + " (10x density replica)",
         "constrained_heap": CONSTRAINED_MEM,
-        "unconstrained_heap": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+        "unconstrained_heap": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
         "queries": SPILL_QUERIES,
         "phases": phases,
         "loadavg": round(os.getloadavg()[0], 1),
