@@ -251,6 +251,13 @@ def tagged_predicate(
     )
     if min_positive_terms > 0 and non_wildcards < min_positive_terms:
         raise CostlySeriesByTagError()
+    if not terms:
+        # an empty matcher list is a malformed query, not a match-all:
+        # the reference errors on empty seriesByTag too (tagged.go), and
+        # a hostile remote-read body can produce a ReadRequest whose
+        # matcher list parses to zero usable terms (r8 body-fuzz find —
+        # this must surface as the typed 400, not an IndexError 500)
+        raise TaggedParseError("empty tagged term list")
     pred = term_predicate(terms[0], tags_col, flags)
     for t in terms[1:]:
         pred = pred & term_predicate(t, tags_col, flags)
