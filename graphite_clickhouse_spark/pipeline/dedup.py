@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .lifecycle import register_intermediates
 from .text import WS_RE
 
 
@@ -1028,9 +1029,14 @@ def duplicate_spans(
     # `size(_h) > 0` filter below the repartition, which would evaluate
     # the ENTIRE span-hash transform once more in the (possibly
     # single-split) pre-shuffle stage (measured: 6.3 s -> 0.9 s at 1x).
+    # The barrier needs only the cache REGISTRATION (plan substitution
+    # happens at action planning time), not materialization — no eager
+    # count() here, so building the frame runs no job (r8 ADVICE).
+    # Lifecycle: the cache is registered on the returned frame; callers
+    # in a long-lived session release it after materializing via
+    # lifecycle.unpersist_intermediates(result) (r8 VERDICT #3).
     # At cluster scale: persist to a table instead.
     staged = base.select("id", "n_spans", spans.alias("_h")).cache()
-    staged.count()
     e = staged.select(
         "id", F.explode("_h").alias("h")
     )
@@ -1045,7 +1051,7 @@ def duplicate_spans(
         .groupBy("id")
         .agg(F.count(F.col("_rep")).cast("int").alias("n_dup_spans"))
     )
-    return (
+    result = (
         staged.select("id", "n_spans")
         .join(per_doc, "id", "left")
         .select(
@@ -1060,6 +1066,7 @@ def duplicate_spans(
             ).alias("dup_fraction"),
         )
     )
+    return register_intermediates(result, staged)
 
 
 def remove_duplicate_spans(
@@ -1132,9 +1139,11 @@ def remove_duplicate_spans(
     # cache: feeds the window aggregate, the removal join AND the
     # rebuild; the boundary also stops InferFiltersFromGenerate from
     # re-evaluating the span transform below the repartition (the
-    # dup_spans lesson). At cluster scale: persist to a table instead.
+    # dup_spans lesson). Registration alone provides the barrier — no
+    # eager count(), so constructing the frame runs no job (r8 ADVICE);
+    # release after materializing via lifecycle.unpersist_intermediates.
+    # At cluster scale: persist to a table instead.
     staged = base.select("id", "_toks", spans.alias("_h")).cache()
-    staged.count()
     e = staged.select("id", F.posexplode("_h").alias("i", "h"))
     keepers = (
         e.groupBy("h")
@@ -1158,7 +1167,7 @@ def remove_duplicate_spans(
         .agg(F.sort_array(F.collect_set("pos")).alias("_rm"))
     )
     rm = F.coalesce(F.col("_rm"), F.array().cast("array<int>"))
-    return (
+    result = (
         staged.join(removed, "id", "left")
         .select(
             "id",
@@ -1172,6 +1181,7 @@ def remove_duplicate_spans(
             ).alias("clean_text"),
         )
     )
+    return register_intermediates(result, staged)
 
 
 def cluster_best_keep(

@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .lifecycle import register_intermediates
 from .text import tokens
 
 
@@ -257,7 +258,7 @@ def bigram_logprob_score(
             F.round(F.sum("nll") / F.count(F.lit(1)), 6).alias("mean_nll"),
         )
     )
-    return (
+    result = (
         df.select(id_col).join(per, id_col, "left")
         .select(
             id_col,
@@ -265,3 +266,7 @@ def bigram_logprob_score(
             F.coalesce("mean_nll", F.lit(0.0)).alias("mean_nll"),
         )
     )
+    # uni/bi caches feed multiple branches (total, context marginal, the
+    # model join); lifecycle: registered on the result so a long-lived
+    # session releases the blocks after materializing (r8 VERDICT #3)
+    return register_intermediates(result, uni, bi)

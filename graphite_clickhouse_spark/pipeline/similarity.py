@@ -548,6 +548,17 @@ def kmeans_refine(
     Cells that lose all members simply disappear (k shrinks) — the
     standard empty-cell degeneracy; reseed explicitly if k must hold.
 
+    Oracle-numerics note (r8 ADVICE): the Spark path scores
+    dot(v, driver-normalized unit centroid) via ivf_assign while the
+    DuckDB oracle computes list_cosine_similarity on the raw integer
+    centroid — mathematically argmax-equivalent (cosine is
+    scale-invariant) but a DIFFERENT floating-point rounding path, so a
+    vector sitting exactly on a cell boundary could in principle assign
+    differently across engines. The integer quantization keeps real
+    margins orders of magnitude above double rounding error; if a future
+    oracle mismatch appears here, suspect a boundary tie (numeric), not
+    a logic bug, before anything else.
+
     100 TB shape: each iteration is ivf_assign's zero-Exchange literal
     argmax over the scan, one posexplode (rows × dim, the same volume
     any per-dim stat pays), and one (cell, dim)-keyed integer hash

@@ -242,6 +242,17 @@ def tagged_predicate(
     # has no glob wildcard count; under use-carbon-behaviour an empty `t=`
     # is wildcard-like (matches every metric without the tag) so it stops
     # counting too
+    if not terms:
+        # an empty matcher list is a malformed query, not a match-all:
+        # the reference errors on empty seriesByTag AT PARSE TIME, before
+        # any term counting (tagged.go:433 ErrNotEnoughArgsSeriesByTag),
+        # so this check runs BEFORE the min_positive_terms cost guard —
+        # otherwise a configured tags-min-in-query > 0 would turn the
+        # malformed-query 400 into a costly-series 403 (r8 ADVICE). A
+        # hostile remote-read body can produce a ReadRequest whose matcher
+        # list parses to zero usable terms (r8 body-fuzz find — this must
+        # surface as the typed 400, not an IndexError 500).
+        raise TaggedParseError("empty tagged term list")
     non_wildcards = sum(
         1
         for t in terms
@@ -251,13 +262,6 @@ def tagged_predicate(
     )
     if min_positive_terms > 0 and non_wildcards < min_positive_terms:
         raise CostlySeriesByTagError()
-    if not terms:
-        # an empty matcher list is a malformed query, not a match-all:
-        # the reference errors on empty seriesByTag too (tagged.go), and
-        # a hostile remote-read body can produce a ReadRequest whose
-        # matcher list parses to zero usable terms (r8 body-fuzz find —
-        # this must surface as the typed 400, not an IndexError 500)
-        raise TaggedParseError("empty tagged term list")
     pred = term_predicate(terms[0], tags_col, flags)
     for t in terms[1:]:
         pred = pred & term_predicate(t, tags_col, flags)

@@ -122,6 +122,26 @@ class TestTaggedWhereReferenceSemantics:
                 from pyspark.sql import functions as F
                 tagged_predicate(terms, F.col("tags"))
 
+    def test_empty_terms_typed_400_beats_cost_guard(self, spark):
+        # reference rejects empty seriesByTag at parse time
+        # (tagged.go:433 ErrNotEnoughArgsSeriesByTag) BEFORE term counting:
+        # with tags-min-in-query configured, an empty matcher list must
+        # still raise the typed parse error (HTTP 400), not the costly-
+        # series guard (403) — guard-order regression pinned per r8 ADVICE
+        import pytest as _pytest
+
+        from pyspark.sql import functions as F
+
+        from graphite_clickhouse_spark.plans.tagged import (
+            TaggedParseError,
+            tagged_predicate,
+        )
+
+        with _pytest.raises(TaggedParseError):
+            tagged_predicate([], F.col("tags"), min_positive_terms=1)
+        with _pytest.raises(TaggedParseError):
+            tagged_predicate([], F.col("tags"))
+
     def test_min_tags_enforced(self, spark):
         import pytest as _pytest
 

@@ -2343,3 +2343,88 @@ class TestKmeansRefine:
         emb, cents = self._frames(spark, [[1.0, 0.0]], [[1.0, 0.0]])
         with pytest.raises(ValueError):
             kmeans_refine(emb, cents, iters=0)
+
+
+class TestCacheLifecycle:
+    """pipeline/lifecycle.py — operators that cache intermediates must
+    not leak storage blocks across repeated calls in one session
+    (r8 VERDICT what's-wrong #1 / next-round #3; r8 ADVICE dedup.py:1136)."""
+
+    @staticmethod
+    def _n_cached(spark):
+        # RDDs with live storage blocks (getRDDStorageInfo lists only
+        # RDDs that actually hold cached partitions)
+        return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+    def _docs(self, spark):
+        rows = [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox jumps over the lazy dog tonight"),
+            (3, "completely unrelated text with no shared window here"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_duplicate_spans_build_runs_no_job_and_releases(self, spark):
+        from graphite_clickhouse_spark.pipeline.dedup import duplicate_spans
+        from graphite_clickhouse_spark.pipeline.lifecycle import (
+            unpersist_intermediates,
+        )
+
+        spark.catalog.clearCache()
+        base = self._n_cached(spark)
+        df = self._docs(spark)
+        rows_first = None
+        for _ in range(3):
+            out = duplicate_spans(df, k=4)
+            # construction must be lazy: no storage blocks before action
+            # (r8 shipped an eager count() here — pinned gone)
+            assert self._n_cached(spark) == base
+            got = sorted((r.id, r.n_dup_spans) for r in out.collect())
+            if rows_first is None:
+                rows_first = got
+            assert got == rows_first
+            assert self._n_cached(spark) > base  # cache was really used
+            assert unpersist_intermediates(out, blocking=True) == 1
+            # released: no growth across repeated calls in one session
+            assert self._n_cached(spark) == base
+        # idempotent second release
+        assert unpersist_intermediates(out, blocking=True) == 0
+
+    def test_remove_duplicate_spans_releases(self, spark):
+        from graphite_clickhouse_spark.pipeline.dedup import (
+            remove_duplicate_spans,
+        )
+        from graphite_clickhouse_spark.pipeline.lifecycle import released
+
+        spark.catalog.clearCache()
+        base = self._n_cached(spark)
+        df = self._docs(spark)
+        for _ in range(2):
+            frame = remove_duplicate_spans(df, k=4)
+            assert self._n_cached(spark) == base  # lazy build
+            with released(frame, blocking=True) as out:
+                assert out.count() == 3
+            assert self._n_cached(spark) == base
+
+    def test_bigram_score_releases_both_model_caches(self, spark):
+        from graphite_clickhouse_spark.pipeline.lifecycle import (
+            unpersist_intermediates,
+        )
+        from graphite_clickhouse_spark.pipeline.lm import bigram_logprob_score
+
+        spark.catalog.clearCache()
+        base = self._n_cached(spark)
+        df = self._docs(spark)
+        for _ in range(2):
+            out = bigram_logprob_score(df)
+            out.collect()
+            assert unpersist_intermediates(out, blocking=True) == 2
+            assert self._n_cached(spark) == base
+
+    def test_unpersist_noop_on_plain_frame(self, spark):
+        from graphite_clickhouse_spark.pipeline.lifecycle import (
+            unpersist_intermediates,
+        )
+
+        df = spark.range(3)
+        assert unpersist_intermediates(df) == 0

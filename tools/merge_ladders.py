@@ -37,9 +37,24 @@ def main() -> int:
             )
             merged["queries"] = []
             merged["reps_per_query"] = {}
+            # per-input scalar metadata: the ladders run in separate
+            # processes at different times, so load/conditions/action
+            # differ per query — attributing the FIRST input's scalars
+            # to all queries misleads (r8 ADVICE). Top-level scalars
+            # stay as the first input's for backward compat; the
+            # per-query truth lives in these maps.
+            merged["scalars_per_query"] = {}
         merged["queries"] += part.get("queries", [])
+        part_scalars = {k: v for k, v in part.items()
+                        if not isinstance(v, (dict, list))}
         for q in part.get("queries", []):
             merged["reps_per_query"][q] = part.get("reps")
+            merged["scalars_per_query"][q] = part_scalars
+        # a differing ACTION (collect vs checksum) across inputs changes
+        # what the numbers MEAN — refuse to silently collapse it
+        if "action" in part and "action" in merged and \
+                part["action"] != merged["action"]:
+            merged["action"] = "mixed (see scalars_per_query)"
         for key, val in part.items():
             if isinstance(val, dict):
                 merged.setdefault(key, {}).update(val)
