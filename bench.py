@@ -18,6 +18,15 @@ two fastest reps agree within 20%; otherwise it re-runs, up to
 $SPARK_GRAFT_BENCH_MAX_REPS (default 8) reps, and is listed under
 "unconverged" if it never stabilizes. Per-rep 1-min loadavg is recorded,
 including the load at the winning rep ("min_rep_load").
+
+Host-epoch calibration (r9): before the suite, three frozen probes
+(shuffle_agg / codegen_scan / python_worker — plans that never change)
+are timed and compared to pinned healthy-epoch references; the geometric
+mean of the ratios is "host_factor" and the suite total is also reported
+host-normalized ("value_host_normalized" = raw / host_factor).  A reader
+comparing two BENCH artifacts: if host_factor moved with the suite
+total, it's the host epoch; if the suite moved and host_factor didn't,
+it's the code.
 """
 
 from __future__ import annotations
@@ -105,6 +114,96 @@ BENCH_QUERIES = [
 ]
 
 
+#: Host-calibration probes (r8 judge next-round #1): three FROZEN plans
+#: whose code never changes, timed before the suite.  Their ratio to the
+#: pinned reference times below is the host_factor — a mechanical
+#: separator between "this host is in a slow throughput epoch" (probes
+#: slow by the same factor as the suite) and "the code regressed"
+#: (suite slow, probes unchanged).  The r7->r8 adjudication (50.8 s ->
+#: 81.9 s, proven host-side by a judge-run r7-code differential,
+#: CHANGES_r8 §5 / r8 VERDICT perf section) is exactly the question
+#: these probes answer automatically.
+#:
+#: The probes cover the three throughput regimes the suite exercises:
+#:   shuffle_agg    — exchange + hash aggregation (JVM shuffle path)
+#:   codegen_scan   — pure whole-stage-codegen arithmetic (CPU path)
+#:   python_worker  — Arrow-batched pandas_udf round trip (the regime
+#:                    where host epochs bit hardest: bmp 1.2 s -> 5.2 s)
+#:
+#: PINNED_PROBE_SEC provenance: best min-of-3 across three runs on
+#: 2026-08-16, local[32], 1-min loadavg < 1.2 at start, healthy epoch
+#: (render_baseline_shape 1.7 s scale) — so a healthy host reads
+#: host_factor ~= 1.0-1.3 and a degraded epoch reads its slowdown
+#: factor directly.  The absolute pin matters less than the invariant:
+#: any two BENCH artifacts carry probe_sec, so runs are comparable
+#: even if the pin itself ages.
+PINNED_PROBE_SEC = {
+    "shuffle_agg": 1.68,
+    "codegen_scan": 0.294,
+    "python_worker": 0.718,
+}
+
+
+def _probe_fns(spark):
+    from pyspark.sql import functions as F
+
+    def shuffle_agg():
+        (spark.range(20_000_000, numPartitions=32)
+         .groupBy((F.col("id") % 1_000_000).alias("k"))
+         .agg(F.sum("id").alias("s"), F.count(F.lit(1)).alias("c"))
+         .agg(F.sum("s"), F.sum("c")).collect())
+
+    def codegen_scan():
+        (spark.range(200_000_000, numPartitions=32)
+         .select((F.col("id") * 3 + 7).alias("x"))
+         .filter(F.col("x") % 5 != 0)
+         .agg(F.sum("x"), F.count(F.lit(1))).collect())
+
+    def python_worker():
+        plus = F.pandas_udf(lambda s: s + 1, "long")
+        (spark.range(8_000_000, numPartitions=32)
+         .select(plus("id").alias("y")).agg(F.sum("y")).collect())
+
+    return {
+        "shuffle_agg": shuffle_agg,
+        "codegen_scan": codegen_scan,
+        "python_worker": python_worker,
+    }
+
+
+def run_calibration(spark, reps: int = 3) -> dict:
+    """Time the frozen probes (min of ``reps``) and derive host_factor =
+    geometric mean of probe/pinned ratios.  > ~1.5 means the host is in
+    a degraded throughput epoch and raw suite seconds are not comparable
+    to healthy-epoch artifacts; the normalized total (raw / host_factor)
+    is the epoch-adjusted estimate."""
+    import math
+    import time as _time
+
+    probe_sec: dict[str, float] = {}
+    for name, fn in _probe_fns(spark).items():
+        best = float("inf")
+        for _ in range(reps):
+            t0 = _time.monotonic()
+            fn()
+            best = min(best, _time.monotonic() - t0)
+        probe_sec[name] = round(best, 3)
+        spark.catalog.clearCache()
+    ratios = {
+        n: round(probe_sec[n] / PINNED_PROBE_SEC[n], 2) for n in probe_sec
+    }
+    host_factor = round(
+        math.exp(sum(math.log(max(r, 1e-9)) for r in ratios.values())
+                 / len(ratios)), 2,
+    )
+    return {
+        "probe_sec": probe_sec,
+        "pinned_probe_sec": PINNED_PROBE_SEC,
+        "host_factor_per_probe": ratios,
+        "host_factor": host_factor,
+    }
+
+
 def main() -> None:
     import __spark_entry__ as entrymod
     from graphite_clickhouse_spark.session import get_spark
@@ -119,6 +218,12 @@ def main() -> None:
 
     _noop = F.pandas_udf(lambda s: s, "long")
     spark.range(32, numPartitions=32).select(_noop("id")).collect()
+
+    # host-epoch calibration BEFORE the suite (r8 judge next-round #1):
+    # frozen probes whose ratio to pinned healthy-epoch times makes a
+    # degraded host mechanically separable from a code regression
+    calibration = run_calibration(spark)
+    print(f"# calibration: {json.dumps(calibration)}", file=sys.stderr)
 
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     # ambient-load hardening (r5 judge): a fixed min-of-3 on a shared box
@@ -218,6 +323,12 @@ def main() -> None:
         "metric": "headline-query wall time, sum over suite (min of reps)",
         "value": total,
         "unit": "sec",
+        # epoch-adjusted estimate: what this suite total would read on
+        # the healthy-epoch host the probe references were pinned on
+        "value_host_normalized": round(
+            total / calibration["host_factor"], 3
+        ) if calibration["host_factor"] > 0 else None,
+        "calibration": calibration,
         "git_sha": git_sha,
         "git_dirty": dirty,
         "queries": timings,
@@ -258,6 +369,9 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "sf": sf,
+        "host_factor": calibration["host_factor"],
+        "norm_value": result["value_host_normalized"],
+        "probe_sec": calibration["probe_sec"],
         "unconverged": unconverged,
         "queries": {k: round(v, 2) for k, v in timings.items()},
     }
