@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "paragraph_dedup",
     "dup_spans",
     "span_removal",
+    "span_extents",
     "url_dedup",
     "html_extract",
     "promql_range_select",
@@ -142,6 +143,19 @@ PINNED_PROBE_SEC = {
     "codegen_scan": 0.294,
     "python_worker": 0.718,
 }
+
+
+#: Queries that get ONE untimed warm-up rep before timing starts.
+#: render_baseline_unagg's rep times decline monotonically for ~5 reps
+#: (measured r9: 3.37 -> 1.64 -> 0.95 -> 0.85 -> 0.76 -> 0.68 s) — C2
+#: JIT of the two collect_list aggregation paths, not ambient load and
+#: not driver transfer (output is 986 scalar rows) — so the two-fastest-
+#: within-20% gate kept chasing a moving target and the driver flagged
+#: it unconverged (r8 VERDICT next-round #5).  The bench's stated model
+#: is a WARM long-lived server (module docstring), so excluding the
+#: first JIT-cold rep is the honest fix; the timed reps then converge
+#: within the normal rep budget.
+WARMUP_FIRST_REP = {"render_baseline_unagg"}
 
 
 def _probe_fns(spark):
@@ -247,6 +261,12 @@ def main() -> None:
         times: list[float] = []
         rep_loads: list[float] = []
         failed = False
+        if name in WARMUP_FIRST_REP:
+            try:
+                fn(spark, SF_DIR).collect()
+                spark.catalog.clearCache()
+            except Exception:
+                pass  # the timed loop will surface the failure
         while True:
             load_now = round(os.getloadavg()[0], 1)
             loads.append(load_now)

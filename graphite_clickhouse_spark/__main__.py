@@ -90,12 +90,21 @@ def main(argv=None):
     )
     ap.add_argument("--check", action="store_true",
                     help="validate config + engine wiring, then exit")
-    ap.add_argument("--warmup", action="store_true",
+    # warmup is DEFAULT-ON since r9 (r8 VERDICT next-round #8): one
+    # representative query per request class fires before the listener
+    # is announced — first dashboard round 3.0 s warmed vs 5.3 s cold
+    # (BENCH_LATENCY.json cold_start), and the r8 plan cache made the
+    # warmup itself cheaper than when opt-in was chosen
+    ap.add_argument("--warmup", action="store_true", default=True,
                     help="fire one representative query per request "
                          "class (find/render/promql) before announcing "
                          "the listener — trades slower startup for a "
-                         "fast first dashboard load (see "
+                         "fast first dashboard load (default: on; see "
                          "BENCH_LATENCY.json cold_start)")
+    ap.add_argument("--no-warmup", dest="warmup", action="store_false",
+                    help="announce the listener immediately; the first "
+                         "request per class pays the plan-build + JIT "
+                         "cost instead")
     ap.add_argument("--build-tags", action="store_true",
                     help="run the tagger batch job ([tags] rules over the "
                          "metric namespace) and exit — the reference's "

@@ -1184,6 +1184,116 @@ def remove_duplicate_spans(
     return register_intermediates(result, staged)
 
 
+def duplicate_span_extents(
+    df: DataFrame,
+    k: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    portable: bool = False,
+) -> DataFrame:
+    """VARIABLE-LENGTH duplicate spans — the maximal-span merge Lee et
+    al. 2021's ExactSubstr actually emits (``duplicate_spans`` counts
+    fixed k-token windows; this fuses adjacent/overlapping duplicated
+    windows into maximal spans and reports their extents).  A run of
+    duplicated window positions p_1 < ... < p_m in one document merges
+    while each window's token range touches or overlaps the run's
+    coverage (p_{j+1} <= p_j + k: coverage [s, e+k-1] meets
+    [p, p+k-1] iff p <= e+k); the merged span covers tokens
+    [s, e+k-1] — exactly the union the paper's suffix array reports as
+    one variable-length match, recovered from fixed windows without
+    global offsets.
+
+    -> (id, span_start, span_len): one row per maximal duplicated span;
+    span_start is the 0-based token position, span_len the token count
+    (always >= k).  Documents with no duplicated window produce no rows.
+
+    100 TB shape: duplicate_spans' plan — one stride-1 window explode
+    carrying an 8-byte span hash, one count-distinct hash aggregation,
+    one join back — plus a per-document sorted position list (bounded
+    by the document's own token count, the same bound the removal
+    path's position sets already carry) folded ROW-LOCALLY into
+    segments: no window function over the corpus, no pairwise work,
+    no Python.  The oracle twin re-derives the merge with a
+    gaps-and-islands window CTE — two independent formulations of the
+    same semantics.
+
+    ``portable=True`` swaps xxhash64 for the md5 60-bit lane the DuckDB
+    oracle computes bit-identically (hash60_portable).
+    """
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    # tokenize exactly as duplicate_spans (collapse BEFORE trim —
+    # phantom edge tokens otherwise)
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), WS_RE, " "))
+    toks = F.split(norm, " ")
+    n_spans = F.greatest(F.size(toks) - (k - 1), F.lit(0))
+    sc = df.sparkSession.sparkContext
+    parts = max(df.rdd.getNumPartitions(), sc.defaultParallelism)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        toks.alias("_toks"),
+        n_spans.alias("n_spans"),
+    ).repartition(parts)
+    tk = F.col("_toks")
+
+    def span_hash(i):
+        span = F.concat_ws(" ", F.slice(tk, i + F.lit(1), F.lit(k)))
+        return hash60_portable(span) if portable else F.xxhash64(span)
+
+    spans = F.when(
+        F.col("n_spans") <= 0, F.array().cast("array<bigint>")
+    ).otherwise(
+        F.transform(F.sequence(F.lit(0), F.col("n_spans") - 1), span_hash)
+    )
+    # cache boundary: projection barrier + shared by the repeated-window
+    # aggregate and the position join (see duplicate_spans); registered
+    # on the result for lifecycle.unpersist_intermediates
+    staged = base.select("id", spans.alias("_h")).cache()
+    e = staged.select("id", F.posexplode("_h").alias("i", "h"))
+    repeated = (
+        e.groupBy("h")
+        .agg(F.countDistinct("id").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("h")
+    )
+    positions = (
+        e.join(repeated, "h")
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_set("i")).alias("_ps"))
+    )
+    # row-local segment fold over the sorted positions: extend the last
+    # run while the next window touches its coverage, else open a new one
+    segs = F.aggregate(
+        F.col("_ps"),
+        F.array().cast("array<struct<s:int,e:int>>"),
+        lambda acc, p: F.when(
+            (F.size(acc) > 0)
+            & (p <= F.element_at(acc, -1)["e"] + k),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.struct(
+                    F.element_at(acc, -1)["s"].alias("s"),
+                    p.cast("int").alias("e"),
+                )),
+            ),
+        ).otherwise(
+            F.concat(acc, F.array(F.struct(
+                p.cast("int").alias("s"), p.cast("int").alias("e"),
+            )))
+        ),
+    )
+    result = (
+        positions.select("id", F.explode(segs).alias("sp"))
+        .select(
+            "id",
+            F.col("sp.s").cast("int").alias("span_start"),
+            (F.col("sp.e") + k - F.col("sp.s")).cast("int").alias("span_len"),
+        )
+    )
+    return register_intermediates(result, staged)
+
+
 def cluster_best_keep(
     df: DataFrame,
     pairs: DataFrame,

@@ -71,6 +71,20 @@ def get_spark(
             "-XX:ReservedCodeCacheSize=2g -XX:+UseCodeCacheFlushing "
             "-XX:+SegmentedCodeCache",
         )
+        # Bound the IDLE python-worker pool (Spark 4 LRU eviction; r9).
+        # With the default unbounded pool, a long-lived session
+        # accumulates a fleet of reused workers whose RSS taxes every
+        # subsequent Arrow-heavy stage: measured on the 23-query suite
+        # prefix, the FIRST mapInPandas rep after the prefix ran 22.7 s
+        # vs 3.0 s solo (decaying over reps), and the prefix itself took
+        # 688 s unbounded vs 169 s with the cap.  reuse=false also fixes
+        # the decode blowup but taxes small pandas stages 5x (per-task
+        # fork+import: multimodal_features 3.1 s vs 0.6 s).  Cap of 8:
+        # bursts inside one query still reuse hot workers; idle fleets
+        # cannot accumulate between queries.  Full A/B:
+        # BENCH_SUITE_CONTEXT.json / tools/suite_context_bench.py.
+        .config("spark.python.factory.idleWorkerMaxPoolSize",
+                os.environ.get("SPARK_GRAFT_IDLE_WORKERS", "8"))
     )
     if extra_conf:
         for k, v in extra_conf.items():

@@ -139,23 +139,18 @@ def test_contract_registry_is_complete():
     # sit past position 49; a new query landing there would never get a
     # driver correctness row.
     STABLE_TAIL = {
-        # round-8 rotation: each driver-green in CORRECTNESS_r07.json,
-        # code untouched since; the r7 tail (version_dedup et al.)
-        # moved back into the top-50 window to re-earn driver rows
-        "lang_id", "fingerprint", "token_count", "sample_deterministic",
-        "mix_sources", "dedup_exact", "decontaminate", "text_quality",
-        "tfidf_top_terms", "text_clean", "quality_classifier",
-        "tagbrowse_list", "pack_sequences", "budget_mix",
-        # joined the tail when html_extract / span_removal / cluster_keep
-        # entered the window (same r8 session): each driver-green in
-        # CORRECTNESS_r07.json, its module untouched since
-        "dsir_weight", "ccnet_partition", "pii_scrub",
-        # joined when kmeans_refine entered the window: driver-green r7,
-        # pipeline/tagger.py untouched since
-        "tagger_rules",
-        # joined when bigram_quality entered the window: driver-green r7,
-        # plans/prometheus.py untouched since
-        "prom_plain_bridge",
+        # round-9 rotation (r8 VERDICT next-round #4): the nineteen r8
+        # tail queries moved back into the window; these twenty are each
+        # driver-green in CORRECTNESS_r08.json with code untouched in r9
+        # (kmeans_refine's r9 edit is docstring-only — plan unchanged,
+        # covered by the fingerprint guard below)
+        "gapfill_grid", "paragraph_dedup", "ngram_jaccard",
+        "repetition_stats", "gopher_filter", "winnow_fingerprints",
+        "winnow_overlap_pairs", "source_overlap", "dedup_clusters",
+        "cluster_keep", "ann_cosine_topk", "ann_lsh_topk", "ivf_assign",
+        "ivf_topk", "kmeans_refine", "embedding_neardup",
+        "embedding_neardup_lsh", "minhash_dedup", "simhash_pairs",
+        "unigram_quality",
     }
     overflow = [n for i, n in enumerate(qs) if i >= 50 and n not in STABLE_TAIL]
     assert overflow == [], f"new queries outside the driver's top-50 gate: {overflow}"

@@ -594,3 +594,35 @@ class TestClusterBestKeepPlanShape:
         assert "Sort" not in optimized, optimized
         physical = out._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in physical
+
+
+class TestSpanExtentsPlanShape:
+    """duplicate_span_extents' 100 TB shape: duplicate_spans' hash-keyed
+    aggregation plan plus a ROW-LOCAL segment fold — key-equijoins only,
+    no window function over the corpus, no Python, span transform
+    evaluated once behind the cache boundary."""
+
+    def test_no_window_no_pairwise_row_local_merge(self, spark):
+        from graphite_clickhouse_spark.pipeline.dedup import (
+            duplicate_span_extents,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, " ".join(f"w{j % 11}" for j in range(i, i + 20)))
+             for i in range(25)],
+            "doc_id long, text string",
+        )
+        out = duplicate_span_extents(docs, k=4)
+        optimized = out._jdf.queryExecution().optimizedPlan().toString()
+        # the merge is the fold expression, NOT a corpus-wide window
+        assert "Window" not in optimized, optimized
+        assert "Cartesian" not in optimized
+        assert "ResolvedHint" not in optimized
+        # span transform served from cache (see TestDupSpansPlanShape)
+        head = optimized.split("InMemoryRelation", 1)[0]
+        assert head.count("md5") == 0 and head.count("xxhash64") <= 0, head
+        physical = out._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in physical
+        assert "ArrowEvalPython" not in physical
+        rows = out.collect()
+        assert len(rows) > 0 and all(r.span_len >= 4 for r in rows)

@@ -66,8 +66,8 @@ def run_phase(warmup: bool) -> dict:
         sys.executable, "-m", "graphite_clickhouse_spark",
         "--sf-events", SF_DIR, "--listen", f"127.0.0.1:{port}",
     ]
-    if warmup:
-        cmd.append("--warmup")
+    # warmup is default-on since r9; the plain phase must opt out
+    cmd.append("--warmup" if warmup else "--no-warmup")
     t_exec = time.monotonic()
     proc = subprocess.Popen(
         cmd, cwd=REPO, stderr=subprocess.PIPE, text=True, bufsize=1,

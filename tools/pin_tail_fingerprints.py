@@ -54,9 +54,13 @@ def plan_fingerprint(df) -> str:
     s = df._jdf.queryExecution().optimizedPlan().toString()
     s = re.sub(r"#\d+", "#N", s)
     s = re.sub(r"\b([A-Za-z]\w*?)_\d+\b", r"\1_N", s)
-    # Repartition width follows defaultParallelism (core count), not
-    # query semantics — local[4] vs local[32] must fingerprint the same
+    # Repartition width follows defaultParallelism (core count) or a
+    # measured data volume (winnow's exact-pair-volume exchange), not
+    # query semantics — local[4] vs local[32] must fingerprint the same.
+    # Covers both the round-robin node ("Repartition 32") and the keyed
+    # one ("RepartitionByExpression [id_a#N, id_b#N], 32").
     s = re.sub(r"\bRepartition \d+\b", "Repartition N", s)
+    s = re.sub(r"(RepartitionByExpression \[[^\]]*\]), \d+", r"\1, N", s)
     return hashlib.sha256(s.encode()).hexdigest()
 
 
