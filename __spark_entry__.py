@@ -1428,6 +1428,124 @@ FROM c4 GROUP BY u ORDER BY canonical_url
 """
 
 
+def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain corpus accounting (pipeline/urls.py::domain_stats —
+    the FineWeb/Dolma per-domain audit aggregation). Reuses url_dedup's
+    injected 5-variant URLs; the ORACLE derives each document's domain
+    ARITHMETICALLY from the injection recipe ('site' || h || '.com'),
+    so any failure of the Spark-side extraction chain (userinfo/port
+    stripping, www folding, case) on any variant mismatches the hash —
+    the two sides share no regexp."""
+    from graphite_clickhouse_spark.pipeline.urls import domain_stats
+    from graphite_clickhouse_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    group = F.floor(did / 5)
+    host = s(group % 20)
+    page = s(F.floor(group / 20) % 50)
+    variant = did % 5
+    url = (
+        F.when(variant == 0, F.concat(
+            F.lit("https://WWW.Site"), host, F.lit(".com:443/page/"),
+            page, F.lit("?utm_source=feed&ref=rss#frag")))
+        .when(variant == 1, F.concat(
+            F.lit("http://site"), host, F.lit(".com/page/"), page))
+        .when(variant == 2, F.concat(
+            F.lit("http://site"), host, F.lit(".com:80/page/"), page,
+            F.lit("/")))
+        .when(variant == 3, F.concat(
+            F.lit("https://site"), host, F.lit(".com/page/"), page,
+            F.lit("?id="), s(did % 3)))
+        .otherwise(F.concat(
+            F.lit("http://site"), host, F.lit(".com/page/"), page,
+            F.lit("?fbclid=x"), s(did)))
+    )
+    injected = docs.select("doc_id", url.alias("url"), "n_chars")
+    return domain_stats(injected, url_col="url", weight_col="n_chars")
+
+
+SQL_DOMAIN_STATS = r"""
+SELECT 'site' || CAST((doc_id // 5) % 20 AS VARCHAR) || '.com' AS domain,
+       CAST(count(*) AS INT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_weight,
+       round(avg(n_chars), 6) AS mean_weight
+FROM documents
+GROUP BY 1
+"""
+
+
+def q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level cleaning (pipeline/text.py::c4_line_filter; Raffel
+    et al. 2020 §2.2). The synthetic corpus has no line structure, so
+    the query INJECTS a 7-line page per document from text slices:
+    three content lines with terminal punctuation (kept when they carry
+    >= 5 words), a 2-word fragment, a JavaScript boilerplate line, an
+    unpunctuated line (each dropped), and a final line that becomes
+    'Lorem Ipsum...' on doc_id%7==0 (page-kill phrase) and gains a
+    curly bracket on doc_id%11==0 (page-kill character)."""
+    from graphite_clickhouse_spark.pipeline.text import c4_line_filter
+    from graphite_clickhouse_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    nl = F.lit("\n")
+    page = F.concat(
+        F.substring("text", 1, 50), F.lit("."), nl,
+        F.lit("short line"), nl,
+        F.substring("text", 51, 60), F.lit("!"), nl,
+        F.lit("Enable JavaScript to view the comments on this page."), nl,
+        F.substring("text", 111, 60), F.lit("?"), nl,
+        F.lit("no terminal punctuation on this line at all"), nl,
+        F.when(did % 7 == 0, F.lit("Lorem Ipsum dolor sit amet."))
+        .otherwise(F.concat(F.substring("text", 171, 40), F.lit("."))),
+        F.when(did % 11 == 0, F.lit(" {")).otherwise(F.lit("")),
+    )
+    injected = docs.select("doc_id", page.alias("text"))
+    out = c4_line_filter(injected, min_words=5, min_kept_lines=3)
+    return out.select(
+        F.col("id").alias("doc_id"), "n_lines", "n_kept_lines",
+        "keep_page", "clean_text",
+    )
+
+
+SQL_C4_LINE_FILTER = r"""
+WITH injected AS (
+    SELECT doc_id,
+           substr(text, 1, 50) || '.' || chr(10)
+           || 'short line' || chr(10)
+           || substr(text, 51, 60) || '!' || chr(10)
+           || 'Enable JavaScript to view the comments on this page.' || chr(10)
+           || substr(text, 111, 60) || '?' || chr(10)
+           || 'no terminal punctuation on this line at all' || chr(10)
+           || CASE WHEN doc_id % 7 = 0 THEN 'Lorem Ipsum dolor sit amet.'
+                   ELSE substr(text, 171, 40) || '.' END
+           || CASE WHEN doc_id % 11 = 0 THEN ' {' ELSE '' END AS text
+    FROM documents
+), split AS (
+    SELECT doc_id, text, string_split(text, chr(10)) AS lines
+    FROM injected
+), kept AS (
+    SELECT doc_id, text, lines,
+           list_filter(lines, l ->
+               regexp_matches(trim(l), '[.!?"]$')
+               AND NOT contains(lower(trim(l)), 'javascript')
+               AND len(list_filter(string_split_regex(trim(l), ' +'),
+                                   w -> w <> '')) >= 5) AS keep_lines
+    FROM split
+)
+SELECT doc_id,
+       CAST(len(lines) AS INT) AS n_lines,
+       CAST(len(keep_lines) AS INT) AS n_kept_lines,
+       len(keep_lines) >= 3
+           AND NOT contains(lower(text), 'lorem ipsum')
+           AND NOT contains(text, '{') AS keep_page,
+       array_to_string(keep_lines, chr(10)) AS clean_text
+FROM kept
+"""
+
+
 def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML boilerplate stripping (pipeline/html.py): the crawl
     pipeline's HTML→text stage. The synthetic corpus is plain text, so
@@ -3290,8 +3408,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
     "topk_orders_per_segment": (q_topk_orders_per_segment, SQL_TOPK_ORDERS_PER_SEGMENT),
     "promql_range_select": (q_promql_range_select, SQL_PROMQL_RANGE_SELECT),
-    "promql_rate_sum": (q_promql_rate_sum, SQL_PROMQL_RATE_SUM),
-    "promql_hist_quantile": (q_promql_hist_quantile, SQL_PROMQL_HIST_QUANTILE),
     # r9-touched (pipeline/dedup.py cache lifecycle) -> in-window
     "dup_spans": (q_dup_spans, SQL_DUP_SPANS),
     "span_removal": (q_span_removal, SQL_SPAN_REMOVAL),
@@ -3299,6 +3415,11 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # extents — the ExactSubstr maximal-span merge
     "span_extents": (q_span_extents, SQL_SPAN_EXTENTS),
     "url_dedup": (q_url_dedup, SQL_URL_DEDUP),
+    # NEW in r9: per-domain accounting + the C4 line-level cleaning pass
+    # (promql_rate_sum / promql_hist_quantile — r8-driver-green,
+    # untouched — moved to the tail to make room)
+    "domain_stats": (q_domain_stats, SQL_DOMAIN_STATS),
+    "c4_line_filter": (q_c4_line_filter, SQL_C4_LINE_FILTER),
     "html_extract": (q_html_extract, SQL_HTML_EXTRACT),
     "semi_join_urgent": (q_semi_join_urgent, SQL_SEMI_JOIN_URGENT),
     # r9-touched (pipeline/similarity.py plan pinning) -> in-window
@@ -3343,6 +3464,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # so a semantic edit to a shared module forces the query back into
     # the window (r5 judge finding #1).
     # ------------------------------------------------------------------
+    "promql_rate_sum": (q_promql_rate_sum, SQL_PROMQL_RATE_SUM),
+    "promql_hist_quantile": (q_promql_hist_quantile, SQL_PROMQL_HIST_QUANTILE),
     "gapfill_grid": (q_gapfill_grid, SQL_GAPFILL_GRID),
     "paragraph_dedup": (q_paragraph_dedup, SQL_PARAGRAPH_DEDUP),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),

@@ -65,6 +65,8 @@ BENCH_QUERIES = [
     "span_removal",
     "span_extents",
     "url_dedup",
+    "domain_stats",
+    "c4_line_filter",
     "html_extract",
     "promql_range_select",
     "promql_rate_sum",

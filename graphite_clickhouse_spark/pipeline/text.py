@@ -608,3 +608,60 @@ def pii_scrub(
         counts["phone"].alias("n_phones"),
         counts["ipv4"].alias("n_ipv4"),
     )
+
+
+def c4_line_filter(
+    df: DataFrame,
+    min_words: int = 5,
+    min_kept_lines: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The C4 line-level cleaning pass (Raffel et al. 2020, §2.2 — the
+    rules every C4-lineage corpus applies before any dedup):
+
+    - a line is KEPT iff it ends in a terminal punctuation mark
+      (``. ! ? "``), contains at least ``min_words`` words, and does
+      not contain the word "javascript" (case-insensitive);
+    - the PAGE is kept iff at least ``min_kept_lines`` lines survive,
+      the page does not contain the phrase "lorem ipsum"
+      (case-insensitive), and does not contain a curly bracket.
+
+    -> (id, n_lines, n_kept_lines, keep_page, clean_text): kept lines
+    rejoined with a newline (independent of keep_page, so callers can
+    audit what the filter WOULD keep on dropped pages). NULL/empty text
+    yields (0, 0, false, '').
+
+    100 TB shape: one row-local array filter inside the scan projection
+    — split, per-line predicate (regexp + word count), rejoin.  No
+    shuffle, no UDF, no join: whole-stage codegen end to end, scales
+    with the scan like clean_text/pii_scrub.
+    """
+    t = F.col(text_col)
+    lines = F.when(
+        t.isNull() | (t == ""), F.array().cast("array<string>")
+    ).otherwise(F.split(t, "\n"))
+
+    def _keep(line):
+        s = F.trim(line)
+        n_words = F.size(F.filter(F.split(s, " +"), lambda w: w != ""))
+        return (
+            s.rlike('[.!?"]$')
+            & (F.instr(F.lower(s), "javascript") == 0)
+            & (n_words >= min_words)
+        )
+
+    kept = F.filter(lines, _keep)
+    lorem = F.instr(F.lower(t), "lorem ipsum") > 0
+    curly = F.instr(t, "{") > 0
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.size(lines).cast("int").alias("n_lines"),
+        F.size(kept).cast("int").alias("n_kept_lines"),
+        (
+            (F.size(kept) >= min_kept_lines)
+            & ~F.coalesce(lorem, F.lit(False))
+            & ~F.coalesce(curly, F.lit(False))
+        ).alias("keep_page"),
+        F.concat_ws("\n", kept).alias("clean_text"),
+    )

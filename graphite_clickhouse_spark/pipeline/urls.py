@@ -104,3 +104,47 @@ def url_dedup(
             F.min("id").alias("keep_id"),
         )
     )
+
+
+def url_domain(col: Column) -> Column:
+    """Registered-host extraction for grouping: the URL's authority host,
+    lowercased, userinfo/port stripped, leading ``www.`` folded.  (Full
+    public-suffix-list eTLD+1 resolution is a lookup table the caller
+    can join on top; the host is the stable, dependency-free key and is
+    what FineWeb's per-domain accounting actually buckets on first.)"""
+    host = F.regexp_extract(
+        F.lower(col), r"^[a-z][a-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)", 1
+    )
+    return F.regexp_replace(host, r"^www\.", "")
+
+
+def domain_stats(
+    df: DataFrame,
+    url_col: str = "url",
+    weight_col: str | None = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-domain corpus accounting — the aggregation behind every
+    domain-level curation decision (FineWeb's per-domain filtering and
+    the Dolma/RefinedWeb source audits): how many documents and how
+    much text each domain contributes, so over-represented or junk
+    domains can be capped or cut.
+
+    -> (domain, n_docs, total_weight, mean_weight) — mean rounded to
+    6 dp for cross-engine hash equality; with ``weight_col=None`` the
+    weight columns are document counts only.
+
+    100 TB shape: ONE hash aggregation keyed on the extracted domain
+    (pure JVM regexp inside the scan projection — no UDF, no join);
+    domain cardinality is tiny relative to documents, so the exchange
+    carries one partial row per (task, domain).
+    """
+    d = df.select(
+        url_domain(F.col(url_col)).alias("domain"),
+        (F.col(weight_col) if weight_col else F.lit(1)).alias("w"),
+    )
+    return d.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("int").alias("n_docs"),
+        F.sum("w").cast("long").alias("total_weight"),
+        F.round(F.avg("w"), 6).alias("mean_weight"),
+    )

@@ -144,6 +144,7 @@ def test_contract_registry_is_complete():
         # driver-green in CORRECTNESS_r08.json with code untouched in r9
         # (kmeans_refine's r9 edit is docstring-only — plan unchanged,
         # covered by the fingerprint guard below)
+        "promql_rate_sum", "promql_hist_quantile",
         "gapfill_grid", "paragraph_dedup", "ngram_jaccard",
         "repetition_stats", "gopher_filter", "winnow_fingerprints",
         "winnow_overlap_pairs", "source_overlap", "dedup_clusters",

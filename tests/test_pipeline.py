@@ -2351,10 +2351,15 @@ class TestCacheLifecycle:
     (r8 VERDICT what's-wrong #1 / next-round #3; r8 ADVICE dedup.py:1136)."""
 
     @staticmethod
-    def _n_cached(spark):
-        # RDDs with live storage blocks (getRDDStorageInfo lists only
-        # RDDs that actually hold cached partitions)
-        return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    def _cached_ids(spark):
+        # ids of RDDs with live storage blocks.  Sets, not counts: in a
+        # shared test session the ContextCleaner may reap an UNRELATED
+        # earlier test's localCheckpoint blocks between two probes
+        # (observed full-suite flake r9), which a count comparison
+        # misreads as our leak/release — set-subset comparisons only
+        # charge this test for blocks it ADDED.
+        infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        return {infos[i].id() for i in range(len(infos))}
 
     def _docs(self, spark):
         rows = [
@@ -2371,22 +2376,22 @@ class TestCacheLifecycle:
         )
 
         spark.catalog.clearCache()
-        base = self._n_cached(spark)
+        base = self._cached_ids(spark)
         df = self._docs(spark)
         rows_first = None
         for _ in range(3):
             out = duplicate_spans(df, k=4)
-            # construction must be lazy: no storage blocks before action
-            # (r8 shipped an eager count() here — pinned gone)
-            assert self._n_cached(spark) == base
+            # construction must be lazy: no NEW storage blocks before the
+            # action (r8 shipped an eager count() here — pinned gone)
+            assert self._cached_ids(spark) <= base
             got = sorted((r.id, r.n_dup_spans) for r in out.collect())
             if rows_first is None:
                 rows_first = got
             assert got == rows_first
-            assert self._n_cached(spark) > base  # cache was really used
+            assert self._cached_ids(spark) - base  # cache was really used
             assert unpersist_intermediates(out, blocking=True) == 1
             # released: no growth across repeated calls in one session
-            assert self._n_cached(spark) == base
+            assert self._cached_ids(spark) <= base
         # idempotent second release
         assert unpersist_intermediates(out, blocking=True) == 0
 
@@ -2397,14 +2402,14 @@ class TestCacheLifecycle:
         from graphite_clickhouse_spark.pipeline.lifecycle import released
 
         spark.catalog.clearCache()
-        base = self._n_cached(spark)
+        base = self._cached_ids(spark)
         df = self._docs(spark)
         for _ in range(2):
             frame = remove_duplicate_spans(df, k=4)
-            assert self._n_cached(spark) == base  # lazy build
+            assert self._cached_ids(spark) <= base  # lazy build
             with released(frame, blocking=True) as out:
                 assert out.count() == 3
-            assert self._n_cached(spark) == base
+            assert self._cached_ids(spark) <= base
 
     def test_bigram_score_releases_both_model_caches(self, spark):
         from graphite_clickhouse_spark.pipeline.lifecycle import (
@@ -2413,13 +2418,13 @@ class TestCacheLifecycle:
         from graphite_clickhouse_spark.pipeline.lm import bigram_logprob_score
 
         spark.catalog.clearCache()
-        base = self._n_cached(spark)
+        base = self._cached_ids(spark)
         df = self._docs(spark)
         for _ in range(2):
             out = bigram_logprob_score(df)
             out.collect()
             assert unpersist_intermediates(out, blocking=True) == 2
-            assert self._n_cached(spark) == base
+            assert self._cached_ids(spark) <= base
 
     def test_unpersist_noop_on_plain_frame(self, spark):
         from graphite_clickhouse_spark.pipeline.lifecycle import (
@@ -2536,3 +2541,111 @@ def test_semantic_dedup_plan_shape_pinned(emb, spark):
     # regaining an Exchange) surfaces here
     n_exchange = plan.count("Exchange")
     assert n_exchange <= 8, f"exchange count grew: {n_exchange}\n{plan}"
+
+
+class TestC4LineFilter:
+    """pipeline/text.py::c4_line_filter — the C4 line-level cleaning
+    rules (Raffel et al. 2020 §2.2)."""
+
+    def _run(self, spark, rows, **kw):
+        from graphite_clickhouse_spark.pipeline.text import c4_line_filter
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return {r.id: r for r in c4_line_filter(df, **kw).collect()}
+
+    def test_line_rules(self, spark):
+        page = "\n".join([
+            "This line has enough words and ends well.",   # kept
+            "Too short.",                                   # < 5 words
+            "this line has plenty of words but no punct",   # no terminal
+            'He said "five words are here."',               # kept (quote end)
+            "Please enable JavaScript to continue reading now.",  # js
+            "Another perfectly fine sentence with many words!",   # kept
+        ])
+        got = self._run(spark, [(1, page)])[1]
+        assert got.n_lines == 6
+        assert got.n_kept_lines == 3
+        assert got.keep_page  # 3 kept, no lorem/curly
+        assert got.clean_text.count("\n") == 2
+        assert "JavaScript" not in got.clean_text
+
+    def test_page_kill_rules(self, spark):
+        base = "\n".join([
+            "This line has enough words and ends well.",
+            'He said "five words are here."',
+            "Another perfectly fine sentence with many words!",
+        ])
+        got = self._run(spark, [
+            (1, base),
+            (2, base + "\nWe need some Lorem Ipsum filler text here."),
+            (3, base + "\nvar x = { a: 1 }."),
+            (4, "One good sentence is not enough lines."),
+        ])
+        assert got[1].keep_page
+        assert not got[2].keep_page      # lorem ipsum (case-insensitive)
+        assert not got[3].keep_page      # curly bracket
+        assert not got[4].keep_page      # only 1 kept line < 3
+        assert got[4].n_kept_lines == 1
+
+    def test_null_and_empty(self, spark):
+        got = self._run(spark, [(1, None), (2, "")])
+        for i in (1, 2):
+            assert (got[i].n_lines, got[i].n_kept_lines,
+                    got[i].keep_page, got[i].clean_text) == (0, 0, False, "")
+
+    def test_row_local_plan(self, spark):
+        from graphite_clickhouse_spark.pipeline.text import c4_line_filter
+
+        df = spark.createDataFrame([(1, "x.")], "doc_id long, text string")
+        out = c4_line_filter(df)
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert "Join" not in plan and "Aggregate" not in plan
+        physical = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in physical  # pure scan projection
+        assert "EvalPython" not in physical
+
+
+class TestDomainStats:
+    """pipeline/urls.py::url_domain / domain_stats — per-domain corpus
+    accounting (FineWeb-style domain audit)."""
+
+    def test_domain_extraction_variants(self, spark):
+        from graphite_clickhouse_spark.pipeline.urls import url_domain
+
+        rows = [
+            ("https://WWW.Site3.com:443/page/1?x=1#f",),
+            ("http://site3.com/page/1",),
+            ("http://user:pw@site3.com:80/deep/path",),
+            ("https://sub.site3.com/",),
+            ("not a url",),
+        ]
+        df = spark.createDataFrame(rows, "url string")
+        got = [r[0] for r in df.select(url_domain(F.col("url"))).collect()]
+        assert got == ["site3.com", "site3.com", "site3.com",
+                       "sub.site3.com", ""]
+
+    def test_stats_aggregation(self, spark):
+        from graphite_clickhouse_spark.pipeline.urls import domain_stats
+
+        rows = [
+            (1, "http://a.com/x", 10), (2, "https://WWW.A.com/y", 30),
+            (3, "http://b.com/z", 7),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, url string, n_chars long")
+        got = {r.domain: r for r in domain_stats(df).collect()}
+        assert got["a.com"].n_docs == 2
+        assert got["a.com"].total_weight == 40
+        assert got["a.com"].mean_weight == 20.0
+        assert got["b.com"].n_docs == 1
+
+    def test_single_aggregate_no_udf(self, spark):
+        from graphite_clickhouse_spark.pipeline.urls import domain_stats
+
+        df = spark.createDataFrame(
+            [(1, "http://a.com/x", 10)], "doc_id long, url string, n_chars long"
+        )
+        out = domain_stats(df)
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert "Join" not in plan and "Window" not in plan
+        physical = out._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in physical

@@ -43,9 +43,10 @@ def get(url: str) -> bytes:
 
 
 class TestWarmupEngine:
-    """server.py::warmup_engine — the opt-in cold-start mitigation
-    (BENCH_LATENCY.json cold_start): one representative query per
-    request class, best-effort by contract."""
+    """server.py::warmup_engine — the cold-start mitigation
+    (BENCH_LATENCY.json cold_start; DEFAULT-ON in the entrypoint since
+    r9, --no-warmup opts out): one representative query per request
+    class, best-effort by contract."""
 
     def test_covers_all_classes_and_swallows_nothing_fatal(self, spark):
         from graphite_clickhouse_spark.server import warmup_engine
