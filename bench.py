@@ -258,11 +258,26 @@ def main() -> None:
     failures: dict[str, str] = {}
     loads: list[float] = []  # 1-min loadavg sampled per rep
     ncpu = os.cpu_count() or 1
+    # per-query epoch micro-probe: the same frozen ~40 ms plan timed
+    # immediately before each query's rep loop.  The suite-level
+    # calibration catches a WHOLE-RUN epoch shift; this catches the
+    # mid-run flicker observed r9 (gopher_filter convergence-accepted
+    # at 7.5 s because BOTH its fast reps landed inside a dip the
+    # suite-level probes, run 10 minutes earlier, never saw).  A
+    # reader divides a suspicious query's probe_ms by the run median
+    # to see the throughput state of its exact slot.
+    def _micro_probe() -> float:
+        t0 = time.monotonic()
+        spark.range(5_000_000).selectExpr("sum(id)").collect()
+        return round((time.monotonic() - t0) * 1000, 1)
+
+    probe_ms: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = qs[name]
         times: list[float] = []
         rep_loads: list[float] = []
         failed = False
+        probe_ms[name] = _micro_probe()
         if name in WARMUP_FIRST_REP:
             try:
                 fn(spark, SF_DIR).collect()
@@ -358,6 +373,7 @@ def main() -> None:
         "reps": reps,
         "max_reps": max_reps,
         "reps_used": reps_used,
+        "probe_ms": probe_ms,
         "min_rep_load": min_rep_load,
         "unconverged": unconverged,
         "sf": sf,

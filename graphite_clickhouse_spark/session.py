@@ -81,7 +81,11 @@ def get_spark(
         # the decode blowup but taxes small pandas stages 5x (per-task
         # fork+import: multimodal_features 3.1 s vs 0.6 s).  Cap of 8:
         # bursts inside one query still reuse hot workers; idle fleets
-        # cannot accumulate between queries.  Full A/B:
+        # cannot accumulate between queries.  Known cost: an Arrow query
+        # re-run back-to-back re-forks the evicted workers each time
+        # (~0.5 s/run measured on gopher_filter, 1.6 s vs 1.1 s at
+        # cap=32) — the right trade against multi-second blowups and a
+        # 4x suite slowdown from a stale fleet.  Full A/B:
         # BENCH_SUITE_CONTEXT.json / tools/suite_context_bench.py.
         .config("spark.python.factory.idleWorkerMaxPoolSize",
                 os.environ.get("SPARK_GRAFT_IDLE_WORKERS", "8"))

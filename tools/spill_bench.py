@@ -55,6 +55,9 @@ SPILL_QUERIES = [
     # r8: the new heavy-state operator — per-doc collect_set of removed
     # positions + a count-distinct window aggregation
     "span_removal",
+    # r9: per-doc sorted position list + row-local segment fold — the
+    # collect_set state is the same family as span_removal's
+    "span_extents",
 ]
 
 
