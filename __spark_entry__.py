@@ -1529,7 +1529,7 @@ WITH injected AS (
 ), kept AS (
     SELECT doc_id, text, lines,
            list_filter(lines, l ->
-               regexp_matches(trim(l), '[.!?"]$')
+               regexp_matches(trim(l), '[.!?"]\z')
                AND NOT contains(lower(trim(l)), 'javascript')
                AND len(list_filter(string_split_regex(trim(l), ' +'),
                                    w -> w <> '')) >= 5) AS keep_lines
@@ -1541,7 +1541,8 @@ SELECT doc_id,
        len(keep_lines) >= 3
            AND NOT contains(lower(text), 'lorem ipsum')
            AND NOT contains(text, '{') AS keep_page,
-       array_to_string(keep_lines, chr(10)) AS clean_text
+       coalesce(  -- DuckDB: [] stringifies to NULL, Spark concat_ws ''
+           array_to_string(keep_lines, chr(10)), '') AS clean_text
 FROM kept
 """
 

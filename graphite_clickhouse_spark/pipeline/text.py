@@ -645,8 +645,13 @@ def c4_line_filter(
     def _keep(line):
         s = F.trim(line)
         n_words = F.size(F.filter(F.split(s, " +"), lambda w: w != ""))
+        # \z, not $: Java's '$' also matches BEFORE a trailing line
+        # terminator (\r,  , ...), RE2's '$' does not — a CRLF
+        # document split on \n leaves lines ending in \r, which '$'
+        # would keep in Spark and drop in the DuckDB oracle (the
+        # canonical_url \z lesson; differential-fuzz pinned)
         return (
-            s.rlike('[.!?"]$')
+            s.rlike('[.!?"]\\z')
             & (F.instr(F.lower(s), "javascript") == 0)
             & (n_words >= min_words)
         )

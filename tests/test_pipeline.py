@@ -2649,3 +2649,94 @@ class TestDomainStats:
         assert "Join" not in plan and "Window" not in plan
         physical = out._jdf.queryExecution().executedPlan().toString()
         assert "EvalPython" not in physical
+
+
+class TestC4LineFilterDifferentialFuzz:
+    """c4_line_filter's line predicate crosses two regex engines (Java
+    rlike in Spark, RE2 regexp_matches in the DuckDB oracle) plus two
+    trim/split/contains implementations. One hypothesis corpus, ONE
+    Spark job and ONE DuckDB query, element-wise compare — the
+    canonical_url differential pattern. Found at design time: Java's
+    '$' matches BEFORE a trailing \\r (line terminator), RE2's does
+    not, so CRLF documents diverged until both sides moved to \\z."""
+
+    DUCK = r"""
+    WITH split AS (
+        SELECT i, text,
+               CASE WHEN text IS NULL OR text = '' THEN []::VARCHAR[]
+                    ELSE string_split(text, chr(10)) END AS lines
+        FROM corpus
+    ), kept AS (
+        SELECT i, text, lines,
+               list_filter(lines, l ->
+                   regexp_matches(trim(l), '[.!?"]\z')
+                   AND NOT contains(lower(trim(l)), 'javascript')
+                   AND len(list_filter(string_split_regex(trim(l), ' +'),
+                                       w -> w <> '')) >= 5) AS keep_lines
+        FROM split
+    )
+    SELECT i,
+           CAST(len(lines) AS INT) AS n_lines,
+           CAST(len(keep_lines) AS INT) AS n_kept,
+           len(keep_lines) >= 3
+               AND NOT contains(lower(coalesce(text, '')), 'lorem ipsum')
+               AND NOT contains(coalesce(text, ''), '{') AS keep_page,
+           coalesce(array_to_string(keep_lines, chr(10)), '') AS clean
+    FROM kept ORDER BY i
+    """
+
+    def _corpus(self):
+        from hypothesis import strategies as st
+
+        word = st.sampled_from(
+            ["alpha", "beta!", "JavaScript", "javascript:", "Lorem",
+             "Ipsum", "lorem ipsum", "{", "}", "a.b", '"', "x?",
+             "end.", "..", "  ", "\t", "", "five words are here ok."]
+        )
+        line = st.builds(
+            lambda ws, tail: " ".join(ws) + tail,
+            st.lists(word, min_size=0, max_size=8),
+            st.sampled_from([".", "!", "?", '"', "", "\r", ".\r",
+                             " .", ". ", "...", "]"]),
+        )
+        return st.builds(
+            lambda ls: "\n".join(ls),
+            st.lists(line, min_size=0, max_size=6),
+        )
+
+    def test_spark_matches_duckdb(self, spark):
+        import duckdb
+        from hypothesis import HealthCheck, given, settings
+
+        from graphite_clickhouse_spark.pipeline.text import c4_line_filter
+
+        docs: list[str] = []
+
+        @settings(max_examples=120, deadline=None,
+                  suppress_health_check=list(HealthCheck))
+        @given(self._corpus())
+        def gather(d):
+            docs.append(d)
+
+        gather()
+        rows = [(i, d) for i, d in enumerate(docs)]
+        sdf = c4_line_filter(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        )
+        got_spark = {
+            r.id: (r.n_lines, r.n_kept_lines, r.keep_page, r.clean_text)
+            for r in sdf.collect()
+        }
+        con = duckdb.connect()
+        con.execute("CREATE TABLE corpus(i BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO corpus VALUES (?, ?)", rows)
+        got_duck = {
+            r[0]: (r[1], r[2], bool(r[3]), r[4])
+            for r in con.execute(self.DUCK).fetchall()
+        }
+        assert len(got_spark) == len(got_duck) == len(rows)
+        for i, raw in rows:
+            assert got_spark[i] == got_duck[i], (
+                f"engine divergence on {raw!r}: "
+                f"spark={got_spark[i]} duckdb={got_duck[i]}"
+            )
