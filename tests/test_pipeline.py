@@ -2740,3 +2740,107 @@ class TestC4LineFilterDifferentialFuzz:
                 f"engine divergence on {raw!r}: "
                 f"spark={got_spark[i]} duckdb={got_duck[i]}"
             )
+
+
+class TestSpanExtentsDifferentialFuzz:
+    """duplicate_span_extents' maximal-span merge exists twice: the
+    Spark row-local segment FOLD and the oracle's gaps-and-islands
+    window CTE.  They were derived independently (that is the point of
+    the oracle), so a hypothesis corpus driving both and comparing
+    element-wise pins the merge semantics — run boundaries, the
+    p <= e + k touching rule, multi-island documents — against hostile
+    token streams that the injected contract corpus never produces."""
+
+    DUCK = r"""
+    WITH d AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text),
+                                                '[ \t\n\x0B\f\r]+', ' ', 'g')),
+                            ' ') AS t
+        FROM corpus
+    ), g AS (
+        SELECT doc_id, greatest(len(t) - 3, 0) AS n_spans, t FROM d
+    ), e AS (
+        SELECT doc_id, s.i AS i, s.h AS h
+        FROM (SELECT doc_id,
+                     unnest(list_transform(range(0, n_spans), i ->
+                         struct_pack(i := i,
+                                     h := ('0x' || substr(md5(
+                                         array_to_string(t[i+1:i+4], ' ')
+                                     ), 1, 15))::BIGINT))) AS s
+              FROM g)
+    ), repeated AS (
+        SELECT h FROM e GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+    ), dup AS (
+        SELECT e.doc_id, e.i FROM e JOIN repeated r ON e.h = r.h
+    ), lagged AS (
+        SELECT doc_id, i,
+               lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev_i
+        FROM dup
+    ), isl AS (
+        SELECT doc_id, i,
+               sum(CASE WHEN prev_i IS NULL OR i - prev_i > 4
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY i
+                         ROWS UNBOUNDED PRECEDING) AS island
+        FROM lagged
+    )
+    SELECT doc_id, CAST(min(i) AS INT) AS s,
+           CAST(max(i) + 4 - min(i) AS INT) AS l
+    FROM isl GROUP BY doc_id, island
+    """
+
+    def _corpus(self):
+        from hypothesis import strategies as st
+
+        # tiny vocabulary forces heavy window collisions; whitespace
+        # junk exercises the shared tokenizer normalization
+        tok = st.sampled_from(["a", "b", "c", "dd", "", " ", "\t"])
+        doc = st.builds(lambda ts: " ".join(ts),
+                        st.lists(tok, min_size=0, max_size=18))
+        return st.lists(doc, min_size=2, max_size=8)
+
+    def test_fold_matches_islands(self, spark):
+        import duckdb
+        from hypothesis import HealthCheck, given, settings
+
+        from graphite_clickhouse_spark.pipeline.dedup import (
+            duplicate_span_extents,
+        )
+        from graphite_clickhouse_spark.pipeline.lifecycle import (
+            unpersist_intermediates,
+        )
+
+        corpora: list[list[str]] = []
+
+        @settings(max_examples=40, deadline=None,
+                  suppress_health_check=list(HealthCheck))
+        @given(self._corpus())
+        def gather(docs):
+            corpora.append(docs)
+
+        gather()
+        # one big multi-corpus frame: doc_ids are namespaced per corpus
+        # (k * 1000 + j) so windows never collide ACROSS corpora
+        # (vocab differs per slot position only within a corpus is not
+        # guaranteed — instead suffix each token with the corpus index)
+        rows = []
+        for k, docs in enumerate(corpora):
+            for j, d in enumerate(docs):
+                tagged = " ".join(
+                    f"{w}x{k}" for w in d.split(" ") if w != ""
+                )
+                rows.append((k * 1000 + j, tagged))
+        sdf = duplicate_span_extents(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            k=4, portable=True,
+        )
+        got_spark = sorted(
+            (r.id, r.span_start, r.span_len) for r in sdf.collect()
+        )
+        unpersist_intermediates(sdf, blocking=True)
+        con = duckdb.connect()
+        con.execute("CREATE TABLE corpus(doc_id BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO corpus VALUES (?, ?)", rows)
+        got_duck = sorted(map(tuple, con.execute(self.DUCK).fetchall()))
+        assert got_spark == got_duck
