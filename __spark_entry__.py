@@ -1154,12 +1154,18 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphite_clickhouse_spark.pipeline.dedup import duplicate_spans
     from graphite_clickhouse_spark.sources.tables import load_table
 
+    from graphite_clickhouse_spark.pipeline.lifecycle import (
+        carry_intermediates,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
     out = duplicate_spans(docs, k=8, min_docs=2, portable=True)
-    return out.select(
+    # .select() returns a new frame: carry the cache handle so callers
+    # can release the staged relation through the returned frame
+    return carry_intermediates(out, out.select(
         F.col("id").alias("doc_id"), "n_spans", "n_dup_spans",
         "dup_fraction",
-    )
+    ))
 
 
 SQL_DUP_SPANS = r"""
@@ -1209,11 +1215,15 @@ def q_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from graphite_clickhouse_spark.sources.tables import load_table
 
+    from graphite_clickhouse_spark.pipeline.lifecycle import (
+        carry_intermediates,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
     out = remove_duplicate_spans(docs, k=8, min_docs=2, portable=True)
-    return out.select(
+    return carry_intermediates(out, out.select(
         F.col("id").alias("doc_id"), "n_tokens", "n_removed", "clean_text",
-    )
+    ))
 
 
 SQL_SPAN_REMOVAL = r"""
@@ -1277,11 +1287,15 @@ def q_span_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from graphite_clickhouse_spark.sources.tables import load_table
 
+    from graphite_clickhouse_spark.pipeline.lifecycle import (
+        carry_intermediates,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
     out = duplicate_span_extents(docs, k=8, min_docs=2, portable=True)
-    return out.select(
+    return carry_intermediates(out, out.select(
         F.col("id").alias("doc_id"), "span_start", "span_len",
-    )
+    ))
 
 
 SQL_SPAN_EXTENTS = r"""
@@ -3388,8 +3402,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # pipeline/dedup.py), bigram_quality (cache lifecycle,
     # pipeline/lm.py), semantic_dedup (r9 plan pinning), span_extents
     # (NEW: variable-length ExactSubstr maximal-span merge), and the
-    # multimodal quartet (suite-context investigation).  Twenty
-    # r8-driver-green queries with untouched code rotated to the tail.
+    # multimodal quartet (suite-context investigation).  Twenty-two
+    # r8-driver-green queries with untouched code rotated to the tail
+    # (twenty in the first rotation pass + promql_rate_sum /
+    # promql_hist_quantile when c4_line_filter and domain_stats landed).
     # ------------------------------------------------------------------
     "render_resample_avg": (q_render_resample_avg, SQL_RENDER_RESAMPLE_AVG),
     "render_baseline_shape": (q_render_baseline_shape, _sql_render_baseline_shape()),

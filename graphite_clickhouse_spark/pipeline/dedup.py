@@ -953,6 +953,74 @@ def paragraph_dedup(
     )
 
 
+def _staged_span_hashes(
+    df: DataFrame,
+    k: int,
+    text_col: str,
+    id_col: str,
+    portable: bool,
+    keep: tuple[str, ...] = (),
+    empty_as_empty_array: bool = False,
+) -> DataFrame:
+    """Shared prologue of the ExactSubstr family (duplicate_spans /
+    remove_duplicate_spans / duplicate_span_extents) — extracted r9 so
+    the tokenizer/hash contract with the DuckDB oracles lives ONCE:
+
+    - normalize: collapse whitespace BEFORE trim (trim() strips only
+      spaces in both engines, so trim-first leaves edge \\t/\\n that
+      split into phantom ''-tokens);
+    - tokenize: plain split, or (``empty_as_empty_array``, the removal
+      path) ''/NULL -> [] so the rebuild cannot resurrect a phantom
+      empty token;
+    - hoist tokens through a REAL projection barrier: the repartition
+      sits BETWEEN the tokenize projection and the span projection, so
+      CollapseProject cannot inline the split into the window lambda
+      (which would re-tokenize once PER WINDOW — measured 19 us/window
+      vs 0.3 us), and a single-split corpus parallelizes;
+    - hash stride-1 k-token windows (xxhash64, or the md5 60-bit lane
+      the oracle computes bit-identically under ``portable``);
+    - CACHE the hashed frame: it feeds 2-3 downstream branches, and the
+      registration is an optimizer barrier stopping
+      InferFiltersFromGenerate from re-evaluating the span transform
+      below the repartition (measured 6.3 s -> 0.9 s at 1x).  No eager
+      count() — registration alone substitutes at action planning time.
+      Callers register it on their result for
+      lifecycle.unpersist_intermediates.  At cluster scale: persist to
+      a table instead.
+
+    ``keep`` selects extra staged columns from {"n_spans", "_toks"}.
+    -> cached DataFrame(id, *keep, _h: array<bigint>).
+    """
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), WS_RE, " "))
+    if empty_as_empty_array:
+        toks = F.when(
+            norm.isNull() | (norm == ""), F.array().cast("array<string>")
+        ).otherwise(F.split(norm, " "))
+    else:
+        # empty text splits to [""] (1 token < k) and NULL text's
+        # size() is NULL — greatest() skips NULLs, so both land on 0
+        toks = F.split(norm, " ")
+    sc = df.sparkSession.sparkContext
+    parts = max(df.rdd.getNumPartitions(), sc.defaultParallelism)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        toks.alias("_toks"),
+        F.greatest(F.size(toks) - (k - 1), F.lit(0)).alias("n_spans"),
+    ).repartition(parts)
+    tk = F.col("_toks")
+
+    def span_hash(i):
+        span = F.concat_ws(" ", F.slice(tk, i + F.lit(1), F.lit(k)))
+        return hash60_portable(span) if portable else F.xxhash64(span)
+
+    spans = F.when(
+        F.col("n_spans") <= 0, F.array().cast("array<bigint>")
+    ).otherwise(
+        F.transform(F.sequence(F.lit(0), F.col("n_spans") - 1), span_hash)
+    )
+    return base.select("id", *keep, spans.alias("_h")).cache()
+
+
 def duplicate_spans(
     df: DataFrame,
     k: int = 8,
@@ -991,52 +1059,12 @@ def duplicate_spans(
     """
     if min_docs < 2:
         raise ValueError(f"min_docs must be >= 2, got {min_docs}")
-    # collapse BEFORE trim: trim() strips only spaces (not \t/\n) in
-    # both Spark and DuckDB, so trim-first leaves edge whitespace that
-    # the collapse turns into phantom ''-tokens at the text boundaries
-    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), WS_RE, " "))
-    toks = F.split(norm, " ")
-    # empty text splits to [""] (1 token < k) and NULL text's
-    # size() is NULL — greatest() skips NULLs, so both land on 0
-    n_spans = F.greatest(F.size(toks) - (k - 1), F.lit(0))
-    # hoist tokens through a REAL projection barrier: the repartition
-    # sits BETWEEN the tokenize projection and the span projection, so
-    # CollapseProject cannot inline the split into the window lambda
-    # (which would re-tokenize the document once PER WINDOW — measured
-    # 19 us/window vs 0.3 us with the barrier).  The repartition also
-    # parallelizes a single-split corpus (the winnowing lesson).
-    sc = df.sparkSession.sparkContext
-    parts = max(df.rdd.getNumPartitions(), sc.defaultParallelism)
-    base = df.select(
-        F.col(id_col).alias("id"),
-        toks.alias("_toks"),
-        n_spans.alias("n_spans"),
-    ).repartition(parts)
-    tk = F.col("_toks")
-
-    def span_hash(i):
-        span = F.concat_ws(" ", F.slice(tk, i + F.lit(1), F.lit(k)))
-        return hash60_portable(span) if portable else F.xxhash64(span)
-
-    spans = F.when(
-        F.col("n_spans") <= 0, F.array().cast("array<bigint>")
-    ).otherwise(
-        F.transform(F.sequence(F.lit(0), F.col("n_spans") - 1), span_hash)
+    # shared ExactSubstr prologue (tokenize/barrier/hash/cache — see
+    # _staged_span_hashes); the cache feeds BOTH the repeated-span
+    # aggregate and the join-back side
+    staged = _staged_span_hashes(
+        df, k, text_col, id_col, portable, keep=("n_spans",)
     )
-    # CACHE the hashed frame (the winnowing pattern): it feeds BOTH the
-    # repeated-span aggregate and the join-back side, and — decisively —
-    # the cache boundary stops InferFiltersFromGenerate from pushing a
-    # `size(_h) > 0` filter below the repartition, which would evaluate
-    # the ENTIRE span-hash transform once more in the (possibly
-    # single-split) pre-shuffle stage (measured: 6.3 s -> 0.9 s at 1x).
-    # The barrier needs only the cache REGISTRATION (plan substitution
-    # happens at action planning time), not materialization — no eager
-    # count() here, so building the frame runs no job (r8 ADVICE).
-    # Lifecycle: the cache is registered on the returned frame; callers
-    # in a long-lived session release it after materializing via
-    # lifecycle.unpersist_intermediates(result) (r8 VERDICT #3).
-    # At cluster scale: persist to a table instead.
-    staged = base.select("id", "n_spans", spans.alias("_h")).cache()
     e = staged.select(
         "id", F.explode("_h").alias("h")
     )
@@ -1111,39 +1139,14 @@ def remove_duplicate_spans(
     """
     if min_docs < 2:
         raise ValueError(f"min_docs must be >= 2, got {min_docs}")
-    # collapse BEFORE trim (see duplicate_spans — phantom edge tokens)
-    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), WS_RE, " "))
-    # '' and NULL both mean zero tokens here (unlike duplicate_spans'
-    # [''] — the rebuild must not resurrect a phantom empty token)
-    toks = F.when(
-        norm.isNull() | (norm == ""), F.array().cast("array<string>")
-    ).otherwise(F.split(norm, " "))
-    # projection barrier (see duplicate_spans): the repartition keeps
-    # CollapseProject from inlining the tokenizer into the per-window
-    # lambda, and parallelizes a single-split corpus
-    sc = df.sparkSession.sparkContext
-    parts = max(df.rdd.getNumPartitions(), sc.defaultParallelism)
-    base = df.select(
-        F.col(id_col).alias("id"), toks.alias("_toks")
-    ).repartition(parts)
-    tk = F.col("_toks")
-    n_spans = F.greatest(F.size(tk) - (k - 1), F.lit(0))
-
-    def span_hash(i):
-        span = F.concat_ws(" ", F.slice(tk, i + F.lit(1), F.lit(k)))
-        return hash60_portable(span) if portable else F.xxhash64(span)
-
-    spans = F.when(
-        n_spans <= 0, F.array().cast("array<bigint>")
-    ).otherwise(F.transform(F.sequence(F.lit(0), n_spans - 1), span_hash))
-    # cache: feeds the window aggregate, the removal join AND the
-    # rebuild; the boundary also stops InferFiltersFromGenerate from
-    # re-evaluating the span transform below the repartition (the
-    # dup_spans lesson). Registration alone provides the barrier — no
-    # eager count(), so constructing the frame runs no job (r8 ADVICE);
-    # release after materializing via lifecycle.unpersist_intermediates.
-    # At cluster scale: persist to a table instead.
-    staged = base.select("id", "_toks", spans.alias("_h")).cache()
+    # shared ExactSubstr prologue; '' and NULL both mean zero tokens
+    # here (unlike duplicate_spans' [''] — the rebuild must not
+    # resurrect a phantom empty token). The cache feeds the window
+    # aggregate, the removal join AND the rebuild.
+    staged = _staged_span_hashes(
+        df, k, text_col, id_col, portable, keep=("_toks",),
+        empty_as_empty_array=True,
+    )
     e = staged.select("id", F.posexplode("_h").alias("i", "h"))
     keepers = (
         e.groupBy("h")
@@ -1223,33 +1226,9 @@ def duplicate_span_extents(
     """
     if min_docs < 2:
         raise ValueError(f"min_docs must be >= 2, got {min_docs}")
-    # tokenize exactly as duplicate_spans (collapse BEFORE trim —
-    # phantom edge tokens otherwise)
-    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), WS_RE, " "))
-    toks = F.split(norm, " ")
-    n_spans = F.greatest(F.size(toks) - (k - 1), F.lit(0))
-    sc = df.sparkSession.sparkContext
-    parts = max(df.rdd.getNumPartitions(), sc.defaultParallelism)
-    base = df.select(
-        F.col(id_col).alias("id"),
-        toks.alias("_toks"),
-        n_spans.alias("n_spans"),
-    ).repartition(parts)
-    tk = F.col("_toks")
-
-    def span_hash(i):
-        span = F.concat_ws(" ", F.slice(tk, i + F.lit(1), F.lit(k)))
-        return hash60_portable(span) if portable else F.xxhash64(span)
-
-    spans = F.when(
-        F.col("n_spans") <= 0, F.array().cast("array<bigint>")
-    ).otherwise(
-        F.transform(F.sequence(F.lit(0), F.col("n_spans") - 1), span_hash)
-    )
-    # cache boundary: projection barrier + shared by the repeated-window
-    # aggregate and the position join (see duplicate_spans); registered
-    # on the result for lifecycle.unpersist_intermediates
-    staged = base.select("id", spans.alias("_h")).cache()
+    # shared ExactSubstr prologue (tokenizes exactly as duplicate_spans);
+    # the cache feeds the repeated-window aggregate and the position join
+    staged = _staged_span_hashes(df, k, text_col, id_col, portable)
     e = staged.select("id", F.posexplode("_h").alias("i", "h"))
     repeated = (
         e.groupBy("h")

@@ -30,6 +30,24 @@ substitution happens at planning time of each action, so unpersisting
 first both loses the shared-scan benefit and removes the optimizer
 barrier (the plan re-inlines the expensive transform).
 
+TWO sharp edges of the attribute mechanism:
+
+- **Transformations drop the registration.** ``result.select(...)``
+  returns a NEW DataFrame object with no attribute; releasing through
+  it is a silent no-op.  Derive freely, but either release through the
+  ORIGINAL frame or carry the handle forward with
+  :func:`carry_intermediates`::
+
+      spans = duplicate_spans(df)
+      out = carry_intermediates(spans, spans.select("id", "dup_fraction"))
+      ...; unpersist_intermediates(out)
+
+- **Identical plans share one cache entry.** Spark's CacheManager
+  dedups ``.cache()`` on an identical plan into the existing entry, so
+  two results built from the same input share the cached relation;
+  releasing one releases both.  Release only after EVERY consumer of
+  that input has materialized.
+
 Why registration is on the DataFrame object and not a session-global
 registry: the cached plan's lifetime is exactly the result frame's
 lifetime, and a Python attribute dies with the object — a global
@@ -53,6 +71,16 @@ def register_intermediates(result: DataFrame, *cached: DataFrame) -> DataFrame:
     to ``result`` so the caller can release them after materialization."""
     setattr(result, _ATTR, tuple(cached))
     return result
+
+
+def carry_intermediates(src: DataFrame, dst: DataFrame) -> DataFrame:
+    """Copy ``src``'s registered intermediates onto ``dst`` (a frame
+    DERIVED from it — transformations return new objects that lose the
+    attribute) and return ``dst``.  No-op when ``src`` has none."""
+    cached = getattr(src, _ATTR, ())
+    if cached:
+        setattr(dst, _ATTR, tuple(cached))
+    return dst
 
 
 def unpersist_intermediates(result: DataFrame, blocking: bool = False) -> int:

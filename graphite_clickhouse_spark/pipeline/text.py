@@ -539,7 +539,7 @@ def winnow_overlap_pairs(
     # executes the returned plan (same lifetime convention as `fps`)
     ca = counts.select(F.col("id").alias("id_a"), F.col("n_fp").alias("n_a"))
     cb = counts.select(F.col("id").alias("id_b"), F.col("n_fp").alias("n_b"))
-    return (
+    result = (
         pairs.join(ca, "id_a")
         .join(cb, "id_b")
         .select(
@@ -549,6 +549,12 @@ def winnow_overlap_pairs(
             ).alias("containment"),
         )
     )
+    # lifecycle: both caches are released after materialization via
+    # lifecycle.unpersist_intermediates(result) (r9 review — missed by
+    # the r8-VERDICT fix that covered the span/bigram operators)
+    from .lifecycle import register_intermediates
+
+    return register_intermediates(result, fps, counts_fp)
 
 
 #: PII patterns shared by detection and masking. Deliberately limited to

@@ -140,10 +140,13 @@ def test_contract_registry_is_complete():
     # driver correctness row.
     STABLE_TAIL = {
         # round-9 rotation (r8 VERDICT next-round #4): the nineteen r8
-        # tail queries moved back into the window; these twenty are each
-        # driver-green in CORRECTNESS_r08.json with code untouched in r9
-        # (kmeans_refine's r9 edit is docstring-only — plan unchanged,
-        # covered by the fingerprint guard below)
+        # tail queries moved back into the window; these twenty-two are
+        # each driver-green in CORRECTNESS_r08.json with NO result-
+        # affecting r9 code change (kmeans_refine: docstring-only;
+        # winnow_overlap_pairs: cache-handle registration, a Python
+        # attribute outside the plan). The content-aware fingerprint
+        # guard below verifies the "no result-affecting change" claim
+        # mechanically — any optimized-plan drift fails the build.
         "promql_rate_sum", "promql_hist_quantile",
         "gapfill_grid", "paragraph_dedup", "ngram_jaccard",
         "repetition_stats", "gopher_filter", "winnow_fingerprints",

@@ -2844,3 +2844,80 @@ class TestSpanExtentsDifferentialFuzz:
         con.executemany("INSERT INTO corpus VALUES (?, ?)", rows)
         got_duck = sorted(map(tuple, con.execute(self.DUCK).fetchall()))
         assert got_spark == got_duck
+
+
+class TestCacheLifecycleCoverage:
+    """r9 review follow-up: the lifecycle must cover EVERY caching
+    operator, and derived contract frames must carry the handle."""
+
+    def _docs(self, spark):
+        rows = [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox jumps over the lazy dog tonight"),
+            (3, "a completely different set of words lives here now"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_unigram_dsir_winnow_register(self, spark):
+        from pyspark.sql import functions as F
+
+        from graphite_clickhouse_spark.pipeline.lifecycle import (
+            unpersist_intermediates,
+        )
+        from graphite_clickhouse_spark.pipeline.lm import (
+            dsir_importance,
+            unigram_logprob_score,
+        )
+        from graphite_clickhouse_spark.pipeline.text import (
+            winnow_overlap_pairs,
+        )
+
+        df = self._docs(spark)
+        out = unigram_logprob_score(df)
+        out.collect()
+        assert unpersist_intermediates(out, blocking=True) == 1
+        out = dsir_importance(df, F.col("doc_id") == 1)
+        out.collect()
+        assert unpersist_intermediates(out, blocking=True) == 1
+        out = winnow_overlap_pairs(df, k=3, window=2)
+        out.collect()
+        assert unpersist_intermediates(out, blocking=True) == 2
+
+    def test_ccnet_partition_carries_handle(self, spark):
+        from graphite_clickhouse_spark.pipeline.lifecycle import (
+            unpersist_intermediates,
+        )
+        from graphite_clickhouse_spark.pipeline.lm import ccnet_partition
+
+        out = ccnet_partition(self._docs(spark))
+        out.collect()
+        # derived via select/withColumn, yet the handle survived
+        assert unpersist_intermediates(out, blocking=True) == 1
+
+    def test_carry_intermediates_through_derivation(self, spark):
+        from graphite_clickhouse_spark.pipeline.dedup import duplicate_spans
+        from graphite_clickhouse_spark.pipeline.lifecycle import (
+            carry_intermediates,
+            unpersist_intermediates,
+        )
+
+        spans = duplicate_spans(self._docs(spark), k=4)
+        derived = spans.select("id", "dup_fraction")
+        # a bare transformation LOSES the handle...
+        assert unpersist_intermediates(derived) == 0
+        # ...carry restores it
+        carried = carry_intermediates(spans, derived)
+        carried.collect()
+        assert unpersist_intermediates(carried, blocking=True) == 1
+
+    def test_contract_span_queries_carry_handles(self, spark):
+        import __spark_entry__ as entry
+        from graphite_clickhouse_spark.pipeline.lifecycle import (
+            unpersist_intermediates,
+        )
+
+        qs = entry.queries()
+        for name in ("dup_spans", "span_removal", "span_extents"):
+            out = qs[name](spark, "/root/testdata/sf0.001")
+            out.limit(1).collect()
+            assert unpersist_intermediates(out, blocking=True) == 1, name

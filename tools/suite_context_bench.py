@@ -18,11 +18,13 @@ delta:
               times at solo level, the interference is a TRANSIENT
               drain (dirty-page writeback of prefix shuffle files /
               worker-pool settling), not persistent session state
-  suite-capped like `suite`, with the candidate FIX:
-              spark.python.factory.idleWorkerMaxPoolSize=8 (Spark 4's
+  suite-capped like `suite`, with the FIX that shipped as the
+              session.py default: idleWorkerMaxPoolSize=8 (Spark 4's
               LRU idle-worker eviction) — reuse still amortizes forks
               within a query, but a stale bloated fleet cannot
-              accumulate between queries
+              accumulate between queries.  NOTE: all OTHER modes lift
+              the cap to recreate the pre-fix behavior, since the
+              default now includes it.
 
 Diagnostics per timed query: GC collection count/time DELTA during the
 query (G1 young + old beans), JIT code-cache pool occupancy, live
@@ -111,7 +113,12 @@ def run_mode(mode: str) -> dict:
     import __spark_entry__ as entrymod
     from pyspark.sql import functions as F
 
-    extra = {}
+    # session.py now ships idleWorkerMaxPoolSize=8 as the DEFAULT (the
+    # fix this tool's r9 investigation produced), so the baseline modes
+    # must explicitly LIFT the cap to recreate the pre-fix unbounded
+    # fleet — otherwise every mode measures cap-8 vs cap-8 and the
+    # interference condition can no longer reproduce (r9 review).
+    extra = {"spark.python.factory.idleWorkerMaxPoolSize": "1000000"}
     if mode == "suite-fresh":
         extra["spark.python.worker.reuse"] = "false"
     if mode == "suite-capped":
