@@ -373,18 +373,23 @@ def ivf_assign(
             "hierarchical (coarse -> fine) assignment"
         )
     rows.sort(key=lambda r: r[0])
-    cents = []
+    # Build the k x dim literal as ONE SQL expression string, not
+    # nested F.lit()/F.struct() calls: the py4j round trip per literal
+    # (k*dim + wrappers ≈ 2-3k calls at the 32x64 contract shape) costs
+    # ~2.6 s of DRIVER time per build vs ~9 ms for the string (r9
+    # measurement; kmeans_refine pays this PER ITERATION — its contract
+    # query was 11.5 s plan-build / 1.1 s execute before this change).
+    # repr(float) is shortest-round-trip, so the parsed double is
+    # bit-identical to what F.lit would embed; constant folding yields
+    # the same Literal array either way (fingerprint-verified).
+    parts = []
     for r in rows:
         cid, vec = int(r[0]), [float(x) for x in r[1]]
         nrm = math.sqrt(sum(x * x for x in vec))
         unit = [x / nrm for x in vec] if nrm > 0.0 else vec
-        cents.append(
-            F.struct(
-                F.lit(cid).alias("cid"),
-                F.array(*[F.lit(x) for x in unit]).alias("cvec"),
-            )
-        )
-    cent_lit = F.array(*cents)
+        arr = ",".join(repr(x) + "D" for x in unit)
+        parts.append(f"named_struct('cid',{cid},'cvec',array({arr}))")
+    cent_lit = F.expr("array(" + ",".join(parts) + ")")
     v = F.col(vec_col)
     # dot against unit centroids: argmax-equivalent to cosine (the 1/|v|
     # factor is a constant positive scale per row)
