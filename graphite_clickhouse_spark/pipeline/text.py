@@ -634,9 +634,19 @@ def c4_line_filter(
       (case-insensitive), and does not contain a curly bracket.
 
     -> (id, n_lines, n_kept_lines, keep_page, clean_text): kept lines
-    rejoined with a newline (independent of keep_page, so callers can
-    audit what the filter WOULD keep on dropped pages). NULL/empty text
-    yields (0, 0, false, '').
+    STRIPPED and rejoined with a newline (C4 emits ``line.strip()``, so
+    the output lines are stripped too; independent of keep_page, so
+    callers can audit what the filter WOULD keep on dropped pages).
+    NULL/empty text yields (0, 0, false, '').
+
+    Fidelity notes (r9 ADVICE): the word count splits on the full ASCII
+    whitespace class (C4 uses Python ``line.split()``, which splits on
+    ANY whitespace run — a tab-separated line is many words, not one),
+    and both the predicate and the emitted lines use a full
+    ASCII-whitespace strip, not a space-only trim (a CRLF page's
+    ``"foo.\\r"`` line is C4-kept).  Python's str.split/strip
+    additionally treat some Unicode spaces as whitespace; the explicit
+    ASCII class is the deliberate, cross-engine-exact subset.
 
     100 TB shape: one row-local array filter inside the scan projection
     — split, per-line predicate (regexp + word count), rejoin.  No
@@ -648,9 +658,17 @@ def c4_line_filter(
         t.isNull() | (t == ""), F.array().cast("array<string>")
     ).otherwise(F.split(t, "\n"))
 
+    # ASCII whitespace class, written as regex escapes so the same
+    # pattern means the same thing in Java (Spark) and RE2 (DuckDB)
+    ws = r"[ \t\r\n\x0B\f]"
+
+    def _strip(line):
+        # \A/\z anchors, not ^/$ (see the rlike note below)
+        return F.regexp_replace(line, rf"\A{ws}+|{ws}+\z", "")
+
     def _keep(line):
-        s = F.trim(line)
-        n_words = F.size(F.filter(F.split(s, " +"), lambda w: w != ""))
+        s = _strip(line)
+        n_words = F.size(F.filter(F.split(s, ws + "+"), lambda w: w != ""))
         # \z, not $: Java's '$' also matches BEFORE a trailing line
         # terminator (\r,  , ...), RE2's '$' does not — a CRLF
         # document split on \n leaves lines ending in \r, which '$'
@@ -662,7 +680,7 @@ def c4_line_filter(
             & (n_words >= min_words)
         )
 
-    kept = F.filter(lines, _keep)
+    kept = F.transform(F.filter(lines, _keep), _strip)
     lorem = F.instr(F.lower(t), "lorem ipsum") > 0
     curly = F.instr(t, "{") > 0
     return df.select(

@@ -2335,6 +2335,64 @@ class TestKmeansRefine:
         refined = kmeans_refine(emb, cents, iters=1)
         assert refined.count() == 1
 
+    def test_assign_lazy_matches_ivf_assign(self, spark):
+        """_assign_lazy (the broadcast packed-centroid path the Lloyd
+        loop uses, r10) must produce bit-identical assignments to
+        ivf_assign's driver-literal path — same unit-normalization fold,
+        same argmax, same ties."""
+        import random
+
+        from graphite_clickhouse_spark.pipeline.similarity import (
+            ivf_assign, ivf_assign_lazy,
+        )
+
+        rng = random.Random(11)
+        vecs = [[rng.uniform(-1, 1) for _ in range(6)] for _ in range(80)]
+        seeds = vecs[:5]
+        emb, cents = self._frames(spark, vecs, seeds)
+        lit = {r.vec_id: r.centroid_id for r in ivf_assign(emb, cents).collect()}
+        lazy = {r.vec_id: r.centroid_id
+                for r in ivf_assign_lazy(emb, cents).collect()}
+        assert lit == lazy
+
+    def test_refine_is_lazy(self, spark):
+        """kmeans_refine must not execute anything at build time (r9
+        VERDICT #5: the old path paid one driver collect per Lloyd
+        iteration). A corpus whose evaluation THROWS builds fine and
+        only fails when the result is actually collected."""
+        import pytest
+        from pyspark.sql import functions as F
+        from pyspark.errors import PythonException
+
+        from graphite_clickhouse_spark.pipeline.similarity import kmeans_refine
+
+        def _boom(s):
+            raise RuntimeError("evaluated at build time")
+
+        boom = F.udf(_boom, "array<float>")
+        emb, cents = self._frames(spark, [[1.0, 0.0]], [[1.0, 0.0]])
+        poisoned = emb.select("vec_id", boom("embedding").alias("embedding"))
+        refined = kmeans_refine(poisoned, cents, iters=2)  # must not raise
+        with pytest.raises(PythonException):
+            refined.collect()
+
+    def test_ivf_assign_nonfinite_centroid_parses(self, spark):
+        """r9 ADVICE: a NaN/inf centroid component made the SQL-string
+        literal build emit 'nanD' and ParseException at plan-build time;
+        the CAST form must build and keep the old F.lit semantics (NaN
+        dot -> NaN sim -> that centroid wins via struct ordering)."""
+        from graphite_clickhouse_spark.pipeline.similarity import ivf_assign
+
+        emb, _ = self._frames(spark, [[1.0, 0.0], [0.0, 1.0]], [[1.0, 0.0]])
+        cents = spark.createDataFrame(
+            [(0, [1.0, 0.0]), (1, [float("nan"), 0.0]),
+             (2, [float("inf"), float("-inf")])],
+            "centroid_id int, centroid array<double>",
+        )
+        got = {r.vec_id: r.centroid_id for r in ivf_assign(emb, cents).collect()}
+        # NaN sim sorts greatest -> the NaN centroid (cid 1) wins every row
+        assert got == {0: 1, 1: 1}
+
     def test_iters_guard(self, spark):
         import pytest
 
@@ -2593,6 +2651,28 @@ class TestC4LineFilter:
             assert (got[i].n_lines, got[i].n_kept_lines,
                     got[i].keep_page, got[i].clean_text) == (0, 0, False, "")
 
+    def test_c4_fidelity_whitespace_and_strip(self, spark):
+        """r9 ADVICE fidelity fixes: (a) the word count splits on ANY
+        ASCII whitespace like Python line.split() — a tab-separated
+        line is many words; (b) CRLF lines ("foo.\\r") are stripped
+        before the terminal-punctuation check, so they are C4-kept;
+        (c) kept lines are emitted STRIPPED, like C4's line.strip()."""
+        page = "\n".join([
+            "one\ttwo\tthree\tfour\tfive.",        # 5 tab-words -> kept
+            "  padded line with five words.  ",    # kept, emitted stripped
+            "crlf line with five words.\r",        # kept (\r stripped)
+            "one two.",                             # dropped (< 5 words)
+        ])
+        got = self._run(spark, [(1, page)])[1]
+        assert got.n_lines == 4
+        assert got.n_kept_lines == 3
+        assert got.keep_page
+        assert got.clean_text == "\n".join([
+            "one\ttwo\tthree\tfour\tfive.",
+            "padded line with five words.",
+            "crlf line with five words.",
+        ])
+
     def test_row_local_plan(self, spark):
         from graphite_clickhouse_spark.pipeline.text import c4_line_filter
 
@@ -2666,14 +2746,20 @@ class TestC4LineFilterDifferentialFuzz:
                CASE WHEN text IS NULL OR text = '' THEN []::VARCHAR[]
                     ELSE string_split(text, chr(10)) END AS lines
         FROM corpus
+    ), stripped AS (
+        SELECT i, text, lines,
+               list_transform(lines, l -> regexp_replace(l,
+                   '\A[ \t\r\n\x0B\f]+|[ \t\r\n\x0B\f]+\z', '', 'g')) AS slines
+        FROM split
     ), kept AS (
         SELECT i, text, lines,
-               list_filter(lines, l ->
-                   regexp_matches(trim(l), '[.!?"]\z')
-                   AND NOT contains(lower(trim(l)), 'javascript')
-                   AND len(list_filter(string_split_regex(trim(l), ' +'),
-                                       w -> w <> '')) >= 5) AS keep_lines
-        FROM split
+               list_filter(slines, l ->
+                   regexp_matches(l, '[.!?"]\z')
+                   AND NOT contains(lower(l), 'javascript')
+                   AND len(list_filter(
+                           string_split_regex(l, '[ \t\r\n\x0B\f]+'),
+                           w -> w <> '')) >= 5) AS keep_lines
+        FROM stripped
     )
     SELECT i,
            CAST(len(lines) AS INT) AS n_lines,
@@ -2691,13 +2777,18 @@ class TestC4LineFilterDifferentialFuzz:
         word = st.sampled_from(
             ["alpha", "beta!", "JavaScript", "javascript:", "Lorem",
              "Ipsum", "lorem ipsum", "{", "}", "a.b", '"', "x?",
-             "end.", "..", "  ", "\t", "", "five words are here ok."]
+             "end.", "..", "  ", "\t", "", "five words are here ok.",
+             # whitespace-class probes (r10): tab/VT/FF-separated tokens
+             # must count as MULTIPLE words on both engines, and the
+             # full-strip must remove them at the line edges
+             "a\tb", "c\x0bd", "e\fq"]
         )
         line = st.builds(
             lambda ws, tail: " ".join(ws) + tail,
             st.lists(word, min_size=0, max_size=8),
             st.sampled_from([".", "!", "?", '"', "", "\r", ".\r",
-                             " .", ". ", "...", "]"]),
+                             " .", ". ", "...", "]", ".\t", ".\x0b",
+                             ".\f", "\t."]),
         )
         return st.builds(
             lambda ls: "\n".join(ls),

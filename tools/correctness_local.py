@@ -4,7 +4,14 @@ script covers every entry, including the stable tail) and writes
 CORRECTNESS_LOCAL.json in the driver's row format plus a dtype-kind
 check per column.
 
-Usage:  python tools/correctness_local.py [sf_dir]
+Usage:  python tools/correctness_local.py [sf_dir] [out_json]
+
+``out_json`` (default CORRECTNESS_LOCAL.json, relative paths resolved
+against the repo root) lets robustness passes write their own artifact,
+e.g. the 256-shuffle-partition pass:
+
+    SPARK_GRAFT_ORACLE_SHUFFLE=256 python tools/correctness_local.py \
+        /root/testdata/sf0.01 CORRECTNESS_SHUFFLE256.json
 """
 
 from __future__ import annotations
@@ -90,12 +97,19 @@ def main() -> int:
             )
         except Exception as ex:  # noqa: BLE001 - recorded per-row like the driver
             row["err"] = f"{type(ex).__name__}: {ex}"[:300]
+        finally:
+            # r9 ADVICE: this driver runs all 72 queries in ONE session —
+            # without this, the cached intermediates the span/LM-family
+            # entry functions persist() accumulate across the whole run
+            # (bench.py already clears per rep)
+            spark.catalog.clearCache()
         out[name] = row
         ok = row["rows_match"] and row["schema_match"] and row["hash_match"]
         print(f"{'PASS' if ok else 'FAIL'} {name} ({row['spark_rows']} rows)")
 
+    out_name = sys.argv[2] if len(sys.argv) > 2 else "CORRECTNESS_LOCAL.json"
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                        "CORRECTNESS_LOCAL.json")
+                        out_name)
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     n_bad = sum(
