@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "span_extents",
     "url_dedup",
     "domain_stats",
+    "domain_cap",
     "c4_line_filter",
     "html_extract",
     "promql_range_select",
@@ -114,6 +115,7 @@ BENCH_QUERIES = [
     "multimodal_bmp_decode",
     "multimodal_jpeg_decode",
     "multimodal_wav_decode",
+    "image_phash_pairs",
 ]
 
 

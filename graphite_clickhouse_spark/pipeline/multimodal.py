@@ -121,6 +121,159 @@ def extract_features(assets: DataFrame, batch_hint: int = 1024) -> DataFrame:
     return assets.mapInPandas(kernel, FEATURE_SCHEMA)
 
 
+def _decode_pixels(payload: bytes):
+    """Magic-byte dispatch to the real image decoders, returning the raw
+    pixel array (h, w, channels) — or None for non-images / corrupt
+    payloads (quarantine, like _decode_any)."""
+    from . import codecs
+
+    try:
+        if payload[:2] == b"BM":
+            return codecs.decode_bmp(payload)[2]
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            return codecs.decode_png(payload)[2]
+        if payload[:3] == b"\xff\xd8\xff":
+            return codecs.decode_jpeg(payload)[2]
+    except Exception:  # noqa: BLE001 — corrupt container: skip, don't abort
+        return None
+    return None
+
+
+def _dhash_from_pixels(px) -> int | None:
+    """64-bit gradient dHash with EXACT integer arithmetic (the device
+    that makes a float-free SQL oracle twin possible):
+
+    - grayscale = per-pixel integer channel sum (any monotone scale of
+      the luma works: the hash only compares sums, and the comparisons
+      below are scale-invariant);
+    - area-mean resize to a 9x8 grid via integer box partition
+      (edges x_i = i*W//9, y_j = j*H//8 — every pixel in exactly one
+      box);
+    - bit(j, i) = mean(box[j,i]) > mean(box[j,i+1]), evaluated as the
+      integer cross-multiplication S_l*A_r > S_r*A_l — no division, no
+      floats, so Spark and the oracle agree bit-for-bit;
+    - 64 bits packed little-endian (k = j*8 + i) into a signed long.
+
+    Constant brightness shifts cancel in the cross-multiplication, so
+    the hash has the brightness invariance expected of a perceptual
+    hash. Images smaller than the grid (W < 9 or H < 8) return None.
+    """
+    import numpy as np
+
+    gray = (
+        px.astype(np.int64).sum(axis=2) if px.ndim == 3 else px.astype(np.int64)
+    )
+    h, w = gray.shape
+    if w < 9 or h < 8:
+        return None
+    xs = [(i * w) // 9 for i in range(10)]
+    ys = [(j * h) // 8 for j in range(9)]
+    s = np.empty((8, 9), dtype=np.int64)
+    area = np.empty((8, 9), dtype=np.int64)
+    for j in range(8):
+        for i in range(9):
+            block = gray[ys[j]:ys[j + 1], xs[i]:xs[i + 1]]
+            s[j, i] = int(block.sum())
+            area[j, i] = block.size
+    bits = (s[:, :8] * area[:, 1:]) > (s[:, 1:] * area[:, :8])
+    val = 0
+    for k, b in enumerate(bits.reshape(-1)):
+        if b:
+            val |= 1 << k
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+def image_dhash(assets: DataFrame) -> DataFrame:
+    """Perceptual hash per image asset: decode (real BMP/PNG/JPEG
+    codecs) + 9x8 gradient dHash, in the same mapInPandas Arrow-batch
+    kernel shape as extract_features — payloads never touch the driver.
+
+    -> (asset_id long, dhash long); dhash is NULL for non-image /
+    corrupt / sub-grid payloads."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                payload = bytes(payload) if payload is not None else b""
+                px = _decode_pixels(payload)
+                ids.append(aid)
+                hashes.append(None if px is None else _dhash_from_pixels(px))
+            yield pd.DataFrame(
+                {"asset_id": ids,
+                 "dhash": pd.array(hashes, dtype=pd.Int64Dtype())}
+            )
+
+    return assets.mapInPandas(kernel, "asset_id long, dhash long")
+
+
+def image_neardup_pairs(assets: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Image-level near-duplicate pairs — the multimodal analog of
+    url_dedup's same-page collapse: the same image re-encoded, slightly
+    re-compressed, or brightness-shifted lands within a few dHash bits.
+
+    -> (id_a, id_b, hamming int) for bucket-sharing pairs within
+    ``max_hamming``.
+
+    100 TB shape: dHash in the decode kernel (one Arrow pass), then the
+    SAME banded Hamming-LSH the SimHash text path uses
+    (dedup.simhash_near_pairs: 4 x 16-bit chunk buckets, pairs only
+    inside buckets — pigeonhole-exact recall for Hamming <= 3, standard
+    LSH recall beyond). No all-pairs anywhere; bucket skew is bounded by
+    the duplicate-cluster size like every LSH family here."""
+    from .dedup import simhash_near_pairs
+
+    hashes = image_dhash(assets).filter(F.col("dhash").isNotNull())
+    pairs = simhash_near_pairs(
+        hashes.select(F.col("asset_id").alias("id"),
+                      F.col("dhash").alias("simhash")),
+        max_hamming=max_hamming,
+    )
+    return pairs.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+def synthetic_pattern_bmp_assets(
+    ids: DataFrame, id_col: str = "doc_id", groups: int = 50
+) -> DataFrame:
+    """Structured synthetic BMPs for the perceptual-hash contract: ids
+    sharing ``id % groups`` draw the SAME deterministic gradient pattern
+    and dimensions (near-dup clusters by construction), and ids with
+    ``id % 3 == 0`` add a small bright corner bump (+40 over the 3x3
+    top-left corner, pre-modulo) — a few dHash bits of distance, the
+    re-encode/retouch analog. Pixel p(x, y) = (7x + 13y + 31*gid
+    [+ 40 if bump and x<3 and y<3]) % 256, W = 24 + gid%13,
+    H = 16 + gid%9, gray as equal RGB channels. Every quantity is
+    integer arithmetic an SQL oracle reproduces without decoding."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from graphite_clickhouse_spark.pipeline import codecs
+
+        for pdf in batches:
+            out = {"asset_id": [], "modality": [], "mime": [], "payload": [],
+                   "meta": []}
+            for i in pdf[id_col]:
+                i = int(i)
+                gid = i % groups
+                w, h = 24 + gid % 13, 16 + gid % 9
+                x = np.arange(w, dtype=np.int64)[None, :]
+                y = np.arange(h, dtype=np.int64)[:, None]
+                p = 7 * x + 13 * y + 31 * gid
+                if i % 3 == 0:
+                    p[:3, :3] += 40
+                gray = (p % 256).astype(np.uint8)
+                px = np.repeat(gray[:, :, None], 3, axis=2)
+                out["asset_id"].append(i)
+                out["modality"].append("image")
+                out["mime"].append("image/bmp")
+                out["payload"].append(codecs.encode_bmp(px))
+                out["meta"].append({})
+            yield pd.DataFrame(out)
+
+    return ids.select(id_col).mapInPandas(kernel, ASSET_SCHEMA)
+
+
 def frame_sample_plan(assets: DataFrame, every_n: int = 30) -> DataFrame:
     """Video frame-sampling *plan*: one output row per frame to extract.
 

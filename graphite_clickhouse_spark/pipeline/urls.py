@@ -148,3 +148,86 @@ def domain_stats(
         F.sum("w").cast("long").alias("total_weight"),
         F.round(F.avg("w"), 6).alias("mean_weight"),
     )
+
+
+def domain_cap(
+    df: DataFrame,
+    cap: int,
+    url_col: str = "url",
+    key_col: str = "doc_id",
+    salt: str = "",
+    num_buckets: int = 16,
+    domain_col: str | None = None,
+    broadcast_thresholds: bool = True,
+) -> DataFrame:
+    """Per-domain document cap — keep at most ``cap`` documents per
+    domain, DETERMINISTICALLY (the FineWeb/Dolma follow-up to the
+    `domain_stats` audit: collapse over-represented domains before
+    training instead of letting one SEO farm dominate the mixture).
+
+    Which documents survive is a pure function of (salt, key): documents
+    rank within their domain by the consistent sampling coin
+    hash60(salt:key) (pipeline/sampling.sample_hash — same coin as
+    deterministic_sample, so the choice is reproducible across runs,
+    cluster sizes, and engines), tie-broken by key. The ``cap`` smallest
+    (coin, key) pairs per domain survive.
+
+    -> the input rows that survive, plus a ``domain`` column.
+
+    100 TB shape — EXACT selection with NO window over the corpus (a
+    window partitioned by domain serializes each mega-domain into one
+    task, the classic skew cliff):
+
+      1. salted candidate agg: group by (domain, coin % num_buckets),
+         keep each group's ``cap`` smallest rank keys
+         (slice(array_sort(collect_list))) — a mega-domain spreads over
+         ``num_buckets`` parallel groups;
+      2. threshold agg: per domain, the cap-th smallest key across the
+         <= num_buckets * cap candidates (a true global top-cap key is
+         in the top cap of its own bucket — pigeonhole, so this is
+         exact, not approximate);
+      3. one broadcast join of the tiny (domain, threshold) table back
+         onto the scan + a row-local filter (rank_key <= threshold).
+
+    Memory bound: step 1 buffers one (domain, bucket) group at a time
+    (collect_list materializes before the slice), so size
+    ``num_buckets`` to ~ largest-expected-domain / 10^6 rows. The
+    threshold table has one row per domain; with millions of domains it
+    is a few tens of MB — broadcastable. Pass
+    ``broadcast_thresholds=False`` to shuffle-join instead if the
+    domain cardinality ever outgrows the broadcast budget.
+    """
+    from .sampling import sample_hash
+
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    dom = F.col(domain_col) if domain_col else url_domain(F.col(url_col))
+    base = df.select(
+        "*",
+        dom.alias("domain"),
+        sample_hash(F.col(key_col), salt).alias("__coin"),
+    )
+    rank_key = F.struct(
+        F.col("__coin").alias("h"), F.col(key_col).cast("long").alias("k")
+    )
+    cand = base.groupBy(
+        F.col("domain").alias("__d"),
+        F.pmod(F.col("__coin"), F.lit(num_buckets)).alias("__b"),
+    ).agg(F.slice(F.array_sort(F.collect_list(rank_key)), 1, cap).alias("__cand"))
+    thr = (
+        cand.groupBy("__d")
+        .agg(F.array_sort(F.flatten(F.collect_list("__cand"))).alias("__all"))
+        .select(
+            "__d",
+            F.element_at(
+                "__all", F.least(F.size("__all"), F.lit(cap))
+            ).alias("__thr"),
+        )
+    )
+    if broadcast_thresholds:
+        thr = F.broadcast(thr)
+    return (
+        base.join(thr, base["domain"] == thr["__d"])
+        .filter(rank_key <= F.col("__thr"))
+        .drop("__d", "__thr", "__coin")
+    )

@@ -139,22 +139,24 @@ def test_contract_registry_is_complete():
     # sit past position 49; a new query landing there would never get a
     # driver correctness row.
     STABLE_TAIL = {
-        # round-9 rotation (r8 VERDICT next-round #4): the nineteen r8
-        # tail queries moved back into the window; these twenty-two are
-        # each driver-green in CORRECTNESS_r08.json with NO result-
-        # affecting r9 code change (kmeans_refine: docstring-only;
-        # winnow_overlap_pairs: cache-handle registration, a Python
-        # attribute outside the plan). The content-aware fingerprint
-        # guard below verifies the "no result-affecting change" claim
-        # mechanically — any optimized-plan drift fails the build.
-        "promql_rate_sum", "promql_hist_quantile",
-        "gapfill_grid", "paragraph_dedup", "ngram_jaccard",
-        "repetition_stats", "gopher_filter", "winnow_fingerprints",
-        "winnow_overlap_pairs", "source_overlap", "dedup_clusters",
-        "cluster_keep", "ann_cosine_topk", "ann_lsh_topk", "ivf_assign",
-        "ivf_topk", "kmeans_refine", "embedding_neardup",
-        "embedding_neardup_lsh", "minhash_dedup", "simhash_pairs",
-        "unigram_quality",
+        # round-10 rotation (r9 VERDICT next-round #4 + the r9 ADVICE
+        # medium item): the twenty-two r9 tail queries — including the
+        # whole similarity family — moved back into the window for
+        # driver recertification; these twenty-four are each
+        # driver-green in CORRECTNESS_r09.json with NO result-affecting
+        # r10 code change (the r10 multimodal.py edit only ADDS
+        # functions — multimodal_features/multimodal_wav_decode plans
+        # are untouched). The content-aware fingerprint guard below
+        # verifies the "no result-affecting change" claim mechanically —
+        # any optimized-plan drift fails the build.
+        "autocomplete_values", "autocomplete_tags", "prom_label_values",
+        "multimodal_features", "multimodal_wav_decode", "lang_id",
+        "fingerprint", "token_count", "sample_deterministic",
+        "mix_sources", "dedup_exact", "decontaminate", "text_quality",
+        "tfidf_top_terms", "text_clean", "quality_classifier",
+        "tagbrowse_list", "pack_sequences", "budget_mix", "dsir_weight",
+        "ccnet_partition", "pii_scrub", "tagger_rules",
+        "prom_plain_bridge",
     }
     overflow = [n for i, n in enumerate(qs) if i >= 50 and n not in STABLE_TAIL]
     assert overflow == [], f"new queries outside the driver's top-50 gate: {overflow}"
@@ -168,6 +170,36 @@ def test_contract_registry_is_complete():
             "customer", "supplier", "part", "nation", "region",
             "generate_series",
         )), name
+
+
+def test_contract_index_matches_queries():
+    """The CONTRACT_INDEX block at the top of __spark_entry__.py (r9
+    VERDICT next-round #8: the auditable window/tail map) must stay in
+    lockstep with the QUERIES registry: same names, same order, correct
+    positions, and the window/tail flag derived from position 50."""
+    idx = entrymod.CONTRACT_INDEX
+    names = list(entrymod.QUERIES)
+    assert list(idx) == names, "CONTRACT_INDEX order drifted from QUERIES"
+    for pos, name in enumerate(names, 1):
+        ipos, slot, touched = idx[name]
+        assert ipos == pos, f"{name}: index position {ipos} != {pos}"
+        assert slot == ("w" if pos <= 50 else "t"), f"{name}: wrong slot"
+        assert touched and touched[0] == "r", f"{name}: bad touched tag"
+    # regenerate-and-compare: the committed block IS the generator output
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"
+        ),
+    )
+    from gen_contract_index import render_index
+
+    expected = {
+        name: (pos, "w" if pos <= 50 else "t", idx[name][2])
+        for pos, name in enumerate(names, 1)
+    }
+    assert idx == expected
+    assert f'"{names[0]}": (1, "w",' in render_index(entrymod)
 
 
 def test_stable_tail_plans_unchanged(spark):

@@ -487,6 +487,113 @@ class TestCodecs:
         assert got[4].width == 16 + 100 % 64
 
 
+class TestImagePerceptualHash:
+    """pipeline/multimodal.py::image_dhash / image_neardup_pairs — the
+    multimodal near-dup family (r9 VERDICT next-round #1)."""
+
+    @staticmethod
+    def _bmp(arr):
+        import numpy as np
+
+        from graphite_clickhouse_spark.pipeline.codecs import encode_bmp
+
+        a = np.asarray(arr, np.uint8)
+        if a.ndim == 2:
+            a = np.repeat(a[:, :, None], 3, axis=2)
+        return bytearray(encode_bmp(a))
+
+    def _assets(self, spark, payloads):
+        from graphite_clickhouse_spark.pipeline.multimodal import ASSET_SCHEMA
+
+        rows = [(i, "image", "image/bmp", p, {}) for i, p in enumerate(payloads)]
+        return spark.createDataFrame(rows, ASSET_SCHEMA)
+
+    def test_dhash_brightness_invariance_and_locality(self, spark):
+        import numpy as np
+
+        from graphite_clickhouse_spark.pipeline.multimodal import image_dhash
+
+        base = (np.arange(16)[:, None] * 13 + np.arange(18)[None, :] * 7) % 200
+        shifted = (base + 40)          # constant brightness shift
+        bumped = base.copy()
+        bumped[:3, :3] += 55           # small local retouch
+        flipped = base[::-1, :]        # structurally different image
+        df = self._assets(
+            spark, [self._bmp(a) for a in (base, shifted, bumped, flipped)]
+        )
+        got = {r.asset_id: r.dhash for r in image_dhash(df).collect()}
+        assert got[0] == got[1], "constant shift must not change the hash"
+        d_bump = bin((got[0] ^ got[2]) & ((1 << 64) - 1)).count("1")
+        assert 0 < d_bump <= 6, f"local retouch moved {d_bump} bits"
+        d_flip = bin((got[0] ^ got[3]) & ((1 << 64) - 1)).count("1")
+        assert d_flip > 6, "a flipped image must not be a near-dup"
+
+    def test_dhash_null_for_nonimage_and_subgrid(self, spark):
+        import numpy as np
+
+        from graphite_clickhouse_spark.pipeline.multimodal import image_dhash
+
+        tiny = self._bmp(np.zeros((4, 4), np.uint8))  # below the 9x8 grid
+        df = self._assets(spark, [bytearray(b"not an image"), tiny])
+        got = {r.asset_id: r.dhash for r in image_dhash(df).collect()}
+        assert got[0] is None and got[1] is None
+
+    def test_neardup_pairs_banded(self, spark):
+        import numpy as np
+
+        from graphite_clickhouse_spark.pipeline.multimodal import (
+            image_neardup_pairs,
+        )
+
+        base = (np.arange(16)[:, None] * 11 + np.arange(20)[None, :] * 5) % 256
+        bumped = base.copy()
+        bumped[:2, :2] += 60
+        other = (np.arange(16)[:, None] * 3 + np.arange(20)[None, :] * 29) % 256
+        df = self._assets(
+            spark,
+            [self._bmp(base), self._bmp(base), self._bmp(bumped),
+             self._bmp(other)],
+        )
+        pairs = {(r.id_a, r.id_b): r.hamming
+                 for r in image_neardup_pairs(df, max_hamming=6).collect()}
+        assert pairs[(0, 1)] == 0            # identical re-encode
+        assert 0 < pairs.get((0, 2), 99) <= 6  # retouch within threshold
+        assert not any(3 in p for p in pairs), "unrelated image paired"
+
+    def test_kernel_twin_matches_spark(self, spark):
+        """_dhash_from_pixels (kernel) vs a from-scratch pure-Python
+        reimplementation on random images — guards the exact-integer
+        resize/compare spec the SQL oracle also implements."""
+        import random
+
+        import numpy as np
+
+        from graphite_clickhouse_spark.pipeline.multimodal import (
+            _dhash_from_pixels,
+        )
+
+        rng = random.Random(3)
+        for _ in range(20):
+            w, h = rng.randint(9, 40), rng.randint(8, 30)
+            img = [[rng.randrange(256) for _ in range(w)] for _ in range(h)]
+            # independent twin: explicit loops, no numpy
+            xs = [(i * w) // 9 for i in range(10)]
+            ys = [(j * h) // 8 for j in range(9)]
+            s = [[sum(img[y][x] for y in range(ys[j], ys[j + 1])
+                      for x in range(xs[i], xs[i + 1])) for i in range(9)]
+                 for j in range(8)]
+            a = [[(xs[i + 1] - xs[i]) * (ys[j + 1] - ys[j]) for i in range(9)]
+                 for j in range(8)]
+            val = 0
+            for j in range(8):
+                for i in range(8):
+                    if s[j][i] * a[j][i + 1] > s[j][i + 1] * a[j][i]:
+                        val |= 1 << (j * 8 + i)
+            expected = val - (1 << 64) if val >= (1 << 63) else val
+            got = _dhash_from_pixels(np.asarray(img, np.uint8))
+            assert got == expected
+
+
 class TestGopherQuality:
     def test_repetition_stats_hand_computed(self, spark):
         from graphite_clickhouse_spark.pipeline.text import repetition_stats
@@ -2729,6 +2836,80 @@ class TestDomainStats:
         assert "Join" not in plan and "Window" not in plan
         physical = out._jdf.queryExecution().executedPlan().toString()
         assert "EvalPython" not in physical
+
+
+class TestDomainCap:
+    """pipeline/urls.py::domain_cap — deterministic at-most-N-per-domain
+    selection (the FineWeb over-representation cap), window-free."""
+
+    def _df(self, spark, n=40, domains=3):
+        rows = [(i, f"http://d{i % domains}.com/p/{i}", f"t{i}")
+                for i in range(n)]
+        return spark.createDataFrame(rows, "doc_id long, url string, text string")
+
+    @staticmethod
+    def _expected(n, domains, cap, salt=""):
+        import hashlib
+
+        by_dom: dict[str, list[tuple[int, int]]] = {}
+        for i in range(n):
+            h = int(hashlib.md5(f"{salt}:{i}".encode()).hexdigest()[:15], 16)
+            by_dom.setdefault(f"d{i % domains}.com", []).append((h, i))
+        keep = set()
+        for keys in by_dom.values():
+            keep.update(k for _, k in sorted(keys)[:cap])
+        return keep
+
+    def test_exact_cap_and_determinism(self, spark):
+        from graphite_clickhouse_spark.pipeline.urls import domain_cap
+
+        df = self._df(spark, n=40, domains=3)
+        out = domain_cap(df, cap=5, salt="s").collect()
+        got = {r.doc_id for r in out}
+        assert got == self._expected(40, 3, 5, salt="s")
+        # original columns survive, plus domain
+        assert {r.domain for r in out} == {"d0.com", "d1.com", "d2.com"}
+        assert all(r.text == f"t{r.doc_id}" for r in out)
+
+    def test_small_domains_keep_everything(self, spark):
+        from graphite_clickhouse_spark.pipeline.urls import domain_cap
+
+        df = self._df(spark, n=6, domains=3)  # 2 docs per domain
+        assert domain_cap(df, cap=5).count() == 6
+
+    def test_bucket_and_partition_invariance(self, spark):
+        """The salted two-phase selection is EXACT: any bucket count and
+        any input partitioning select the same documents."""
+        from graphite_clickhouse_spark.pipeline.urls import domain_cap
+
+        df = self._df(spark, n=60, domains=2)
+        ref = {r.doc_id for r in domain_cap(df, cap=7, num_buckets=1).collect()}
+        for nb, parts in ((4, 1), (16, 13)):
+            got = {
+                r.doc_id
+                for r in domain_cap(
+                    df.repartition(parts), cap=7, num_buckets=nb
+                ).collect()
+            }
+            assert got == ref
+
+    def test_no_window_broadcast_join(self, spark):
+        from graphite_clickhouse_spark.pipeline.urls import domain_cap
+
+        out = domain_cap(self._df(spark), cap=3)
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert "Window" not in plan
+        physical = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in physical
+        assert "EvalPython" not in physical
+
+    def test_cap_guard(self, spark):
+        import pytest
+
+        from graphite_clickhouse_spark.pipeline.urls import domain_cap
+
+        with pytest.raises(ValueError):
+            domain_cap(self._df(spark), cap=0)
 
 
 class TestC4LineFilterDifferentialFuzz:
