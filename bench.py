@@ -14,7 +14,8 @@ GC/JIT/Python-worker-fork noise (±20% observed), not by the plan.
 
 Ambient-load hardening: this box is shared, so the min of a FIXED rep
 count can itself be polluted. A query's timing is accepted only once its
-two fastest reps agree within 20%; otherwise it re-runs, up to
+two fastest reps agree within 20% AND both are slot-healthy (see
+brackets below); otherwise it re-runs, up to
 $SPARK_GRAFT_BENCH_MAX_REPS (default 8) reps, and is listed under
 "unconverged" if it never stabilizes. Per-rep 1-min loadavg is recorded,
 including the load at the winning rep ("min_rep_load").
@@ -27,6 +28,18 @@ host-normalized ("value_host_normalized" = raw / host_factor).  A reader
 comparing two BENCH artifacts: if host_factor moved with the suite
 total, it's the host epoch; if the suite moved and host_factor didn't,
 it's the code.
+
+Per-rep slot brackets + per-query normalization (r10, closing r9
+VERDICT next-round #3): the frozen ~40 ms micro probe runs BETWEEN
+every rep, bracketing each rep with (probe before, probe after).  A rep
+whose bracket max exceeds 2x the run's own epoch reference
+("micro_ms_epoch", timed during calibration) sits in a mid-run flicker
+and cannot convergence-accept.  Each accepted query also publishes
+"queries_normalized" = raw / (host_factor * slot_factor), slot_factor =
+max(1, winning-rep bracket / micro_ms_epoch) — the per-query number
+comparable across rounds without solo re-runs.  The driver-facing
+compact stdout line carries the NORMALIZED per-query map; raw seconds
+stay in BENCH_LOCAL.json.
 """
 
 from __future__ import annotations
@@ -189,12 +202,27 @@ def _probe_fns(spark):
     }
 
 
+def _micro_probe(spark) -> float:
+    """The frozen ~40 ms slot probe (r9): a plan that never changes,
+    timed around each rep to expose the throughput state of that exact
+    suite slot. Returns milliseconds."""
+    t0 = time.monotonic()
+    spark.range(5_000_000).selectExpr("sum(id)").collect()
+    return round((time.monotonic() - t0) * 1000, 1)
+
+
 def run_calibration(spark, reps: int = 3) -> dict:
     """Time the frozen probes (min of ``reps``) and derive host_factor =
     geometric mean of probe/pinned ratios.  > ~1.5 means the host is in
     a degraded throughput epoch and raw suite seconds are not comparable
     to healthy-epoch artifacts; the normalized total (raw / host_factor)
-    is the epoch-adjusted estimate."""
+    is the epoch-adjusted estimate.
+
+    Also times the per-slot micro probe (min of ``reps``) —
+    ``micro_ms_epoch``, this RUN's own epoch reference for the per-rep
+    slot brackets (r9 VERDICT next-round #3): a rep whose surrounding
+    probes read > 2x micro_ms_epoch sits in a mid-run flicker DEEPER
+    than the run's epoch and must not convergence-accept."""
     import math
     import time as _time
 
@@ -214,11 +242,13 @@ def run_calibration(spark, reps: int = 3) -> dict:
         math.exp(sum(math.log(max(r, 1e-9)) for r in ratios.values())
                  / len(ratios)), 2,
     )
+    micro_ms_epoch = min(_micro_probe(spark) for _ in range(reps))
     return {
         "probe_sec": probe_sec,
         "pinned_probe_sec": PINNED_PROBE_SEC,
         "host_factor_per_probe": ratios,
         "host_factor": host_factor,
+        "micro_ms_epoch": micro_ms_epoch,
     }
 
 
@@ -260,32 +290,37 @@ def main() -> None:
     failures: dict[str, str] = {}
     loads: list[float] = []  # 1-min loadavg sampled per rep
     ncpu = os.cpu_count() or 1
-    # per-query epoch micro-probe: the same frozen ~40 ms plan timed
-    # immediately before each query's rep loop.  The suite-level
-    # calibration catches a WHOLE-RUN epoch shift; this catches the
-    # mid-run flicker observed r9 (gopher_filter convergence-accepted
-    # at 7.5 s because BOTH its fast reps landed inside a dip the
-    # suite-level probes, run 10 minutes earlier, never saw).  A
-    # reader divides a suspicious query's probe_ms by the run median
-    # to see the throughput state of its exact slot.
-    def _micro_probe() -> float:
-        t0 = time.monotonic()
-        spark.range(5_000_000).selectExpr("sum(id)").collect()
-        return round((time.monotonic() - t0) * 1000, 1)
+    # per-rep slot brackets (r9 VERDICT next-round #3): the frozen
+    # ~40 ms micro probe is timed BETWEEN every rep, so each rep i is
+    # bracketed by (probe before, probe after).  The suite-level
+    # calibration catches a WHOLE-RUN epoch shift; the brackets catch
+    # the mid-run flicker observed r9 (gopher_filter
+    # convergence-accepted at 7.5 s because BOTH its fast reps landed
+    # inside a dip the suite-level probes, run 10 minutes earlier,
+    # never saw).  A rep is SLOT-HEALTHY iff its bracket max reads
+    # <= 2x this run's own micro_ms_epoch; convergence acceptance
+    # requires the two fastest reps to agree within 20% AND both be
+    # slot-healthy — a rep pair inside a deeper dip keeps re-running
+    # (up to max_reps, then "unconverged").
+    micro_ms_epoch = calibration["micro_ms_epoch"]
+    dip_gate = 2.0 * micro_ms_epoch
 
     probe_ms: dict[str, float] = {}
+    slot_factor: dict[str, float] = {}
+    normalized: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = qs[name]
         times: list[float] = []
+        brackets: list[float] = []  # per rep: max(probe before, after)
         rep_loads: list[float] = []
         failed = False
-        probe_ms[name] = _micro_probe()
         if name in WARMUP_FIRST_REP:
             try:
                 fn(spark, SF_DIR).collect()
                 spark.catalog.clearCache()
             except Exception:
                 pass  # the timed loop will surface the failure
+        p_prev = _micro_probe(spark)
         while True:
             load_now = round(os.getloadavg()[0], 1)
             loads.append(load_now)
@@ -303,29 +338,52 @@ def main() -> None:
             # queries are independent requests: drop any caches a query
             # built so one rep's memory doesn't skew the next timing
             spark.catalog.clearCache()
+            p_now = _micro_probe(spark)
+            brackets.append(max(p_prev, p_now))
+            p_prev = p_now
             if len(times) >= reps:
                 # REPS=1 (min-of-1, supported for quick smoke runs) has no
                 # second rep to converge against — accept the single rep
                 if len(times) < 2:
                     break
-                fastest_two = sorted(times)[:2]
-                if fastest_two[1] <= 1.2 * fastest_two[0]:
+                order = sorted(range(len(times)), key=times.__getitem__)
+                f0, f1 = order[0], order[1]
+                agree = times[f1] <= 1.2 * times[f0]
+                healthy = (brackets[f0] <= dip_gate
+                           and brackets[f1] <= dip_gate)
+                if agree and healthy:
                     break
                 if len(times) >= max_reps:
                     unconverged.append(name)
                     break
         if times and not failed:
-            best = min(times)
+            win = min(range(len(times)), key=times.__getitem__)
+            best = times[win]
             timings[name] = round(best, 3)
             # spread = max-min across reps: how much ambient noise this
             # box added; large spread means read the min, not the mean
             spreads[name] = round(max(times) - best, 3)
             reps_used[name] = len(times)
-            min_rep_load[name] = rep_loads[times.index(best)]
+            min_rep_load[name] = rep_loads[win]
+            # slot state at the WINNING rep: its bracket max vs this
+            # run's epoch micro reference.  Clamped at 1.0 — a probe
+            # luckier than the epoch must not inflate the query.
+            probe_ms[name] = brackets[win]
+            slot_factor[name] = round(
+                max(1.0, brackets[win] / micro_ms_epoch), 2
+            )
+            # host+slot-normalized seconds: what this query would read
+            # on the healthy-epoch pinned host with no mid-run flicker —
+            # the number to compare across BENCH_r{N} artifacts
+            normalized[name] = round(
+                best / (calibration["host_factor"] * slot_factor[name]), 3
+            )
             flag = " UNCONVERGED" if name in unconverged else ""
             print(
-                f"# {name}: {timings[name]}s (+{spreads[name]}s spread, "
-                f"{len(times)} reps, {n} rows){flag}", file=sys.stderr,
+                f"# {name}: {timings[name]}s (norm {normalized[name]}s, "
+                f"+{spreads[name]}s spread, {len(times)} reps, "
+                f"slot x{slot_factor[name]}, {n} rows){flag}",
+                file=sys.stderr,
             )
 
     total = round(sum(timings.values()), 3)
@@ -367,10 +425,15 @@ def main() -> None:
         "value_host_normalized": round(
             total / calibration["host_factor"], 3
         ) if calibration["host_factor"] > 0 else None,
+        # host+slot-normalized total (sum of queries_normalized): also
+        # discounts mid-run flicker at each query's winning rep
+        "value_slot_normalized": round(sum(normalized.values()), 3),
         "calibration": calibration,
         "git_sha": git_sha,
         "git_dirty": dirty,
         "queries": timings,
+        "queries_normalized": normalized,
+        "slot_factor": slot_factor,
         "spread": spreads,
         "reps": reps,
         "max_reps": max_reps,
@@ -407,6 +470,10 @@ def main() -> None:
     # keep this line comfortably under the driver's ~2 KB stdout tail:
     # 72 query entries ≈ 1.8 KB, so per-probe detail stays in
     # BENCH_LOCAL.json and only the scalar factors ride along
+    # per-query values in the driver artifact are the HOST+SLOT
+    # NORMALIZED seconds (r9 VERDICT next-round #3: a judge comparing
+    # BENCH_r10 to BENCH_r9 per-query should not need solo re-runs);
+    # raw per-query seconds live in BENCH_LOCAL.json ("queries")
     compact = {
         "metric": "suite-sec",
         "value": total,
@@ -414,8 +481,9 @@ def main() -> None:
         "sf": sf,
         "host_factor": calibration["host_factor"],
         "norm_value": result["value_host_normalized"],
+        "queries_are": "normalized(host*slot); raw in BENCH_LOCAL.json",
         "unconverged": unconverged,
-        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "queries": {k: round(v, 2) for k, v in normalized.items()},
     }
     if failures:
         compact["failed"] = sorted(failures)
