@@ -1624,14 +1624,20 @@ def q_image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual image near-dup (pipeline/multimodal.py::image_dhash /
     image_neardup_pairs — the multimodal analog of url_dedup): synthetic
     gradient BMPs with near-dup clusters by construction (ids sharing
-    id%50 draw the same pattern; ids with id%3==0 add a 3x3 corner
-    bump) are ENCODED, really DECODED, dHashed with exact integer
-    arithmetic in the Arrow decode kernel, and paired via the banded
-    Hamming-LSH the SimHash text path uses. The oracle recomputes the
-    identical hash arithmetically from the pattern recipe (integer box
-    sums + cross-multiplication — no decode, no floats) and reproduces
-    the 4x16-bit chunk bucketing, so the decode, the hash, AND the LSH
-    recall surface are all verified."""
+    the mixed group key draw the same pattern; ids with id%3==0 add a
+    3x3 corner bump) are ENCODED, really DECODED, dHashed with exact
+    integer arithmetic in the Arrow decode kernel, and paired via the
+    banded Hamming-LSH the SimHash text path uses. The oracle recomputes
+    the identical hash arithmetically from the pattern recipe (integer
+    box sums + cross-multiplication — no decode, no floats) and
+    reproduces the 4x16-bit chunk bucketing, so the decode, the hash,
+    AND the LSH recall surface are all verified.
+
+    Cluster count scales with the corpus (groups = max(50, n/10), ~10
+    docs per near-dup cluster at any SF and on the replica ladders), so
+    the pair volume — and the operator's work — stays LINEAR in the
+    corpus; a fixed group count would make the output quadratic by
+    construction and the scaling ladder meaningless."""
     from graphite_clickhouse_spark.pipeline.multimodal import (
         image_neardup_pairs,
         synthetic_pattern_bmp_assets,
@@ -1639,21 +1645,27 @@ def q_image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphite_clickhouse_spark.sources.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    assets = synthetic_pattern_bmp_assets(docs)
+    groups = max(50, docs.count() // 10)
+    assets = synthetic_pattern_bmp_assets(docs, groups=groups)
     return image_neardup_pairs(assets, max_hamming=6)
 
 
 SQL_IMAGE_PHASH_PAIRS = """
-WITH dims AS (
-    SELECT doc_id, doc_id % 50 AS gid,
-           24 + (doc_id % 50) % 13 AS w,
-           16 + (doc_id % 50) % 9 AS h
-    FROM documents
+WITH g AS (
+    SELECT greatest(50, count(*) // 10) AS n_groups FROM documents
+), gids AS (
+    SELECT doc_id, ((doc_id * 40503) % 65536) % g.n_groups AS gid
+    FROM documents, g
+), dims AS (  -- CRT over coprime (29,17,11,13): unique signature per gid
+    SELECT doc_id, gid,
+           24 + gid % 29 AS w, 16 + gid % 17 AS h,
+           1 + gid % 11 AS sx, 1 + gid % 13 AS sy
+    FROM gids
 ), boxes AS (  -- 72 integer box sums of the 9x8 area partition; the
                -- pixel value is the generator recipe, not a decode
     SELECT doc_id,
            [ {'s': list_sum([ list_sum([
-                  (7*x + 13*y + 31*gid
+                  (sx*x*x + sy*y*y + 31*gid
                    + CASE WHEN doc_id % 3 = 0 AND x < 3 AND y < 3
                           THEN 40 ELSE 0 END) % 256
                  FOR y IN range(((b//9)*h)//8, ((b//9)+1)*h//8) ])

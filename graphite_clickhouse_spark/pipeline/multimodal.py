@@ -236,14 +236,37 @@ def synthetic_pattern_bmp_assets(
     ids: DataFrame, id_col: str = "doc_id", groups: int = 50
 ) -> DataFrame:
     """Structured synthetic BMPs for the perceptual-hash contract: ids
-    sharing ``id % groups`` draw the SAME deterministic gradient pattern
-    and dimensions (near-dup clusters by construction), and ids with
-    ``id % 3 == 0`` add a small bright corner bump (+40 over the 3x3
-    top-left corner, pre-modulo) — a few dHash bits of distance, the
-    re-encode/retouch analog. Pixel p(x, y) = (7x + 13y + 31*gid
-    [+ 40 if bump and x<3 and y<3]) % 256, W = 24 + gid%13,
-    H = 16 + gid%9, gray as equal RGB channels. Every quantity is
-    integer arithmetic an SQL oracle reproduces without decoding."""
+    sharing gid = (id * 40503 % 65536) % groups draw the SAME
+    deterministic gradient pattern and dimensions (near-dup clusters by
+    construction), and ids with ``id % 3 == 0`` add a small bright
+    corner bump (+40 over the 3x3 top-left corner, pre-modulo) — a few
+    dHash bits of distance, the re-encode/retouch analog. Pixel
+    p(x, y) = ((1 + gid%11)*x*x + (1 + gid%13)*y*y + 31*gid
+    [+ 40 if bump and x<3 and y<3]) % 256, W = 24 + gid%29,
+    H = 16 + gid%17, gray as equal RGB channels. Every quantity is
+    integer arithmetic an SQL oracle reproduces without decoding.
+
+    Why this shape: dHash is brightness-invariant, so groups differing
+    only in the constant 31*gid term collapse into one cluster — the
+    dims and curvature coefficients vary per group, and the (29, 17,
+    11, 13) moduli are pairwise-coprime primes with product > 65536, so
+    by CRT every gid in the mix space has a UNIQUE signature. The
+    QUADRATIC terms matter too: a linear gradient that never wraps mod
+    256 is monotone along x, every left>right comparison is false, and
+    the whole group degenerates to hash 0 (measured: 233 of 5000 docs
+    shared hash 0 with linear slopes) — x^2 steps wrap many times at
+    every W, so box means oscillate and groups hash apart. Clusters
+    then stay ~corpus/groups sized at every ladder rung.
+
+    The multiplicative id mix (Fibonacci-hash style, 16-bit space)
+    exists for the scaling ladders: replica corpora offset doc_id by
+    k * 1e9, and a bare ``id % groups`` would map every replica of a
+    document into ITS OWN group (1e9 ≡ 0 mod the usual group counts) —
+    cluster sizes, and therefore pair volume, would grow quadratically
+    by construction. The mix scatters replicas across groups, so a
+    caller scaling ``groups`` with corpus size keeps cluster sizes (and
+    the operator's output) linear. Group count saturates at the 65536
+    mix space."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -255,11 +278,11 @@ def synthetic_pattern_bmp_assets(
                    "meta": []}
             for i in pdf[id_col]:
                 i = int(i)
-                gid = i % groups
-                w, h = 24 + gid % 13, 16 + gid % 9
+                gid = (i * 40503 % 65536) % groups
+                w, h = 24 + gid % 29, 16 + gid % 17
                 x = np.arange(w, dtype=np.int64)[None, :]
                 y = np.arange(h, dtype=np.int64)[:, None]
-                p = 7 * x + 13 * y + 31 * gid
+                p = (1 + gid % 11) * x * x + (1 + gid % 13) * y * y + 31 * gid
                 if i % 3 == 0:
                     p[:3, :3] += 40
                 gray = (p % 256).astype(np.uint8)

@@ -50,7 +50,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 BASE_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-SCALES = (10, 100)
+#: decade rungs; "10,100,1000" adds the third decade (r9 VERDICT
+#: next-round #7 — pin the span family's exponent before trusting it at
+#: 100 TB). 1000x replica corpora build chunked (see build_docs_replica).
+SCALES = tuple(
+    int(x) for x in os.environ.get(
+        "SPARK_GRAFT_SCALE_DECADES", "10,100"
+    ).split(",") if x
+)
 REPS = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
 
 #: the four worst 10x scalers from BENCH_SCALING.md — all pure
@@ -80,12 +87,16 @@ _STRIDES = list(range(1, len(_POOL)))
 
 
 def replica_mapping(k: int) -> tuple[str, str]:
-    """Injective letter substitution for replica k; distinct mappings for
-    all k < lcm(31, 30) = 930."""
+    """Injective letter substitution for replica k; distinct mappings
+    for all k < 930 via the (offset, stride) pair, and the k // 930
+    offset phase keeps them distinct through the 1000x third decade
+    (930 * 13 % 31 == 0, so without the phase k and k + 930 would share
+    a mapping and hand ~70 replica pairs manufactured exact duplicates
+    at 1000x — pair counts would inflate by construction)."""
     if k == 0:
         return "", ""  # replica 0: verbatim
     n = len(_POOL)
-    off = (k * 13) % n
+    off = (k * 13 + k // 930) % n
     stride = _STRIDES[k % len(_STRIDES)]
     to = "".join(_POOL[(off + i * stride) % n] for i in range(len(_SRC)))
     assert len(set(to)) == len(_SRC)  # injective within the mapping
@@ -111,19 +122,28 @@ def build_docs_replica(spark, scale: int) -> None:
             os.symlink(os.path.join(BASE_SF, f"{name}.parquet"), dst)
             continue
         df = load_table(spark, BASE_SF, "documents")
-        parts = []
-        for k in range(scale):
-            d = df.withColumn("doc_id", F.col("doc_id") + F.lit(k * 10**9))
-            src, to = replica_mapping(k)
-            if src:
-                d = d.withColumn("text", F.translate("text", src, to))
-            parts.append(d)
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        # multiple output splits: a single-file corpus serializes the
-        # CPU-bound per-gram hashing stage (measured 5x in r4)
-        out.repartition(32).write.mode("overwrite").parquet(dst)
+        # chunked build: a single union of 1000 children is a plan
+        # Catalyst takes minutes to analyze; 100-replica chunks appended
+        # sequentially keep plan size flat at any decade
+        chunk = 100
+        first = True
+        for base_k in range(0, scale, chunk):
+            parts = []
+            for k in range(base_k, min(base_k + chunk, scale)):
+                d = df.withColumn("doc_id", F.col("doc_id") + F.lit(k * 10**9))
+                src, to = replica_mapping(k)
+                if src:
+                    d = d.withColumn("text", F.translate("text", src, to))
+                parts.append(d)
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            # multiple output splits: a single-file corpus serializes the
+            # CPU-bound per-gram hashing stage (measured 5x in r4)
+            out.repartition(32).write.mode(
+                "overwrite" if first else "append"
+            ).parquet(dst)
+            first = False
         print(f"# built documents {scale}x -> {dst}", file=sys.stderr)
 
 
@@ -189,38 +209,41 @@ def main() -> None:
 
     # warm-state symmetry: base, ladder up, base again; elementwise min
     t1, r1 = time_suite(spark, qs, BASE_SF, "1x")
-    t10, r10 = time_suite(spark, qs, scale_dir(10), "10x")
-    t100, r100 = time_suite(spark, qs, scale_dir(100), "100x")
+    per_scale_t: dict[int, dict] = {}
+    per_scale_r: dict[int, dict] = {}
+    for scale in SCALES:
+        per_scale_t[scale], per_scale_r[scale] = time_suite(
+            spark, qs, scale_dir(scale), f"{scale}x"
+        )
     t1b, _ = time_suite(spark, qs, BASE_SF, "1x-rewarm")
     t1 = {
         n: min(t1.get(n, float("inf")), t1b.get(n, float("inf")))
         for n in PAIR_QUERIES
         if n in t1 or n in t1b
     }
-    decade1 = {
-        n: round(t10[n] / t1[n], 2)
-        for n in PAIR_QUERIES if n in t1 and n in t10 and t1[n] > 0
-    }
-    decade2 = {
-        n: round(t100[n] / t10[n], 2)
-        for n in PAIR_QUERIES if n in t10 and n in t100 and t10[n] > 0
-    }
     result = {
-        "axis": "documents (1x / 10x / 100x corpus, injective per-replica "
-                "letter substitution; spine tables symlinked)",
+        "axis": "documents (1x"
+                + "".join(f" / {s}x" for s in SCALES)
+                + " corpus, injective per-replica letter substitution; "
+                "spine tables symlinked)",
         "scales": list(SCALES),
         "reps": REPS,
         "base_sf_dir": BASE_SF,
         "sec_1x": t1,
-        "sec_10x": t10,
-        "sec_100x": t100,
         "rows_1x": r1,
-        "rows_10x": r10,
-        "rows_100x": r100,
-        "decade1_ratio_10x_over_1x": decade1,
-        "decade2_ratio_100x_over_10x": decade2,
         "loadavg": round(os.getloadavg()[0], 1),
     }
+    prev_scale, prev_t = 1, t1
+    for d, scale in enumerate(SCALES, 1):
+        ts, rs = per_scale_t[scale], per_scale_r[scale]
+        result[f"sec_{scale}x"] = ts
+        result[f"rows_{scale}x"] = rs
+        result[f"decade{d}_ratio_{scale}x_over_{prev_scale}x"] = {
+            n: round(ts[n] / prev_t[n], 2)
+            for n in PAIR_QUERIES
+            if n in prev_t and n in ts and prev_t[n] > 0
+        }
+        prev_scale, prev_t = scale, ts
     result["queries"] = PAIR_QUERIES
     result["action"] = ACTION
     spark.stop()
