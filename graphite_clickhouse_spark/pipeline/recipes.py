@@ -3,9 +3,10 @@ training-data pipeline runs them.
 
 The individual operators (pipeline/{text,classifier,dedup,sampling}) are
 each oracle-verified in isolation; `curate_corpus` is the composition a
-user actually ships: quality gate -> exact dedup -> MinHash near-dup
-clustering -> benchmark decontamination -> deterministic sampling, with
-a per-stage survivor report. Every stage is a DataFrame->DataFrame
+user actually ships: URL-level dedup (optional) -> quality gate -> exact
+dedup -> MinHash near-dup clustering -> benchmark decontamination ->
+per-domain cap (optional) -> deterministic sampling, with a per-stage
+survivor report. Every stage is a DataFrame->DataFrame
 transform, so the whole recipe stays one lazy plan per stage and scales
 exactly as its pieces do (the report's counts are the only actions).
 
@@ -47,6 +48,9 @@ def curate_corpus(
     quality_params: dict | None = None,
     minhash: dict | None = None,
     sample_rate: float | None = None,
+    url_col: str | None = None,
+    domain_cap_n: int | None = None,
+    domain_buckets: int = 16,
     salt: str = "",
     decontaminate_n: int = 8,
     checkpoint_dir: str | None = None,
@@ -66,12 +70,20 @@ def curate_corpus(
       for cluster runs).
     - decontamination: drop documents sharing any `decontaminate_n`-gram
       with `benchmark` (skipped when benchmark is None).
+    - URL stages (both need `url_col`): canonical-URL dedup runs FIRST
+      (the cheapest collapse — the same page refetched across snapshots
+      dies before any text work, one hash agg), and `domain_cap_n`
+      caps survivors per domain AFTER cleaning/dedup (FineWeb's
+      over-representation collapse applies to the cleaned population),
+      deterministically via the same salt.
     - sampling: consistent-hash `sample_rate` (skipped when None).
 
     `count_stages=False` skips the per-stage count actions (the report
     then records -1) — for production runs where only the output
     matters, the whole recipe becomes a single lazy plan.
     """
+    if domain_cap_n is not None and url_col is None:
+        raise ValueError("domain_cap_n requires url_col")
     result = CurationResult(kept=docs)
     cur = docs
 
@@ -81,6 +93,18 @@ def curate_corpus(
         else:
             result.stages.append((stage, -1, -1))
         return after
+
+    # 0. URL-level dedup: one hash aggregation on the canonical URL —
+    #    runs before everything (same-page refetches are the cheapest
+    #    rows to kill, and they'd otherwise inflate every later stage)
+    if url_col is not None:
+        from .urls import url_dedup
+
+        keep_urls = url_dedup(cur, url_col=url_col, id_col=id_col).select(
+            F.col("keep_id").alias(id_col)
+        )
+        cur = record("url_dedup", cur,
+                     cur.join(keep_urls, id_col, "left_semi"))
 
     # 1. quality gate (row-local: shrink before any shuffle)
     if quality_params is not None:
@@ -129,7 +153,19 @@ def curate_corpus(
         cur = record("decontaminate", cur,
                      cur.join(clean, id_col, "left_semi"))
 
-    # 5. deterministic sampling last: the rate applies to the cleaned
+    # 5. per-domain cap on the CLEANED population (capping before dedup
+    #    would let duplicates crowd out distinct pages within the cap)
+    if domain_cap_n is not None:
+        from .urls import domain_cap
+
+        cur = record(
+            "domain_cap", cur,
+            domain_cap(cur, cap=domain_cap_n, url_col=url_col,
+                       key_col=id_col, salt=salt,
+                       num_buckets=domain_buckets).drop("domain"),
+        )
+
+    # 6. deterministic sampling last: the rate applies to the cleaned
     #    population and stays reproducible anywhere
     if sample_rate is not None:
         cur = record(

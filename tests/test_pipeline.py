@@ -1278,6 +1278,42 @@ class TestCurationRecipe:
         assert all(i == -1 and o == -1 for _s, i, o in res.stages)
         assert res.kept.count() <= 10  # plan still executes
 
+    def test_url_stages(self, docs, spark):
+        """r10: the optional URL-level stages — canonical-URL dedup
+        first (same page refetched dies before any text work), domain
+        cap after cleaning — slot into the chain in FineWeb order."""
+        import pytest
+
+        from graphite_clickhouse_spark.pipeline.recipes import curate_corpus
+
+        base = [r["text"] for r in docs.select("text").limit(6).collect()]
+        rows = []
+        for i in range(40):
+            # 2 domains x 20 docs, and doc 0/1 share a canonical URL
+            url = ("http://d0.com/p/dup" if i < 2
+                   else f"http://d{i % 2}.com/p/{i}")
+            rows.append((i, url, base[i % len(base)] + f" tail{i}"))
+        corpus = spark.createDataFrame(rows, "doc_id long, url string, text string")
+        res = curate_corpus(
+            corpus,
+            minhash={"n": 2, "num_hashes": 16, "bands": 8, "threshold": 0.99},
+            url_col="url", domain_cap_n=5, salt="u",
+        )
+        stages = [s for s, _i, _o in res.stages]
+        assert stages == ["url_dedup", "quality", "exact_dedup",
+                          "near_dedup", "domain_cap"]
+        url_in, url_out = res.stages[0][1], res.stages[0][2]
+        assert (url_in, url_out) == (40, 39)     # the shared URL collapsed
+        kept = res.kept.collect()
+        assert 1 not in {r["doc_id"] for r in kept}  # later snapshot dropped
+        # at most 5 per domain, schema unchanged (no stray 'domain' col)
+        from collections import Counter
+        per_dom = Counter(r["url"].split("/")[2] for r in kept)
+        assert all(v <= 5 for v in per_dom.values())
+        assert set(res.kept.columns) == {"doc_id", "url", "text"}
+        with pytest.raises(ValueError):
+            curate_corpus(corpus, domain_cap_n=3)  # needs url_col
+
 
 class TestSourceOverlap:
     def test_planted_overlap_exact_jaccard(self, spark):

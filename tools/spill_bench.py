@@ -58,6 +58,10 @@ SPILL_QUERIES = [
     # r9: per-doc sorted position list + row-local segment fold — the
     # collect_set state is the same family as span_removal's
     "span_extents",
+    # r10: the perceptual-hash family's chunk-bucket self-join — the
+    # heaviest shuffle among the new operators (domain_cap is two tiny
+    # bounded aggs + a broadcast join; not spill-interesting)
+    "image_phash_pairs",
 ]
 
 
