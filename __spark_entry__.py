@@ -85,57 +85,58 @@ CONTRACT_INDEX: dict[str, tuple[int, str, str]] = {
     "simhash_pairs": (21, "w", "r8-"),
     "unigram_quality": (22, "w", "r8-"),
     "image_phash_pairs": (23, "w", "r10"),
-    "domain_cap": (24, "w", "r10"),
-    "c4_line_filter": (25, "w", "r10"),
-    "semantic_dedup": (26, "w", "r9"),
-    "render_resample_avg": (27, "w", "r8-"),
-    "render_baseline_shape": (28, "w", "r8-"),
-    "render_baseline_unagg": (29, "w", "r8-"),
-    "render_resample_multi": (30, "w", "r8-"),
-    "render_unaggregated": (31, "w", "r8-"),
-    "version_dedup": (32, "w", "r8-"),
-    "storage_merge": (33, "w", "r8-"),
-    "consolidate_last": (34, "w", "r8-"),
-    "find_glob": (35, "w", "r8-"),
-    "index_tree": (36, "w", "r8-"),
-    "tagged_find": (37, "w", "r9"),
-    "tpch_q1": (38, "w", "r8-"),
-    "topk_orders_per_segment": (39, "w", "r8-"),
-    "promql_range_select": (40, "w", "r8-"),
-    "dup_spans": (41, "w", "r9"),
-    "span_removal": (42, "w", "r9"),
-    "span_extents": (43, "w", "r9"),
-    "url_dedup": (44, "w", "r9"),
-    "domain_stats": (45, "w", "r9"),
-    "html_extract": (46, "w", "r9"),
-    "semi_join_urgent": (47, "w", "r8-"),
-    "multimodal_bmp_decode": (48, "w", "r9"),
-    "multimodal_jpeg_decode": (49, "w", "r9"),
-    "bigram_quality": (50, "w", "r9"),
-    "autocomplete_values": (51, "t", "r8-"),
-    "autocomplete_tags": (52, "t", "r8-"),
-    "prom_label_values": (53, "t", "r8-"),
-    "multimodal_features": (54, "t", "r9"),
-    "multimodal_wav_decode": (55, "t", "r9"),
-    "lang_id": (56, "t", "r8-"),
-    "fingerprint": (57, "t", "r8-"),
-    "token_count": (58, "t", "r8-"),
-    "sample_deterministic": (59, "t", "r8-"),
-    "mix_sources": (60, "t", "r8-"),
-    "dedup_exact": (61, "t", "r8-"),
-    "decontaminate": (62, "t", "r8-"),
-    "text_quality": (63, "t", "r8-"),
-    "tfidf_top_terms": (64, "t", "r8-"),
-    "text_clean": (65, "t", "r8-"),
-    "quality_classifier": (66, "t", "r8-"),
-    "tagbrowse_list": (67, "t", "r8-"),
-    "pack_sequences": (68, "t", "r8-"),
-    "budget_mix": (69, "t", "r8-"),
-    "dsir_weight": (70, "t", "r8-"),
-    "ccnet_partition": (71, "t", "r8-"),
-    "pii_scrub": (72, "t", "r8-"),
-    "tagger_rules": (73, "t", "r8-"),
-    "prom_plain_bridge": (74, "t", "r8-"),
+    "audio_phash_pairs": (24, "w", "r10"),
+    "domain_cap": (25, "w", "r10"),
+    "c4_line_filter": (26, "w", "r10"),
+    "semantic_dedup": (27, "w", "r9"),
+    "render_resample_avg": (28, "w", "r8-"),
+    "render_baseline_shape": (29, "w", "r8-"),
+    "render_baseline_unagg": (30, "w", "r8-"),
+    "render_resample_multi": (31, "w", "r8-"),
+    "render_unaggregated": (32, "w", "r8-"),
+    "version_dedup": (33, "w", "r8-"),
+    "storage_merge": (34, "w", "r8-"),
+    "consolidate_last": (35, "w", "r8-"),
+    "find_glob": (36, "w", "r8-"),
+    "index_tree": (37, "w", "r8-"),
+    "tagged_find": (38, "w", "r9"),
+    "tpch_q1": (39, "w", "r8-"),
+    "topk_orders_per_segment": (40, "w", "r8-"),
+    "promql_range_select": (41, "w", "r8-"),
+    "dup_spans": (42, "w", "r9"),
+    "span_removal": (43, "w", "r9"),
+    "span_extents": (44, "w", "r9"),
+    "url_dedup": (45, "w", "r9"),
+    "domain_stats": (46, "w", "r9"),
+    "html_extract": (47, "w", "r9"),
+    "semi_join_urgent": (48, "w", "r8-"),
+    "multimodal_bmp_decode": (49, "w", "r9"),
+    "multimodal_jpeg_decode": (50, "w", "r9"),
+    "bigram_quality": (51, "t", "r9"),
+    "autocomplete_values": (52, "t", "r8-"),
+    "autocomplete_tags": (53, "t", "r8-"),
+    "prom_label_values": (54, "t", "r8-"),
+    "multimodal_features": (55, "t", "r9"),
+    "multimodal_wav_decode": (56, "t", "r9"),
+    "lang_id": (57, "t", "r8-"),
+    "fingerprint": (58, "t", "r8-"),
+    "token_count": (59, "t", "r8-"),
+    "sample_deterministic": (60, "t", "r8-"),
+    "mix_sources": (61, "t", "r8-"),
+    "dedup_exact": (62, "t", "r8-"),
+    "decontaminate": (63, "t", "r8-"),
+    "text_quality": (64, "t", "r8-"),
+    "tfidf_top_terms": (65, "t", "r8-"),
+    "text_clean": (66, "t", "r8-"),
+    "quality_classifier": (67, "t", "r8-"),
+    "tagbrowse_list": (68, "t", "r8-"),
+    "pack_sequences": (69, "t", "r8-"),
+    "budget_mix": (70, "t", "r8-"),
+    "dsir_weight": (71, "t", "r8-"),
+    "ccnet_partition": (72, "t", "r8-"),
+    "pii_scrub": (73, "t", "r8-"),
+    "tagger_rules": (74, "t", "r8-"),
+    "prom_plain_bridge": (75, "t", "r8-"),
 }
 
 
@@ -1690,6 +1691,76 @@ WITH g AS (
              FOR k IN range(64) ]) AS BIGINT) AS h
     FROM boxes
 ), chunks AS (  -- the 4x16-bit Hamming-LSH bands of simhash_near_pairs
+    SELECT doc_id, h, c, (h >> (16 * c)) & 65535 AS key
+    FROM hashes, (SELECT unnest(range(4)) AS c) t
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
+FROM chunks a JOIN chunks b
+  ON a.c = b.c AND a.key = b.key AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.h, b.h)) <= 6
+"""
+
+
+def q_audio_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio perceptual near-dup (pipeline/multimodal.py::audio_dhash /
+    audio_neardup_pairs — the audio sibling of image_phash_pairs):
+    synthetic quadratic-chirp WAVs with near-dup clusters by
+    construction (ids sharing the mixed group key draw the same signal;
+    ids with id%3==0 bump the first 10 samples) are ENCODED, really
+    DECODED (PCM WAV), envelope-dHashed with exact integer arithmetic,
+    and paired via the banded Hamming-LSH. The oracle recomputes the
+    identical hash arithmetically from the signal recipe (integer
+    |sample| box sums + cross-multiplication) and reproduces the chunk
+    bucketing. Cluster count scales with the corpus like the image
+    contract (groups = max(50, n/10)) so pair volume stays linear."""
+    from graphite_clickhouse_spark.pipeline.multimodal import (
+        audio_neardup_pairs,
+        synthetic_pattern_wav_assets,
+    )
+    from graphite_clickhouse_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    groups = max(50, docs.count() // 10)
+    assets = synthetic_pattern_wav_assets(docs, groups=groups)
+    return audio_neardup_pairs(assets, max_hamming=6)
+
+
+SQL_AUDIO_PHASH_PAIRS = """
+WITH g AS (
+    SELECT greatest(50, count(*) // 10) AS n_groups FROM documents
+), gids AS (
+    SELECT doc_id, ((doc_id * 40503) % 65536) % g.n_groups AS gid
+    FROM documents, g
+), sig AS (
+    SELECT doc_id, gid,
+           520 + (gid % 23) * 8 AS n,
+           1 + gid % 7 AS a, 1 + gid % 11 AS b
+    FROM gids
+), boxes AS (  -- 65 integer |sample| sums of the envelope partition;
+               -- the sample value is the generator recipe, not a decode
+    SELECT doc_id,
+           [ {'s': list_sum([ abs(
+                  (a*i*i + b*i + 17*gid
+                   + CASE WHEN doc_id % 3 = 0 AND i < 10
+                          THEN 300 ELSE 0 END) % 4096 - 2048)
+                 FOR i IN range((j*n)//65, ((j+1)*n)//65) ]),
+              'c': ((j+1)*n)//65 - (j*n)//65}
+             FOR j IN range(65) ] AS bx
+    FROM sig
+), hashes AS (  -- bit k: mean|box k| > mean|box k+1|, exact integer
+                -- cross-multiplication (gain-invariant)
+    SELECT doc_id,
+           CAST(list_sum([
+               CASE WHEN bx[k + 1]['s'] * bx[k + 2]['c']
+                       > bx[k + 2]['s'] * bx[k + 1]['c']
+                    THEN CASE WHEN k = 63
+                              THEN (-9223372036854775807::BIGINT - 1)
+                              ELSE (1::BIGINT << k) END
+                    ELSE 0::BIGINT END
+             FOR k IN range(64) ]) AS BIGINT) AS h
+    FROM boxes
+), chunks AS (
     SELECT doc_id, h, c, (h >> (16 * c)) & 65535 AS key
     FROM hashes, (SELECT unnest(range(4)) AS c) t
 )
@@ -3649,6 +3720,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # NEW in r10 (must earn driver rows): perceptual image near-dup +
     # the deterministic per-domain cap
     "image_phash_pairs": (q_image_phash_pairs, SQL_IMAGE_PHASH_PAIRS),
+    "audio_phash_pairs": (q_audio_phash_pairs, SQL_AUDIO_PHASH_PAIRS),
     "domain_cap": (q_domain_cap, SQL_DOMAIN_CAP),
     # r10-touched (pipeline/text.py C4 fidelity) -> in-window
     "c4_line_filter": (q_c4_line_filter, SQL_C4_LINE_FILTER),
@@ -3678,7 +3750,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "semi_join_urgent": (q_semi_join_urgent, SQL_SEMI_JOIN_URGENT),
     "multimodal_bmp_decode": (q_multimodal_bmp_decode, SQL_MULTIMODAL_BMP_DECODE),
     "multimodal_jpeg_decode": (q_multimodal_jpeg_decode, SQL_MULTIMODAL_JPEG_DECODE),
-    "bigram_quality": (q_bigram_quality, SQL_BIGRAM_QUALITY),
     # ------------------------------------------------------------------
     # STABLE TAIL (positions 50+, outside the driver's recording window;
     # tools/correctness_local.py re-verifies ALL entries each round and
@@ -3691,6 +3762,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # sf0.001 is pinned, so a semantic edit to a shared module forces
     # the query back into the window (r5 judge finding #1).
     # ------------------------------------------------------------------
+    # r9-window-green, r10-untouched; displaced by audio_phash_pairs
+    "bigram_quality": (q_bigram_quality, SQL_BIGRAM_QUALITY),
     "autocomplete_values": (q_autocomplete_values, SQL_AUTOCOMPLETE_VALUES),
     "autocomplete_tags": (q_autocomplete_tags, SQL_AUTOCOMPLETE_TAGS),
     "prom_label_values": (q_prom_label_values, SQL_PROM_LABEL_VALUES),

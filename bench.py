@@ -129,6 +129,7 @@ BENCH_QUERIES = [
     "multimodal_jpeg_decode",
     "multimodal_wav_decode",
     "image_phash_pairs",
+    "audio_phash_pairs",
 ]
 
 

@@ -207,6 +207,135 @@ def image_dhash(assets: DataFrame) -> DataFrame:
     return assets.mapInPandas(kernel, "asset_id long, dhash long")
 
 
+def _audio_dhash_from_samples(samples) -> int | None:
+    """64-bit energy-envelope dHash for audio — the image dHash's
+    one-dimensional sibling, with the same exact-integer portability:
+
+    - envelope: integer |sample| sums over a 65-box partition of the
+      stream (edges j*n//65 — every sample in exactly one box);
+    - bit j = mean|box j| > mean|box j+1|, as the integer
+      cross-multiplication S_l*C_r > S_r*C_l (no division, no floats —
+      invariant to uniform GAIN, the audio analog of brightness);
+    - 64 bits packed little-endian into a signed long.
+
+    Unlike the image hash this is NOT offset-invariant (abs() breaks
+    shift symmetry) — a DC-offset re-encode moves a few bits, which is
+    the near-dup behavior wanted. Streams shorter than 65 samples
+    return None."""
+    import numpy as np
+
+    s = np.abs(np.asarray(samples, dtype=np.int64))
+    n = s.shape[0]
+    if n < 65:
+        return None
+    edges = [(j * n) // 65 for j in range(66)]
+    sums = np.array([int(s[edges[j]:edges[j + 1]].sum()) for j in range(65)],
+                    dtype=np.int64)
+    cnts = np.array([edges[j + 1] - edges[j] for j in range(65)],
+                    dtype=np.int64)
+    bits = (sums[:64] * cnts[1:]) > (sums[1:] * cnts[:64])
+    val = 0
+    for k, b in enumerate(bits):
+        if b:
+            val |= 1 << k
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+def audio_dhash(assets: DataFrame) -> DataFrame:
+    """Perceptual hash per audio asset: real PCM WAV decode + 65-box
+    energy-envelope dHash, Arrow-batched like image_dhash.
+
+    -> (asset_id long, dhash long); NULL for non-WAV / corrupt /
+    sub-65-sample payloads."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import codecs
+
+        for pdf in batches:
+            ids, hashes = [], []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                payload = bytes(payload) if payload is not None else b""
+                h = None
+                if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+                    try:
+                        _rate, samples = codecs.decode_wav(payload)
+                        h = _audio_dhash_from_samples(samples)
+                    except Exception:  # noqa: BLE001 — corrupt: skip
+                        h = None
+                ids.append(aid)
+                hashes.append(h)
+            yield pd.DataFrame(
+                {"asset_id": ids,
+                 "dhash": pd.array(hashes, dtype=pd.Int64Dtype())}
+            )
+
+    return assets.mapInPandas(kernel, "asset_id long, dhash long")
+
+
+def audio_neardup_pairs(assets: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Audio near-duplicate pairs — same banded Hamming-LSH composition
+    as image_neardup_pairs (4 x 16-bit chunks over the envelope dHash);
+    collapses the same clip re-encoded / gain-scaled / lightly retouched.
+    100 TB shape identical to the image path: one Arrow decode pass,
+    chunk-bucketed self-join, no all-pairs."""
+    from .dedup import simhash_near_pairs
+
+    hashes = audio_dhash(assets).filter(F.col("dhash").isNotNull())
+    pairs = simhash_near_pairs(
+        hashes.select(F.col("asset_id").alias("id"),
+                      F.col("dhash").alias("simhash")),
+        max_hamming=max_hamming,
+    )
+    return pairs.select("id_a", "id_b",
+                        F.col("hamming").cast("int").alias("hamming"))
+
+
+def synthetic_pattern_wav_assets(
+    ids: DataFrame, id_col: str = "doc_id", groups: int = 50,
+    rate: int = 8000,
+) -> DataFrame:
+    """Structured synthetic WAVs for the audio perceptual-hash contract
+    (the audio sibling of synthetic_pattern_bmp_assets): ids sharing
+    gid = (id * 40503 % 65536) % groups draw the same signal, ids with
+    id % 3 == 0 add a +300 bump over the first 10 samples (pre-modulo)
+    — zero-to-a-few envelope bits depending on the signal (many bumped
+    copies hash identically: hamming-0 pairs), the re-encode/retouch
+    analog.
+    s[i] = ((1 + gid%7)*i*i + (1 + gid%11)*i + 17*gid) % 4096 - 2048,
+    n = 520 + (gid % 23) * 8 samples. The quadratic term wraps mod 4096
+    many times at every n (a monotone ramp would hash whole groups to a
+    degenerate constant — the image-lesson), and abs() breaks shift
+    symmetry so even the 17*gid offset differentiates groups. Every
+    quantity is integer arithmetic an SQL oracle reproduces without
+    decoding."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from graphite_clickhouse_spark.pipeline import codecs
+
+        for pdf in batches:
+            out = {"asset_id": [], "modality": [], "mime": [], "payload": [],
+                   "meta": []}
+            for i in pdf[id_col]:
+                i = int(i)
+                gid = (i * 40503 % 65536) % groups
+                n = 520 + (gid % 23) * 8
+                idx = np.arange(n, dtype=np.int64)
+                s = (1 + gid % 7) * idx * idx + (1 + gid % 11) * idx + 17 * gid
+                if i % 3 == 0:
+                    s[:10] += 300
+                samples = (s % 4096 - 2048).astype(np.int16)
+                out["asset_id"].append(i)
+                out["modality"].append("audio")
+                out["mime"].append("audio/wav")
+                out["payload"].append(codecs.encode_wav(samples, rate))
+                out["meta"].append({})
+            yield pd.DataFrame(out)
+
+    return ids.select(id_col).mapInPandas(kernel, ASSET_SCHEMA)
+
+
 def image_neardup_pairs(assets: DataFrame, max_hamming: int = 6) -> DataFrame:
     """Image-level near-duplicate pairs — the multimodal analog of
     url_dedup's same-page collapse: the same image re-encoded, slightly

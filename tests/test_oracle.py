@@ -142,13 +142,14 @@ def test_contract_registry_is_complete():
         # round-10 rotation (r9 VERDICT next-round #4 + the r9 ADVICE
         # medium item): the twenty-two r9 tail queries — including the
         # whole similarity family — moved back into the window for
-        # driver recertification; these twenty-four are each
+        # driver recertification; these twenty-five are each
         # driver-green in CORRECTNESS_r09.json with NO result-affecting
         # r10 code change (the r10 multimodal.py edit only ADDS
         # functions — multimodal_features/multimodal_wav_decode plans
         # are untouched). The content-aware fingerprint guard below
         # verifies the "no result-affecting change" claim mechanically —
         # any optimized-plan drift fails the build.
+        "bigram_quality",
         "autocomplete_values", "autocomplete_tags", "prom_label_values",
         "multimodal_features", "multimodal_wav_decode", "lang_id",
         "fingerprint", "token_count", "sample_deterministic",

@@ -560,6 +560,61 @@ class TestImagePerceptualHash:
         assert 0 < pairs.get((0, 2), 99) <= 6  # retouch within threshold
         assert not any(3 in p for p in pairs), "unrelated image paired"
 
+    def test_audio_dhash_gain_invariance_and_locality(self, spark):
+        import numpy as np
+
+        from graphite_clickhouse_spark.pipeline.codecs import encode_wav
+        from graphite_clickhouse_spark.pipeline.multimodal import (
+            ASSET_SCHEMA, audio_dhash,
+        )
+
+        idx = np.arange(600, dtype=np.int64)
+        base = (3 * idx * idx + 5 * idx) % 4096 - 2048
+        gained = base * 4                      # uniform gain
+        bumped = base.copy()
+        bumped[:30] += 1500                    # local retouch (boxes 0-3)
+        reversed_ = base[::-1].copy()          # structurally different
+        rows = [
+            (i, "audio", "audio/wav",
+             bytearray(encode_wav(a.astype(np.int16), 8000)), {})
+            for i, a in enumerate((base, gained, bumped, reversed_))
+        ] + [(9, "audio", "audio/wav", bytearray(b"RIFFxxxxWAVEbroken"), {}),
+             (10, "image", "image/bmp", bytearray(b"BMnope"), {})]
+        df = spark.createDataFrame(rows, ASSET_SCHEMA)
+        got = {r.asset_id: r.dhash for r in audio_dhash(df).collect()}
+        assert got[0] == got[1], "uniform gain must not change the hash"
+        d_bump = bin((got[0] ^ got[2]) & ((1 << 64) - 1)).count("1")
+        assert 0 < d_bump <= 6, f"local retouch moved {d_bump} bits"
+        d_rev = bin((got[0] ^ got[3]) & ((1 << 64) - 1)).count("1")
+        assert d_rev > 6
+        assert got[9] is None and got[10] is None
+
+    def test_audio_kernel_twin_matches(self):
+        """_audio_dhash_from_samples vs a from-scratch pure-Python twin
+        on random streams — pins the exact-integer envelope spec the
+        SQL oracle implements."""
+        import random
+
+        from graphite_clickhouse_spark.pipeline.multimodal import (
+            _audio_dhash_from_samples,
+        )
+
+        rng = random.Random(5)
+        for _ in range(20):
+            n = rng.randint(65, 900)
+            s = [rng.randint(-2048, 2047) for _ in range(n)]
+            edges = [(j * n) // 65 for j in range(66)]
+            sums = [sum(abs(x) for x in s[edges[j]:edges[j + 1]])
+                    for j in range(65)]
+            cnts = [edges[j + 1] - edges[j] for j in range(65)]
+            val = 0
+            for k in range(64):
+                if sums[k] * cnts[k + 1] > sums[k + 1] * cnts[k]:
+                    val |= 1 << k
+            expected = val - (1 << 64) if val >= (1 << 63) else val
+            assert _audio_dhash_from_samples(s) == expected
+        assert _audio_dhash_from_samples([1] * 64) is None  # sub-grid
+
     def test_kernel_twin_matches_spark(self, spark):
         """_dhash_from_pixels (kernel) vs a from-scratch pure-Python
         reimplementation on random images — guards the exact-integer
