@@ -121,6 +121,33 @@ def extract_features(assets: DataFrame, batch_hint: int = 1024) -> DataFrame:
     return assets.mapInPandas(kernel, FEATURE_SCHEMA)
 
 
+def _pack_bits_signed(bits) -> int:
+    """Pack an iterable of 64 booleans little-endian into a SIGNED
+    64-bit int (bit 63 -> two's complement) — the shared packing both
+    perceptual hashes and their SQL oracle twins implement."""
+    val = 0
+    for k, b in enumerate(bits):
+        if b:
+            val |= 1 << k
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+def _hash_neardup_pairs(hashes: DataFrame, max_hamming: int) -> DataFrame:
+    """Shared LSH composition for the perceptual-hash family: filter
+    NULL hashes, band via dedup.simhash_near_pairs (4 x 16-bit Hamming
+    chunks), emit (id_a, id_b, hamming int)."""
+    from .dedup import simhash_near_pairs
+
+    pairs = simhash_near_pairs(
+        hashes.filter(F.col("dhash").isNotNull()).select(
+            F.col("asset_id").alias("id"), F.col("dhash").alias("simhash")
+        ),
+        max_hamming=max_hamming,
+    )
+    return pairs.select("id_a", "id_b",
+                        F.col("hamming").cast("int").alias("hamming"))
+
+
 def _decode_pixels(payload: bytes):
     """Magic-byte dispatch to the real image decoders, returning the raw
     pixel array (h, w, channels) — or None for non-images / corrupt
@@ -176,11 +203,7 @@ def _dhash_from_pixels(px) -> int | None:
             s[j, i] = int(block.sum())
             area[j, i] = block.size
     bits = (s[:, :8] * area[:, 1:]) > (s[:, 1:] * area[:, :8])
-    val = 0
-    for k, b in enumerate(bits.reshape(-1)):
-        if b:
-            val |= 1 << k
-    return val - (1 << 64) if val >= (1 << 63) else val
+    return _pack_bits_signed(bits.reshape(-1))
 
 
 def image_dhash(assets: DataFrame) -> DataFrame:
@@ -234,11 +257,7 @@ def _audio_dhash_from_samples(samples) -> int | None:
     cnts = np.array([edges[j + 1] - edges[j] for j in range(65)],
                     dtype=np.int64)
     bits = (sums[:64] * cnts[1:]) > (sums[1:] * cnts[:64])
-    val = 0
-    for k, b in enumerate(bits):
-        if b:
-            val |= 1 << k
-    return val - (1 << 64) if val >= (1 << 63) else val
+    return _pack_bits_signed(bits)
 
 
 def audio_dhash(assets: DataFrame) -> DataFrame:
@@ -278,16 +297,7 @@ def audio_neardup_pairs(assets: DataFrame, max_hamming: int = 6) -> DataFrame:
     collapses the same clip re-encoded / gain-scaled / lightly retouched.
     100 TB shape identical to the image path: one Arrow decode pass,
     chunk-bucketed self-join, no all-pairs."""
-    from .dedup import simhash_near_pairs
-
-    hashes = audio_dhash(assets).filter(F.col("dhash").isNotNull())
-    pairs = simhash_near_pairs(
-        hashes.select(F.col("asset_id").alias("id"),
-                      F.col("dhash").alias("simhash")),
-        max_hamming=max_hamming,
-    )
-    return pairs.select("id_a", "id_b",
-                        F.col("hamming").cast("int").alias("hamming"))
+    return _hash_neardup_pairs(audio_dhash(assets), max_hamming)
 
 
 def synthetic_pattern_wav_assets(
@@ -350,15 +360,7 @@ def image_neardup_pairs(assets: DataFrame, max_hamming: int = 6) -> DataFrame:
     inside buckets — pigeonhole-exact recall for Hamming <= 3, standard
     LSH recall beyond). No all-pairs anywhere; bucket skew is bounded by
     the duplicate-cluster size like every LSH family here."""
-    from .dedup import simhash_near_pairs
-
-    hashes = image_dhash(assets).filter(F.col("dhash").isNotNull())
-    pairs = simhash_near_pairs(
-        hashes.select(F.col("asset_id").alias("id"),
-                      F.col("dhash").alias("simhash")),
-        max_hamming=max_hamming,
-    )
-    return pairs.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+    return _hash_neardup_pairs(image_dhash(assets), max_hamming)
 
 
 def synthetic_pattern_bmp_assets(

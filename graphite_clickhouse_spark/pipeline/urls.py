@@ -169,10 +169,21 @@ def domain_cap(
     rank within their domain by the consistent sampling coin
     hash60(salt:key) (pipeline/sampling.sample_hash — same coin as
     deterministic_sample, so the choice is reproducible across runs,
-    cluster sizes, and engines), tie-broken by key. The ``cap`` smallest
-    (coin, key) pairs per domain survive.
+    cluster sizes, and engines), tie-broken by the raw key value (any
+    orderable type — string/UUID ids work; a 60-bit coin collision
+    within one domain is the only case the tie-break decides). The
+    ``cap`` smallest (coin, key) pairs per domain survive.
 
-    -> the input rows that survive, plus a ``domain`` column.
+    NULL-domain rows (NULL url) form their OWN capped group — they are
+    capped like any domain, never silently dropped (the threshold join
+    is null-safe); malformed non-URL strings all map to the
+    empty-string domain and share one cap, which is usually the right
+    quarantine behavior — pre-filter if not.
+
+    -> the input rows that survive, plus a ``domain`` column when the
+    domain was derived from ``url_col`` (with ``domain_col`` the
+    caller already has the column; nothing is added). Raises if the
+    input already has a ``domain`` column that isn't the one requested.
 
     100 TB shape — EXACT selection with NO window over the corpus (a
     window partitioned by domain serializes each mega-domain into one
@@ -201,17 +212,23 @@ def domain_cap(
 
     if cap < 1:
         raise ValueError(f"cap must be >= 1, got {cap}")
+    if domain_col is None and "domain" in df.columns:
+        raise ValueError(
+            "input already has a 'domain' column — pass "
+            "domain_col='domain' to cap on it, or rename it"
+        )
     dom = F.col(domain_col) if domain_col else url_domain(F.col(url_col))
-    base = df.select(
-        "*",
-        dom.alias("domain"),
-        sample_hash(F.col(key_col), salt).alias("__coin"),
+    # internal aliases so a caller-supplied domain column never collides
+    base = df.withColumn("__domain", dom).withColumn(
+        "__coin", sample_hash(F.col(key_col), salt)
     )
+    # raw key as tie-break: casting to long would NULL out string ids
+    # and drop the boundary row (struct comparison on NULL -> NULL)
     rank_key = F.struct(
-        F.col("__coin").alias("h"), F.col(key_col).cast("long").alias("k")
+        F.col("__coin").alias("h"), F.col(key_col).alias("k")
     )
     cand = base.groupBy(
-        F.col("domain").alias("__d"),
+        F.col("__domain").alias("__d"),
         F.pmod(F.col("__coin"), F.lit(num_buckets)).alias("__b"),
     ).agg(F.slice(F.array_sort(F.collect_list(rank_key)), 1, cap).alias("__cand"))
     thr = (
@@ -226,8 +243,12 @@ def domain_cap(
     )
     if broadcast_thresholds:
         thr = F.broadcast(thr)
-    return (
-        base.join(thr, base["domain"] == thr["__d"])
+    out = (
+        # null-safe: NULL-domain rows must be CAPPED, not dropped
+        base.join(thr, base["__domain"].eqNullSafe(thr["__d"]))
         .filter(rank_key <= F.col("__thr"))
         .drop("__d", "__thr", "__coin")
     )
+    if domain_col is None:
+        return out.withColumnRenamed("__domain", "domain")
+    return out.drop("__domain")

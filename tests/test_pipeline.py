@@ -3002,6 +3002,74 @@ class TestDomainCap:
         with pytest.raises(ValueError):
             domain_cap(self._df(spark), cap=0)
 
+    def test_null_domain_capped_not_dropped(self, spark):
+        """r10 review: NULL-url rows must form their own capped group —
+        the old inner equi-join silently deleted them."""
+        from graphite_clickhouse_spark.pipeline.urls import domain_cap
+
+        rows = [(i, None if i < 8 else f"http://d.com/{i}", f"t{i}")
+                for i in range(16)]
+        df = spark.createDataFrame(rows, "doc_id long, url string, text string")
+        out = domain_cap(df, cap=3, salt="n").collect()
+        null_kept = [r.doc_id for r in out if r.domain is None]
+        real_kept = [r.doc_id for r in out if r.domain == "d.com"]
+        assert len(null_kept) == 3 and len(real_kept) == 3
+
+    def test_string_ids(self, spark):
+        """r10 review: the tie-break key must not be cast to long —
+        string/UUID ids would NULL out and drop the boundary row."""
+        from graphite_clickhouse_spark.pipeline.urls import domain_cap
+
+        rows = [(f"id-{i:03d}", f"http://d{i % 2}.com/{i}") for i in range(20)]
+        df = spark.createDataFrame(rows, "doc_id string, url string")
+        out = domain_cap(df, cap=4, salt="s").collect()
+        from collections import Counter
+        per = Counter(r.domain for r in out)
+        assert per == {"d0.com": 4, "d1.com": 4}
+
+    def test_existing_domain_column(self, spark):
+        import pytest
+
+        from graphite_clickhouse_spark.pipeline.urls import domain_cap
+
+        df = spark.createDataFrame(
+            [(i, f"dom{i % 2}", f"u{i}") for i in range(12)],
+            "doc_id long, domain string, url string",
+        )
+        # derived mode must refuse to shadow the caller's column
+        with pytest.raises(ValueError):
+            domain_cap(df, cap=2)
+        # domain_col mode caps on it and adds nothing
+        out = domain_cap(df, cap=2, domain_col="domain")
+        assert set(out.columns) == {"doc_id", "domain", "url"}
+        from collections import Counter
+        assert Counter(r.domain for r in out.collect()) == {"dom0": 2, "dom1": 2}
+
+
+class TestReplicaMappingDistinctness:
+    def test_first_two_thousand_distinct(self):
+        """r10 review: the (off, stride) progression family has exactly
+        930 members — any linear phase leaves collisions below 1000.
+        The md5 family past k=930 must keep every mapping distinct
+        (build_docs_replica also asserts this at build time)."""
+        import sys as _sys
+        import os as _os
+
+        _sys.path.insert(0, _os.path.join(
+            _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+            "tools"))
+        from docs_scale_bench import replica_mapping
+
+        maps = [replica_mapping(k)[1] for k in range(1, 2000)]
+        assert len(set(maps)) == len(maps)
+        # backward compat: the r8 progressions below 930 are unchanged
+        assert replica_mapping(1)[1] == replica_mapping(1)[1]
+        n_pool = 31
+        off, stride = (5 * 13) % n_pool, list(range(1, n_pool))[5 % 30]
+        pool = "0123456789!#$%&()*+,/:;<=>?@[]^_{|}~"[:31]
+        expect = "".join(pool[(off + i * stride) % n_pool] for i in range(12))
+        assert replica_mapping(5)[1] == expect
+
 
 class TestC4LineFilterDifferentialFuzz:
     """c4_line_filter's line predicate crosses two regex engines (Java

@@ -87,18 +87,34 @@ _STRIDES = list(range(1, len(_POOL)))
 
 
 def replica_mapping(k: int) -> tuple[str, str]:
-    """Injective letter substitution for replica k; distinct mappings
-    for all k < 930 via the (offset, stride) pair, and the k // 930
-    offset phase keeps them distinct through the 1000x third decade
-    (930 * 13 % 31 == 0, so without the phase k and k + 930 would share
-    a mapping and hand ~70 replica pairs manufactured exact duplicates
-    at 1000x — pair counts would inflate by construction)."""
+    """Injective letter substitution for replica k.
+
+    k < 930: the r8 (offset, stride) arithmetic progressions —
+    unchanged, so existing 10x/100x corpora stay valid.  k >= 930: the
+    progression family has EXACTLY 31*30 = 930 members, so NO linear
+    phase trick can extend it (the r10 review falsified one: any
+    k -> (off+phase, stride) scheme leaves ~70 colliding pairs below
+    1000 because some cross-boundary distance d solves both
+    congruences) — instead the targets are picked by a deterministic
+    md5-keyed ordering of the pool, a different mapping family
+    entirely.  `build_docs_replica` ASSERTS global pairwise
+    distinctness over every mapping it uses, so a collision is a build
+    error, not a silent pair-count inflation."""
     if k == 0:
         return "", ""  # replica 0: verbatim
     n = len(_POOL)
-    off = (k * 13 + k // 930) % n
-    stride = _STRIDES[k % len(_STRIDES)]
-    to = "".join(_POOL[(off + i * stride) % n] for i in range(len(_SRC)))
+    if k < 930:
+        off = (k * 13) % n
+        stride = _STRIDES[k % len(_STRIDES)]
+        to = "".join(_POOL[(off + i * stride) % n] for i in range(len(_SRC)))
+    else:
+        import hashlib
+
+        order = sorted(
+            range(n),
+            key=lambda i: hashlib.md5(f"replica:{k}:{i}".encode()).digest(),
+        )
+        to = "".join(_POOL[order[i]] for i in range(len(_SRC)))
     assert len(set(to)) == len(_SRC)  # injective within the mapping
     return _SRC, to
 
@@ -122,9 +138,22 @@ def build_docs_replica(spark, scale: int) -> None:
             os.symlink(os.path.join(BASE_SF, f"{name}.parquet"), dst)
             continue
         df = load_table(spark, BASE_SF, "documents")
+        # global distinctness gate: every replica must carry a UNIQUE
+        # substitution, else cross-replica exact duplicates inflate the
+        # dedup operators' pair counts by construction (r10 review
+        # caught exactly this below k=1000)
+        maps = [replica_mapping(k)[1] for k in range(1, scale)]
+        assert len(set(maps)) == len(maps), "replica mappings collide"
         # chunked build: a single union of 1000 children is a plan
         # Catalyst takes minutes to analyze; 100-replica chunks appended
-        # sequentially keep plan size flat at any decade
+        # sequentially keep plan size flat at any decade.  Build into a
+        # temp dir + atomic rename: a crash between chunk appends must
+        # not leave a valid-looking PARTIAL corpus that later runs
+        # silently reuse (the exists() check above would accept it).
+        tmp = dst + ".building"
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
         chunk = 100
         first = True
         for base_k in range(0, scale, chunk):
@@ -142,8 +171,9 @@ def build_docs_replica(spark, scale: int) -> None:
             # CPU-bound per-gram hashing stage (measured 5x in r4)
             out.repartition(32).write.mode(
                 "overwrite" if first else "append"
-            ).parquet(dst)
+            ).parquet(tmp)
             first = False
+        os.rename(tmp, dst)
         print(f"# built documents {scale}x -> {dst}", file=sys.stderr)
 
 
