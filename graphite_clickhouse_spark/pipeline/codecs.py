@@ -840,3 +840,52 @@ def _finish_jpeg(frame, planes):
     b = y + 1.772 * (cb - 128.0)
     rgb = np.stack([r, g, b], axis=2)
     return w, h, np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------- GVID video
+
+#: Minimal frame-sequence video container ("GVID"): magic + uint16
+#: frame count, then per frame a uint32 length-prefixed still-image
+#: payload (any format decode_* above understands — BMP/PNG/JPEG). A
+#: deliberately simple but REAL container: parsing validates lengths
+#: and rejects truncation, and every frame goes through the real image
+#: codecs, so the video path exercises genuine decode work end-to-end.
+#: Real-world containers (MP4/MKV) would need ffmpeg — absent here, the
+#: multimodal charter says to keep the Spark-side plumbing real and the
+#: codec swappable; swapping decode_gvid for an ffmpeg demux is a
+#: one-function change.
+GVID_MAGIC = b"GVID"
+
+
+def encode_gvid(frames: list[bytes]) -> bytes:
+    """Pack still-image payloads into a GVID container (uint16 frame
+    count => at most 65535 frames)."""
+    if len(frames) > 0xFFFF:
+        raise CodecError(f"too many frames: {len(frames)}")
+    parts = [GVID_MAGIC, struct.pack("<H", len(frames))]
+    for p in frames:
+        parts.append(struct.pack("<I", len(p)))
+        parts.append(bytes(p))
+    return b"".join(parts)
+
+
+@_codec_boundary
+def decode_gvid(data: bytes) -> list[bytes]:
+    """Unpack a GVID container into its frame payloads. Truncated or
+    oversized containers raise CodecError (via _codec_boundary for the
+    struct errors, explicitly for length mismatches)."""
+    if data[:4] != GVID_MAGIC:
+        raise CodecError("not a GVID container")
+    (n_frames,) = struct.unpack_from("<H", data, 4)
+    frames: list[bytes] = []
+    pos = 6
+    for _ in range(n_frames):
+        (length,) = struct.unpack_from("<I", data, pos)
+        pos += 4
+        if pos + length > len(data):
+            raise CodecError("truncated frame payload")
+        frames.append(data[pos:pos + length])
+        pos += length
+    if pos != len(data):
+        raise CodecError("trailing bytes after last frame")
+    return frames

@@ -44,6 +44,137 @@ def exact_dedup(
     )
 
 
+def _bloom_words(
+    seen_hashes: DataFrame, n_keys: int, bits_per_key: int, max_bits: int
+) -> tuple[list[int], int]:
+    """Build a bloom bitset over md5-hex keys, DISTRIBUTED: each key
+    contributes 4 bit positions (independent 32-bit slices of its own
+    md5 — no extra hashing), positions fold to (word, mask) rows, and a
+    single ``bit_or`` hash-agg on word index produces at most
+    m_bits/64 rows to collect. The corpus-sized side never sees the
+    driver; only the finished words do.
+
+    Returns (dense word list, m_bits); m_bits is a power of two sized
+    at ``bits_per_key * n_keys`` and clamped to ``max_bits``."""
+    m_bits = 1 << max(10, (bits_per_key * max(1, n_keys) - 1).bit_length())
+    m_bits = min(m_bits, max_bits)
+    pos = [
+        (F.conv(F.substring("text_hash", 1 + 8 * j, 8), 16, 10)
+         .cast("long") % m_bits).alias("p")
+        for j in range(4)
+    ]
+    rows = (
+        seen_hashes.select(F.explode(F.array(*pos)).alias("p"))
+        .select(
+            F.shiftright("p", 6).alias("w"),
+            # F.shiftleft only takes a literal bit count; the SQL
+            # function accepts a column one
+            F.call_function(
+                "shiftleft", F.lit(1).cast("long"),
+                (F.col("p") % 64).cast("int")
+            ).alias("m"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("m").alias("m"))
+        .collect()
+    )
+    words = [0] * (m_bits // 64)
+    for r in rows:
+        words[r["w"]] = r["m"]
+    return words, m_bits
+
+
+def incremental_exact_dedup(
+    batch: DataFrame,
+    seen: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seen_text_col: str | None = None,
+    bits_per_key: int = 10,
+    bloom_max_bits: int = 1 << 23,
+    use_bloom: bool = True,
+) -> DataFrame:
+    """Exact dedup of a NEW batch against an already-ingested corpus —
+    the incremental-ingest stage every growing corpus needs: daily
+    crawl batches must drop (a) in-batch copies and (b) anything the
+    corpus already holds, without re-deduplicating the corpus itself.
+
+    Semantics (exact, like exact_dedup): one row per distinct batch
+    text NOT present in ``seen`` — (text_hash, keeper_id = min batch
+    id, n_copies = in-batch copy count). Keying is md5 like
+    exact_dedup; ``seen`` contributes only hashes.
+
+    100 TB shape: the batch first collapses with ONE hash agg (narrow
+    md5 keys, the exact_dedup shuffle). The seen-side check is an
+    anti-join on those same narrow keys — but a daily batch is MOSTLY
+    novel, so the plan builds a bloom filter over the seen hashes
+    first (distributed bit_or agg, _bloom_words; ~n_keys*10 bits
+    collected once) and embeds it as ONE array literal: rows failing
+    any of the 4 probes are definitely-new and BYPASS the anti-join
+    entirely, shrinking the batch side of that shuffle to the ~1%
+    false-positive rate plus the true duplicates. False positives
+    only route rows through the exact join, so the result is
+    bit-identical with the bloom on or off — the bloom is purely a
+    shuffle-volume optimization, which is what makes a plain-SQL
+    oracle possible. When the seen side exceeds
+    ``bloom_max_bits / bits_per_key`` keys (~0.8M at the defaults;
+    the literal would bloat the plan) the operator falls back to the
+    plain anti-join, where Spark's own runtime bloom
+    (spark.sql.optimizer.runtime.bloomFilter, AQE) plays the same
+    role executor-side.
+    """
+    seen_text_col = seen_text_col or text_col
+    batch_agg = (
+        batch.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+    seen_hashes = (
+        seen.select(F.md5(F.col(seen_text_col)).alias("text_hash")).distinct()
+    )
+    if not use_bloom:
+        return batch_agg.join(seen_hashes, "text_hash", "left_anti")
+    seen_hashes = seen_hashes.cache()
+    n_seen = seen_hashes.count()
+    if n_seen == 0:
+        seen_hashes.unpersist()
+        return batch_agg
+    if n_seen * bits_per_key > bloom_max_bits:
+        # too big to literal-embed; plain anti-join + AQE runtime bloom
+        seen_hashes.unpersist()
+        seen_hashes = (
+            seen.select(F.md5(F.col(seen_text_col)).alias("text_hash"))
+            .distinct()
+        )
+        return batch_agg.join(seen_hashes, "text_hash", "left_anti")
+    words, m_bits = _bloom_words(seen_hashes, n_seen, bits_per_key,
+                                 bloom_max_bits)
+    arr = F.lit(words)
+    probes = [
+        (F.conv(F.substring("text_hash", 1 + 8 * j, 8), 16, 10)
+         .cast("long") % m_bits)
+        for j in range(4)
+    ]
+    bloom_pass = None
+    for p in probes:
+        hit = (
+            F.call_function(
+                "shiftright",
+                F.element_at(arr, F.shiftright(p, 6).cast("int") + 1),
+                (p % 64).cast("int"),
+            ).bitwiseAND(F.lit(1)) == 1
+        )
+        bloom_pass = hit if bloom_pass is None else (bloom_pass & hit)
+    definitely_new = batch_agg.filter(~bloom_pass)
+    candidates = batch_agg.filter(bloom_pass)
+    survivors = candidates.join(seen_hashes, "text_hash", "left_anti")
+    return register_intermediates(
+        definitely_new.unionByName(survivors), seen_hashes
+    )
+
+
 # ------------------------------------------------------------- shingles
 
 def word_ngrams_from_tokens(toks: Column, n: int) -> Column:

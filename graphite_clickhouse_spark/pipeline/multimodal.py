@@ -444,6 +444,142 @@ def frame_sample_plan(assets: DataFrame, every_n: int = 30) -> DataFrame:
     )
 
 
+def _video_dhash_from_frames(frames, every_n: int) -> int | None:
+    """64-bit perceptual signature for a frame sequence: sample every
+    ``every_n``-th frame (same index arithmetic as frame_sample_plan),
+    dHash each sampled frame through the real image decoders, then
+    MAJORITY-fold the per-frame hashes bit-wise — bit k of the video
+    signature is set iff strictly more than half of the sampled frames
+    set bit k (2*count > n, so even-count ties clear the bit,
+    deterministically).
+
+    The majority fold is the temporal analog of SimHash's coordinate
+    vote: a re-encode that perturbs a few bits in a few frames moves
+    the signature by at most those bits, and an edit to one frame out
+    of many moves it not at all — exactly the tolerance wanted for
+    same-video-re-encoded collapse. Frames that fail to decode are
+    skipped (quarantine, like _decode_pixels); no decodable sampled
+    frame => None."""
+    hashes = []
+    for f in range(0, len(frames), every_n):
+        px = _decode_pixels(frames[f])
+        if px is None:
+            continue
+        h = _dhash_from_pixels(px)
+        if h is not None:
+            hashes.append(h & 0xFFFFFFFFFFFFFFFF)
+    if not hashes:
+        return None
+    n = len(hashes)
+    bits = [2 * sum((u >> k) & 1 for u in hashes) > n for k in range(64)]
+    return _pack_bits_signed(bits)
+
+
+def video_dhash(assets: DataFrame, every_n: int = 2) -> DataFrame:
+    """Perceptual hash per video asset: parse the GVID container
+    (codecs.decode_gvid — real length-validated demux), frame-sample,
+    decode each sampled frame with the REAL image codecs, majority-fold
+    the per-frame dHashes. Arrow-batched like image_dhash; payloads
+    never touch the driver.
+
+    -> (asset_id long, dhash long); NULL for non-GVID / corrupt /
+    no-decodable-frame payloads."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import codecs
+
+        for pdf in batches:
+            ids, hashes = [], []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                payload = bytes(payload) if payload is not None else b""
+                h = None
+                if payload[:4] == codecs.GVID_MAGIC:
+                    try:
+                        frames = codecs.decode_gvid(payload)
+                        h = _video_dhash_from_frames(frames, every_n)
+                    except Exception:  # noqa: BLE001 — corrupt: skip
+                        h = None
+                ids.append(aid)
+                hashes.append(h)
+            yield pd.DataFrame(
+                {"asset_id": ids,
+                 "dhash": pd.array(hashes, dtype=pd.Int64Dtype())}
+            )
+
+    return assets.mapInPandas(kernel, "asset_id long, dhash long")
+
+
+def video_neardup_pairs(
+    assets: DataFrame, max_hamming: int = 6, every_n: int = 2
+) -> DataFrame:
+    """Video near-duplicate pairs — the frame-sequence member of the
+    perceptual-hash family (image_neardup_pairs / audio_neardup_pairs):
+    demux + frame-sample + per-frame dHash + temporal majority fold in
+    ONE Arrow decode pass, then the same banded 4x16-bit Hamming-LSH.
+    Collapses the same video re-encoded / lightly retouched / with a
+    minority of frames edited. 100 TB shape identical to the image
+    path: decode work scales with sampled frames only (every_n prunes
+    the rest at the demux, before any pixel work), one hash per asset
+    enters the chunk-bucketed self-join, no all-pairs anywhere."""
+    return _hash_neardup_pairs(video_dhash(assets, every_n), max_hamming)
+
+
+def synthetic_pattern_video_assets(
+    ids: DataFrame, id_col: str = "doc_id", groups: int = 50
+) -> DataFrame:
+    """Structured synthetic GVID videos for the video perceptual-hash
+    contract (the frame-sequence sibling of
+    synthetic_pattern_bmp_assets): ids sharing gid = (id * 40503 %
+    65536) % groups draw the SAME frame sequence — n_frames = 6 +
+    gid%5 frames of W = 24 + gid%29 by H = 16 + gid%17 gray BMPs with
+    frame-dependent quadratic curvature p(x, y, f) = ((1 + (gid+f)%11)
+    * x*x + (1 + (gid+2f)%13) * y*y + 31*gid) % 256 — and ids with
+    id % 3 == 0 add the +40 3x3 corner bump (pre-modulo) to EVERY
+    frame, so the bump survives the majority fold as a few-bit
+    signature distance (a bump on a minority of frames would vanish —
+    that tolerance is tested separately, not part of the contract
+    recipe). Frame-dependent CURVATURE (not a constant frame offset:
+    dHash's brightness invariance would collapse that) keeps sampled
+    frames' hashes distinct, so the fold is a real vote. Same CRT
+    (29, 17, 11, 13 coprime) uniqueness and multiplicative id-mix
+    rationale as the image recipe; every quantity is integer
+    arithmetic an SQL oracle reproduces without decoding. meta carries
+    n_frames, so frame_sample_plan composes with this corpus too."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from graphite_clickhouse_spark.pipeline import codecs
+
+        for pdf in batches:
+            out = {"asset_id": [], "modality": [], "mime": [], "payload": [],
+                   "meta": []}
+            for i in pdf[id_col]:
+                i = int(i)
+                gid = (i * 40503 % 65536) % groups
+                nf = 6 + gid % 5
+                w, h = 24 + gid % 29, 16 + gid % 17
+                x = np.arange(w, dtype=np.int64)[None, :]
+                y = np.arange(h, dtype=np.int64)[:, None]
+                frames = []
+                for f in range(nf):
+                    p = ((1 + (gid + f) % 11) * x * x
+                         + (1 + (gid + 2 * f) % 13) * y * y + 31 * gid)
+                    if i % 3 == 0:
+                        p[:3, :3] += 40
+                    gray = (p % 256).astype(np.uint8)
+                    px = np.repeat(gray[:, :, None], 3, axis=2)
+                    frames.append(codecs.encode_bmp(px))
+                out["asset_id"].append(i)
+                out["modality"].append("video")
+                out["mime"].append("video/x-gvid")
+                out["payload"].append(codecs.encode_gvid(frames))
+                out["meta"].append({"n_frames": str(nf)})
+            yield pd.DataFrame(out)
+
+    return ids.select(id_col).mapInPandas(kernel, ASSET_SCHEMA)
+
+
 def synthetic_bmp_assets(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """One solid-color BMP per id: width = 16 + id%32, height = 8 + id%16,
     RGB = (id%256, 3*id%256, 7*id%256). Deterministic by construction so

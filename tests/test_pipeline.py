@@ -649,7 +649,265 @@ class TestImagePerceptualHash:
             assert got == expected
 
 
-class TestGopherQuality:
+class TestVideoPerceptualHash:
+    """pipeline/codecs.py::encode_gvid/decode_gvid + pipeline/
+    multimodal.py::video_dhash / video_neardup_pairs — the
+    frame-sequence member of the perceptual-hash family (r10)."""
+
+    @staticmethod
+    def _bmp(arr):
+        import numpy as np
+
+        from graphite_clickhouse_spark.pipeline.codecs import encode_bmp
+
+        a = np.asarray(arr, np.uint8)
+        if a.ndim == 2:
+            a = np.repeat(a[:, :, None], 3, axis=2)
+        return encode_bmp(a)
+
+    def _video(self, frames):
+        from graphite_clickhouse_spark.pipeline.codecs import encode_gvid
+
+        return bytearray(encode_gvid([self._bmp(f) for f in frames]))
+
+    def _assets(self, spark, payloads):
+        from graphite_clickhouse_spark.pipeline.multimodal import ASSET_SCHEMA
+
+        rows = [(i, "video", "video/x-gvid", p, {}) for i, p in
+                enumerate(payloads)]
+        return spark.createDataFrame(rows, ASSET_SCHEMA)
+
+    def test_gvid_roundtrip_and_corruption(self):
+        from graphite_clickhouse_spark.pipeline.codecs import (
+            CodecError, decode_gvid, encode_gvid,
+        )
+
+        frames = [b"abc", b"", b"0123456789"]
+        blob = encode_gvid(frames)
+        assert decode_gvid(blob) == frames
+        assert decode_gvid(encode_gvid([])) == []
+        for bad in (blob[:-1], blob + b"x", b"GVID", b"XXXX\x00\x00",
+                    b"GVID\x02\x00\xff\xff\xff\xffabc"):
+            with pytest.raises(CodecError):
+                decode_gvid(bad)
+
+    def test_majority_fold_and_sampling(self, spark):
+        """Identical frames fold to the single-frame dHash; a bump on a
+        MINORITY of sampled frames vanishes in the majority vote; a
+        bump on every frame survives as a small distance; frames at odd
+        indices are never decoded at every_n=2 (a corrupt frame there
+        must not matter)."""
+        import numpy as np
+
+        from graphite_clickhouse_spark.pipeline.codecs import encode_gvid
+        from graphite_clickhouse_spark.pipeline.multimodal import (
+            image_dhash, video_dhash,
+        )
+
+        base = (np.arange(16)[:, None] * 13 + np.arange(18)[None, :] ** 2) % 251
+        bumped = base.copy()
+        bumped[:3, :3] += 55
+        still = self._assets(spark, [bytearray(self._bmp(base))])
+        # _assets builds video rows; re-tag row 0 as a plain image asset
+        one_frame_hash = {
+            r.asset_id: r.dhash
+            for r in image_dhash(
+                still.withColumn("modality", F.lit("image"))
+            ).collect()
+        }[0]
+        corrupt = b"BMnope"
+        vids = [
+            self._video([base] * 5),                    # 0: constant video
+            self._video([base, bumped, base, bumped, base]),  # 1: odd bumps
+            self._video([bumped] * 5),                  # 2: all bumped
+            bytearray(encode_gvid(
+                [self._bmp(base), corrupt, self._bmp(base)])),  # 3
+            bytearray(b"GVID" + b"\xff"),               # 4: truncated
+            bytearray(b"not a video"),                  # 5
+        ]
+        got = {r.asset_id: r.dhash
+               for r in video_dhash(self._assets(spark, vids)).collect()}
+        assert got[0] == one_frame_hash
+        assert got[1] == got[0], "minority-frame bump must vanish"
+        d = bin((got[0] ^ got[2]) & ((1 << 64) - 1)).count("1")
+        assert 0 < d <= 6, f"all-frame bump moved {d} bits"
+        assert got[3] == got[0], "odd-index frames are not sampled"
+        assert got[4] is None and got[5] is None
+
+    def test_neardup_pairs_banded(self, spark):
+        import numpy as np
+
+        from graphite_clickhouse_spark.pipeline.multimodal import (
+            video_neardup_pairs,
+        )
+
+        base = (np.arange(16)[:, None] * 11 + np.arange(20)[None, :] * 5) % 256
+        bumped = base.copy()
+        bumped[:2, :2] += 60
+        other = (np.arange(16)[:, None] * 3 + np.arange(20)[None, :] * 29) % 256
+        vids = [
+            self._video([base] * 4),
+            self._video([base] * 4),        # identical re-encode
+            self._video([bumped] * 4),      # retouched every frame
+            self._video([other] * 4),       # unrelated
+        ]
+        pairs = {(r.id_a, r.id_b): r.hamming
+                 for r in video_neardup_pairs(
+                     self._assets(spark, vids), max_hamming=6).collect()}
+        assert pairs[(0, 1)] == 0
+        assert 0 < pairs.get((0, 2), 99) <= 6
+        assert not any(3 in p for p in pairs), "unrelated video paired"
+
+    def test_pattern_corpus_twin(self, spark):
+        """synthetic_pattern_video_assets through the REAL demux+decode
+        +hash path vs the pure-arithmetic recipe twin (the computation
+        the SQL oracle performs) — decode fidelity end-to-end."""
+        from graphite_clickhouse_spark.pipeline.multimodal import (
+            _pack_bits_signed, synthetic_pattern_video_assets, video_dhash,
+        )
+
+        ids = spark.range(0, 120).withColumnRenamed("id", "doc_id")
+        assets = synthetic_pattern_video_assets(ids, groups=7)
+        got = {r.asset_id: r.dhash for r in video_dhash(assets).collect()}
+
+        def twin(i, groups=7):
+            gid = (i * 40503 % 65536) % groups
+            nf, w, h = 6 + gid % 5, 24 + gid % 29, 16 + gid % 17
+            fh = []
+            for f in range(0, nf, 2):
+                sx, sy = 1 + (gid + f) % 11, 1 + (gid + 2 * f) % 13
+                xs = [(a * w) // 9 for a in range(10)]
+                ys = [(b * h) // 8 for b in range(9)]
+
+                def pix(xx, yy):
+                    bump = 40 if (i % 3 == 0 and xx < 3 and yy < 3) else 0
+                    return 3 * ((sx * xx * xx + sy * yy * yy + 31 * gid
+                                 + bump) % 256)
+
+                s = [[sum(pix(xx, yy) for xx in range(xs[a], xs[a + 1])
+                          for yy in range(ys[b], ys[b + 1]))
+                      for a in range(9)] for b in range(8)]
+                ar = [[(xs[a + 1] - xs[a]) * (ys[b + 1] - ys[b])
+                       for a in range(9)] for b in range(8)]
+                bits = [s[b][a] * ar[b][a + 1] > s[b][a + 1] * ar[b][a]
+                        for b in range(8) for a in range(8)]
+                fh.append(_pack_bits_signed(bits) & ((1 << 64) - 1))
+            n = len(fh)
+            bits = [2 * sum((u >> k) & 1 for u in fh) > n for k in range(64)]
+            return _pack_bits_signed(bits)
+
+        for i in range(120):
+            assert got[i] == twin(i), f"doc {i}"
+
+    def test_frame_sample_plan_composes(self, spark):
+        from graphite_clickhouse_spark.pipeline.multimodal import (
+            frame_sample_plan, synthetic_pattern_video_assets,
+        )
+
+        ids = spark.range(0, 10).withColumnRenamed("id", "doc_id")
+        assets = synthetic_pattern_video_assets(ids, groups=3)
+        got = frame_sample_plan(assets, every_n=2).collect()
+        by_id = {}
+        for r in got:
+            by_id.setdefault(r.asset_id, []).append(r.frame_idx)
+        meta = {r.asset_id: int(r.meta["n_frames"]) for r in
+                assets.select("asset_id", "meta").collect()}
+        for aid, nf in meta.items():
+            assert sorted(by_id[aid]) == list(range(0, nf, 2))
+
+
+class TestIncrementalDedup:
+    """pipeline/dedup.py::incremental_exact_dedup — new-batch-vs-seen
+    exact dedup with the bloom prefilter (r10)."""
+
+    @staticmethod
+    def _df(spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def _expected(self, batch_rows, seen_rows):
+        seen_texts = {t for _, t in seen_rows}
+        agg = {}
+        for i, t in batch_rows:
+            if t in seen_texts:
+                continue
+            keep, n = agg.get(t, (i, 0))
+            agg[t] = (min(keep, i), n + 1)
+        return {v[0]: v[1] for v in agg.values()}
+
+    def test_exact_vs_brute_force(self, spark):
+        import random
+
+        from graphite_clickhouse_spark.pipeline.dedup import (
+            incremental_exact_dedup,
+        )
+
+        rng = random.Random(11)
+        seen_rows = [(i, f"doc-{rng.randint(0, 80)}") for i in range(60)]
+        batch_rows = [(100 + i, f"doc-{rng.randint(0, 160)}")
+                      for i in range(120)]
+        for use_bloom in (True, False):
+            out = incremental_exact_dedup(
+                self._df(spark, batch_rows), self._df(spark, seen_rows),
+                use_bloom=use_bloom,
+            )
+            got = {r.keeper_id: r.n_copies for r in out.collect()}
+            assert got == self._expected(batch_rows, seen_rows), use_bloom
+
+    def test_bloom_is_result_invariant_across_sizes(self, spark):
+        """Tiny bloom (maximum false-positive pressure) and roomy bloom
+        produce identical results — the bloom is a pure prefilter."""
+        from graphite_clickhouse_spark.pipeline.dedup import (
+            incremental_exact_dedup,
+        )
+
+        seen = self._df(spark, [(i, f"s-{i % 40}") for i in range(80)])
+        batch = self._df(spark, [(200 + i, f"s-{i % 90}") for i in range(90)])
+        outs = []
+        for bits_per_key in (1, 32):
+            out = incremental_exact_dedup(
+                batch, seen, bits_per_key=bits_per_key)
+            outs.append(sorted((r.text_hash, r.keeper_id, r.n_copies)
+                               for r in out.collect()))
+        assert outs[0] == outs[1]
+        survivors = {k for _, k, _ in outs[0]}
+        assert survivors == {200 + i for i in range(40, 90)}
+
+    def test_empty_and_oversized_seen_fall_back(self, spark):
+        from graphite_clickhouse_spark.pipeline.dedup import (
+            incremental_exact_dedup,
+        )
+
+        batch = self._df(spark, [(1, "a"), (2, "a"), (3, "b")])
+        empty = self._df(spark, []).limit(0)
+        got = {r.keeper_id: r.n_copies
+               for r in incremental_exact_dedup(batch, empty).collect()}
+        assert got == {1: 2, 3: 1}
+        # seen too large for the literal bloom -> plain anti-join path
+        seen = self._df(spark, [(10, "b"), (11, "c")])
+        got2 = {r.keeper_id: r.n_copies
+                for r in incremental_exact_dedup(
+                    batch, seen, bloom_max_bits=16).collect()}
+        assert got2 == {1: 2}
+
+    def test_bloom_plan_shape(self, spark):
+        """The bloom path: definite-news bypass the anti-join (a Filter
+        on the array-literal probes, no join), and no corpus-wide
+        Window/Cartesian anywhere."""
+        from graphite_clickhouse_spark.pipeline.dedup import (
+            incremental_exact_dedup,
+        )
+        from graphite_clickhouse_spark.pipeline.lifecycle import (
+            unpersist_intermediates,
+        )
+
+        seen = self._df(spark, [(i, f"s-{i}") for i in range(50)])
+        batch = self._df(spark, [(100 + i, f"b-{i}") for i in range(50)])
+        out = incremental_exact_dedup(batch, seen)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "element_at" in plan, "bloom probe missing from the plan"
+        assert "LeftAnti" in plan, "exact anti-join missing"
+        assert "Cartesian" not in plan and "Window" not in plan
+        assert unpersist_intermediates(out) == 1
     def test_repetition_stats_hand_computed(self, spark):
         from graphite_clickhouse_spark.pipeline.text import repetition_stats
 
