@@ -86,57 +86,59 @@ CONTRACT_INDEX: dict[str, tuple[int, str, str]] = {
     "unigram_quality": (22, "w", "r8-"),
     "image_phash_pairs": (23, "w", "r10"),
     "audio_phash_pairs": (24, "w", "r10"),
-    "domain_cap": (25, "w", "r10"),
-    "c4_line_filter": (26, "w", "r10"),
-    "semantic_dedup": (27, "w", "r9"),
-    "render_resample_avg": (28, "w", "r8-"),
-    "render_baseline_shape": (29, "w", "r8-"),
-    "render_baseline_unagg": (30, "w", "r8-"),
-    "render_resample_multi": (31, "w", "r8-"),
-    "render_unaggregated": (32, "w", "r8-"),
-    "version_dedup": (33, "w", "r8-"),
-    "storage_merge": (34, "w", "r8-"),
-    "consolidate_last": (35, "w", "r8-"),
-    "find_glob": (36, "w", "r8-"),
-    "index_tree": (37, "w", "r8-"),
-    "tagged_find": (38, "w", "r9"),
-    "tpch_q1": (39, "w", "r8-"),
-    "topk_orders_per_segment": (40, "w", "r8-"),
-    "promql_range_select": (41, "w", "r8-"),
-    "dup_spans": (42, "w", "r9"),
-    "span_removal": (43, "w", "r9"),
-    "span_extents": (44, "w", "r9"),
-    "url_dedup": (45, "w", "r9"),
-    "domain_stats": (46, "w", "r9"),
-    "html_extract": (47, "w", "r9"),
-    "semi_join_urgent": (48, "w", "r8-"),
+    "video_phash_pairs": (25, "w", "r10"),
+    "domain_cap": (26, "w", "r10"),
+    "incremental_dedup": (27, "w", "r10"),
+    "c4_line_filter": (28, "w", "r10"),
+    "semantic_dedup": (29, "w", "r9"),
+    "render_resample_avg": (30, "w", "r8-"),
+    "render_baseline_shape": (31, "w", "r8-"),
+    "render_baseline_unagg": (32, "w", "r8-"),
+    "render_resample_multi": (33, "w", "r8-"),
+    "render_unaggregated": (34, "w", "r8-"),
+    "version_dedup": (35, "w", "r8-"),
+    "storage_merge": (36, "w", "r8-"),
+    "find_glob": (37, "w", "r8-"),
+    "index_tree": (38, "w", "r8-"),
+    "tagged_find": (39, "w", "r9"),
+    "tpch_q1": (40, "w", "r8-"),
+    "topk_orders_per_segment": (41, "w", "r8-"),
+    "promql_range_select": (42, "w", "r8-"),
+    "dup_spans": (43, "w", "r9"),
+    "span_removal": (44, "w", "r9"),
+    "span_extents": (45, "w", "r9"),
+    "url_dedup": (46, "w", "r9"),
+    "domain_stats": (47, "w", "r9"),
+    "html_extract": (48, "w", "r9"),
     "multimodal_bmp_decode": (49, "w", "r9"),
     "multimodal_jpeg_decode": (50, "w", "r9"),
-    "bigram_quality": (51, "t", "r9"),
-    "autocomplete_values": (52, "t", "r8-"),
-    "autocomplete_tags": (53, "t", "r8-"),
-    "prom_label_values": (54, "t", "r8-"),
-    "multimodal_features": (55, "t", "r9"),
-    "multimodal_wav_decode": (56, "t", "r9"),
-    "lang_id": (57, "t", "r8-"),
-    "fingerprint": (58, "t", "r8-"),
-    "token_count": (59, "t", "r8-"),
-    "sample_deterministic": (60, "t", "r8-"),
-    "mix_sources": (61, "t", "r8-"),
-    "dedup_exact": (62, "t", "r8-"),
-    "decontaminate": (63, "t", "r8-"),
-    "text_quality": (64, "t", "r8-"),
-    "tfidf_top_terms": (65, "t", "r8-"),
-    "text_clean": (66, "t", "r8-"),
-    "quality_classifier": (67, "t", "r8-"),
-    "tagbrowse_list": (68, "t", "r8-"),
-    "pack_sequences": (69, "t", "r8-"),
-    "budget_mix": (70, "t", "r8-"),
-    "dsir_weight": (71, "t", "r8-"),
-    "ccnet_partition": (72, "t", "r8-"),
-    "pii_scrub": (73, "t", "r8-"),
-    "tagger_rules": (74, "t", "r8-"),
-    "prom_plain_bridge": (75, "t", "r8-"),
+    "consolidate_last": (51, "t", "r8-"),
+    "semi_join_urgent": (52, "t", "r8-"),
+    "bigram_quality": (53, "t", "r9"),
+    "autocomplete_values": (54, "t", "r8-"),
+    "autocomplete_tags": (55, "t", "r8-"),
+    "prom_label_values": (56, "t", "r8-"),
+    "multimodal_features": (57, "t", "r9"),
+    "multimodal_wav_decode": (58, "t", "r9"),
+    "lang_id": (59, "t", "r8-"),
+    "fingerprint": (60, "t", "r8-"),
+    "token_count": (61, "t", "r8-"),
+    "sample_deterministic": (62, "t", "r8-"),
+    "mix_sources": (63, "t", "r8-"),
+    "dedup_exact": (64, "t", "r8-"),
+    "decontaminate": (65, "t", "r8-"),
+    "text_quality": (66, "t", "r8-"),
+    "tfidf_top_terms": (67, "t", "r8-"),
+    "text_clean": (68, "t", "r8-"),
+    "quality_classifier": (69, "t", "r8-"),
+    "tagbrowse_list": (70, "t", "r8-"),
+    "pack_sequences": (71, "t", "r8-"),
+    "budget_mix": (72, "t", "r8-"),
+    "dsir_weight": (73, "t", "r8-"),
+    "ccnet_partition": (74, "t", "r8-"),
+    "pii_scrub": (75, "t", "r8-"),
+    "tagger_rules": (76, "t", "r8-"),
+    "prom_plain_bridge": (77, "t", "r8-"),
 }
 
 
@@ -1769,6 +1771,157 @@ SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
 FROM chunks a JOIN chunks b
   ON a.c = b.c AND a.key = b.key AND a.doc_id < b.doc_id
 WHERE bit_count(xor(a.h, b.h)) <= 6
+"""
+
+
+def q_video_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video perceptual near-dup (pipeline/multimodal.py::video_dhash /
+    video_neardup_pairs — the frame-sequence member of the perceptual
+    family): synthetic GVID videos (6-10 BMP frames with frame-dependent
+    quadratic curvature; ids sharing the mixed group key draw the same
+    sequence; ids with id%3==0 bump a 3x3 corner on every frame) are
+    ENCODED, really DEMUXED + per-frame DECODED, dHashed per sampled
+    frame (every_n=2), majority-folded into one 64-bit signature, and
+    paired via the banded Hamming-LSH. The oracle recomputes the
+    per-frame hash arithmetically from the recipe (integer box sums +
+    cross-multiplication; the Spark side hashes 3x the gray channel
+    sum, which cancels), reproduces the sampling arithmetic, the
+    temporal majority vote, the bit-63 two's-complement packing, and
+    the chunk bucketing — demux, decode, per-frame hash, fold, AND LSH
+    recall surface all verified. Cluster count scales with the corpus
+    (groups = max(50, n/10)) so pair volume stays linear."""
+    from graphite_clickhouse_spark.pipeline.multimodal import (
+        synthetic_pattern_video_assets,
+        video_neardup_pairs,
+    )
+    from graphite_clickhouse_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    groups = max(50, docs.count() // 10)
+    assets = synthetic_pattern_video_assets(docs, groups=groups)
+    return video_neardup_pairs(assets, max_hamming=6)
+
+
+SQL_VIDEO_PHASH_PAIRS = """
+WITH g AS (
+    SELECT greatest(50, count(*) // 10) AS n_groups FROM documents
+), gids AS (
+    SELECT doc_id, ((doc_id * 40503) % 65536) % g.n_groups AS gid
+    FROM documents, g
+), dims AS (
+    SELECT doc_id, gid, 24 + gid % 29 AS w, 16 + gid % 17 AS h,
+           6 + gid % 5 AS nf
+    FROM gids
+), frames AS (  -- every_n=2 frame sampling, same index arithmetic as
+                -- frame_sample_plan / range(0, nf, 2)
+    SELECT doc_id, gid, w, h, unnest(range(0, nf, 2)) AS f
+    FROM dims
+), fdims AS (   -- frame-dependent curvature (NOT a constant offset:
+                -- dHash's brightness invariance would cancel that)
+    SELECT doc_id, gid, w, h, f,
+           1 + (gid + f) % 11 AS sx, 1 + (gid + 2 * f) % 13 AS sy
+    FROM frames
+), boxes AS (   -- per sampled frame: 72 integer box sums of the 9x8
+                -- partition; pixel value is the generator recipe, not
+                -- a decode (the Spark side decodes for real)
+    SELECT doc_id, f,
+           [ {'s': list_sum([ list_sum([
+                  (sx*x*x + sy*y*y + 31*gid
+                   + CASE WHEN doc_id % 3 = 0 AND x < 3 AND y < 3
+                          THEN 40 ELSE 0 END) % 256
+                 FOR y IN range(((b//9)*h)//8, ((b//9)+1)*h//8) ])
+               FOR x IN range(((b%9)*w)//9, ((b%9)+1)*w//9) ]),
+              'a': (((b%9)+1)*w//9 - ((b%9)*w)//9)
+                   * (((b//9)+1)*h//8 - ((b//9)*h)//8)}
+             FOR b IN range(72) ] AS bx
+    FROM fdims
+), fbits AS (   -- per-frame comparison bits, UNPACKED (the majority
+                -- vote needs per-bit counts across frames); the Spark
+                -- gray is 3x this recipe's value — cancels in the
+                -- cross-multiplication
+    SELECT doc_id, f,
+           [ CASE WHEN bx[(k//8)*9 + (k%8) + 1]['s']
+                       * bx[(k//8)*9 + (k%8) + 2]['a']
+                     > bx[(k//8)*9 + (k%8) + 2]['s']
+                       * bx[(k//8)*9 + (k%8) + 1]['a']
+                  THEN 1 ELSE 0 END
+             FOR k IN range(64) ] AS bits
+    FROM boxes
+), votes AS (   -- temporal majority: bit k set iff strictly more than
+                -- half of the sampled frames set it (ties clear)
+    SELECT doc_id, k, sum(bits[k + 1]) AS c, count(*) AS nfr
+    FROM fbits, (SELECT unnest(range(64)) AS k) t
+    GROUP BY doc_id, k
+), hashes AS (
+    SELECT doc_id,
+           CAST(sum(CASE WHEN 2 * c > nfr
+                         THEN CASE WHEN k = 63
+                                   THEN (-9223372036854775807::BIGINT - 1)
+                                   ELSE (1::BIGINT << k) END
+                         ELSE 0::BIGINT END) AS BIGINT) AS h
+    FROM votes GROUP BY doc_id
+), chunks AS (  -- the 4x16-bit Hamming-LSH bands of simhash_near_pairs
+    SELECT doc_id, h, c, (h >> (16 * c)) & 65535 AS key
+    FROM hashes, (SELECT unnest(range(4)) AS c) t
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
+FROM chunks a JOIN chunks b
+  ON a.c = b.c AND a.key = b.key AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.h, b.h)) <= 6
+"""
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup (pipeline/dedup.py::
+    incremental_exact_dedup): a NEW batch (documents with doc_id%3!=0)
+    is deduplicated against the already-ingested corpus (doc_id%3==0)
+    — in-batch copies collapse to (min id, copy count) and anything
+    the seen side already holds is dropped. The synthetic corpus has
+    unique texts, so the query INJECTS collisions: docs with
+    doc_id%5==0 share 'shared-<doc_id%47>' contents, colliding both
+    in-batch and across the batch/seen split. The Spark plan builds a
+    bloom bitset over the seen hashes (distributed bit_or agg, one
+    array literal) and routes definitely-new rows AROUND the
+    anti-join; the bloom is exact by construction (false positives
+    resolve through the join), which is why the plain-SQL oracle —
+    a NOT IN + group-by with no bloom anywhere — computes the
+    identical result."""
+    from graphite_clickhouse_spark.pipeline.dedup import (
+        incremental_exact_dedup,
+    )
+    from graphite_clickhouse_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    content = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(F.lit("shared-"), (F.col("doc_id") % 47).cast("string")),
+    ).otherwise(F.col("text"))
+    seen = (docs.filter(F.col("doc_id") % 3 == 0)
+            .select("doc_id", content.alias("content")))
+    batch = (docs.filter(F.col("doc_id") % 3 != 0)
+             .select("doc_id", content.alias("content")))
+    return incremental_exact_dedup(batch, seen, text_col="content")
+
+
+SQL_INCREMENTAL_DEDUP = """
+WITH v AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 5 = 0
+                THEN 'shared-' || CAST(doc_id % 47 AS VARCHAR)
+                ELSE text END AS content
+    FROM documents
+), seen AS (
+    SELECT content FROM v WHERE doc_id % 3 = 0
+), batch AS (
+    SELECT doc_id, content FROM v WHERE doc_id % 3 <> 0
+)
+SELECT md5(content) AS text_hash,
+       min(doc_id) AS keeper_id,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM batch
+WHERE content NOT IN (SELECT content FROM seen)
+GROUP BY content
 """
 
 
@@ -3690,9 +3843,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # family (ivf_assign/ivf_topk/kmeans_refine and the ann/embedding
     # queries), whose module was edited in r9 (literal string build) and
     # again in r10 (non-finite literal guard; kmeans_refine is now fully
-    # lazy via ivf_assign_lazy).  Also in-window: the two NEW r10
-    # operators (image_phash_pairs, domain_cap) and c4_line_filter
-    # (r10 whitespace/strip fidelity fix, pipeline/text.py).
+    # lazy via ivf_assign_lazy).  Also in-window: the NEW r10
+    # operators (image/audio/video_phash_pairs, domain_cap,
+    # incremental_dedup) and c4_line_filter (r10 whitespace/strip
+    # fidelity fix, pipeline/text.py).
     # ------------------------------------------------------------------
     "promql_rate_sum": (q_promql_rate_sum, SQL_PROMQL_RATE_SUM),
     "promql_hist_quantile": (q_promql_hist_quantile, SQL_PROMQL_HIST_QUANTILE),
@@ -3721,7 +3875,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # the deterministic per-domain cap
     "image_phash_pairs": (q_image_phash_pairs, SQL_IMAGE_PHASH_PAIRS),
     "audio_phash_pairs": (q_audio_phash_pairs, SQL_AUDIO_PHASH_PAIRS),
+    "video_phash_pairs": (q_video_phash_pairs, SQL_VIDEO_PHASH_PAIRS),
     "domain_cap": (q_domain_cap, SQL_DOMAIN_CAP),
+    "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
     # r10-touched (pipeline/text.py C4 fidelity) -> in-window
     "c4_line_filter": (q_c4_line_filter, SQL_C4_LINE_FILTER),
     "semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
@@ -3734,7 +3890,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "render_unaggregated": (q_render_unaggregated, SQL_RENDER_UNAGGREGATED),
     "version_dedup": (q_version_dedup, SQL_VERSION_DEDUP),
     "storage_merge": (q_storage_merge, SQL_STORAGE_MERGE),
-    "consolidate_last": (q_consolidate_last, SQL_CONSOLIDATE_LAST),
     "find_glob": (q_find_glob, SQL_FIND_GLOB),
     "index_tree": (q_index_tree, SQL_INDEX_TREE),
     "tagged_find": (q_tagged_find, SQL_TAGGED_FIND),
@@ -3747,7 +3902,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "url_dedup": (q_url_dedup, SQL_URL_DEDUP),
     "domain_stats": (q_domain_stats, SQL_DOMAIN_STATS),
     "html_extract": (q_html_extract, SQL_HTML_EXTRACT),
-    "semi_join_urgent": (q_semi_join_urgent, SQL_SEMI_JOIN_URGENT),
     "multimodal_bmp_decode": (q_multimodal_bmp_decode, SQL_MULTIMODAL_BMP_DECODE),
     "multimodal_jpeg_decode": (q_multimodal_jpeg_decode, SQL_MULTIMODAL_JPEG_DECODE),
     # ------------------------------------------------------------------
@@ -3762,7 +3916,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # sf0.001 is pinned, so a semantic edit to a shared module forces
     # the query back into the window (r5 judge finding #1).
     # ------------------------------------------------------------------
-    # r9-window-green, r10-untouched; displaced by audio_phash_pairs
+    # r9-window-green, r10-untouched; displaced by the new r10 operators
+    # (audio/video_phash_pairs, incremental_dedup)
+    "consolidate_last": (q_consolidate_last, SQL_CONSOLIDATE_LAST),
+    "semi_join_urgent": (q_semi_join_urgent, SQL_SEMI_JOIN_URGENT),
     "bigram_quality": (q_bigram_quality, SQL_BIGRAM_QUALITY),
     "autocomplete_values": (q_autocomplete_values, SQL_AUTOCOMPLETE_VALUES),
     "autocomplete_tags": (q_autocomplete_tags, SQL_AUTOCOMPLETE_TAGS),
