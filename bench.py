@@ -130,6 +130,8 @@ BENCH_QUERIES = [
     "multimodal_wav_decode",
     "image_phash_pairs",
     "audio_phash_pairs",
+    "video_phash_pairs",
+    "incremental_dedup",
 ]
 
 

@@ -62,6 +62,12 @@ SPILL_QUERIES = [
     # heaviest shuffle among the new operators (domain_cap is two tiny
     # bounded aggs + a broadcast join; not spill-interesting)
     "image_phash_pairs",
+    # r10 late additions: the video path carries the largest payloads
+    # in the suite (multi-frame containers) through its decode pass
+    # before the same chunk-bucket self-join; incremental_dedup's
+    # anti-join side is deliberately tiny post-bloom — covered by the
+    # hash-agg families above
+    "video_phash_pairs",
 ]
 
 
