@@ -149,6 +149,9 @@ def test_contract_registry_is_complete():
         # are untouched). The content-aware fingerprint guard below
         # verifies the "no result-affecting change" claim mechanically —
         # any optimized-plan drift fails the build.
+        # late-r10 rotation: displaced by video_phash_pairs +
+        # incremental_dedup (r8-, untouched, pins byte-identical)
+        "consolidate_last", "semi_join_urgent",
         "bigram_quality",
         "autocomplete_values", "autocomplete_tags", "prom_label_values",
         "multimodal_features", "multimodal_wav_decode", "lang_id",
