@@ -132,6 +132,7 @@ BENCH_QUERIES = [
     "audio_phash_pairs",
     "video_phash_pairs",
     "incremental_dedup",
+    "normalized_dedup",
 ]
 
 

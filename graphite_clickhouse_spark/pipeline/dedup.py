@@ -44,6 +44,29 @@ def exact_dedup(
     )
 
 
+def normalized_exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """exact_dedup over the CCNet-normalized text (text.py::
+    normalize_for_dedup): one row per distinct normalization class —
+    (norm_hash, keeper_id = min id, n_copies). Collapses the
+    re-renderings exact_dedup cannot see (case flips, punctuation,
+    whitespace layout, digit churn) while staying ONE hash agg on
+    narrow md5 keys — the normalization runs in the scan projection,
+    so the 100 TB shape is identical to exact_dedup's."""
+    from .text import normalize_for_dedup
+
+    return (
+        df.groupBy(
+            F.md5(normalize_for_dedup(F.col(text_col))).alias("norm_hash")
+        )
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
 def _bloom_words(
     seen_hashes: DataFrame, n_keys: int, bits_per_key: int, max_bits: int
 ) -> tuple[list[int], int]:

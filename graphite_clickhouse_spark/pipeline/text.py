@@ -343,6 +343,28 @@ def clean_text(
     )
 
 
+def normalize_for_dedup(text: Column) -> Column:
+    """CCNet-style dedup-key normalization (Wenzek et al. 2020 — their
+    dedup hashes a lowercased, digit-squashed, punctuation-stripped
+    copy of each paragraph so trivial re-renderings collapse): fold
+    case, squash every digit run's characters to '0' (prices, dates,
+    counters — the classic near-identical-page variation), strip
+    everything that is not [a-z0] or ASCII whitespace, collapse
+    whitespace runs, trim. Pure JVM regexp chain in the scan
+    projection — no UDF, no shuffle.
+
+    Deliberate divergences from CCNet's Python reference, documented
+    for the oracle's sake: accents are STRIPPED WITH their letters
+    (removal, not unidecode folding — no portable accent folding
+    exists across Spark/DuckDB), and the whitespace class is Java's
+    ASCII \\s spelled out (WS_CHARS) so Spark, DuckDB RE2, and the
+    Python twins agree byte-for-byte (the r7 vertical-tab finding)."""
+    lowered = F.lower(text)
+    digits0 = F.regexp_replace(lowered, "[0-9]", "0")
+    stripped = F.regexp_replace(digits0, "[^a-z0" + WS_CHARS + "]", "")
+    return F.trim(F.regexp_replace(stripped, WS_RE, " "))
+
+
 def winnow_fingerprints(
     df,
     k: int = 5,

@@ -149,9 +149,10 @@ def test_contract_registry_is_complete():
         # are untouched). The content-aware fingerprint guard below
         # verifies the "no result-affecting change" claim mechanically —
         # any optimized-plan drift fails the build.
-        # late-r10 rotation: displaced by video_phash_pairs +
-        # incremental_dedup (r8-, untouched, pins byte-identical)
-        "consolidate_last", "semi_join_urgent",
+        # late-r10 rotation: displaced by video_phash_pairs,
+        # incremental_dedup, and normalized_dedup (r8-, untouched,
+        # pins byte-identical)
+        "consolidate_last", "semi_join_urgent", "topk_orders_per_segment",
         "bigram_quality",
         "autocomplete_values", "autocomplete_tags", "prom_label_values",
         "multimodal_features", "multimodal_wav_decode", "lang_id",

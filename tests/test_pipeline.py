@@ -816,7 +816,101 @@ class TestVideoPerceptualHash:
             assert sorted(by_id[aid]) == list(range(0, nf, 2))
 
 
-class TestIncrementalDedup:
+class TestNormalizedDedup:
+    """text.py::normalize_for_dedup + dedup.py::normalized_exact_dedup —
+    the CCNet normalized-key dedup stage (r10)."""
+
+    #: DuckDB mirror of normalize_for_dedup — kept in sync with the
+    #: normalized_dedup oracle in __spark_entry__.py
+    DUCK_NORM = (
+        "trim(regexp_replace(regexp_replace(regexp_replace(lower(t),"
+        " '[0-9]', '0', 'g'),"
+        " '[^a-z0 \\t\\n\\x0B\\f\\r]', '', 'g'),"
+        " '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))"
+    )
+
+    def test_hand_cases(self, spark):
+        from graphite_clickhouse_spark.pipeline.text import (
+            normalize_for_dedup,
+        )
+
+        rows = [
+            (1, "Hello,  World!  123"),
+            (2, "hello world 000"),
+            (3, "v7 \t\x0b\f tabs"),
+            (4, "Crème Brûlée"),          # accents strip WITH letters
+            (5, "  edge  "),
+            (6, ""),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, t string")
+        got = {r.doc_id: r.n
+               for r in df.select("doc_id",
+                                  normalize_for_dedup(F.col("t")).alias("n")
+                                  ).collect()}
+        assert got[1] == "hello world 000"
+        assert got[2] == "hello world 000"
+        assert got[3] == "v0 tabs"
+        assert got[4] == "crme brle"
+        assert got[5] == "edge"
+        assert got[6] == ""
+
+    def test_collapse_groups(self, spark):
+        from graphite_clickhouse_spark.pipeline.dedup import (
+            normalized_exact_dedup,
+        )
+
+        rows = [
+            (1, "The Price is $42, right?"),
+            (2, "the   price is 99 RIGHT"),   # digits squash: 42 ~ 99
+            (3, "THE PRICE IS , 7 right!!!"), # 1-digit: '0' != '00'
+            (4, "something else"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.keeper_id: r.n_copies
+               for r in normalized_exact_dedup(df).collect()}
+        assert got == {1: 2, 3: 1, 4: 1}
+
+    def test_differential_fuzz_vs_duckdb(self, spark):
+        """One hypothesis corpus, one Spark job, one DuckDB query,
+        element-wise compare — the regexp chain crosses Java and RE2
+        and every class must mean the same thing in both. Probes
+        include the vertical-tab / form-feed divergence characters and
+        a few non-ASCII case-mapping edge cases (İ's full-vs-simple
+        lowercase both contribute a bare 'i' once combining marks
+        strip)."""
+        import duckdb
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from graphite_clickhouse_spark.pipeline.text import (
+            normalize_for_dedup,
+        )
+
+        atom = st.text(
+            alphabet=st.sampled_from(
+                "aBzZ09 \t\n\x0b\f\r.!?,$%&#@():;/\\-_+='\"[]{}"
+                "éßİΩ你"
+            ),
+            max_size=24,
+        )
+        corpus = st.lists(atom, min_size=1, max_size=20)
+
+        @settings(max_examples=20, deadline=None)
+        @given(corpus)
+        def run(texts):
+            df = spark.createDataFrame(
+                list(enumerate(texts)), "i long, t string"
+            )
+            got = {r.i: r.n for r in df.select(
+                "i", normalize_for_dedup(F.col("t")).alias("n")).collect()}
+            con = duckdb.connect()
+            con.register("corpus", __import__("pandas").DataFrame(
+                {"i": range(len(texts)), "t": texts}))
+            want = dict(con.execute(
+                f"SELECT i, {self.DUCK_NORM} AS n FROM corpus").fetchall())
+            assert got == want
+
+        run()
     """pipeline/dedup.py::incremental_exact_dedup — new-batch-vs-seen
     exact dedup with the bloom prefilter (r10)."""
 
