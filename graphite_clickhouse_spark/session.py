@@ -28,6 +28,22 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Bound Arrow batch ROWS so payload-carrying batches stay
+        # memory-sane: the default 10k-record batches are harmless for
+        # scalar columns, but a multimodal partition of ~15-40 KB
+        # binary payloads (the GVID video corpus) materializes
+        # 150-600 MB per batch as pandas objects in EVERY python
+        # worker — at the 100x ladder rung (where partitions first
+        # exceed 10k rows) that memory pressure made the decode pass
+        # super-linear (r10 measurement: the video 100x rung's per-doc
+        # cost read 2-3x the 10x rung's; 1024-row batches bound a
+        # video batch at ~15-40 MB). Every kernel in this repo is
+        # row-independent (pandas_udf / mapInPandas loops, applyInPandas
+        # gets whole groups regardless), so batch size is semantics-free
+        # here; scalar kernels are python-loop-bound and measure the
+        # same at 1024 as at 10k.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch",
+                os.environ.get("SPARK_GRAFT_ARROW_BATCH", "1024"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         # PySpark 4's DataFrame-debugging wrapper does a conf.get +
