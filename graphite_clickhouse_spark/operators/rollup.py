@@ -384,64 +384,60 @@ def rollup_specs_df(spark, rules: "Rules", paths_df):
 
     Spark-side twin of Rules.lookup for UNBOUNDED path sets (a storage
     merge touches every metric, unlike a render which sees a resolved
-    list): the tiny ordered pattern table is broadcast and joined to the
-    distinct paths with `rlike`; per path the FIRST matching pattern with
-    a function fixes the function and the FIRST with a retention fixes
-    the ladder (ClickHouse selectPatternForPath semantics; the reference
-    client mirrors it at helper/rollup/rules.go:298-363).
+    list): the ordered pattern list is tiny and driver-resident, so the
+    first-match-wins selection compiles to ONE stacked CASE WHEN
+    projection over the distinct paths — per path the FIRST matching
+    pattern with a function fixes the function and the FIRST with a
+    retention fixes the ladder (ClickHouse selectPatternForPath
+    semantics; the reference client mirrors it at
+    helper/rollup/rules.go:298-363). The previous formulation joined a
+    broadcast pattern table with a non-equi `rlike` predicate
+    (BroadcastNestedLoopJoin) + a min_by aggregate + an anti-join union
+    for the no-match default — 2 extra Exchanges and 2 extra scans of
+    the path universe for what a codegen'd projection expresses
+    directly; a CASE chain over tens-of-patterns rule sets stays well
+    inside codegen limits.
 
     Returns (path, function, ladder array<struct<age int, precision int>>).
     """
     from pyspark.sql import functions as F
 
-    rows = []
-    for i, p in enumerate(rules.patterns):
-        rows.append(
-            (
-                i,
-                p.regexp or "",
-                p.rule_type,
-                p.function,
-                [(r.age, r.precision) for r in p.retention] or None,
-            )
-        )
-    pat = spark.createDataFrame(
-        rows,
-        "pidx int, regexp string, rule_type string, function string, "
-        "ladder array<struct<age:int,precision:int>>",
-    )
     paths = paths_df.select("path").distinct()
     tagged = F.instr("path", "?") > 0
-    type_ok = F.when(tagged, F.col("rule_type") != RULE_PLAIN).otherwise(
-        F.col("rule_type").isin(RULE_ALL, RULE_PLAIN)
-    )
-    re_ok = (F.col("regexp") == "") | F.expr("path rlike regexp")
-    j = paths.join(F.broadcast(pat), type_ok & re_ok)
-    fn_pick = F.min_by("function", F.when(F.col("function").isNotNull(), F.col("pidx")))
-    ladder_pick = F.min_by("ladder", F.when(F.col("ladder").isNotNull(), F.col("pidx")))
-    out = j.groupBy("path").agg(
-        F.coalesce(fn_pick, F.lit(SUPER_DEFAULT_FUNCTION)).alias("function"),
-        F.coalesce(
-            ladder_pick,
-            F.array(
+
+    def match_cond(p) -> "F.Column":
+        type_ok = F.when(tagged, F.lit(p.rule_type != RULE_PLAIN)).otherwise(
+            F.lit(p.rule_type in (RULE_ALL, RULE_PLAIN))
+        )
+        if not p.regexp:
+            return type_ok
+        return type_ok & F.col("path").rlike(p.regexp)
+
+    def ladder_lit(retention) -> "F.Column":
+        return F.array(
+            *[
                 F.struct(
-                    F.lit(0).alias("age"),
-                    F.lit(SUPER_DEFAULT_PRECISION).alias("precision"),
+                    F.lit(r.age).cast("int").alias("age"),
+                    F.lit(r.precision).cast("int").alias("precision"),
                 )
-            ),
-        ).alias("ladder"),
+                for r in retention
+            ]
+        )
+
+    fn = F.lit(SUPER_DEFAULT_FUNCTION)
+    ladder = F.array(
+        F.struct(
+            F.lit(0).cast("int").alias("age"),
+            F.lit(SUPER_DEFAULT_PRECISION).cast("int").alias("precision"),
+        )
     )
-    # paths matching NO pattern still need the super-default
-    missing = paths.join(out.select("path"), "path", "left_anti").select(
-        "path",
-        F.lit(SUPER_DEFAULT_FUNCTION).alias("function"),
-        F.array(
-            F.struct(
-                F.lit(0).alias("age"), F.lit(SUPER_DEFAULT_PRECISION).alias("precision")
-            )
-        ).alias("ladder"),
-    )
-    return out.unionByName(missing)
+    # build the chains back-to-front so earlier patterns take precedence
+    for p in reversed(rules.patterns):
+        if p.function is not None:
+            fn = F.when(match_cond(p), F.lit(p.function)).otherwise(fn)
+        if p.retention:
+            ladder = F.when(match_cond(p), ladder_lit(p.retention)).otherwise(ladder)
+    return paths.select("path", fn.alias("function"), ladder.alias("ladder"))
 
 
 def graphite_merge(
@@ -491,17 +487,25 @@ def graphite_merge(
         version_col,
         "function",
     )
-    # 1) ReplacingMergeTree step: equal (path, raw time) -> max version row
+    # 1) ReplacingMergeTree step: equal (path, raw time) -> max version
+    # row. max_by keeps the aggregation buffer primitive (long ordering +
+    # double value), so both aggregates below run as HashAggregate; the
+    # previous max-of-struct form forced SortAggregate + a full Sort per
+    # aggregation (struct buffers are not hash-aggregatable). Version
+    # ties within a (path, time) cell are ClickHouse-"any row" semantics
+    # to begin with (ReplacingMergeTree keeps an arbitrary max-version
+    # row); real graphite writes carry unique versions per cell.
     dedup = rows.groupBy(path_col, "__bucket", "__t").agg(
-        F.max(F.struct(F.col(version_col).alias("v"), F.col(value_col).alias("x")))
-        .getField("x")
-        .alias(value_col),
+        F.max_by(F.col(value_col), F.col(version_col)).alias(value_col),
         F.max(version_col).alias(version_col),
         F.first("function").alias("function"),
     )
-    # 2) rollup step: aggregate the bucket with the metric's function
+    # 2) rollup step: aggregate the bucket with the metric's function.
+    # After the dedup each (path, bucket) group holds one row per __t,
+    # so ordering by __t alone is the same (t, version) order the
+    # any/anyLast semantics need — and keeps the buffer primitive.
     v = F.col(value_col)
-    order = F.struct(F.col("__t"), F.col(version_col))
+    order = F.col("__t")
     fn = F.col("function")
     agged = dedup.groupBy(path_col, "__bucket").agg(
         F.avg(v).alias("_avg"),

@@ -74,12 +74,13 @@ def encode_bmp(pixels: np.ndarray) -> bytes:
     ) + struct.pack(
         "<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0
     )
-    body = bytearray()
-    pad = b"\x00" * (row_size - w * 3)
-    for y in range(h - 1, -1, -1):  # bottom-up
-        # BMP stores BGR
-        body += pixels[y, :, ::-1].tobytes() + pad
-    return header + bytes(body)
+    # bottom-up row order, BGR channel order, rows padded to 4 bytes —
+    # built as one zero-initialized (h, row_size) block and serialized
+    # with a single tobytes() (the per-row loop + concat was the
+    # encoder's dominant cost in the Arrow generator kernels)
+    body = np.zeros((h, row_size), dtype=np.uint8)
+    body[:, : w * 3] = pixels[::-1, :, ::-1].reshape(h, w * 3)
+    return header + body.tobytes()
 
 
 @_codec_boundary

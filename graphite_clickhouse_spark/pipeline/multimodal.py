@@ -38,6 +38,25 @@ FEATURE_SCHEMA = (
 )
 
 
+def _spread_ids(ids: DataFrame, id_col: str) -> DataFrame:
+    """Project to the id column and spread it over the session's cores.
+
+    The synthetic asset generators EXPAND tiny id rows into heavy binary
+    payloads inside an Arrow kernel; a small id corpus arrives as one
+    parquet split, which would serialize all of that CPU-bound encode
+    work onto a single core (the same trap tokens_projection documents
+    for the text family — dedup.py:232). Repartitioning the *ids* is a
+    shuffle of narrow rows (8 bytes each), paid before any payload
+    exists; at scale the input file count already provides parallelism
+    and the repartition keeps the same partition count. The decode-side
+    operators deliberately do NOT repartition: their input rows carry
+    the payloads, and shuffling those would move the heavy bytes an
+    extra time (guide: decide with small rows, move big rows once)."""
+    sc = ids.sparkSession.sparkContext
+    parts = max(ids.rdd.getNumPartitions(), sc.defaultParallelism)
+    return ids.select(id_col).repartition(parts)
+
+
 def _decode_image_stub(payload: bytes) -> tuple[int, int, list[float]]:
     """FALLBACK fake for formats with no in-container codec (JPEG &c.):
     dimensions derived from payload length, an 8-dim byte-histogram
@@ -132,6 +151,19 @@ def _pack_bits_signed(bits) -> int:
     return val - (1 << 64) if val >= (1 << 63) else val
 
 
+def _pack_bits_signed_np(bits) -> int:
+    """_pack_bits_signed for a numpy bool array of 64 bits: packbits
+    with little bit-order is the same little-endian packing, without
+    the 64-iteration Python loop (the hash kernels call this once per
+    frame/asset, so the loop was measurable)."""
+    import numpy as np
+
+    val = int.from_bytes(
+        np.packbits(bits, bitorder="little").tobytes(), "little"
+    )
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
 def _hash_neardup_pairs(hashes: DataFrame, max_hamming: int) -> DataFrame:
     """Shared LSH composition for the perceptual-hash family: filter
     NULL hashes, band via dedup.simhash_near_pairs (4 x 16-bit Hamming
@@ -193,17 +225,18 @@ def _dhash_from_pixels(px) -> int | None:
     h, w = gray.shape
     if w < 9 or h < 8:
         return None
-    xs = [(i * w) // 9 for i in range(10)]
-    ys = [(j * h) // 8 for j in range(9)]
-    s = np.empty((8, 9), dtype=np.int64)
-    area = np.empty((8, 9), dtype=np.int64)
-    for j in range(8):
-        for i in range(9):
-            block = gray[ys[j]:ys[j + 1], xs[i]:xs[i + 1]]
-            s[j, i] = int(block.sum())
-            area[j, i] = block.size
+    xs = (np.arange(10, dtype=np.int64) * w) // 9
+    ys = (np.arange(9, dtype=np.int64) * h) // 8
+    # np.add.reduceat over the left edges computes exactly the box
+    # partition sums (edges are strictly increasing for w >= 9, h >= 8,
+    # and the last segment runs to the array end = xs[9]/ys[8]); this
+    # replaces a 72-iteration Python slice-and-sum loop that dominated
+    # the per-frame hash cost. Integer adds are associative, so the
+    # sums are bit-identical to the loop's.
+    s = np.add.reduceat(np.add.reduceat(gray, ys[:8], axis=0), xs[:9], axis=1)
+    area = np.diff(ys)[:, None] * np.diff(xs)[None, :]
     bits = (s[:, :8] * area[:, 1:]) > (s[:, 1:] * area[:, :8])
-    return _pack_bits_signed(bits.reshape(-1))
+    return _pack_bits_signed_np(bits.reshape(-1))
 
 
 def image_dhash(assets: DataFrame) -> DataFrame:
@@ -251,13 +284,14 @@ def _audio_dhash_from_samples(samples) -> int | None:
     n = s.shape[0]
     if n < 65:
         return None
-    edges = [(j * n) // 65 for j in range(66)]
-    sums = np.array([int(s[edges[j]:edges[j + 1]].sum()) for j in range(65)],
-                    dtype=np.int64)
-    cnts = np.array([edges[j + 1] - edges[j] for j in range(65)],
-                    dtype=np.int64)
+    edges = (np.arange(66, dtype=np.int64) * n) // 65
+    # reduceat over the left edges = the 65 box sums (edges strictly
+    # increasing for n >= 65; last segment runs to the end = edges[65]);
+    # replaces the 65-iteration Python slice-and-sum loop bit-identically
+    sums = np.add.reduceat(s, edges[:65])
+    cnts = np.diff(edges)
     bits = (sums[:64] * cnts[1:]) > (sums[1:] * cnts[:64])
-    return _pack_bits_signed(bits)
+    return _pack_bits_signed_np(bits)
 
 
 def audio_dhash(assets: DataFrame) -> DataFrame:
@@ -343,7 +377,7 @@ def synthetic_pattern_wav_assets(
                 out["meta"].append({})
             yield pd.DataFrame(out)
 
-    return ids.select(id_col).mapInPandas(kernel, ASSET_SCHEMA)
+    return _spread_ids(ids, id_col).mapInPandas(kernel, ASSET_SCHEMA)
 
 
 def image_neardup_pairs(assets: DataFrame, max_hamming: int = 6) -> DataFrame:
@@ -425,7 +459,7 @@ def synthetic_pattern_bmp_assets(
                 out["meta"].append({})
             yield pd.DataFrame(out)
 
-    return ids.select(id_col).mapInPandas(kernel, ASSET_SCHEMA)
+    return _spread_ids(ids, id_col).mapInPandas(kernel, ASSET_SCHEMA)
 
 
 def frame_sample_plan(assets: DataFrame, every_n: int = 30) -> DataFrame:
@@ -470,9 +504,18 @@ def _video_dhash_from_frames(frames, every_n: int) -> int | None:
             hashes.append(h & 0xFFFFFFFFFFFFFFFF)
     if not hashes:
         return None
-    n = len(hashes)
-    bits = [2 * sum((u >> k) & 1 for u in hashes) > n for k in range(64)]
-    return _pack_bits_signed(bits)
+    import numpy as np
+
+    # per-bit counts across frames in one vectorized pass (the pure-
+    # Python 64 x n_frames generator-sum was ~60 us per video); exact
+    # integer compare, so the vote is bit-identical to the loop's
+    u = np.array(hashes, dtype=np.uint64)
+    counts = (
+        (u[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+        & np.uint64(1)
+    ).sum(axis=0)
+    bits = 2 * counts > len(hashes)
+    return _pack_bits_signed_np(bits)
 
 
 def video_dhash(assets: DataFrame, every_n: int = 2) -> DataFrame:
@@ -559,17 +602,21 @@ def synthetic_pattern_video_assets(
                 gid = (i * 40503 % 65536) % groups
                 nf = 6 + gid % 5
                 w, h = 24 + gid % 29, 16 + gid % 17
-                x = np.arange(w, dtype=np.int64)[None, :]
-                y = np.arange(h, dtype=np.int64)[:, None]
-                frames = []
-                for f in range(nf):
-                    p = ((1 + (gid + f) % 11) * x * x
-                         + (1 + (gid + 2 * f) % 13) * y * y + 31 * gid)
-                    if i % 3 == 0:
-                        p[:3, :3] += 40
-                    gray = (p % 256).astype(np.uint8)
-                    px = np.repeat(gray[:, :, None], 3, axis=2)
-                    frames.append(codecs.encode_bmp(px))
+                # all nf frames in one vectorized expression (frame axis
+                # first) — same integer arithmetic per frame as the
+                # scalar loop, just batched
+                f = np.arange(nf, dtype=np.int64)[:, None, None]
+                x = np.arange(w, dtype=np.int64)[None, None, :]
+                y = np.arange(h, dtype=np.int64)[None, :, None]
+                p = ((1 + (gid + f) % 11) * x * x
+                     + (1 + (gid + 2 * f) % 13) * y * y + 31 * gid)
+                if i % 3 == 0:
+                    p[:, :3, :3] += 40
+                gray = (p % 256).astype(np.uint8)
+                frames = [
+                    codecs.encode_bmp(np.repeat(g[:, :, None], 3, axis=2))
+                    for g in gray
+                ]
                 out["asset_id"].append(i)
                 out["modality"].append("video")
                 out["mime"].append("video/x-gvid")
@@ -577,7 +624,7 @@ def synthetic_pattern_video_assets(
                 out["meta"].append({"n_frames": str(nf)})
             yield pd.DataFrame(out)
 
-    return ids.select(id_col).mapInPandas(kernel, ASSET_SCHEMA)
+    return _spread_ids(ids, id_col).mapInPandas(kernel, ASSET_SCHEMA)
 
 
 def synthetic_bmp_assets(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -607,7 +654,7 @@ def synthetic_bmp_assets(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 out["meta"].append({})
             yield pd.DataFrame(out)
 
-    return ids.select(id_col).mapInPandas(kernel, ASSET_SCHEMA)
+    return _spread_ids(ids, id_col).mapInPandas(kernel, ASSET_SCHEMA)
 
 
 def synthetic_jpeg_assets(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -637,7 +684,7 @@ def synthetic_jpeg_assets(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 out["meta"].append({})
             yield pd.DataFrame(out)
 
-    return ids.select(id_col).mapInPandas(kernel, ASSET_SCHEMA)
+    return _spread_ids(ids, id_col).mapInPandas(kernel, ASSET_SCHEMA)
 
 
 def synthetic_wav_assets(
@@ -667,7 +714,7 @@ def synthetic_wav_assets(
                 out["meta"].append({})
             yield pd.DataFrame(out)
 
-    return ids.select(id_col).mapInPandas(kernel, ASSET_SCHEMA)
+    return _spread_ids(ids, id_col).mapInPandas(kernel, ASSET_SCHEMA)
 
 
 def synthetic_assets(spark, n: int = 64) -> DataFrame:

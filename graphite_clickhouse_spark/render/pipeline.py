@@ -234,7 +234,16 @@ class Engine:
         if self._refresh_lock is None:
             self._refresh_lock = threading.Lock()
         now = _time.monotonic()
-        if not force and now - self._last_refresh < self.refresh_interval_sec:
+        # _last_refresh == 0.0 is the "never refreshed" sentinel: the
+        # first call must always run. Comparing the sentinel as a real
+        # monotonic timestamp wrongly throttled the first refresh on
+        # hosts whose uptime was below refresh_interval_sec (monotonic()
+        # counts from boot).
+        if (
+            not force
+            and self._last_refresh
+            and now - self._last_refresh < self.refresh_interval_sec
+        ):
             return False
         if not self._refresh_lock.acquire(blocking=False):
             return False  # another request is already refreshing
