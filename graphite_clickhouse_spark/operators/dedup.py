@@ -23,13 +23,17 @@ def dedup_versions(
 ) -> DataFrame:
     """Keep, per key group, the value of the max-version row.
 
-    Tie-break on equal versions: max value (deterministic, unlike the
-    reference's insertion-order tie-break which is nondeterministic under
-    concurrent writes anyway).
+    max_by keeps the aggregation buffer primitive (long ordering +
+    double value), so the dedup runs as a HashAggregate; the previous
+    max-of-struct form forced SortAggregate + a full Sort on every
+    deduped fetch (struct buffers are not hash-aggregatable). Equal
+    versions within a key group are the reference's insertion-order
+    tie-break, i.e. nondeterministic under concurrent writes to begin
+    with (helper/point/func.go:28-51); real write paths assign unique
+    versions per (path, time).
     """
-    ordered = F.struct(F.col(version_col).alias("v"), F.col(value_col).alias("x"))
     return df.groupBy(*keys).agg(
-        F.max(ordered).getField("x").alias(value_col),
+        F.max_by(F.col(value_col), F.col(version_col)).alias(value_col),
         F.max(version_col).alias(version_col),
     )
 

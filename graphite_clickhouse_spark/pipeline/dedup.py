@@ -529,6 +529,87 @@ def hash60_portable(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+def _make_hash60_set_kernel():
+    """Iterator-form pandas kernel: shingle-string array -> sorted
+    distinct hash60_portable values (np.unique over positive 60-bit
+    ints == array_sort(array_distinct(...))), with a per-task
+    shingle->hash cache so repeated shingles hash once per task."""
+
+    def _kernel(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        cache: dict[str, int] = {}
+        for sh_arrays in batches:
+            out = []
+            for sh in sh_arrays:
+                if sh is None:
+                    out.append(None)
+                    continue
+                vals = np.empty(len(sh), dtype=np.int64)
+                for i, s in enumerate(sh):
+                    v = cache.get(s)
+                    if v is None:
+                        v = int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+                        if len(cache) < 2_000_000:
+                            cache[s] = v
+                    vals[i] = v
+                out.append(np.unique(vals))
+            yield pd.Series(out)
+
+    return _kernel
+
+
+def _make_portable_sig_kernel(num_hashes: int):
+    """Iterator-form pandas kernel computing the portable MinHash
+    signature: sig[lane] = min over shingles s of
+    int(md5(f"{lane}:{s}").hexdigest()[:15], 16).
+
+    Bit-identical to hash60_portable over concat(lane, ':', s) (md5 is
+    over the UTF-8 bytes either way; values < 2^60 are exact in int64;
+    integer min is order-independent). The iterator form keeps the
+    shingle->lane-hash cache alive across Arrow batches within a task
+    (guide: heavyweight state once per task), so each distinct shingle
+    pays its num_hashes md5 digests once per task, not once per
+    occurrence. The cache is size-bounded; overflow just recomputes."""
+
+    def _kernel(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        prefixes = [f"{i}:".encode() for i in range(num_hashes)]
+        cache: dict[str, np.ndarray] = {}
+        for sh_arrays in batches:
+            out = []
+            for sh in sh_arrays:
+                if sh is None or len(sh) == 0:
+                    out.append(None)
+                    continue
+                mins = None
+                for s in sh:
+                    v = cache.get(s)
+                    if v is None:
+                        sb = s.encode()
+                        v = np.array(
+                            [
+                                int(hashlib.md5(p + sb).hexdigest()[:15], 16)
+                                for p in prefixes
+                            ],
+                            dtype=np.int64,
+                        )
+                        if len(cache) < 1_000_000:
+                            cache[s] = v
+                    mins = v.copy() if mins is None else np.minimum(mins, v)
+                out.append(mins)
+            yield pd.Series(out)
+
+    return _kernel
+
+
 def minhash_dedup_portable(
     df: DataFrame,
     n: int = 3,
@@ -565,28 +646,30 @@ def minhash_dedup_portable(
     # verification sets as sorted 60-bit hashes: 8-byte elements instead
     # of shingle strings keep the broadcast and the intersect cheap; the
     # oracle hashes identically, so both engines see the same (negligible)
-    # collision behavior
-    hsets = sets.select(
-        "id",
-        F.array_sort(
-            F.array_distinct(F.transform(F.col("sh"), hash60_portable))
-        ).alias("hs"),
+    # collision behavior. Same cached Arrow kernel rationale as the
+    # signature below: np.unique == array_sort(array_distinct(...)) for
+    # positive 60-bit values, each distinct shingle hashed once per task.
+    hs_udf = F.pandas_udf(
+        _make_hash60_set_kernel(), "array<bigint>", F.PandasUDFType.SCALAR_ITER
     )
-    lanes = F.sequence(F.lit(0), F.lit(num_hashes - 1))
-    sig = F.transform(
-        lanes,
-        lambda lane: F.array_min(
-            F.transform(
-                F.col("sh"),
-                lambda s: hash60_portable(
-                    F.concat(lane.cast("string"), F.lit(":"), s)
-                ),
-            )
-        ),
+    hsets = sets.select("id", hs_udf(F.col("sh")).alias("hs"))
+    # signature kernel: lane i's hash of shingle s is
+    # int(md5(f"{i}:{s}").hexdigest()[:15], 16) — bit-identical to the
+    # previous JVM expression (conv(substr(md5(concat(lane, ':', s)))))
+    # and to the oracle. Computed in an ITERATOR-form Arrow kernel with a
+    # per-task shingle cache: the nested transform/array_min expression
+    # evaluated k x |sh| interpreted md5+conv+concat trees per document,
+    # recomputing every repeated shingle from scratch — natural corpora
+    # repeat shingles heavily (this corpus ~10x), so the cache cuts the
+    # md5 work by the repetition factor and numpy takes the per-lane min.
+    sig_udf = F.pandas_udf(
+        _make_portable_sig_kernel(num_hashes),
+        "array<bigint>",
+        F.PandasUDFType.SCALAR_ITER,
     )
     # cached: the banded explode and both sides of the candidate self-join
     # would otherwise re-evaluate the k x |sh| md5 lanes per plan branch
-    sigs = sets.select("id", sig.alias("sig")).cache()
+    sigs = sets.select("id", sig_udf(F.col("sh")).alias("sig")).cache()
     sigs.count()
     band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
     banded = sigs.select(
@@ -644,9 +727,14 @@ def simhash_portable(
     arrays): a per-token conv(substr(md5)) expression lambda evaluates
     interpreted per element on however few partitions the corpus has —
     measured 2.6 s vs 0.6 s at sf0.1 — while the kernel output is
-    bit-identical."""
+    bit-identical. The kernel is ITERATOR-form with a per-task cache of
+    each distinct token's ±1 bit vector (guide: heavyweight state once
+    per task): natural corpora repeat tokens enormously (Zipf), so each
+    distinct token pays its md5 + bit unpack once per task; the sign-sum
+    over cached int32 vectors is integer addition, order-independent,
+    bit-identical to hashing every occurrence."""
 
-    def _kernel(tok_arrays):
+    def _kernel(batches):
         import hashlib
 
         import numpy as np
@@ -654,23 +742,35 @@ def simhash_portable(
 
         shifts = np.arange(60, dtype=np.uint64)
         masks = (np.uint64(1) << shifts).astype(np.uint64)
-        out = np.zeros(len(tok_arrays), dtype=np.int64)
-        for row, toks in enumerate(tok_arrays):
-            if toks is None or len(toks) == 0:
-                continue
-            h = np.array(
-                [int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
-                 for t in toks],
-                dtype=np.uint64,
-            )
-            bit = ((h[:, None] >> shifts) & np.uint64(1)).astype(np.int32)
-            sums = (bit * 2 - 1).sum(axis=0)
-            fp = masks[sums > 0].sum(dtype=np.uint64)
-            out[row] = np.uint64(fp).astype(np.int64)
-        return pd.Series(out)
+        cache: dict[str, object] = {}
+
+        def signed_bits(t: str):
+            v = cache.get(t)
+            if v is None:
+                h = np.uint64(
+                    int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+                )
+                v = (((h >> shifts) & np.uint64(1)).astype(np.int32) * 2) - 1
+                if len(cache) < 2_000_000:
+                    cache[t] = v
+            return v
+
+        for tok_arrays in batches:
+            out = np.zeros(len(tok_arrays), dtype=np.int64)
+            for row, toks in enumerate(tok_arrays):
+                if toks is None or len(toks) == 0:
+                    continue
+                sums = np.zeros(60, dtype=np.int64)
+                for t in toks:
+                    sums += signed_bits(t)
+                fp = masks[sums > 0].sum(dtype=np.uint64)
+                out[row] = np.uint64(fp).astype(np.int64)
+            yield pd.Series(out)
 
     base = tokens_projection(df, text_col, id_col)
-    fp = F.pandas_udf(_kernel, "long")(F.col("toks"))
+    fp = F.pandas_udf(_kernel, "long", F.PandasUDFType.SCALAR_ITER)(
+        F.col("toks")
+    )
     return base.select(F.col("id"), fp.alias("simhash"))
 
 

@@ -729,8 +729,14 @@ class Engine:
             )
         else:
             # unaggregated path: Sort -> Uniq (max-version per exact
-            # (path,time)) -> client rollup, as query.go:243-269
-            deduped = dedup_versions(pts)
+            # (path,time)) -> client rollup, as query.go:243-269.
+            # version is DROPPED after the dedup: (path, time) is unique
+            # from here on, so ordering any/anyLast by time alone is
+            # bit-identical — and without the version column
+            # resample_grouped_dynamic orders by the bare time column,
+            # keeping its aggregation buffer primitive (HashAggregate
+            # instead of SortAggregate + Sort).
+            deduped = dedup_versions(pts).drop("version")
             agged = resample_grouped_dynamic(
                 deduped, from_al, until_al,
                 pf if pf is not None else path_fn,
