@@ -529,87 +529,6 @@ def hash60_portable(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
-def _make_hash60_set_kernel():
-    """Iterator-form pandas kernel: shingle-string array -> sorted
-    distinct hash60_portable values (np.unique over positive 60-bit
-    ints == array_sort(array_distinct(...))), with a per-task
-    shingle->hash cache so repeated shingles hash once per task."""
-
-    def _kernel(batches):
-        import hashlib
-
-        import numpy as np
-        import pandas as pd
-
-        cache: dict[str, int] = {}
-        for sh_arrays in batches:
-            out = []
-            for sh in sh_arrays:
-                if sh is None:
-                    out.append(None)
-                    continue
-                vals = np.empty(len(sh), dtype=np.int64)
-                for i, s in enumerate(sh):
-                    v = cache.get(s)
-                    if v is None:
-                        v = int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
-                        if len(cache) < 2_000_000:
-                            cache[s] = v
-                    vals[i] = v
-                out.append(np.unique(vals))
-            yield pd.Series(out)
-
-    return _kernel
-
-
-def _make_portable_sig_kernel(num_hashes: int):
-    """Iterator-form pandas kernel computing the portable MinHash
-    signature: sig[lane] = min over shingles s of
-    int(md5(f"{lane}:{s}").hexdigest()[:15], 16).
-
-    Bit-identical to hash60_portable over concat(lane, ':', s) (md5 is
-    over the UTF-8 bytes either way; values < 2^60 are exact in int64;
-    integer min is order-independent). The iterator form keeps the
-    shingle->lane-hash cache alive across Arrow batches within a task
-    (guide: heavyweight state once per task), so each distinct shingle
-    pays its num_hashes md5 digests once per task, not once per
-    occurrence. The cache is size-bounded; overflow just recomputes."""
-
-    def _kernel(batches):
-        import hashlib
-
-        import numpy as np
-        import pandas as pd
-
-        prefixes = [f"{i}:".encode() for i in range(num_hashes)]
-        cache: dict[str, np.ndarray] = {}
-        for sh_arrays in batches:
-            out = []
-            for sh in sh_arrays:
-                if sh is None or len(sh) == 0:
-                    out.append(None)
-                    continue
-                mins = None
-                for s in sh:
-                    v = cache.get(s)
-                    if v is None:
-                        sb = s.encode()
-                        v = np.array(
-                            [
-                                int(hashlib.md5(p + sb).hexdigest()[:15], 16)
-                                for p in prefixes
-                            ],
-                            dtype=np.int64,
-                        )
-                        if len(cache) < 1_000_000:
-                            cache[s] = v
-                    mins = v.copy() if mins is None else np.minimum(mins, v)
-                out.append(mins)
-            yield pd.Series(out)
-
-    return _kernel
-
-
 def minhash_dedup_portable(
     df: DataFrame,
     n: int = 3,
@@ -646,30 +565,36 @@ def minhash_dedup_portable(
     # verification sets as sorted 60-bit hashes: 8-byte elements instead
     # of shingle strings keep the broadcast and the intersect cheap; the
     # oracle hashes identically, so both engines see the same (negligible)
-    # collision behavior. Same cached Arrow kernel rationale as the
-    # signature below: np.unique == array_sort(array_distinct(...)) for
-    # positive 60-bit values, each distinct shingle hashed once per task.
-    hs_udf = F.pandas_udf(
-        _make_hash60_set_kernel(), "array<bigint>", F.PandasUDFType.SCALAR_ITER
+    # collision behavior. Kept as a JVM expression: an Arrow-kernel
+    # variant with a per-task md5 cache was A/B-tested this round and
+    # LOST — the JVM md5 work is already parallel (tokens_projection
+    # repartitions) and one md5 per shingle is cheap, while the kernel
+    # added a Python stage (Arrow transfer + worker forks) per branch.
+    hsets = sets.select(
+        "id",
+        F.array_sort(
+            F.array_distinct(F.transform(F.col("sh"), hash60_portable))
+        ).alias("hs"),
     )
-    hsets = sets.select("id", hs_udf(F.col("sh")).alias("hs"))
-    # signature kernel: lane i's hash of shingle s is
-    # int(md5(f"{i}:{s}").hexdigest()[:15], 16) — bit-identical to the
-    # previous JVM expression (conv(substr(md5(concat(lane, ':', s)))))
-    # and to the oracle. Computed in an ITERATOR-form Arrow kernel with a
-    # per-task shingle cache: the nested transform/array_min expression
-    # evaluated k x |sh| interpreted md5+conv+concat trees per document,
-    # recomputing every repeated shingle from scratch — natural corpora
-    # repeat shingles heavily (this corpus ~10x), so the cache cuts the
-    # md5 work by the repetition factor and numpy takes the per-lane min.
-    sig_udf = F.pandas_udf(
-        _make_portable_sig_kernel(num_hashes),
-        "array<bigint>",
-        F.PandasUDFType.SCALAR_ITER,
+    lanes = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    sig = F.transform(
+        lanes,
+        lambda lane: F.array_min(
+            F.transform(
+                F.col("sh"),
+                lambda s: hash60_portable(
+                    F.concat(lane.cast("string"), F.lit(":"), s)
+                ),
+            )
+        ),
     )
     # cached: the banded explode and both sides of the candidate self-join
-    # would otherwise re-evaluate the k x |sh| md5 lanes per plan branch
-    sigs = sets.select("id", sig_udf(F.col("sh")).alias("sig")).cache()
+    # would otherwise re-evaluate the k x |sh| md5 lanes per plan branch.
+    # (An Arrow-kernel variant with a per-task shingle->lane-hash cache
+    # was A/B-tested this round and LOST: the JVM lanes are already
+    # parallel across the repartitioned scan and evaluated once thanks to
+    # this cache, while the kernel added Arrow transfer + worker forks.)
+    sigs = sets.select("id", sig.alias("sig")).cache()
     sigs.count()
     band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
     banded = sigs.select(
@@ -828,10 +753,23 @@ def simhash_near_pairs(
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, LSH-bucketed on
     (bits/4)-wide chunks (a pair within Hamming<=3 of the fingerprint
-    shares at least one of the 4 chunks exactly — pigeonhole)."""
+    shares at least one of the 4 chunks exactly — pigeonhole).
+
+    The fingerprint frame is MATERIALIZED (cache + eager count) before
+    the chunk self-join: both join branches read `fps`, and without the
+    boundary the ENTIRE upstream fingerprint pipeline — for the
+    perceptual family that is synthetic-encode + real decode + hash,
+    the most expensive stage of the whole query — executes twice, once
+    per branch (measured: the pairs step cost ~2x the gen+hash step at
+    sf0.1 before this cache). The cached frame is (id, simhash) — 16
+    bytes/doc, the same narrow-intermediate envelope the minhash
+    signature cache documents; at cluster scale persist it as a table.
+    Lifecycle-registered so long-lived sessions release the blocks."""
     chunk_bits = bits // 4
     assert chunk_bits * 4 == bits, "bits must be divisible by 4"
     chunk_mask = (1 << chunk_bits) - 1
+    fps = fps.select("id", "simhash").cache()
+    fps.count()  # EAGER: both sides of the chunk self-join reuse it
     chunk_structs = F.array(
         *[
             F.struct(
@@ -849,7 +787,7 @@ def simhash_near_pairs(
     a = chunked.alias("a")
     b = chunked.alias("b")
     xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-    return (
+    out = (
         a.join(
             b,
             (F.col("a.chunk") == F.col("b.chunk"))
@@ -866,6 +804,7 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+    return register_intermediates(out, fps)
 
 
 def source_overlap(

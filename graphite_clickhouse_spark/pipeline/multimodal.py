@@ -167,8 +167,12 @@ def _pack_bits_signed_np(bits) -> int:
 def _hash_neardup_pairs(hashes: DataFrame, max_hamming: int) -> DataFrame:
     """Shared LSH composition for the perceptual-hash family: filter
     NULL hashes, band via dedup.simhash_near_pairs (4 x 16-bit Hamming
-    chunks), emit (id_a, id_b, hamming int)."""
+    chunks), emit (id_a, id_b, hamming int). simhash_near_pairs
+    materializes the hash frame before its self-join, so the decode+hash
+    pipeline runs ONCE; the lifecycle handle is carried through the
+    final projection so callers can release the cache."""
     from .dedup import simhash_near_pairs
+    from .lifecycle import carry_intermediates
 
     pairs = simhash_near_pairs(
         hashes.filter(F.col("dhash").isNotNull()).select(
@@ -176,8 +180,9 @@ def _hash_neardup_pairs(hashes: DataFrame, max_hamming: int) -> DataFrame:
         ),
         max_hamming=max_hamming,
     )
-    return pairs.select("id_a", "id_b",
-                        F.col("hamming").cast("int").alias("hamming"))
+    out = pairs.select("id_a", "id_b",
+                       F.col("hamming").cast("int").alias("hamming"))
+    return carry_intermediates(pairs, out)
 
 
 def _decode_pixels(payload: bytes):

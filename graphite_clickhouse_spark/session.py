@@ -87,24 +87,28 @@ def get_spark(
             "-XX:ReservedCodeCacheSize=2g -XX:+UseCodeCacheFlushing "
             "-XX:+SegmentedCodeCache",
         )
-        # Bound the IDLE python-worker pool (Spark 4 LRU eviction; r9).
-        # With the default unbounded pool, a long-lived session
-        # accumulates a fleet of reused workers whose RSS taxes every
-        # subsequent Arrow-heavy stage: measured on the 23-query suite
-        # prefix, the FIRST mapInPandas rep after the prefix ran 22.7 s
-        # vs 3.0 s solo (decaying over reps), and the prefix itself took
-        # 688 s unbounded vs 169 s with the cap.  reuse=false also fixes
-        # the decode blowup but taxes small pandas stages 5x (per-task
-        # fork+import: multimodal_features 3.1 s vs 0.6 s).  Cap of 8:
-        # bursts inside one query still reuse hot workers; idle fleets
-        # cannot accumulate between queries.  Known cost: an Arrow query
-        # re-run back-to-back re-forks the evicted workers each time
-        # (~0.5 s/run measured on gopher_filter, 1.6 s vs 1.1 s at
-        # cap=32) — the right trade against multi-second blowups and a
-        # 4x suite slowdown from a stale fleet.  Full A/B:
-        # BENCH_SUITE_CONTEXT.json / tools/suite_context_bench.py.
+        # Bound the IDLE python-worker pool (Spark 4 LRU eviction).
+        # History: r9 measured a stale unbounded fleet taxing every
+        # Arrow stage (23-query prefix 688 s unbounded vs 169 s capped)
+        # and shipped cap=8.  The ROOT CAUSE of that bloat was 10k-row
+        # Arrow batches materializing multi-hundred-MB pandas frames in
+        # every worker; once r10 bounded batches at 1024 rows the
+        # pathology no longer reproduces, and the cap's fork/import
+        # churn became the dominant Python-boundary cost (each evicted
+        # worker re-pays fork + numpy/pandas import on the next stage;
+        # a chained mapInPandas stage needs 2 workers per core).  r10
+        # A/B (tools/suite_context_bench.py, BENCH_SUITE_CONTEXT_R10
+        # .json): after the same 23-query prefix the multimodal quartet
+        # timed 0.85/0.92/0.85/0.40 s uncapped vs 1.85/1.83/1.61/0.37 s
+        # at cap=8, and the prefix itself ran 68 s vs 73 s — the idle
+        # fleet is now ~130 MB RSS per worker and stays healthy.
+        # Default: 2 workers per core + slack (the chained-runner
+        # worst case), scaling with SPARK_GRAFT_CPUS rather than a
+        # local[32] constant; at cluster scale size the per-executor
+        # equivalent against spark.executor.pyspark.memory.
         .config("spark.python.factory.idleWorkerMaxPoolSize",
-                os.environ.get("SPARK_GRAFT_IDLE_WORKERS", "8"))
+                os.environ.get("SPARK_GRAFT_IDLE_WORKERS",
+                               str(2 * int(cpus) + 2)))
     )
     if extra_conf:
         for k, v in extra_conf.items():
