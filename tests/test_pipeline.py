@@ -1826,6 +1826,26 @@ class TestCCNetPartition:
         assert max(by_part["head"]) <= min(by_part["middle"])
         assert max(by_part["middle"]) <= min(by_part["tail"])
 
+    def test_distributed_ranking_matches_global_window(self, spark):
+        """The size-adaptive cut (r10): forcing the distributed
+        range-partitioned ranking path must produce EXACTLY the global
+        window ntile's buckets — including the uneven-bucket case
+        (n % buckets != 0) that exercises the first-rem-buckets
+        arithmetic, and under a different partition count."""
+        from graphite_clickhouse_spark.pipeline.lm import ccnet_partition
+
+        docs = spark.createDataFrame(
+            [(i, ("common common word" if i < 4 else
+                  f"rare{i}x unique{i}y obscure{i}z")) for i in range(13)],
+            "doc_id long, text string")
+        small = sorted(map(tuple, ccnet_partition(docs).collect()))
+        big = sorted(map(tuple, ccnet_partition(
+            docs, max_single_sort_rows=0).collect()))
+        assert small == big
+        big7 = sorted(map(tuple, ccnet_partition(
+            docs.repartition(7), max_single_sort_rows=0).collect()))
+        assert small == big7
+
 
 class TestWinnowFingerprints:
     def test_shared_substring_guarantee(self, spark):
@@ -3141,14 +3161,18 @@ def test_semantic_dedup_plan_shape_pinned(emb, spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan, plan
     assert "Cartesian" not in plan, plan
-    # exactly ONE Arrow kernel: the pair-cosine scorer
-    assert plan.count("ArrowEvalPython") == 1, plan
+    # exactly ONE Python kernel: the per-cell blocked-matmul drop
+    # scorer (r10 optimization: applyInPandas per cell group replaced
+    # the cell self-join + per-pair ArrowEvalPython scorer — vectors
+    # cross the shuffle once instead of per candidate pair)
+    assert plan.count("FlatMapGroupsInPandas") == 1, plan
+    assert "ArrowEvalPython" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
-    # exchanges: cell self-join sides + drop-set distinct + final id
-    # join — bounded, and pinned so a regression (e.g. the argmax fold
-    # regaining an Exchange) surfaces here
+    # exchanges: the cell groupBy + final id join — bounded, and pinned
+    # so a regression (e.g. the argmax fold regaining an Exchange, or a
+    # pair self-join reappearing) surfaces here
     n_exchange = plan.count("Exchange")
-    assert n_exchange <= 8, f"exchange count grew: {n_exchange}\n{plan}"
+    assert n_exchange <= 5, f"exchange count grew: {n_exchange}\n{plan}"
 
 
 class TestC4LineFilter:
@@ -3676,6 +3700,11 @@ class TestCacheLifecycleCoverage:
         out.collect()
         # derived via select/withColumn, yet the handle survived
         assert unpersist_intermediates(out, blocking=True) == 1
+        # the distributed-ranking path (forced) registers its two extra
+        # caches (skinny score frame + range-partitioned ranking frame)
+        out_big = ccnet_partition(self._docs(spark), max_single_sort_rows=0)
+        out_big.collect()
+        assert unpersist_intermediates(out_big, blocking=True) == 3
 
     def test_carry_intermediates_through_derivation(self, spark):
         from graphite_clickhouse_spark.pipeline.dedup import duplicate_spans
