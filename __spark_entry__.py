@@ -72,17 +72,17 @@ CONTRACT_INDEX: dict[str, tuple[int, str, str]] = {
     "winnow_fingerprints": (8, "w", "r8-"),
     "winnow_overlap_pairs": (9, "w", "r8-"),
     "source_overlap": (10, "w", "r8-"),
-    "dedup_clusters": (11, "w", "r8-"),
-    "cluster_keep": (12, "w", "r8-"),
+    "dedup_clusters": (11, "w", "r10"),
+    "cluster_keep": (12, "w", "r10"),
     "ann_cosine_topk": (13, "w", "r8-"),
     "ann_lsh_topk": (14, "w", "r8-"),
     "ivf_assign": (15, "w", "r10"),
     "ivf_topk": (16, "w", "r10"),
     "kmeans_refine": (17, "w", "r10"),
-    "embedding_neardup": (18, "w", "r8-"),
-    "embedding_neardup_lsh": (19, "w", "r8-"),
-    "minhash_dedup": (20, "w", "r8-"),
-    "simhash_pairs": (21, "w", "r8-"),
+    "embedding_neardup": (18, "w", "r10"),
+    "embedding_neardup_lsh": (19, "w", "r10"),
+    "minhash_dedup": (20, "w", "r10"),
+    "simhash_pairs": (21, "w", "r10"),
     "unigram_quality": (22, "w", "r8-"),
     "image_phash_pairs": (23, "w", "r10"),
     "audio_phash_pairs": (24, "w", "r10"),
@@ -91,27 +91,27 @@ CONTRACT_INDEX: dict[str, tuple[int, str, str]] = {
     "incremental_dedup": (27, "w", "r10"),
     "normalized_dedup": (28, "w", "r10"),
     "c4_line_filter": (29, "w", "r10"),
-    "semantic_dedup": (30, "w", "r9"),
+    "semantic_dedup": (30, "w", "r10"),
     "render_resample_avg": (31, "w", "r8-"),
     "render_baseline_shape": (32, "w", "r8-"),
     "render_baseline_unagg": (33, "w", "r8-"),
     "render_resample_multi": (34, "w", "r8-"),
-    "render_unaggregated": (35, "w", "r8-"),
-    "version_dedup": (36, "w", "r8-"),
-    "storage_merge": (37, "w", "r8-"),
+    "render_unaggregated": (35, "w", "r10"),
+    "version_dedup": (36, "w", "r10"),
+    "storage_merge": (37, "w", "r10"),
     "find_glob": (38, "w", "r8-"),
     "index_tree": (39, "w", "r8-"),
     "tagged_find": (40, "w", "r9"),
-    "tpch_q1": (41, "w", "r8-"),
-    "promql_range_select": (42, "w", "r8-"),
+    "multimodal_wav_decode": (41, "w", "r10"),
+    "ccnet_partition": (42, "w", "r10"),
     "dup_spans": (43, "w", "r9"),
     "span_removal": (44, "w", "r9"),
     "span_extents": (45, "w", "r9"),
     "url_dedup": (46, "w", "r9"),
     "domain_stats": (47, "w", "r9"),
     "html_extract": (48, "w", "r9"),
-    "multimodal_bmp_decode": (49, "w", "r9"),
-    "multimodal_jpeg_decode": (50, "w", "r9"),
+    "multimodal_bmp_decode": (49, "w", "r10"),
+    "multimodal_jpeg_decode": (50, "w", "r10"),
     "consolidate_last": (51, "t", "r8-"),
     "semi_join_urgent": (52, "t", "r8-"),
     "topk_orders_per_segment": (53, "t", "r8-"),
@@ -120,7 +120,7 @@ CONTRACT_INDEX: dict[str, tuple[int, str, str]] = {
     "autocomplete_tags": (56, "t", "r8-"),
     "prom_label_values": (57, "t", "r8-"),
     "multimodal_features": (58, "t", "r9"),
-    "multimodal_wav_decode": (59, "t", "r9"),
+    "tpch_q1": (59, "t", "r8-"),
     "lang_id": (60, "t", "r8-"),
     "fingerprint": (61, "t", "r8-"),
     "token_count": (62, "t", "r8-"),
@@ -136,7 +136,7 @@ CONTRACT_INDEX: dict[str, tuple[int, str, str]] = {
     "pack_sequences": (72, "t", "r8-"),
     "budget_mix": (73, "t", "r8-"),
     "dsir_weight": (74, "t", "r8-"),
-    "ccnet_partition": (75, "t", "r8-"),
+    "promql_range_select": (75, "t", "r8-"),
     "pii_scrub": (76, "t", "r8-"),
     "tagger_rules": (77, "t", "r8-"),
     "prom_plain_bridge": (78, "t", "r8-"),
@@ -3968,8 +3968,13 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "find_glob": (q_find_glob, SQL_FIND_GLOB),
     "index_tree": (q_index_tree, SQL_INDEX_TREE),
     "tagged_find": (q_tagged_find, SQL_TAGGED_FIND),
-    "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
-    "promql_range_select": (q_promql_range_select, SQL_PROMQL_RANGE_SELECT),
+    # r10-rotation: multimodal_wav_decode (generator repartition changed
+    # its plan) and ccnet_partition (size-adaptive ntile cut) were
+    # touched by the r10 optimization round -> in-window for driver
+    # recertification; tpch_q1 / promql_range_select (r10-untouched,
+    # r9-driver-certified) rotate to the pinned tail
+    "multimodal_wav_decode": (q_multimodal_wav_decode, SQL_MULTIMODAL_WAV_DECODE),
+    "ccnet_partition": (q_ccnet_partition, SQL_CCNET_PARTITION),
     "dup_spans": (q_dup_spans, SQL_DUP_SPANS),
     "span_removal": (q_span_removal, SQL_SPAN_REMOVAL),
     "span_extents": (q_span_extents, SQL_SPAN_EXTENTS),
@@ -4001,7 +4006,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "autocomplete_tags": (q_autocomplete_tags, SQL_AUTOCOMPLETE_TAGS),
     "prom_label_values": (q_prom_label_values, SQL_PROM_LABEL_VALUES),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
-    "multimodal_wav_decode": (q_multimodal_wav_decode, SQL_MULTIMODAL_WAV_DECODE),
+    "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
@@ -4017,7 +4022,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "budget_mix": (q_budget_mix, SQL_BUDGET_MIX),
     "dsir_weight": (q_dsir_weight, SQL_DSIR_WEIGHT),
-    "ccnet_partition": (q_ccnet_partition, SQL_CCNET_PARTITION),
+    "promql_range_select": (q_promql_range_select, SQL_PROMQL_RANGE_SELECT),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "tagger_rules": (q_tagger_rules, SQL_TAGGER_RULES),
     "prom_plain_bridge": (q_prom_plain_bridge, SQL_PROM_PLAIN_BRIDGE),

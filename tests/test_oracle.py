@@ -152,15 +152,21 @@ def test_contract_registry_is_complete():
         # late-r10 rotation: displaced by video_phash_pairs,
         # incremental_dedup, and normalized_dedup (r8-, untouched,
         # pins byte-identical)
+        # r10-optimization rotation: multimodal_wav_decode (the
+        # generator-repartition optimization changed its plan) and
+        # ccnet_partition (size-adaptive ntile cut) moved IN-window for
+        # driver recertification; tpch_q1 and promql_range_select
+        # (r10-untouched, driver-green in CORRECTNESS_r09.json) took
+        # their tail slots, pins freshly generated.
         "consolidate_last", "semi_join_urgent", "topk_orders_per_segment",
         "bigram_quality",
         "autocomplete_values", "autocomplete_tags", "prom_label_values",
-        "multimodal_features", "multimodal_wav_decode", "lang_id",
+        "multimodal_features", "tpch_q1", "lang_id",
         "fingerprint", "token_count", "sample_deterministic",
         "mix_sources", "dedup_exact", "decontaminate", "text_quality",
         "tfidf_top_terms", "text_clean", "quality_classifier",
         "tagbrowse_list", "pack_sequences", "budget_mix", "dsir_weight",
-        "ccnet_partition", "pii_scrub", "tagger_rules",
+        "promql_range_select", "pii_scrub", "tagger_rules",
         "prom_plain_bridge",
     }
     overflow = [n for i, n in enumerate(qs) if i >= 50 and n not in STABLE_TAIL]
