@@ -133,7 +133,11 @@ def resample_grouped(
     # were the dominant plan-build cost of a small render (r6 latency
     # profile — the GIL serializes plan building across handler threads,
     # so chatty expression construction caps saturation throughput).
-    order_cols = time_col + (", version" if "version" in df.columns else "")
+    # bare time column when no version: a single-field struct ordering
+    # would force SortAggregate (struct buffers are not hash-aggregatable)
+    order_expr = (
+        f"struct({time_col}, version)" if "version" in df.columns else time_col
+    )
     agged = (
         joined.where(f"{time_col} BETWEEN {int(from_ts)} AND {int(until_ts)}")
         .groupBy(
@@ -146,8 +150,8 @@ def resample_grouped(
             F.expr(f"sum({value_col}) AS _sum"),
             F.expr(f"min({value_col}) AS _min"),
             F.expr(f"max({value_col}) AS _max"),
-            F.expr(f"min_by({value_col}, struct({order_cols})) AS _any"),
-            F.expr(f"max_by({value_col}, struct({order_cols})) AS _anyLast"),
+            F.expr(f"min_by({value_col}, {order_expr}) AS _any"),
+            F.expr(f"max_by({value_col}, {order_expr}) AS _anyLast"),
         )
     )
     value = F.expr(
@@ -193,7 +197,14 @@ def resample_grouped_dynamic(
         )
     else:
         joined = df.join(F.broadcast(path_specs), path_col)
-    order = F.struct(F.col(time_col), *([F.col("version")] if "version" in df.columns else []))
+    # bare time column when no version: a single-field struct ordering
+    # still forces SortAggregate (struct buffers are not
+    # hash-aggregatable); the deduped unaggregated path relies on this
+    order = (
+        F.struct(F.col(time_col), F.col("version"))
+        if "version" in df.columns
+        else F.col(time_col)
+    )
     v = F.col(value_col)
     fn = F.col("agg_function")
     bucket = (F.col(time_col) - F.col(time_col) % F.col("step")).alias("time")

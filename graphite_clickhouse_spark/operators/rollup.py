@@ -495,10 +495,14 @@ def graphite_merge(
     # ties within a (path, time) cell are ClickHouse-"any row" semantics
     # to begin with (ReplacingMergeTree keeps an arbitrary max-version
     # row); real graphite writes carry unique versions per cell.
-    dedup = rows.groupBy(path_col, "__bucket", "__t").agg(
+    # `function` rides as a GROUP KEY, not a first() aggregate: it is
+    # functionally dependent on path (one spec per path), so the groups
+    # are identical — and First's buffer holds the string value, which
+    # is not hash-aggregatable and forced both aggregations back to
+    # SortAggregate despite the primitive max_by buffers.
+    dedup = rows.groupBy(path_col, "__bucket", "__t", "function").agg(
         F.max_by(F.col(value_col), F.col(version_col)).alias(value_col),
         F.max(version_col).alias(version_col),
-        F.first("function").alias("function"),
     )
     # 2) rollup step: aggregate the bucket with the metric's function.
     # After the dedup each (path, bucket) group holds one row per __t,
@@ -507,7 +511,7 @@ def graphite_merge(
     v = F.col(value_col)
     order = F.col("__t")
     fn = F.col("function")
-    agged = dedup.groupBy(path_col, "__bucket").agg(
+    agged = dedup.groupBy(path_col, "__bucket", "function").agg(
         F.avg(v).alias("_avg"),
         F.sum(v).alias("_sum"),
         F.min(v).alias("_min"),
@@ -515,7 +519,6 @@ def graphite_merge(
         F.min_by(v, order).alias("_any"),
         F.max_by(v, order).alias("_anyLast"),
         F.max(version_col).alias(version_col),
-        F.first(fn).alias("function"),
     )
     value = (
         F.when(fn == "avg", F.col("_avg"))
