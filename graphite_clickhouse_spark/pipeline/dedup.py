@@ -490,7 +490,10 @@ def minhash_dedup(
         .select("id", ngram_hashes(n).alias("sh"))
         .cache()
     )
-    sets.count()  # EAGER: broadcast branches + sig branch all reuse it
+    # NOT eagerly counted (r10): until sigs materializes below, the sig
+    # expression is the cache's ONLY consumer, so sigs.count() fills the
+    # sets cache in the same job — a separate count was one extra full
+    # pass; the verification branches run later and read the warm cache.
     kernel = _make_minhash_kernel(num_hashes)
     sigs = sets.select(
         "id", F.pandas_udf(kernel, "array<bigint>")(F.col("sh")).alias("sig")
@@ -561,7 +564,9 @@ def minhash_dedup_portable(
         .select("id", word_ngrams_from_tokens(F.col("toks"), n).alias("sh"))
         .cache()
     )
-    sets.count()  # EAGER: sig branch + both broadcast verify branches reuse it
+    # NOT eagerly counted (r10): the sig transform below is the cache's
+    # only consumer until sigs.count() runs, which fills this cache in
+    # the same job; the two verification branches read it warm later.
     # verification sets as sorted 60-bit hashes: 8-byte elements instead
     # of shingle strings keep the broadcast and the intersect cheap; the
     # oracle hashes identically, so both engines see the same (negligible)
