@@ -1017,18 +1017,40 @@ def dedup_clusters(
             .groupBy(F.col("src").alias("id"))
             .agg(F.min("label").alias("nlabel"))
         )
-        # materialized: both sides of the pointer-jump self-join read
-        # it. EAGER on purpose: a lazy checkpoint was A/B-tested this
-        # round and LOST — the convergence probe ends in limit(1), so a
-        # lazy plan only PARTIALLY materializes under it, the lineage
-        # never truncates, and every later round re-computes the
+        # the previous round's label rides along as `old`, so the
+        # convergence probe is a FILTER over this materialized frame —
+        # no join against the previous label frame. Materialized EAGER
+        # on purpose: (a) both sides of the pointer-jump self-join read
+        # it, and (b) a lazy checkpoint was A/B-tested this round and
+        # LOST — the convergence probe ends in limit(1), so a lazy plan
+        # only PARTIALLY materializes under it, the lineage never
+        # truncates, and every later round re-computes the
         # unmaterialized partitions (measured 5.1 -> 7.6 s at sf0.1).
         hop = ckpt(
             labels.join(neighbor, "id", "left").select(
                 "id",
+                F.col("label").alias("old"),
                 F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
             )
         )
+        # probe BEFORE the pointer jump: if the neighbor-min step changed
+        # nothing, then for every edge (u,v) label(u) == label(v) (u's
+        # unchanged min over neighbors means label(v) >= label(u), and
+        # symmetrically), so labels are constant per component; every
+        # label is the id of a component member (mins of ids) and the
+        # min-id node's label never exceeds its own id, so the constant
+        # IS the component min — the labeling is final and the round's
+        # pointer-jump self-join + checkpoint are skipped outright.
+        # Exits on exactly the same round as the old after-jump probe
+        # (a neighbor-min change always survives the jump's further min,
+        # and a neighbor-min fixpoint makes the jump a no-op).
+        changed = (
+            hop.filter(F.col("label") != F.col("old")).limit(1).count()
+        )
+        if changed == 0:
+            hop.unpersist()
+            converged = True
+            break
         new_labels = ckpt(
             hop.alias("a")
             .join(
@@ -1040,26 +1062,9 @@ def dedup_clusters(
             )
             .select("id", F.least(F.col("label"), F.coalesce("ll", "label")).alias("label"))
         )
-        prev, labels = labels, new_labels
-        # convergence probe EVERY round: a probe is one join + limit(1)
-        # over the two materialized label frames, while a wasted extra
-        # round costs two checkpoint materializations of the full label
-        # set plus the neighbor aggregate and the pointer-jump join —
-        # strictly more at every scale. (The previous every-other-round
-        # schedule paid that full round whenever convergence landed on
-        # the unprobed parity.)
-        changed = (
-            labels.alias("n")
-            .join(prev.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        prev.unpersist()
+        labels.unpersist()
         hop.unpersist()
-        if changed == 0:
-            converged = True
-            break
+        labels = new_labels
     edges.unpersist()
     if not converged:
         labels.unpersist()
