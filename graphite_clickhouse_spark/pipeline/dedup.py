@@ -1531,11 +1531,24 @@ def cluster_best_keep(
             F.coalesce("canonical_id", F.col("id")).alias("canonical_id"),
         )
     )
-    # lexicographic struct max = argmax(quality, then smallest id):
-    # negating the id turns "min id wins ties" into a max
-    best = F.max(F.struct(F.col("q").alias("q"), (-F.col("id")).alias("nid")))
-    return member.groupBy("canonical_id").agg(
-        F.count(F.lit(1)).cast("int").alias("n_members"),
-        (-best.getField("nid")).alias("keep_id"),
-        best.getField("q").alias("keep_quality"),
+    # lexicographic argmax(quality, then smallest id) as TWO hash
+    # aggregations instead of one max-of-struct (whose struct buffer
+    # forces SortAggregate — a full sort of the member set): level 1
+    # groups by (cluster, quality) and keeps the min id, making the
+    # quality values UNIQUE per cluster, so level 2's max_by(mid, q) is
+    # deterministic and runs on a primitive (long, long) buffer —
+    # HashAggregate end to end, and the second shuffle carries only
+    # distinct (cluster, quality) rows. Edge semantics match the struct
+    # max: grouping normalizes NaN (one group) and max_by treats NaN as
+    # greatest; null qualities lose to any non-null one (max_by ignores
+    # null orderings), and an all-null-quality cluster falls back to the
+    # smallest id via the coalesce, exactly like the old struct compare.
+    grp = member.groupBy("canonical_id", "q").agg(
+        F.min("id").alias("mid"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    return grp.groupBy("canonical_id").agg(
+        F.sum("c").cast("int").alias("n_members"),
+        F.coalesce(F.max_by("mid", "q"), F.min("mid")).alias("keep_id"),
+        F.max("q").alias("keep_quality"),
     )

@@ -2840,6 +2840,40 @@ class TestClusterBestKeep:
         assert len(rows) == 6
         assert sum(r.n_members for r in rows) == 8
 
+    def test_null_quality_edge_semantics(self, spark):
+        """The two-level hash-agg argmax must keep the struct-max edge
+        behavior: a null quality loses to any non-null one, and an
+        all-null-quality cluster falls back to its smallest id (with a
+        null keep_quality)."""
+        from graphite_clickhouse_spark.pipeline.dedup import cluster_best_keep
+
+        docs = spark.createDataFrame(
+            [(1, None), (2, 5), (3, None), (7, None), (9, None)],
+            "doc_id long, n_chars long",
+        )
+        # component {1,2,3}: 2 is the only non-null quality -> wins;
+        # component {7,9}: all-null -> smallest id, null quality
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (7, 9)], "id_a long, id_b long"
+        )
+        got = {r.canonical_id: r for r in cluster_best_keep(docs, pairs).collect()}
+        assert got[1].keep_id == 2 and got[1].keep_quality == 5
+        assert got[7].keep_id == 7 and got[7].keep_quality is None
+        assert got[7].n_members == 2
+
+    def test_argmax_is_hash_aggregated(self, spark):
+        """The survivor argmax must not fall back to SortAggregate (a
+        full sort of the member set at scale)."""
+        from graphite_clickhouse_spark.pipeline.dedup import cluster_best_keep
+
+        docs = spark.createDataFrame(
+            [(i, i % 3) for i in range(12)], "doc_id long, n_chars long"
+        )
+        pairs = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
+        plan = (cluster_best_keep(docs, pairs)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "SortAggregate" not in plan
+
 
 class TestKmeansRefine:
     """pipeline/similarity.py::kmeans_refine — spherical-Lloyd step with
