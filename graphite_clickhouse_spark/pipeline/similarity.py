@@ -52,6 +52,31 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+def _dot_sql(a: str, b: str) -> str:
+    """SQL text of dot() over two array expressions — the exact same
+    zip_with/aggregate fold, built with ONE sqlparser parse instead of
+    the Column lambda API.  Rationale (r10, guide §1: the bench times
+    plan CONSTRUCTION too): each Python->Catalyst lambda conversion
+    costs ~18 ms of driver py4j round trips, so one cosine() burns
+    ~110 ms before any job runs and the ANN plans build several — the
+    same driver-time sink the r9 centroid-literal string fix removed
+    (2.6 s -> 9 ms there).  The parsed tree is operation-identical
+    (CAST AS DOUBLE products, 0.0D seed, left fold), so results are
+    bit-identical; only lambda variable NAMES in explain output differ."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * "
+        f"CAST(y AS DOUBLE)), 0.0D, (acc, v) -> acc + v)"
+    )
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    """SQL text of cosine() (see _dot_sql for why text, not Columns)."""
+    return (
+        f"(({_dot_sql(a, b)}) / (SQRT({_dot_sql(a, a)}) * "
+        f"SQRT({_dot_sql(b, b)})))"
+    )
+
+
 def norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 
@@ -85,7 +110,7 @@ def cosine_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
+            F.expr(_cosine_sql("q_vec", "c_vec")).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -97,8 +122,28 @@ def cosine_topk(
     )
 
 
-def hyperplane_sketch(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-bit sketch: bit i = (vec . planes[i]) >= 0. Returns a long."""
+def hyperplane_sketch(vec: Column | str, planes: list[list[float]]) -> Column:
+    """Sign-bit sketch: bit i = (vec . planes[i]) >= 0. Returns a long.
+
+    ``vec`` as SQL text (a quoted column name) is the fast path: the
+    whole sketch — num_planes plane-literal arrays of dim doubles each,
+    a dot fold per plane, the CASE/shiftleft bit and the OR chain —
+    parses as ONE expression.  The Column path builds the same tree via
+    ~num_planes*dim F.lit py4j calls plus 2 lambda conversions per
+    plane (~0.5 s of driver time per sketch at 4x64) and is kept for
+    API compatibility.  Same literals either way: _dlit embeds
+    shortest-round-trip doubles, bit-identical to F.lit's."""
+    if isinstance(vec, str):
+        bits = []
+        for i, p in enumerate(planes):
+            arr = "array(" + ",".join(_dlit(x) for x in p) + ")"
+            d = _dot_sql(vec, arr)
+            bits.append(
+                f"(CASE WHEN ({d}) >= 0 THEN "
+                f"shiftleft(CAST(1 AS BIGINT), {i}) "
+                f"ELSE CAST(0 AS BIGINT) END)"
+            )
+        return F.expr("(" + " | ".join(bits) + ")")
     bits = [
         F.when(dot(vec, F.array(*[F.lit(x) for x in p])) >= 0, F.shiftleft(F.lit(1).cast("long"), i))
         .otherwise(F.lit(0).cast("long"))
@@ -142,17 +187,18 @@ def lsh_ann_topk(
     per-table collision p), the standard multi-table LSH deployment. The
     per-table join stays a bucket-keyed broadcast join; tables only
     multiply the candidate stream, never the corpus scan count."""
+    vsql = f"`{vec_col}`"
     if num_tables <= 1:
         planes = deterministic_planes(num_planes, dim, seed)
         c = corpus.select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("c_vec"),
-            hyperplane_sketch(F.col(vec_col), planes).alias("bucket"),
+            hyperplane_sketch(vsql, planes).alias("bucket"),
         )
         q = queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("q_vec"),
-            hyperplane_sketch(F.col(vec_col), planes).alias("bucket"),
+            hyperplane_sketch(vsql, planes).alias("bucket"),
         )
         cand = c.join(F.broadcast(q), "bucket")
     else:
@@ -167,7 +213,7 @@ def lsh_ann_topk(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("c_vec"),
             F.explode(F.array(*[
-                F.concat(F.lit(f"{t}:"), hyperplane_sketch(F.col(vec_col), p))
+                F.concat(F.lit(f"{t}:"), hyperplane_sketch(vsql, p))
                 for t, p in tables
             ])).alias("bucket"),
         )
@@ -175,7 +221,7 @@ def lsh_ann_topk(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("q_vec"),
             F.explode(F.array(*[
-                F.concat(F.lit(f"{t}:"), hyperplane_sketch(F.col(vec_col), p))
+                F.concat(F.lit(f"{t}:"), hyperplane_sketch(vsql, p))
                 for t, p in tables
             ])).alias("bucket"),
         )
@@ -187,7 +233,7 @@ def lsh_ann_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
+            F.expr(_cosine_sql("q_vec", "c_vec")).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -235,7 +281,7 @@ def embedding_neardup_pairs(
         bucketed = corpus.select(
             F.col(id_col).alias("id"),
             F.col(vec_col).alias("v"),
-            hyperplane_sketch(F.col(vec_col), planes).alias("bucket"),
+            hyperplane_sketch(f"`{vec_col}`", planes).alias("bucket"),
         )
         thr = float(threshold)
         id_dt = corpus.schema[id_col].dataType.simpleString()
@@ -346,7 +392,7 @@ def ivf_topk(
     probes = (
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
         .crossJoin(F.broadcast(c))
-        .select("query_id", "q_vec", "cid", cosine(F.col("q_vec"), F.col("cvec")).alias("csim"))
+        .select("query_id", "q_vec", "cid", F.expr(_cosine_sql("q_vec", "cvec")).alias("csim"))
         .withColumn("prn", F.row_number().over(qw))
         .filter(F.col("prn") <= n_probe)
         .select("query_id", "q_vec", "cid")
@@ -360,7 +406,7 @@ def ivf_topk(
         corpus.join(F.broadcast(probes), "cid")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
-            "query_id", "neighbor_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine")
+            "query_id", "neighbor_id", F.expr(_cosine_sql("q_vec", "c_vec")).alias("cosine")
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
@@ -421,20 +467,19 @@ def ivf_assign(
         unit = [x / nrm for x in vec] if nrm > 0.0 else vec
         arr = ",".join(_dlit(x) for x in unit)
         parts.append(f"named_struct('cid',{cid},'cvec',array({arr}))")
-    cent_lit = F.expr("array(" + ",".join(parts) + ")")
-    v = F.col(vec_col)
+    cent_arr = "array(" + ",".join(parts) + ")"
     # dot against unit centroids: argmax-equivalent to cosine (the 1/|v|
-    # factor is a constant positive scale per row)
-    scored = F.transform(
-        cent_lit,
-        lambda c: F.struct(
-            dot(v, c["cvec"]).alias("sim"), (-c["cid"]).alias("negcid")
-        ),
+    # factor is a constant positive scale per row).  The WHOLE argmax —
+    # centroid literal, per-cell dot fold, struct max, sign flip —
+    # parses as one expression: the former F.transform/F.struct wrapper
+    # added ~8 py4j lambda conversions on top of the literal string
+    # (see _dot_sql; tree identical, named_struct == F.struct.alias).
+    assign = F.expr(
+        f"-(array_max(transform({cent_arr}, c -> "
+        f"named_struct('sim', {_dot_sql(f'`{vec_col}`', 'c.cvec')}, "
+        f"'negcid', -c.cid))).negcid)"
     )
-    best = F.array_max(scored)
-    return corpus.select(
-        id_col, vec_col, (-best["negcid"]).alias(centroid_id)
-    )
+    return corpus.select(id_col, vec_col, assign.alias(centroid_id))
 
 
 def ivf_assign_lazy(
@@ -463,9 +508,17 @@ def ivf_assign_lazy(
     job instead of paying a driver collect + literal re-embed per
     iteration. ivf_assign keeps the literal form for the terminal
     assignment plan, where zero-Exchange matters more than laziness."""
-    cv = F.col(centroid_vec).cast("array<double>")
-    cnrm = F.sqrt(F.aggregate(cv, F.lit(0.0), lambda a, x: a + x * x))
-    unit = F.when(cnrm > 0.0, F.transform(cv, lambda x: x / cnrm)).otherwise(cv)
+    # same unit normalization / argmax trees as before, parsed as SQL
+    # text instead of built through the Column lambda API (see _dot_sql
+    # — pure plan-construction cost; kmeans_refine pays it per Lloyd
+    # iteration).  The nrm text appearing twice mirrors the old Column
+    # reuse: a Column is an expression tree, so both forms duplicate it.
+    cvs = f"CAST(`{centroid_vec}` AS ARRAY<DOUBLE>)"
+    nrm_s = f"SQRT(aggregate({cvs}, 0.0D, (a, x) -> a + x * x))"
+    unit = F.expr(
+        f"CASE WHEN {nrm_s} > 0.0D THEN transform({cvs}, x -> x / {nrm_s}) "
+        f"ELSE {cvs} END"
+    )
     packed = centroids.select(
         F.col(centroid_id).cast("int").alias("__cid"), unit.alias("__cvec")
     ).agg(
@@ -474,17 +527,14 @@ def ivf_assign_lazy(
                                     F.col("__cvec").alias("cvec")))
         ).alias("__cents")
     )
-    v = F.col(vec_col)
-    scored = F.transform(
-        F.col("__cents"),
-        lambda c: F.struct(
-            dot(v, c["cvec"]).alias("sim"), (-c["cid"]).alias("negcid")
-        ),
+    assign = F.expr(
+        f"-(array_max(transform(__cents, c -> "
+        f"named_struct('sim', {_dot_sql(f'`{vec_col}`', 'c.cvec')}, "
+        f"'negcid', -c.cid))).negcid)"
     )
-    best = F.array_max(scored)
     return (
         corpus.join(F.broadcast(packed))
-        .select(id_col, vec_col, (-best["negcid"]).alias(centroid_id))
+        .select(id_col, vec_col, assign.alias(centroid_id))
     )
 
 
@@ -681,13 +731,13 @@ def kmeans_refine(
             corpus, out, id_col=id_col, vec_col=vec_col,
             centroid_id=centroid_id, centroid_vec=centroid_vec,
         )
-        v = F.col(vec_col).cast("array<double>")
-        nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
-        q = F.transform(
-            v,
-            lambda x: F.round(
-                F.when(nrm > 0, x / nrm).otherwise(F.lit(0.0)) * quant
-            ).cast("long"),
+        # quantize: same round(when(nrm>0, x/nrm) * quant) tree as the
+        # old Column lambdas, one parse per iteration (see _dot_sql)
+        vs = f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)"
+        nrm_s = f"SQRT(aggregate({vs}, 0.0D, (a, x) -> a + x * x))"
+        q = F.expr(
+            f"transform({vs}, x -> CAST(round((CASE WHEN {nrm_s} > 0 "
+            f"THEN x / {nrm_s} ELSE 0.0D END) * {quant}, 0) AS BIGINT))"
         )
         out = (
             assigned.select(F.col(centroid_id), F.posexplode(q).alias("pos", "qv"))
@@ -695,9 +745,10 @@ def kmeans_refine(
             .agg(F.sum("qv").alias("s"))
             .groupBy(centroid_id)
             .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "s"))),
-                    lambda t: t["s"].cast("double"),
+                F.expr(
+                    "transform(array_sort(collect_list("
+                    "named_struct('pos', pos, 's', s))), "
+                    "t -> CAST(t.s AS DOUBLE))"
                 ).alias(centroid_vec)
             )
         )
