@@ -2165,7 +2165,9 @@ FROM done
 
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P14/A-family: TPC-H Q1 pricing summary (scan + 8 aggregates)."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    from graphite_clickhouse_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (
@@ -2203,8 +2205,10 @@ GROUP BY l_returnflag, l_linestatus
 def q_semi_join_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1: the external-data semi-join shape — fact table restricted to a
     resolved key set (urgent orders), then aggregated."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    from graphite_clickhouse_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
     urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
     return (
         li.join(F.broadcast(urgent), li.l_orderkey == urgent.o_orderkey, "left_semi")
@@ -2231,8 +2235,10 @@ GROUP BY l_returnflag
 def q_topk_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L-family/W: top-3 orders by totalprice per market segment (window
     ranking with deterministic tie-break)."""
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    from graphite_clickhouse_spark.sources.tables import load_table
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
     joined = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
         "c_mktsegment", "o_orderkey", "o_totalprice"
     )

@@ -13,12 +13,28 @@ so every graphite-semantics operator is oracle-checkable.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
+
+#: Inferred parquet schemas keyed on (path, directory mtime_ns) — METADATA
+#: only, never data or results: a path-based spark.read.parquet runs a
+#: schema-inference job (footer read) on EVERY call, which a catalog
+#: deployment pays once at table registration (the metastore holds the
+#: schema; streaming/ingest.py already passes its schemas explicitly for
+#: the same reason).  The r10 build-time profile showed ~0.1-0.2 s per
+#: load_table call going to this job, multiplied across every query and
+#: bench rep.  File LISTING and data reads still happen fresh on every
+#: call — only the schema is remembered, and the mtime key invalidates it
+#: if the dataset directory is rewritten (parquet writers add/remove part
+#: files, which bumps the directory mtime).
+_SCHEMA_MEMO: dict[tuple[str, int], StructType] = {}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -27,7 +43,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # micros-typed data (current generation) and safe to set dynamically.
     # events_ts_seconds() adapts to whichever type comes back.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        key = (path, os.stat(path).st_mtime_ns)
+    except OSError:
+        # missing path: let the plain reader raise Spark's own error
+        return spark.read.parquet(path)
+    schema = _SCHEMA_MEMO.get(key)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        _SCHEMA_MEMO[key] = schema
+    return spark.read.schema(schema).parquet(path)
 
 
 def events_ts_seconds(ev: DataFrame) -> F.Column:
