@@ -1045,53 +1045,41 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphite_clickhouse_spark.sources.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    did = F.col("doc_id")
-    s = lambda c: c.cast("string")  # noqa: E731
-    email = F.when(
-        did % 3 == 0,
-        F.concat(F.lit(" u"), s(did), F.lit("@ex-"), s(did % 7), F.lit(".org")),
-    ).otherwise(F.lit(""))
-    phone = F.when(
-        did % 5 == 0,
-        F.concat(F.lit(" +1-555-"), F.lpad(s(did % 10000), 4, "0"),
-                 F.lit("-0199")),
-    ).otherwise(F.lit(""))
+    # the injected spans as ONE parsed expression (r10: the Column-API
+    # form built ~90 expression objects ≈ 90 py4j round trips of pure
+    # driver time per bench rep; same CASE/concat/lpad trees either way).
     # r6: the widened phone pattern also covers the parenthesized and
     # dotted domestic spellings — inject both so the oracle exercises
-    # every alternation branch
-    phone_paren = F.when(
-        did % 11 == 0,
-        F.concat(F.lit(" (555) "), F.lpad(s(did % 1000), 3, "0"),
-                 F.lit("-"), F.lpad(s(did % 10000), 4, "0")),
-    ).otherwise(F.lit(""))
-    phone_dotted = F.when(
-        did % 13 == 0,
-        F.concat(F.lit(" 303.555."), F.lpad(s(did % 10000), 4, "0")),
-    ).otherwise(F.lit(""))
-    ip = F.when(
-        did % 7 == 0,
-        F.concat(F.lit(" 10.0."), s(did % 256), F.lit("."), s((did * 3) % 256)),
-    ).otherwise(F.lit(""))
-    # r7: international group spellings exercise the second phone-pattern
-    # branch. Appended AFTER the ip span: the greedy group repetition
-    # would otherwise swallow a following space-led digit run (e.g. the
-    # "10" of " 10.0.x.y") as an extra phone group — identically in all
-    # three regex engines, but semantically wrong.
-    phone_intl_sp = F.when(
-        did % 17 == 0,
-        F.concat(F.lit(" +44 20 7946 "), F.lpad(s(did % 10000), 4, "0")),
-    ).otherwise(F.lit(""))
-    phone_intl_hy = F.when(
-        did % 19 == 0,
-        F.concat(F.lit(" +49-30-"), F.lpad(s(did % 100), 2, "0"),
-                 F.lit("-"), F.lpad(s((did * 7) % 10000), 4, "0")),
-    ).otherwise(F.lit(""))
-    injected = docs.select(
+    # every alternation branch. r7: international group spellings
+    # exercise the second phone-pattern branch, appended AFTER the ip
+    # span: the greedy group repetition would otherwise swallow a
+    # following space-led digit run (e.g. the "10" of " 10.0.x.y") as an
+    # extra phone group — identically in all three regex engines, but
+    # semantically wrong.
+    span = "CASE WHEN doc_id % {m} = 0 THEN {v} ELSE '' END"
+    injected = docs.selectExpr(
         "doc_id",
-        F.concat(
-            F.substring("text", 1, 40), email, phone, phone_paren,
-            phone_dotted, ip, phone_intl_sp, phone_intl_hy,
-        ).alias("text"),
+        "concat(substring(text, 1, 40), "
+        + ", ".join([
+            span.format(m=3, v="concat(' u', CAST(doc_id AS STRING), "
+                               "'@ex-', CAST(doc_id % 7 AS STRING), '.org')"),
+            span.format(m=5, v="concat(' +1-555-', "
+                               "lpad(CAST(doc_id % 10000 AS STRING), 4, '0'), "
+                               "'-0199')"),
+            span.format(m=11, v="concat(' (555) ', "
+                                "lpad(CAST(doc_id % 1000 AS STRING), 3, '0'), "
+                                "'-', lpad(CAST(doc_id % 10000 AS STRING), 4, '0'))"),
+            span.format(m=13, v="concat(' 303.555.', "
+                                "lpad(CAST(doc_id % 10000 AS STRING), 4, '0'))"),
+            span.format(m=7, v="concat(' 10.0.', CAST(doc_id % 256 AS STRING), "
+                               "'.', CAST((doc_id * 3) % 256 AS STRING))"),
+            span.format(m=17, v="concat(' +44 20 7946 ', "
+                                "lpad(CAST(doc_id % 10000 AS STRING), 4, '0'))"),
+            span.format(m=19, v="concat(' +49-30-', "
+                                "lpad(CAST(doc_id % 100 AS STRING), 2, '0'), "
+                                "'-', lpad(CAST((doc_id * 7) % 10000 AS STRING), 4, '0'))"),
+        ])
+        + ") AS text",
     )
     return pii_scrub(injected).select(
         F.col("id").alias("doc_id"), "clean_text",

@@ -974,11 +974,6 @@ def dedup_clusters(
     path (HDFS/S3): iterations then checkpoint through the shared
     filesystem and survive executor loss.
     """
-    # materialize the pair set ONCE: the undirected union below reads it
-    # from both branches, and upstream pair producers (minhash etc.) are
-    # expensive plans; released as soon as the edge list is materialized
-    pairs = pairs.cache()
-    pairs.count()
     if checkpoint_dir is not None:
         pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
 
@@ -987,16 +982,28 @@ def dedup_clusters(
     else:
         def ckpt(df: DataFrame) -> DataFrame:
             return df.localCheckpoint(eager=True)
+    # undirected edge list in ONE pass over the pair plan: exploding both
+    # orientations per pair row replaces the former self-union, whose two
+    # branches each read the pair set — that needed an extra cache +
+    # eager count of `pairs` (upstream pair producers are expensive
+    # plans) just so the union's branches would not run the producer
+    # twice.  The explode runs the producer exactly once inside the same
+    # job that materializes the edge cache: one job and one cache fewer
+    # per call, identical edge set (r10).
     edges = (
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .unionByName(
-            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+                    F.struct(F.col("id_b").alias("src"), F.col("id_a").alias("dst")),
+                )
+            ).alias("e")
         )
+        .select("e.src", "e.dst")
         .distinct()  # AQE coalesces the tiny-graph shuffles adaptively
         .cache()
     )
     edges.count()
-    pairs.unpersist()
     # init with the first neighbor-min already folded in: label0(id) =
     # min({id} U neighbors(id)) — one aggregate over the edge list in
     # the same job the old identity init paid, but for clique-shaped
