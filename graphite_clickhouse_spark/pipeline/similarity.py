@@ -508,19 +508,22 @@ def ivf_assign_lazy(
     job instead of paying a driver collect + literal re-embed per
     iteration. ivf_assign keeps the literal form for the terminal
     assignment plan, where zero-Exchange matters more than laziness."""
-    # same unit normalization / argmax trees as before, parsed as SQL
-    # text instead of built through the Column lambda API (see _dot_sql
-    # — pure plan-construction cost; kmeans_refine pays it per Lloyd
-    # iteration).  The nrm text appearing twice mirrors the old Column
-    # reuse: a Column is an expression tree, so both forms duplicate it.
+    # unit normalization in TWO projections (norm fold hoisted to its
+    # own column — embedding it in the transform lambda re-evaluates the
+    # O(dim) fold per element, see kmeans_refine's quantize note), built
+    # as SQL text instead of the Column lambda API (see _dot_sql — pure
+    # plan-construction cost; kmeans_refine pays it per Lloyd iteration).
     cvs = f"CAST(`{centroid_vec}` AS ARRAY<DOUBLE>)"
-    nrm_s = f"SQRT(aggregate({cvs}, 0.0D, (a, x) -> a + x * x))"
     unit = F.expr(
-        f"CASE WHEN {nrm_s} > 0.0D THEN transform({cvs}, x -> x / {nrm_s}) "
-        f"ELSE {cvs} END"
+        "CASE WHEN __cnrm > 0.0D THEN transform(__cv, x -> x / __cnrm) "
+        "ELSE __cv END"
     )
-    packed = centroids.select(
-        F.col(centroid_id).cast("int").alias("__cid"), unit.alias("__cvec")
+    packed = centroids.selectExpr(
+        f"CAST(`{centroid_id}` AS INT) AS __cid",
+        f"{cvs} AS __cv",
+        f"SQRT(aggregate({cvs}, 0.0D, (a, x) -> a + x * x)) AS __cnrm",
+    ).select(
+        F.col("__cid"), unit.alias("__cvec")
     ).agg(
         F.array_sort(
             F.collect_list(F.struct(F.col("__cid").alias("cid"),
@@ -731,16 +734,26 @@ def kmeans_refine(
             corpus, out, id_col=id_col, vec_col=vec_col,
             centroid_id=centroid_id, centroid_vec=centroid_vec,
         )
-        # quantize: same round(when(nrm>0, x/nrm) * quant) tree as the
-        # old Column lambdas, one parse per iteration (see _dot_sql)
+        # quantize in TWO projections: the norm fold lands in its own
+        # column, and the per-element lambda divides by that scalar.
+        # Embedding the fold in the lambda (the old shape) re-evaluated
+        # the O(dim) aggregate PER ELEMENT — higher-order functions are
+        # CodegenFallback with no per-element CSE, so quantization cost
+        # was O(dim^2) per row (measured 1.29 s -> 0.30 s at sf0.1 for
+        # this stage alone). CollapseProject cannot re-inline it: the
+        # norm alias is non-cheap and referenced twice in the consumer.
         vs = f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)"
-        nrm_s = f"SQRT(aggregate({vs}, 0.0D, (a, x) -> a + x * x))"
+        staged = assigned.selectExpr(
+            f"`{centroid_id}`",
+            f"{vs} AS __v",
+            f"SQRT(aggregate({vs}, 0.0D, (a, x) -> a + x * x)) AS __nrm",
+        )
         q = F.expr(
-            f"transform({vs}, x -> CAST(round((CASE WHEN {nrm_s} > 0 "
-            f"THEN x / {nrm_s} ELSE 0.0D END) * {quant}, 0) AS BIGINT))"
+            f"transform(__v, x -> CAST(round((CASE WHEN __nrm > 0 "
+            f"THEN x / __nrm ELSE 0.0D END) * {quant}, 0) AS BIGINT))"
         )
         out = (
-            assigned.select(F.col(centroid_id), F.posexplode(q).alias("pos", "qv"))
+            staged.select(F.col(centroid_id), F.posexplode(q).alias("pos", "qv"))
             .groupBy(centroid_id, "pos")
             .agg(F.sum("qv").alias("s"))
             .groupBy(centroid_id)
