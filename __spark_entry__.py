@@ -2678,13 +2678,15 @@ def q_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid")
     )
     cents1 = kmeans_refine(emb, cents0, iters=1)
-    a0 = ivf_assign_lazy(emb, cents0).select(
-        "vec_id", F.col("centroid_id").alias("cell0")
-    )
-    a1 = ivf_assign_lazy(emb, cents1).select(
-        "vec_id", F.col("centroid_id").alias("cell1")
-    )
-    return a0.join(a1, "vec_id").select(
+    # both assignments in ONE pass over the scan (chained passthrough —
+    # ivf_assign_lazy keeps the caller's columns), replacing the former
+    # vec_id join of two full-corpus assignment plans (r10: one scan and
+    # one join exchange fewer; same per-vector argmaxes)
+    a01 = ivf_assign_lazy(
+        ivf_assign_lazy(emb, cents0).withColumnRenamed("centroid_id", "cell0"),
+        cents1,
+    ).withColumnRenamed("centroid_id", "cell1")
+    return a01.select(
         "vec_id", "cell0", "cell1",
         (F.col("cell0") != F.col("cell1")).alias("moved"),
     )

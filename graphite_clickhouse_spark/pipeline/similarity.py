@@ -535,9 +535,13 @@ def ivf_assign_lazy(
         f"named_struct('sim', {_dot_sql(f'`{vec_col}`', 'c.cvec')}, "
         f"'negcid', -c.cid))).negcid)"
     )
+    # corpus["*"] (not a fixed id/vec pair) lets callers CHAIN lazy
+    # assignments — assigning the same scan against two centroid tables
+    # in one pass instead of joining two full-corpus assignment plans on
+    # the id (q_kmeans_refine's before/after labeling does this)
     return (
         corpus.join(F.broadcast(packed))
-        .select(id_col, vec_col, assign.alias(centroid_id))
+        .select(corpus["*"], assign.alias(centroid_id))
     )
 
 
