@@ -1011,7 +1011,18 @@ def dedup_clusters(
     # is reached immediately and the loop exits after ONE verification
     # round instead of two full rounds (the min-label fixpoint is
     # invariant to a tighter init).
-    labels = ckpt(
+    # LAZY on round 1 (r10): the first hop's single job evaluates this
+    # aggregate, and BOTH of its references there (the join's left side
+    # and the neighbor-min input) sit above the same aggregation
+    # exchange, which Spark's ReuseExchange dedupes — so the separate
+    # eager init checkpoint job bought nothing.  Safe w.r.t. the
+    # winnow/lazy-cache race lesson: edges IS eagerly materialized
+    # above, so the racing branches re-read an in-memory cache, never
+    # the pair producer.  Later rounds rebind `labels` to checkpointed
+    # frames, and the convergence exit returns the materialized hop
+    # frame (label == old at the fixpoint), so the lazy plan never
+    # escapes this function.
+    labels = (
         edges.groupBy("src")
         .agg(F.least(F.col("src"), F.min("dst")).alias("label"))
         .select(F.col("src").alias("id"), "label")
@@ -1055,7 +1066,13 @@ def dedup_clusters(
             hop.filter(F.col("label") != F.col("old")).limit(1).count()
         )
         if changed == 0:
-            hop.unpersist()
+            if it > 0:
+                labels.unpersist()
+            # at the fixpoint label == old everywhere, so the
+            # materialized hop IS the final labeling — keep it (the
+            # round-1 `labels` is a lazy plan over the soon-unpersisted
+            # edge cache and must not escape)
+            labels = hop.select("id", "label")
             converged = True
             break
         new_labels = ckpt(
@@ -1069,7 +1086,8 @@ def dedup_clusters(
             )
             .select("id", F.least(F.col("label"), F.coalesce("ll", "label")).alias("label"))
         )
-        labels.unpersist()
+        if it > 0:
+            labels.unpersist()
         hop.unpersist()
         labels = new_labels
     edges.unpersist()
