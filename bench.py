@@ -40,6 +40,15 @@ max(1, winning-rep bracket / micro_ms_epoch) — the per-query number
 comparable across rounds without solo re-runs.  The driver-facing
 compact stdout line carries the NORMALIZED per-query map; raw seconds
 stay in BENCH_LOCAL.json.
+
+Raw-map survival across the driver's two runs (r11, closing r10 VERDICT
+next-round #2): the full artifact is ALSO written to
+BENCH_LOCAL_c{$SPARK_GRAFT_CPUS}.json, so the c32 and c8 runs no longer
+clobber each other's RAW per-query seconds — core-count scaling ratios
+must be computed on raw seconds (the normalized values divide by
+host_factors measured at different core counts).  The compact line gains
+"cpus" and a pointer to the per-core file; schema otherwise unchanged
+(additions only, no query removed/renamed).
 """
 
 from __future__ import annotations
@@ -465,6 +474,24 @@ def main() -> None:
             fh.write(line + "\n")
     except OSError:
         pass
+    # r11 (r10 VERDICT next-round #2): ALSO write a per-core-count copy.
+    # The driver benches twice (c32 + c8) and each run overwrites
+    # BENCH_LOCAL.json, clobbering the other run's RAW per-query seconds;
+    # raw-vs-raw is the only honest c8/c32 scaling comparison (the
+    # normalized values divide by host_factors measured at different core
+    # counts, so their ratios conflate parallelism with probe slowdown).
+    # The compact stdout line cannot carry a second 78-entry map (the
+    # driver tails exactly 2000 bytes of stdout and the line is ~1.95 KB),
+    # so the raw map lives here and the compact line points at it.
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(ncpu))
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         f"BENCH_LOCAL_c{cpus}.json"), "w"
+        ) as fh:
+            fh.write(line + "\n")
+    except OSError:
+        pass
     # full line to stderr for humans watching the run (the driver does not
     # capture stderr — the per-query progress lines above prove it)
     print(line, file=sys.stderr)
@@ -483,15 +510,28 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "sf": sf,
+        "cpus": cpus,
         "host_factor": calibration["host_factor"],
         "norm_value": result["value_host_normalized"],
-        "queries_are": "normalized(host*slot); raw in BENCH_LOCAL.json",
+        "queries_are": f"normalized(host*slot); raw in BENCH_LOCAL_c{cpus}.json",
         "unconverged": unconverged,
         "queries": {k: round(v, 2) for k, v in normalized.items()},
     }
     if failures:
         compact["failed"] = sorted(failures)
-    print(json.dumps(compact, separators=(",", ":")), flush=True)
+    out_line = json.dumps(compact, separators=(",", ":"))
+    # the driver tails the LAST 2000 bytes of stdout; a compact line that
+    # outgrows that (e.g. several unconverged entries at 78 queries) would
+    # truncate at the FRONT and break the parse (rounds 2-6 failure mode).
+    # Shed optional annotations first; the contract fields (metric, value,
+    # unit, sf, queries) are never dropped.
+    if len(out_line) > 1990:
+        compact["unconverged"] = len(unconverged)  # count, detail in file
+        out_line = json.dumps(compact, separators=(",", ":"))
+    if len(out_line) > 1990:
+        compact.pop("queries_are", None)
+        out_line = json.dumps(compact, separators=(",", ":"))
+    print(out_line, flush=True)
 
 
 if __name__ == "__main__":
