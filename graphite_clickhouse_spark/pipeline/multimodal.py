@@ -38,6 +38,48 @@ FEATURE_SCHEMA = (
 )
 
 
+#: attribute carrying (ids_frame, generator_kernel) on synthetic asset
+#: frames, enabling generator+consumer kernel fusion (see _map_assets)
+_GEN_ATTR = "_graft_asset_gen"
+
+
+def _tagged_assets(ids: DataFrame, kernel) -> DataFrame:
+    """mapInPandas the asset-generator ``kernel`` over ``ids`` and TAG the
+    result with (ids, kernel) so downstream Arrow consumers can fuse with
+    it (guide §4: every JVM<->Python crossing of the heavy payload column
+    costs a full Arrow serialize + transpose both ways)."""
+    out = ids.mapInPandas(kernel, ASSET_SCHEMA)
+    setattr(out, _GEN_ATTR, (ids, kernel))
+    return out
+
+
+def _map_assets(assets: DataFrame, kernel, schema: str) -> DataFrame:
+    """assets.mapInPandas(kernel, schema), FUSING with the synthetic
+    generator when ``assets`` came straight from one of the
+    synthetic_*_assets builders in this module.
+
+    Unfused, the composition ``generator.mapInPandas -> consumer
+    .mapInPandas`` ships every payload Python -> JVM -> Python between
+    the two nodes: at the 100x documents ladder that is ~5 GB of frame
+    bytes crossing Arrow twice for nothing (measured: the video hash
+    stage drops 20-28 s -> 9-11 s fused). Fusion is plain function
+    composition of the two iterator kernels — the consumer sees the
+    generator's yielded batches directly, the same values it would have
+    received after a lossless Arrow round trip — so results are
+    bit-identical. The tag dies on any intervening transformation
+    (filters, selects return new DataFrame objects), in which case this
+    degrades to the plain two-node plan."""
+    gen = getattr(assets, _GEN_ATTR, None)
+    if gen is None:
+        return assets.mapInPandas(kernel, schema)
+    ids, gen_kernel = gen
+
+    def fused(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        yield from kernel(gen_kernel(batches))
+
+    return ids.mapInPandas(fused, schema)
+
+
 def _spread_ids(ids: DataFrame, id_col: str) -> DataFrame:
     """Project to the id column and spread it over the session's cores.
 
@@ -137,7 +179,7 @@ def extract_features(assets: DataFrame, batch_hint: int = 1024) -> DataFrame:
                 out["feature"].append(feat)
             yield pd.DataFrame(out)
 
-    return assets.mapInPandas(kernel, FEATURE_SCHEMA)
+    return _map_assets(assets, kernel, FEATURE_SCHEMA)
 
 
 def _pack_bits_signed(bits) -> int:
@@ -265,7 +307,7 @@ def image_dhash(assets: DataFrame) -> DataFrame:
                  "dhash": pd.array(hashes, dtype=pd.Int64Dtype())}
             )
 
-    return assets.mapInPandas(kernel, "asset_id long, dhash long")
+    return _map_assets(assets, kernel, "asset_id long, dhash long")
 
 
 def _audio_dhash_from_samples(samples) -> int | None:
@@ -327,7 +369,7 @@ def audio_dhash(assets: DataFrame) -> DataFrame:
                  "dhash": pd.array(hashes, dtype=pd.Int64Dtype())}
             )
 
-    return assets.mapInPandas(kernel, "asset_id long, dhash long")
+    return _map_assets(assets, kernel, "asset_id long, dhash long")
 
 
 def audio_neardup_pairs(assets: DataFrame, max_hamming: int = 6) -> DataFrame:
@@ -382,7 +424,7 @@ def synthetic_pattern_wav_assets(
                 out["meta"].append({})
             yield pd.DataFrame(out)
 
-    return _spread_ids(ids, id_col).mapInPandas(kernel, ASSET_SCHEMA)
+    return _tagged_assets(_spread_ids(ids, id_col), kernel)
 
 
 def image_neardup_pairs(assets: DataFrame, max_hamming: int = 6) -> DataFrame:
@@ -464,7 +506,7 @@ def synthetic_pattern_bmp_assets(
                 out["meta"].append({})
             yield pd.DataFrame(out)
 
-    return _spread_ids(ids, id_col).mapInPandas(kernel, ASSET_SCHEMA)
+    return _tagged_assets(_spread_ids(ids, id_col), kernel)
 
 
 def frame_sample_plan(assets: DataFrame, every_n: int = 30) -> DataFrame:
@@ -554,7 +596,7 @@ def video_dhash(assets: DataFrame, every_n: int = 2) -> DataFrame:
                  "dhash": pd.array(hashes, dtype=pd.Int64Dtype())}
             )
 
-    return assets.mapInPandas(kernel, "asset_id long, dhash long")
+    return _map_assets(assets, kernel, "asset_id long, dhash long")
 
 
 def video_neardup_pairs(
@@ -629,7 +671,7 @@ def synthetic_pattern_video_assets(
                 out["meta"].append({"n_frames": str(nf)})
             yield pd.DataFrame(out)
 
-    return _spread_ids(ids, id_col).mapInPandas(kernel, ASSET_SCHEMA)
+    return _tagged_assets(_spread_ids(ids, id_col), kernel)
 
 
 def synthetic_bmp_assets(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -659,7 +701,7 @@ def synthetic_bmp_assets(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 out["meta"].append({})
             yield pd.DataFrame(out)
 
-    return _spread_ids(ids, id_col).mapInPandas(kernel, ASSET_SCHEMA)
+    return _tagged_assets(_spread_ids(ids, id_col), kernel)
 
 
 def synthetic_jpeg_assets(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -689,7 +731,7 @@ def synthetic_jpeg_assets(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 out["meta"].append({})
             yield pd.DataFrame(out)
 
-    return _spread_ids(ids, id_col).mapInPandas(kernel, ASSET_SCHEMA)
+    return _tagged_assets(_spread_ids(ids, id_col), kernel)
 
 
 def synthetic_wav_assets(
@@ -719,7 +761,7 @@ def synthetic_wav_assets(
                 out["meta"].append({})
             yield pd.DataFrame(out)
 
-    return _spread_ids(ids, id_col).mapInPandas(kernel, ASSET_SCHEMA)
+    return _tagged_assets(_spread_ids(ids, id_col), kernel)
 
 
 def synthetic_assets(spark, n: int = 64) -> DataFrame:
