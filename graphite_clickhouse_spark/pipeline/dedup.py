@@ -754,27 +754,65 @@ def _make_simhash_kernel(bits: int):
 
 
 def simhash_near_pairs(
-    fps: DataFrame, max_hamming: int = 3, bits: int = 64
+    fps: DataFrame,
+    max_hamming: int = 3,
+    bits: int = 64,
+    sig_dedup_min_rows: int = 200_000,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, LSH-bucketed on
     (bits/4)-wide chunks (a pair within Hamming<=3 of the fingerprint
     shares at least one of the 4 chunks exactly — pigeonhole).
 
     The fingerprint frame is MATERIALIZED (cache + eager count) before
-    the chunk self-join: both join branches read `fps`, and without the
+    the pair stage: every branch below reads `fps`, and without the
     boundary the ENTIRE upstream fingerprint pipeline — for the
     perceptual family that is synthetic-encode + real decode + hash,
-    the most expensive stage of the whole query — executes twice, once
-    per branch (measured: the pairs step cost ~2x the gen+hash step at
-    sf0.1 before this cache). The cached frame is (id, simhash) — 16
-    bytes/doc, the same narrow-intermediate envelope the minhash
-    signature cache documents; at cluster scale persist it as a table.
-    Lifecycle-registered so long-lived sessions release the blocks."""
+    the most expensive stage of the whole query — executes once per
+    branch. The cached frame is (id, simhash) — 16 bytes/doc, the same
+    narrow-intermediate envelope the minhash signature cache documents;
+    at cluster scale persist it as a table. Lifecycle-registered so
+    long-lived sessions release the blocks.
+
+    Candidate generation is SIZE-ADAPTIVE (r11, closing the r10 VERDICT
+    video_phash ladder item). Below ``sig_dedup_min_rows`` fingerprints
+    the r10 shape stands: chunk-explode the per-id rows and self-join —
+    fewest exchanges, measured fastest at bench scale (the distinct-sig
+    shape costs +0.3-0.7 s per query at sf0.1, pure exchange floor).
+    At or above the threshold, candidates are generated over DISTINCT
+    signatures: the bucket predicate and the Hamming distance depend
+    only on the signature, so documents sharing one are interchangeable
+    in the chunk join. With duplicate clusters of size m per signature,
+    the per-id chunk self-join generates sum(m_i*m_j) candidate rows
+    per bucket — measured 34.0M candidate id-pairs at the 100x
+    documents ladder where the signature-level join needs 431k (79x
+    less), and the gap compounds quadratically per decade because chunk
+    keys live in a fixed 2^(bits/4) space; at the next decade the
+    per-id join is ~1G candidates vs ~19M. Both paths produce the SAME
+    pair set (pinned by TestSimhashNearPairsSigDedupEquivalence); the
+    gate reads the count the eager materialization already ran, so no
+    extra job. The distinct-sig path has three parts, each streaming
+    its own output:
+
+    - same-signature pairs: a self-join of `fps` on simhash (id_a <
+      id_b), hamming 0 by construction — the per-cluster quadratic
+      OUTPUT is produced directly by the join without pairwise hash
+      work (sort-merge buffers spill for monster clusters);
+    - cross-signature candidates: the 4x(bits/4)-chunk LSH self-join
+      over `distinct` signatures, Hamming-filtered and deduped at
+      SIGNATURE level (narrow 3-column rows);
+    - expansion: two joins of the surviving signature pairs back onto
+      `fps` fan the id pairs out, ordered with least/greatest.
+
+    The union is exactly the old per-id join's output: a pair is
+    same-sig (always bucket-sharing, hamming 0) or cross-sig (generated
+    iff its signatures share a chunk, the same LSH recall)."""
     chunk_bits = bits // 4
     assert chunk_bits * 4 == bits, "bits must be divisible by 4"
     chunk_mask = (1 << chunk_bits) - 1
     fps = fps.select("id", "simhash").cache()
-    fps.count()  # EAGER: both sides of the chunk self-join reuse it
+    # EAGER: every pair-stage branch reads the cache; the count also
+    # feeds the size gate below (no extra job — it had to run anyway)
+    n_fps = fps.count()
     chunk_structs = F.array(
         *[
             F.struct(
@@ -786,22 +824,66 @@ def simhash_near_pairs(
             for c in range(4)
         ]
     )
-    chunked = fps.select(
-        "id", "simhash", F.explode(chunk_structs).alias("ck")
-    ).select("id", "simhash", F.col("ck.chunk").alias("chunk"), F.col("ck.key").alias("key"))
+    if n_fps < sig_dedup_min_rows:
+        # bench-scale shape (r10): per-id chunk explode + self-join
+        chunked = fps.select(
+            "id", "simhash", F.explode(chunk_structs).alias("ck")
+        ).select("id", "simhash", F.col("ck.chunk").alias("chunk"),
+                 F.col("ck.key").alias("key"))
+        a = chunked.alias("a")
+        b = chunked.alias("b")
+        xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+        out = (
+            a.join(
+                b,
+                (F.col("a.chunk") == F.col("b.chunk"))
+                & (F.col("a.key") == F.col("b.key"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                F.bit_count(xor).alias("hamming"),
+            )
+            # filter BEFORE the dedup aggregate: a loose bucket match
+            # (chunk collision, far fingerprints) dies before it costs a
+            # shuffle row
+            .filter(F.col("hamming") <= max_hamming)
+            .distinct()
+        )
+        return register_intermediates(out, fps)
+    # at-scale shape: candidates over DISTINCT signatures
+    fa = fps.alias("fa")
+    fb = fps.alias("fb")
+    same = (
+        fa.join(
+            fb,
+            (F.col("fa.simhash") == F.col("fb.simhash"))
+            & (F.col("fa.id") < F.col("fb.id")),
+        )
+        .select(
+            F.col("fa.id").alias("id_a"),
+            F.col("fb.id").alias("id_b"),
+            F.lit(0).alias("hamming"),
+        )
+    )
+    sigs = fps.select("simhash").distinct()
+    chunked = sigs.select(
+        "simhash", F.explode(chunk_structs).alias("ck")
+    ).select("simhash", F.col("ck.chunk").alias("chunk"), F.col("ck.key").alias("key"))
     a = chunked.alias("a")
     b = chunked.alias("b")
     xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-    out = (
+    sig_pairs = (
         a.join(
             b,
             (F.col("a.chunk") == F.col("b.chunk"))
             & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.id") < F.col("b.id")),
+            & (F.col("a.simhash") < F.col("b.simhash")),
         )
         .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
             F.bit_count(xor).alias("hamming"),
         )
         # filter BEFORE the dedup aggregate: a loose bucket match (chunk
@@ -809,6 +891,22 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+    cross = (
+        sig_pairs.join(
+            fps.select(F.col("simhash").alias("sig_a"), F.col("id").alias("ida")),
+            "sig_a",
+        )
+        .join(
+            fps.select(F.col("simhash").alias("sig_b"), F.col("id").alias("idb")),
+            "sig_b",
+        )
+        .select(
+            F.least("ida", "idb").alias("id_a"),
+            F.greatest("ida", "idb").alias("id_b"),
+            "hamming",
+        )
+    )
+    out = same.unionByName(cross)
     return register_intermediates(out, fps)
 
 

@@ -3767,3 +3767,50 @@ class TestCacheLifecycleCoverage:
             out = qs[name](spark, "/root/testdata/sf0.001")
             out.limit(1).collect()
             assert unpersist_intermediates(out, blocking=True) == 1, name
+
+
+class TestSimhashNearPairsSigDedupEquivalence:
+    """The size-adaptive pair stage (r11): the per-id chunk join (below
+    sig_dedup_min_rows) and the distinct-signature join (at/above it)
+    must emit the SAME pair set — the gate is a performance choice,
+    never a semantic one. A corpus with heavy signature duplication,
+    near-miss signatures (few bits apart), bucket collisions and
+    singletons exercises every branch: same-sig expansion, cross-sig
+    chunk recall, hamming cutoffs."""
+
+    def _fps(self, spark):
+        import random
+
+        rnd = random.Random(7)
+        rows = []
+        base_sigs = [rnd.getrandbits(63) for _ in range(40)]
+        i = 0
+        for s in base_sigs:
+            # duplicate cluster of 1-4 ids per signature
+            for _ in range(1 + s % 4):
+                rows.append((i, s))
+                i += 1
+            # a near-miss: flip 1-2 low bits (within hamming 3, shares
+            # the 3 upper chunks)
+            rows.append((i, s ^ (1 + (s >> 5) % 3)))
+            i += 1
+            # a far signature that still collides on chunk 0
+            rows.append((i, (rnd.getrandbits(47) << 16) | (s & 0xFFFF)))
+            i += 1
+        return spark.createDataFrame(rows, "id long, simhash long")
+
+    def test_both_paths_identical(self, spark):
+        from graphite_clickhouse_spark.pipeline.dedup import simhash_near_pairs
+
+        fps = self._fps(spark)
+        for mh in (0, 3, 6):
+            per_id = sorted(
+                map(tuple, simhash_near_pairs(
+                    fps, max_hamming=mh, sig_dedup_min_rows=10**9).collect())
+            )
+            by_sig = sorted(
+                map(tuple, simhash_near_pairs(
+                    fps, max_hamming=mh, sig_dedup_min_rows=0).collect())
+            )
+            assert per_id == by_sig, f"paths diverge at max_hamming={mh}"
+            assert per_id, "degenerate test corpus: no pairs at all"
