@@ -280,8 +280,16 @@ def ngram_jaccard_pairs(
        first (hot shingles land at the tail);
     2. index only the first  p = |d| - ceil(t*|d|) + 1  shingles — if
        J(A,B) >= t then A and B must share an indexed shingle;
-    3. join on indexed shingles only (+ length filter |B| >= t*|A|),
-       distinct candidate pairs;
+    3. join on indexed shingles only (+ length filter |B| >= t*|A| and
+       the PPJoin POSITIONAL filter, r11: a match of prefix positions
+       (i, j) can reach overlap at most 1 + min(|A|-i-1, |B|-j-1), so
+       occurrences that cannot reach alpha = ceil(t/(1+t)*(|A|+|B|))
+       die inside the join. Lossless: the SMALLEST common element of a
+       qualifying pair sits in both prefixes with every other common
+       element after it in both arrays, so its occurrence always passes
+       the bound. alpha is computed with a 1e-9 slack so double
+       rounding can only loosen the filter, never over-prune. Measured:
+       candidate pairs 310k -> 64k at sf0.1, ~0.6 s off the query);
     4. verify candidates with one array_intersect over the full sorted
        hash arrays (no giant per-pair count aggregation).
 
@@ -326,9 +334,19 @@ def ngram_jaccard_pairs(
     sets = sets.cache()
     sets.count()
 
-    index = sets.select("id", "n_sh", F.explode("prefix").alias("shingle"))
+    index = sets.select(
+        "id", "n_sh", F.posexplode("prefix").alias("pos", "shingle")
+    )
     a = index.alias("a")
     b = index.alias("b")
+    # positional filter operands (see step 3 in the docstring)
+    alpha = F.ceil(
+        t / (1 + t) * (F.col("a.n_sh") + F.col("b.n_sh")) - F.lit(1e-9)
+    )
+    ubound = 1 + F.least(
+        F.col("a.n_sh") - F.col("a.pos") - 1,
+        F.col("b.n_sh") - F.col("b.pos") - 1,
+    )
     cands = (
         a.join(
             b,
@@ -336,7 +354,8 @@ def ngram_jaccard_pairs(
             & (F.col("a.id") < F.col("b.id"))
             # length filter: J >= t needs t*|A| <= |B| (and symmetric)
             & (F.col("b.n_sh") * t <= F.col("a.n_sh"))
-            & (F.col("a.n_sh") * t <= F.col("b.n_sh")),
+            & (F.col("a.n_sh") * t <= F.col("b.n_sh"))
+            & (ubound >= alpha),
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()

@@ -3814,3 +3814,46 @@ class TestSimhashNearPairsSigDedupEquivalence:
             )
             assert per_id == by_sig, f"paths diverge at max_hamming={mh}"
             assert per_id, "degenerate test corpus: no pairs at all"
+
+
+def test_ngram_jaccard_matches_bruteforce(spark):
+    """The prefix + length + PPJoin-positional filters are LOSSLESS:
+    the operator must emit exactly the pairs a brute-force all-pairs
+    exact Jaccard finds, across thresholds (r11 positional filter)."""
+    import itertools
+    import random
+
+    from graphite_clickhouse_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    rnd = random.Random(11)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for i in range(60):
+        n = rnd.randint(3, 25)
+        rows.append((i, " ".join(rnd.choice(vocab) for _ in range(n))))
+        if i % 3 == 0:  # planted near-dups: perturb a copy
+            txt = rows[-1][1].split()
+            j = rnd.randrange(len(txt))
+            txt[j] = rnd.choice(vocab)
+            rows.append((1000 + i, " ".join(txt)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def grams(text, n=3):
+        toks = text.split()
+        return {" ".join(toks[j:j + n]) for j in range(len(toks) - n + 1)}
+
+    for thr in (0.3, 0.5, 0.8):
+        got = sorted(
+            (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+            for r in ngram_jaccard_pairs(df, n=3, threshold=thr).collect()
+        )
+        exp = []
+        sets = {i: grams(t) for i, t in rows if len(t.split()) >= 3}
+        for x, y in itertools.combinations(sorted(sets), 2):
+            inter = len(sets[x] & sets[y])
+            if inter == 0:
+                continue
+            j = inter / (len(sets[x]) + len(sets[y]) - inter)
+            if j >= thr:
+                exp.append((x, y, round(j, 9)))
+        assert got == sorted(exp), f"threshold {thr}: {len(got)} vs {len(exp)}"
