@@ -1528,6 +1528,18 @@ def remove_duplicate_spans(
         .agg(F.sort_array(F.collect_set("pos")).alias("_rm"))
     )
     rm = F.coalesce(F.col("_rm"), F.array().cast("array<int>"))
+    # Mask-based rebuild (r11, r10 VERDICT #6): the per-token
+    # array_contains filter cost O(n_tokens * |removed|) per row — a
+    # heavily-duplicated long document paid a quadratic rebuild. Kept
+    # positions are sequence(0, n-1) MINUS the removed set: array_except
+    # builds one hash set over the removed positions and streams the
+    # sequence through it (O(n + |removed|)), preserving the first
+    # array's (ascending) order, then one O(1) element_at per survivor.
+    # sequence(0, -1) would DESCEND for empty docs, hence the size guard.
+    toks = F.col("_toks")
+    kept = F.when(F.size(toks) > 0, F.array_except(
+        F.sequence(F.lit(0), F.size(toks) - 1), rm
+    )).otherwise(F.array().cast("array<int>"))
     result = (
         staged.join(removed, "id", "left")
         .select(
@@ -1536,9 +1548,7 @@ def remove_duplicate_spans(
             F.size(rm).cast("int").alias("n_removed"),
             F.concat_ws(
                 " ",
-                F.filter(
-                    "_toks", lambda t, i: ~F.array_contains(rm, i)
-                ),
+                F.transform(kept, lambda i: F.element_at(toks, i + 1)),
             ).alias("clean_text"),
         )
     )
