@@ -24,6 +24,15 @@ from pyspark.sql import functions as F
 from .lifecycle import register_intermediates
 from .text import WS_RE
 
+#: per-task cap on the simhash kernel's token -> ±1-bit-vector cache
+#: (env-overridable): bounds a worker's resident cache to ~50 MB at the
+#: default instead of the old 2M-entry / 0.5-1 GB worst case (r10 ADVICE)
+import os as _os
+
+_SIMHASH_TOKEN_CACHE_MAX = int(
+    _os.environ.get("SPARK_GRAFT_SIMHASH_CACHE_TOKENS", "200000")
+)
+
 
 # ---------------------------------------------------------------- exact
 
@@ -700,7 +709,12 @@ def simhash_portable(
                     int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
                 )
                 v = (((h >> shifts) & np.uint64(1)).astype(np.int32) * 2) - 1
-                if len(cache) < 2_000_000:
+                # cap sized like the Arrow-batch memory rationale (r10
+                # ADVICE): ~240 B per cached 60-int32 vector, so 200k
+                # entries bound one task's cache near 50 MB instead of
+                # the old 2M cap's 0.5-1 GB worst case; Zipf means the
+                # hot tokens that matter stay resident either way
+                if len(cache) < _SIMHASH_TOKEN_CACHE_MAX:
                     cache[t] = v
             return v
 

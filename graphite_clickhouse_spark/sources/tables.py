@@ -14,6 +14,7 @@ so every graphite-semantics operator is oracle-checkable.
 from __future__ import annotations
 
 import os
+import stat
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -45,7 +46,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = f"{sf_dir}/{name}.parquet"
     try:
-        key = (path, os.stat(path).st_mtime_ns)
+        st = os.stat(path)
+        key = (path, st.st_mtime_ns)
+        if stat.S_ISDIR(st.st_mode):
+            # directory datasets: rewriting a part file IN PLACE (same
+            # filename) does not bump the directory mtime, so fold the
+            # newest entry mtime + entry count into the key (r10 ADVICE)
+            entries = list(os.scandir(path))
+            newest = max(
+                (e.stat().st_mtime_ns for e in entries), default=0
+            )
+            key = (path, st.st_mtime_ns, newest, len(entries))
     except OSError:
         # missing path: let the plain reader raise Spark's own error
         return spark.read.parquet(path)
