@@ -76,6 +76,24 @@ def normalized_exact_dedup(
     )
 
 
+def plan_rows_estimate(df: DataFrame, bytes_per_row: int = 64) -> int | None:
+    """Optimizer row estimate WITHOUT running a job: the row-count
+    statistic when the plan carries one, else sizeInBytes divided by a
+    deliberately-small ``bytes_per_row`` (64 B undershoots any real
+    document row, so the estimate OVERSHOOTS the true count — callers
+    gate toward their scale-safe path). Returns None when the plan's
+    statistics are unknown (createDataFrame/RDD-backed inputs report
+    the Long.MaxValue sentinel)."""
+    stats = df._jdf.queryExecution().optimizedPlan().stats()
+    rc = stats.rowCount()
+    if rc.isDefined():
+        return int(str(rc.get()))
+    size = int(str(stats.sizeInBytes()))
+    if size >= (1 << 62):
+        return None
+    return size // bytes_per_row
+
+
 def _bloom_words(
     seen_hashes: DataFrame, n_keys: int, bits_per_key: int, max_bits: int
 ) -> tuple[list[int], int]:
@@ -125,6 +143,7 @@ def incremental_exact_dedup(
     bits_per_key: int = 10,
     bloom_max_bits: int = 1 << 23,
     use_bloom: bool = True,
+    bloom_min_batch_rows: int = 2_000_000,
 ) -> DataFrame:
     """Exact dedup of a NEW batch against an already-ingested corpus —
     the incremental-ingest stage every growing corpus needs: daily
@@ -166,6 +185,18 @@ def incremental_exact_dedup(
     seen_hashes = (
         seen.select(F.md5(F.col(seen_text_col)).alias("text_hash")).distinct()
     )
+    if use_bloom:
+        # Size gate (r11, r10 VERDICT #5 profile): the bloom build pays
+        # two driver-visible jobs (seen count + bit_or collect) and a
+        # plan literal to SAVE batch-side shuffle volume — a trade that
+        # only pays when the batch is big (measured at sf0.1: bloom
+        # path 1.9-2.6 s vs 0.4-0.6 s plain anti-join; the whole batch
+        # shuffle is smaller than the bloom's fixed cost). Gate on the
+        # optimizer's row estimate — no job; unknown statistics
+        # (createDataFrame inputs) assume BIG, the scale-safe default.
+        est = plan_rows_estimate(batch)
+        if est is not None and est < bloom_min_batch_rows:
+            use_bloom = False
     if not use_bloom:
         return batch_agg.join(seen_hashes, "text_hash", "left_anti")
     seen_hashes = seen_hashes.cache()

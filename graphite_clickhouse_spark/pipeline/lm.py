@@ -198,18 +198,13 @@ def ccnet_partition(
     # to the distributed (scale-safe) path early — never the reverse.
     # The single-sort path is now fully lazy again (no eager action at
     # plan-build time).
-    stats = df._jdf.queryExecution().optimizedPlan().stats()
-    rc = stats.rowCount()
-    size_bytes = int(str(stats.sizeInBytes()))
-    if rc.isDefined():
-        n_docs = int(str(rc.get()))
-    elif size_bytes < (1 << 62):
-        n_docs = size_bytes // 64
-    else:
-        # unknown statistics (createDataFrame/RDD-backed inputs report
-        # the Long.MaxValue sentinel): fall back to the exact count —
-        # only non-file inputs pay the job
-        n_docs = df.select(id_col).count()
+    from .dedup import plan_rows_estimate
+
+    est = plan_rows_estimate(df)
+    # unknown statistics (createDataFrame/RDD-backed inputs report the
+    # Long.MaxValue sentinel): fall back to the exact count — only
+    # non-file inputs pay the job
+    n_docs = est if est is not None else df.select(id_col).count()
     extra_cached: tuple = ()
     if n_docs <= max_single_sort_rows:
         tile = F.ntile(buckets).over(

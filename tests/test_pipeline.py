@@ -3857,3 +3857,31 @@ def test_ngram_jaccard_matches_bruteforce(spark):
             if j >= thr:
                 exp.append((x, y, round(j, 9)))
         assert got == sorted(exp), f"threshold {thr}: {len(got)} vs {len(exp)}"
+
+
+def test_incremental_dedup_bloom_gate(spark, sf_dir):
+    """File-backed small batches (known plan statistics under the
+    threshold) take the plain anti-join — the bloom's two build jobs
+    only pay for themselves on big batches (r11 size gate). Unknown
+    statistics keep the bloom (scale-safe default, exercised by the
+    plan-shape test above)."""
+    from graphite_clickhouse_spark.pipeline.dedup import (
+        incremental_exact_dedup,
+    )
+    from graphite_clickhouse_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 3 != 0)
+    seen = docs.filter(F.col("doc_id") % 3 == 0)
+    gated = incremental_exact_dedup(batch, seen)
+    plan = gated._jdf.queryExecution().executedPlan().toString()
+    assert "element_at" not in plan, "bloom should be gated off"
+    assert "LeftAnti" in plan
+    # forcing the gate low re-enables the bloom, results identical
+    bloomed = incremental_exact_dedup(batch, seen, bloom_min_batch_rows=0)
+    plan_b = bloomed._jdf.queryExecution().executedPlan().toString()
+    assert "element_at" in plan_b
+    a = sorted(map(tuple, gated.collect()))
+    b = sorted(map(tuple, bloomed.collect()))
+    assert a == b
