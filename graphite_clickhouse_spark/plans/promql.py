@@ -1470,33 +1470,37 @@ class Evaluator:
             ).alias("samples"),
             F.first("tags").alias("labels"),
         ).filter(F.size("samples") >= 2)
-        s = F.col("samples")
-        cnt = F.size(s)
-        first_t = s.getItem(0).getField("time")
-        first_v = s.getItem(0).getField("value")
-        last_t = F.element_at(s, -1).getField("time")
-        last_v = F.element_at(s, -1).getField("value")
+        # The whole post-aggregation scalar block is built as SQL text
+        # and parsed ONCE (r11, r10 VERDICT #9): the equivalent Column
+        # chain cost ~88 ms of py4j round trips per build — measurable
+        # inside the bench's timed region — while one F.expr parse is
+        # ~2 ms. Same expressions, same arithmetic order; double
+        # literals carry the D suffix so nothing parses as DECIMAL.
         if node.fn == "idelta":
-            prev_v = F.element_at(s, -2).getField("value")
-            return base.select(
-                "path", "j", "labels", (last_v - prev_v).alias("value")
+            return base.selectExpr(
+                "path", "j", "labels",
+                "(element_at(samples, -1).value"
+                " - element_at(samples, -2).value) AS value",
             )
         if node.fn == "irate":
             # instant rate over the last two samples, counter-reset aware
             # (promql/functions.go instantValue)
-            prev_v = F.element_at(s, -2).getField("value")
-            prev_t = F.element_at(s, -2).getField("time")
-            inc = F.when(last_v < prev_v, last_v).otherwise(last_v - prev_v)
-            return base.select(
+            return base.selectExpr(
                 "path", "j", "labels",
-                (inc / (last_t - prev_t).cast("double")).alias("value"),
+                "(CASE WHEN element_at(samples, -1).value"
+                "           < element_at(samples, -2).value"
+                "      THEN element_at(samples, -1).value"
+                "      ELSE element_at(samples, -1).value"
+                "           - element_at(samples, -2).value END"
+                " / cast(element_at(samples, -1).time"
+                "        - element_at(samples, -2).time as double)) AS value",
             )
         if node.fn == "delta":
-            raw = (last_v - first_v).alias("raw")
+            raw_sql = "(element_at(samples, -1).value - samples[0].value)"
             is_counter = False
         else:
             # reset-adjusted increase: fold over samples[2:]
-            raw = F.expr(
+            raw_sql = (
                 "aggregate(slice(samples, 2, size(samples) - 1), "
                 "named_struct('acc', cast(0.0 as double), "
                 "             'prev', samples[0].value), "
@@ -1505,47 +1509,70 @@ class Evaluator:
                 "                     x.value - st.prev), "
                 "  'prev', x.value), "
                 "st -> st.acc)"
-            ).alias("raw")
+            )
             is_counter = True
 
-        df = base.select("path", "j", "labels", raw,
-                         cnt.alias("cnt"), first_t.alias("ft"),
-                         first_v.alias("fv"), last_t.alias("lt"))
-        range_start = F.lit(start) + F.col("j").cast("long") * F.lit(step) - F.lit(w)
-        range_end = F.lit(start) + F.col("j").cast("long") * F.lit(step)
-        dur_start = (F.col("ft") - range_start).cast("double")
-        dur_end = (range_end - F.col("lt")).cast("double")
-        sampled = (F.col("lt") - F.col("ft")).cast("double")
-        avg_dur = sampled / (F.col("cnt") - 1).cast("double")
-        threshold = avg_dur * 1.1
-        dur_start = F.when(dur_start >= threshold, avg_dur / 2).otherwise(dur_start)
+        df = base.selectExpr(
+            "path", "j", "labels", f"{raw_sql} AS raw",
+            "size(samples) AS cnt", "samples[0].time AS ft",
+            "samples[0].value AS fv", "element_at(samples, -1).time AS lt",
+        )
+        range_start = f"({start}L + cast(j as long) * {step}L - {w}L)"
+        range_end = f"({start}L + cast(j as long) * {step}L)"
+        sampled = "cast(lt - ft as double)"
+        avg_dur = f"({sampled} / cast(cnt - 1 as double))"
+        threshold = f"({avg_dur} * 1.1D)"
+        dur_start = f"cast(ft - {range_start} as double)"
+        dur_start = (
+            f"(CASE WHEN {dur_start} >= {threshold} THEN {avg_dur} / 2 "
+            f"ELSE {dur_start} END)"
+        )
         if is_counter:
             # never extrapolate a counter below zero
-            dur_zero = sampled * (F.col("fv") / F.col("raw"))
-            dur_start = F.when(
-                (F.col("raw") > 0) & (F.col("fv") >= 0) & (dur_zero < dur_start),
-                dur_zero,
-            ).otherwise(dur_start)
-        dur_end = F.when(dur_end >= threshold, avg_dur / 2).otherwise(dur_end)
-        factor = (sampled + dur_start + dur_end) / sampled
-        value = F.col("raw") * factor
+            dur_zero = f"({sampled} * (fv / raw))"
+            dur_start = (
+                f"(CASE WHEN raw > 0 AND fv >= 0 AND {dur_zero} < {dur_start} "
+                f"THEN {dur_zero} ELSE {dur_start} END)"
+            )
+        dur_end = f"cast({range_end} - lt as double)"
+        dur_end = (
+            f"(CASE WHEN {dur_end} >= {threshold} THEN {avg_dur} / 2 "
+            f"ELSE {dur_end} END)"
+        )
+        value = f"(raw * (({sampled} + {dur_start} + {dur_end}) / {sampled}))"
         if node.fn == "rate":
-            value = value / F.lit(float(w))
-        return df.select("path", "j", "labels", value.alias("value"))
+            value = f"({value} / {float(w)!r}D)"
+        return df.selectExpr("path", "j", "labels", f"{value} AS value")
 
     # -- aggregation operators
 
     def _eval_agg(self, node: Aggregate) -> DataFrame:
         child = self.eval(node.expr)
-        keys = F.array([F.lit(k) for k in node.grouping])
+        # label-set filters as ONE SQL parse each (r11, r10 VERDICT #9):
+        # the Python-lambda map_filter costs ~18-22 ms of py4j lambda
+        # conversion per build; the SQL text is identical semantics.
+        # Label names come from the parsed PromQL grammar (identifier
+        # charset), the quote-escape below is defensive only.
+        keys_sql = "array({})".format(
+            ", ".join("'{}'".format(k.replace("'", "\\'"))
+                      for k in node.grouping)
+        )
         if node.without:
-            keep = F.map_filter(
-                F.col("labels"),
-                lambda k, _: ~F.array_contains(keys, k) & (k != "__name__"),
-            )
+            if node.grouping:
+                keep = F.expr(
+                    "map_filter(labels, (k, v) -> "
+                    f"NOT array_contains({keys_sql}, k)"
+                    " AND k != '__name__')"
+                )
+            else:
+                # empty `without ()`: array_contains over an empty array
+                # is always false, so only __name__ drops
+                keep = F.expr(
+                    "map_filter(labels, (k, v) -> k != '__name__')"
+                )
         elif node.grouping:
-            keep = F.map_filter(
-                F.col("labels"), lambda k, _: F.array_contains(keys, k)
+            keep = F.expr(
+                f"map_filter(labels, (k, v) -> array_contains({keys_sql}, k))"
             )
         else:
             keep = F.expr("cast(map() as map<string,string>)")
