@@ -62,15 +62,15 @@ STOPWORDS_EN = "['the','and','of','to','a']"
 #: tests/test_oracle.py::test_contract_index_matches_queries fails on
 #: any drift.
 CONTRACT_INDEX: dict[str, tuple[int, str, str]] = {
-    "promql_rate_sum": (1, "w", "r8-"),
-    "promql_hist_quantile": (2, "w", "r8-"),
+    "promql_rate_sum": (1, "w", "r11"),
+    "promql_hist_quantile": (2, "w", "r11"),
     "gapfill_grid": (3, "w", "r8-"),
     "paragraph_dedup": (4, "w", "r8-"),
-    "ngram_jaccard": (5, "w", "r8-"),
+    "ngram_jaccard": (5, "w", "r11"),
     "repetition_stats": (6, "w", "r8-"),
     "gopher_filter": (7, "w", "r8-"),
-    "winnow_fingerprints": (8, "w", "r8-"),
-    "winnow_overlap_pairs": (9, "w", "r8-"),
+    "winnow_fingerprints": (8, "w", "r11"),
+    "winnow_overlap_pairs": (9, "w", "r11"),
     "source_overlap": (10, "w", "r8-"),
     "dedup_clusters": (11, "w", "r10"),
     "cluster_keep": (12, "w", "r10"),
@@ -82,13 +82,13 @@ CONTRACT_INDEX: dict[str, tuple[int, str, str]] = {
     "embedding_neardup": (18, "w", "r10"),
     "embedding_neardup_lsh": (19, "w", "r10"),
     "minhash_dedup": (20, "w", "r10"),
-    "simhash_pairs": (21, "w", "r10"),
+    "simhash_pairs": (21, "w", "r11"),
     "unigram_quality": (22, "w", "r8-"),
-    "image_phash_pairs": (23, "w", "r10"),
-    "audio_phash_pairs": (24, "w", "r10"),
-    "video_phash_pairs": (25, "w", "r10"),
+    "image_phash_pairs": (23, "w", "r11"),
+    "audio_phash_pairs": (24, "w", "r11"),
+    "video_phash_pairs": (25, "w", "r11"),
     "domain_cap": (26, "w", "r10"),
-    "incremental_dedup": (27, "w", "r10"),
+    "incremental_dedup": (27, "w", "r11"),
     "normalized_dedup": (28, "w", "r10"),
     "c4_line_filter": (29, "w", "r10"),
     "semantic_dedup": (30, "w", "r10"),
@@ -102,16 +102,16 @@ CONTRACT_INDEX: dict[str, tuple[int, str, str]] = {
     "find_glob": (38, "w", "r8-"),
     "index_tree": (39, "w", "r8-"),
     "tagged_find": (40, "w", "r9"),
-    "multimodal_wav_decode": (41, "w", "r10"),
-    "ccnet_partition": (42, "w", "r10"),
+    "multimodal_wav_decode": (41, "w", "r11"),
+    "ccnet_partition": (42, "w", "r11"),
     "dup_spans": (43, "w", "r9"),
-    "span_removal": (44, "w", "r9"),
+    "span_removal": (44, "w", "r11"),
     "span_extents": (45, "w", "r9"),
     "url_dedup": (46, "w", "r9"),
     "domain_stats": (47, "w", "r9"),
     "html_extract": (48, "w", "r9"),
-    "multimodal_bmp_decode": (49, "w", "r10"),
-    "multimodal_jpeg_decode": (50, "w", "r10"),
+    "multimodal_bmp_decode": (49, "w", "r11"),
+    "multimodal_jpeg_decode": (50, "w", "r11"),
     "consolidate_last": (51, "t", "r8-"),
     "semi_join_urgent": (52, "t", "r8-"),
     "topk_orders_per_segment": (53, "t", "r8-"),
